@@ -14,6 +14,9 @@ Wire format per block (BLOCK_SIZE docs max):
              passed explicitly (we store absolute first/last per block, so
              gaps[0] = doc_ids[0] - doc_first → 0; decode uses doc_first).
   tf_bytes:  varbyte(tf - 1)   (tf >= 1 always)
+  dl_bytes:  varbyte(dl - 1)   (doclen >= 1 if the doc has this term) — the
+             Lucene-norms analog inlined into the block so query scoring
+             never joins doc_stats (a per-query shuffle avoided).
 Block metadata (stored as plain columns → parquet min/max pruning works):
   n_docs, doc_first, doc_last, max_tf, min_dl
 """
@@ -74,8 +77,8 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
                   dls: np.ndarray) -> list[dict]:
     """Split one term-segment posting list (sorted by doc_id asc) into blocks.
 
-    Returns a list of block dicts with keys:
-    block_id, n_docs, doc_first, doc_last, max_tf, min_dl, doc_bytes, tf_bytes.
+    Returns a list of block dicts with keys: block_id, n_docs, doc_first,
+    doc_last, max_tf, min_dl, doc_bytes, tf_bytes, dl_bytes.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -99,15 +102,18 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
                 "min_dl": int(dls[lo:hi].min()),
                 "doc_bytes": varbyte_encode(gaps),
                 "tf_bytes": varbyte_encode(tfs[lo:hi] - 1),
+                "dl_bytes": varbyte_encode(dls[lo:hi] - 1),
             }
         )
     return blocks
 
 
-def decode_block(doc_first: int, doc_bytes: bytes,
-                 tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Block → (doc_ids int64 asc, tfs int64)."""
+def decode_block(
+    doc_first: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block → (doc_ids int64 asc, tfs int64, dls int64)."""
     gaps = varbyte_decode(doc_bytes).astype(np.int64)
     doc_ids = np.cumsum(gaps) + np.int64(doc_first)
     tfs = varbyte_decode(tf_bytes).astype(np.int64) + 1
-    return doc_ids, tfs
+    dls = varbyte_decode(dl_bytes).astype(np.int64) + 1
+    return doc_ids, tfs, dls

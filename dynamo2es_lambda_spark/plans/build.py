@@ -1,0 +1,332 @@
+"""Index build orchestration + on-disk index store.
+
+The reference's sink is one Elasticsearch ``bulk`` call per batch
+(/root/reference/lib/handler.js:149-162); the engine's sink is its own index
+store — partitioned parquet tables (Iceberg layout-compatible: directory
+partitioning; the sandbox image has no Iceberg jars, see SURVEY.md §4.2(c)):
+
+  {root}/doc_stats/batch=<b>/        doc_int, doc_id, index_name, doc_type,
+                                     parent, version, dl, content_sha256, lang
+  {root}/postings/batch=<b>/term_bucket=<h>/   block rows (operators/postings)
+  {root}/term_stats/                 term, df            (rebuilt per commit)
+  {root}/lineage/batch=<b>/          per-segment build metrics (north rule)
+  {root}/checkpoints/<batch>.json    per-batch success marker → resume
+  {root}/meta.json                   N, avgdl, seg_size, bucket count
+
+Resumability (north rule): the corpus is split deterministically into
+``num_batches`` disjoint doc sets (hash of doc_id); each batch is one Spark
+job committing its own partition directories + a checkpoint marker. A re-run
+skips batches whose marker exists — idempotent writes keyed by batch.
+
+Throughput metrics (docs/sec, postings/sec, compressed bytes per segment) are
+recorded per batch in lineage — BASELINE.json north_star requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import IndexerConfig
+from ..errors import EngineError
+from ..operators import fieldmap, ids, postings
+from ..sources import store_io
+
+DEFAULT_BUCKETS = 64
+BATCH_STRIDE = 1 << 40  # doc_int = batch * STRIDE + rank-within-batch
+
+
+@dataclass
+class BuildResult:
+    """The engine's bulk-result analog (README.md:89-116): took/errors/items
+    become took/quarantined/metrics."""
+
+    took_sec: float
+    n_docs: int
+    n_blocks: int
+    quarantined: int
+    batches: list[str]
+
+
+def dedup_latest_version(df: DataFrame) -> DataFrame:
+    """External-version last-writer-wins (lib/handler.js:80-87 semantics):
+    keep the highest version per doc_id. No-op when version is all-null."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("version").desc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def build_index(
+    corpus: DataFrame,
+    cfg: IndexerConfig,
+    store_path: str,
+    *,
+    key_cols: tuple[str, ...] = fieldmap.DEFAULT_KEY_COLS,
+    content_col: str = "content",
+    num_segments: int | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+    num_batches: int = 1,
+    resume: bool = True,
+    dedup_versions: bool = False,
+) -> BuildResult:
+    """Build the full inverted index from a corpus DataFrame."""
+    spark = corpus.sparkSession
+    t0 = time.monotonic()
+    num_segments = num_segments or spark.sparkContext.defaultParallelism * 2
+
+    # --- before_hook (lib/handler.js:32-34) ---
+    if cfg.before_hook:
+        cfg.before_hook(corpus)
+
+    try:
+        mapped = fieldmap.apply_field_mapping(
+            corpus, cfg, key_cols=key_cols, content_col=content_col
+        )
+
+        # --- per-record error channel (lib/handler.js:41,127-133) ---
+        bad = mapped.filter(F.col("error").isNotNull())
+        good = mapped.filter(F.col("error").isNull())
+        quarantined = 0
+        if cfg.record_error_hook is not None:
+            quarantined = bad.count()
+            if quarantined:
+                store_io.write_parquet(
+                    bad, os.path.join(store_path, "quarantine"), mode="append"
+                )
+                cfg.record_error_hook(bad)
+        else:
+            # strict mode: any record error fails the whole batch
+            first = bad.select("error").first()
+            if first is not None:
+                raise EngineError(first["error"])
+
+        # --- transform hook: DataFrame→DataFrame, falsy-drop ≡ filter
+        # (lib/handler.js:89-93) ---
+        if cfg.transform_record_hook is not None:
+            good = cfg.transform_record_hook(good)
+
+        if dedup_versions:
+            good = dedup_latest_version(good)
+
+        good = fieldmap.pick_document_fields(good, cfg)
+
+        # --- empty-batch short-circuit (lib/handler.js:138-147) ---
+        if good.isEmpty():
+            result = BuildResult(
+                took_sec=0.0, n_docs=0, n_blocks=0,
+                quarantined=quarantined, batches=[],
+            )
+            if cfg.after_hook:
+                override = cfg.after_hook(result)
+                if override is not None:
+                    return override
+            return result
+
+        batch_names = []
+        total_docs = 0
+        total_blocks = 0
+        for b in range(num_batches):
+            name = f"b{b}"
+            batch_names.append(name)
+            if resume and store_io.checkpoint_exists(store_path, name):
+                continue
+            part = (
+                good
+                if num_batches == 1
+                else good.filter(
+                    F.pmod(F.abs(F.xxhash64("doc_id")), F.lit(num_batches)) == b
+                )
+            )
+            nd, nb = _build_batch(
+                part, store_path, b, name,
+                content_col=content_col,
+                num_segments=num_segments,
+                num_buckets=num_buckets,
+                retries=cfg.retries,
+            )
+            total_docs += nd
+            total_blocks += nb
+
+        _finalize_store(spark, store_path, num_segments, num_buckets)
+        result = BuildResult(
+            took_sec=time.monotonic() - t0,
+            n_docs=total_docs,
+            n_blocks=total_blocks,
+            quarantined=quarantined,
+            batches=batch_names,
+        )
+        # --- after_hook may replace the result (lib/handler.js:164-173) ---
+        if cfg.after_hook:
+            override = cfg.after_hook(result)
+            if override is not None:
+                return override
+        return result
+    except Exception as err:  # noqa: BLE001
+        # --- errorHook converts failure → normal return (lib/handler.js:174-179)
+        if cfg.error_hook is not None:
+            return cfg.error_hook(err)
+        raise
+
+
+def _build_batch(
+    docs: DataFrame,
+    store_path: str,
+    batch_idx: int,
+    batch_name: str,
+    *,
+    content_col: str,
+    num_segments: int,
+    num_buckets: int,
+    retries: int = 0,
+) -> tuple[int, int]:
+    """One resumable unit: dense IDs → doc_stats → postings → lineage →
+    checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
+    spark = docs.sparkSession
+    attempt = 0
+    while True:
+        try:
+            return _build_batch_once(
+                docs, store_path, batch_idx, batch_name,
+                content_col=content_col, num_segments=num_segments,
+                num_buckets=num_buckets,
+            )
+        except Exception:  # noqa: BLE001
+            attempt += 1
+            if attempt > retries:
+                raise
+            spark.catalog.clearCache()
+
+
+def _build_batch_once(
+    docs: DataFrame,
+    store_path: str,
+    batch_idx: int,
+    batch_name: str,
+    *,
+    content_col: str,
+    num_segments: int,
+    num_buckets: int,
+) -> tuple[int, int]:
+    t0 = time.monotonic()
+    with_dl = postings.doc_lengths(docs, content_col)
+    with_ids = ids.assign_dense_ids(with_dl, order_col="doc_id")
+    if batch_idx:
+        with_ids = with_ids.withColumn(
+            "doc_int", F.col("doc_int") + F.lit(batch_idx * BATCH_STRIDE)
+        )
+    # persist the (small, content-free) doc_stats projection; content itself
+    # is never stored twice
+    keep = [
+        c
+        for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
+                  "version", "dl", "content_sha256", "lang")
+        if c in with_ids.columns
+    ]
+    doc_stats_path = os.path.join(store_path, "doc_stats", f"batch={batch_name}")
+    store_io.write_parquet(with_ids.select(*keep), doc_stats_path)
+
+    # token pass → one shuffle on (term, seg) → block rows
+    n_docs = with_ids.sparkSession.read.parquet(doc_stats_path).count()
+    toks = postings.tokenize(with_ids, content_col)
+    blocks = postings.build_posting_blocks(
+        toks, n_docs=max(n_docs, 1), num_segments=num_segments
+    )
+    blocks = blocks.withColumn(
+        "term_bucket", F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets))
+    )
+    postings_path = os.path.join(store_path, "postings", f"batch={batch_name}")
+    store_io.write_parquet(
+        blocks.repartition("term_bucket"),
+        postings_path,
+        partition_by=("term_bucket",),
+    )
+
+    # lineage + metrics from the committed blocks (read-back = what a future
+    # query will see; column pruning keeps this scan metadata-only)
+    spark = docs.sparkSession
+    written = spark.read.parquet(postings_path)
+    took = time.monotonic() - t0
+    lineage = written.groupBy("seg").agg(
+        F.count("*").alias("blocks"),
+        F.sum("n_docs").alias("postings"),
+        F.sum(
+            F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")
+        ).alias("compressed_bytes"),
+    ).withColumns(
+        {
+            "batch": F.lit(batch_name),
+            "docs": F.lit(n_docs),
+            "took_sec": F.lit(took),
+            "docs_per_sec": F.lit(n_docs / took if took > 0 else 0.0),
+            "postings_per_sec": F.col("postings") / F.lit(max(took, 1e-9)),
+        }
+    )
+    store_io.write_parquet(
+        lineage, os.path.join(store_path, "lineage", f"batch={batch_name}")
+    )
+    n_blocks = written.count()
+    store_io.write_checkpoint(
+        store_path, batch_name,
+        {"docs": n_docs, "blocks": n_blocks, "took_sec": took},
+    )
+    return n_docs, n_blocks
+
+
+def _finalize_store(
+    spark: SparkSession, store_path: str, num_segments: int, num_buckets: int
+) -> None:
+    """Recompute global stats (N, avgdl) and term_stats across all committed
+    batches; write meta.json. Cheap: aggregates over doc_stats and block
+    metadata columns only."""
+    doc_stats = spark.read.parquet(os.path.join(store_path, "doc_stats"))
+    agg = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    blocks = spark.read.parquet(os.path.join(store_path, "postings"))
+    ts = postings.term_stats(blocks)
+    store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+    meta = {
+        "n_docs": int(agg["n"]),
+        "avgdl": float(agg["avgdl"] or 0.0),
+        "num_segments": num_segments,
+        "num_buckets": num_buckets,
+        "batch_stride": BATCH_STRIDE,
+    }
+    with open(os.path.join(store_path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def verify_sha256(corpus: DataFrame, cfg: IndexerConfig, store_path: str,
+                  key_cols: tuple[str, ...] = fieldmap.DEFAULT_KEY_COLS,
+                  content_col: str = "content") -> int:
+    """North-rule invariant: per-row content sha256 equality between ingested
+    and indexed documents. Returns the number of mismatches (0 = pass).
+
+    Recomputes sha256 from the source and inner-joins the committed doc_stats
+    on doc_id; any hash inequality or missing doc counts as a mismatch.
+    """
+    spark = corpus.sparkSession
+    mapped = fieldmap.apply_field_mapping(
+        corpus, cfg, key_cols=key_cols, content_col=content_col
+    ).filter(F.col("error").isNull())
+    source = mapped.select(
+        "doc_id", F.col("content_sha256").alias("src_sha")
+    )
+    indexed = spark.read.parquet(os.path.join(store_path, "doc_stats")).select(
+        "doc_id", F.col("content_sha256").alias("idx_sha")
+    )
+    joined = source.join(indexed, "doc_id", "left")
+    return joined.filter(
+        F.col("idx_sha").isNull() | (F.col("idx_sha") != F.col("src_sha"))
+    ).count()

@@ -1,0 +1,320 @@
+"""Query engine: top-k BM25 over the posting-block store.
+
+Query lifecycle (SURVEY.md §3.2 engine analog):
+  queries → tokenize (same pinned analyzer) → per-(qid, term) weight
+  ``w = idf(N, df) * (k1+1) * qtf`` → targeted posting read (parquet
+  directory pruning on term_bucket + row-group min/max on term) →
+  broadcast-join of the tiny query-term table → vectorized block scoring
+  (Arrow batches, numpy) → groupBy(qid, doc) partial-sum → rank()-with-ties
+  pre-cut → doc_id join → deterministic final rank (score desc, doc_id asc).
+
+The only full shuffle is the per-candidate groupBy — its volume is the
+matched postings, already pruned to query terms. Everything else is
+broadcast or metadata-sized.
+
+Scoring algorithms:
+  - ``exhaustive``: decode every matching block, score all postings. The
+    oracle-grade reference path.
+  - ``wand`` (block-max WAND): per-(qid, seg) document-at-a-time with a k-heap
+    and block upper bounds (max_tf/min_dl metadata → bm25.block_upper_bound);
+    skips blocks that cannot beat the running threshold. Safe/exact: returns
+    rank-identical results (asserted in tests). Segments are disjoint doc
+    ranges, so per-segment top-k heaps merge exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import analysis, bm25, codec
+
+RESULT_SCHEMA = "qid long, rank int, doc_id string, score double"
+
+
+@dataclass
+class IndexStore:
+    path: str
+    meta: dict
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "doc_stats"))
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+
+def load_store(path: str) -> IndexStore:
+    with open(os.path.join(path, "meta.json")) as f:
+        return IndexStore(path=path, meta=json.load(f))
+
+
+def _query_terms(queries: pd.DataFrame) -> pd.DataFrame:
+    """(qid, query) → (qid, term, qtf); duplicate query terms fold into qtf
+    (Lucene duplicate-term boost semantics)."""
+    rows = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, c in sorted(Counter(toks).items()):
+            rows.append((int(qid), t, int(c)))
+    return pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+
+
+def search(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    mode: str = "or",
+    algo: str = "exhaustive",
+) -> DataFrame:
+    """Top-k BM25. ``queries``: pandas (qid, query[, k]). Returns a DataFrame
+    (qid, rank, doc_id, score) — empty for queries with no matching term."""
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+    qt = _query_terms(queries)
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    terms = sorted(qt["term"].unique().tolist())
+
+    # df(t) lookup — tiny targeted read
+    ts = (
+        store.term_stats(spark)
+        .filter(F.col("term").isin(terms))
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    qt["df"] = qt["term"].map(ts)
+    # AND semantics count ALL query terms — a term absent from the index can
+    # never match, so such queries return empty (ES operator=and behavior)
+    n_terms_by_qid = qt.groupby("qid").size().to_dict()
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+
+    live_terms = sorted(qt["term"].unique().tolist())
+    buckets = sorted(
+        {int(b) for b in _term_buckets(spark, live_terms, store.meta["num_buckets"])}
+    )
+    blocks = (
+        store.postings(spark)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(live_terms))
+    )
+    qterms_df = spark.createDataFrame(qt[["qid", "term", "w"]])
+    joined = blocks.join(F.broadcast(qterms_df), "term")
+
+    if algo == "exhaustive":
+        cand = _score_exhaustive(joined, avgdl)
+        agg = cand.groupBy("qid", "doc_int").agg(
+            F.sum("score").alias("score"), F.count("*").alias("nt")
+        )
+        if mode == "and":
+            need = spark.createDataFrame(
+                pd.DataFrame(
+                    {"qid": list(n_terms_by_qid), "need": list(n_terms_by_qid.values())}
+                )
+            )
+            agg = agg.join(F.broadcast(need), "qid").filter(
+                F.col("nt") == F.col("need")
+            )
+        topk = _cut_topk(agg, k)
+    elif algo == "wand":
+        if mode != "or":
+            raise ValueError("wand algo implements mode='or'")
+        topk = _score_wand(joined, avgdl, k, n_terms_by_qid)
+        topk = _cut_topk(topk.groupBy("qid", "doc_int").agg(
+            F.max("score").alias("score")), k)
+    else:
+        raise ValueError(f"unknown algo: {algo}")
+
+    # doc_int → doc_id; result side is tiny → broadcast it into doc_stats scan
+    stats = store.doc_stats(spark).select("doc_int", "doc_id")
+    named = stats.join(F.broadcast(topk), "doc_int")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        named.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], num_buckets: int):
+    pdf = spark.createDataFrame(pd.DataFrame({"term": terms})).select(
+        F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets)).alias("b")
+    )
+    return [r["b"] for r in pdf.distinct().collect()]
+
+
+def _cut_topk(agg: DataFrame, k: int) -> DataFrame:
+    """rank() (not row_number) keeps score-ties at the k boundary so the
+    final doc_id tie-break sees every tied candidate."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc())
+    return (
+        agg.withColumn("_r", F.rank().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "nt")
+    )
+
+
+def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
+    """Decode every matched block → (qid, doc_int, score) rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                score = row.w * bm25.tf_norm(tfs, dls, avgdl)
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": row.qid, "doc_int": ids, "score": score}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cols = ["qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"]
+    return joined.select(*cols).mapInPandas(
+        run, schema="qid long, doc_int long, score double"
+    )
+
+
+def _score_wand(
+    joined: DataFrame, avgdl: float, k: int, n_terms_by_qid: dict
+) -> DataFrame:
+    """Block-max WAND, per (qid, seg) group (disjoint doc ranges → exact).
+
+    Document-at-a-time over the segment's term posting lists with a k-sized
+    min-heap; a block is decoded only when the sum of the *remaining* terms'
+    block upper bounds can beat the heap threshold.
+    """
+
+    empty = pd.DataFrame(
+        {
+            "qid": pd.Series([], dtype="int64"),
+            "doc_int": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+
+        # Per term: block table + per-block upper bounds; term-level ub.
+        per_term = []
+        for _, tdf in pdf.groupby("term", sort=True):
+            tdf = tdf.sort_values("doc_first").reset_index(drop=True)
+            ub = tdf["w"].to_numpy() * bm25.tf_norm(
+                tdf["max_tf"].to_numpy(), tdf["min_dl"].to_numpy(), avgdl
+            )
+            per_term.append((float(ub.max()), tdf, ub))
+        # MaxScore ordering: biggest-potential terms first (essential set).
+        per_term.sort(key=lambda t: -t[0])
+        suffix = np.zeros(len(per_term) + 1)
+        for i in range(len(per_term) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + per_term[i][0]
+
+        cand_ids = np.zeros(0, dtype=np.int64)     # sorted candidate docs
+        cand_scores = np.zeros(0, dtype=np.float64)
+        tau = float("-inf")                         # kth-best partial so far
+
+        def decode_rows(tdf: pd.DataFrame, sel: np.ndarray):
+            ids_l, sc_l = [], []
+            for ri in np.nonzero(sel)[0]:
+                row = tdf.iloc[ri]
+                ids, tfs, dls = codec.decode_block(
+                    row["doc_first"], row["doc_bytes"],
+                    row["tf_bytes"], row["dl_bytes"],
+                )
+                ids_l.append(ids)
+                sc_l.append(row["w"] * bm25.tf_norm(tfs, dls, avgdl))
+            if not ids_l:
+                return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return np.concatenate(ids_l), np.concatenate(sc_l)
+
+        for i, (_term_ub, tdf, block_ub) in enumerate(per_term):
+            essential = suffix[i] >= tau or len(cand_ids) < k
+            if essential:
+                # decode all blocks; block-level skip only for blocks that
+                # cannot beat tau AND contain no current candidate (their
+                # docs can neither enter nor affect the final top-k).
+                sel = np.ones(len(tdf), dtype=bool)
+                if np.isfinite(tau) and len(cand_ids):
+                    cannot_enter = block_ub + suffix[i + 1] < tau
+                    lo = np.searchsorted(
+                        cand_ids, tdf["doc_first"].to_numpy(), side="left"
+                    )
+                    hi = np.searchsorted(
+                        cand_ids, tdf["doc_last"].to_numpy(), side="right"
+                    )
+                    has_cand = hi > lo
+                    sel = ~(cannot_enter & ~has_cand)
+                ids, sc = decode_rows(tdf, sel)
+                if ids.size == 0 and cand_ids.size == 0:
+                    continue
+                # merge into candidate arrays (sorted union)
+                all_ids = np.concatenate([cand_ids, ids])
+                all_sc = np.concatenate([cand_scores, sc])
+                order = np.argsort(all_ids, kind="stable")
+                all_ids, all_sc = all_ids[order], all_sc[order]
+                uniq, start = np.unique(all_ids, return_index=True)
+                summed = np.add.reduceat(all_sc, start)
+                cand_ids, cand_scores = uniq, summed
+            else:
+                # non-essential: only existing candidates can still be in the
+                # top-k → decode only blocks overlapping the candidate set,
+                # add contributions for candidate docs only (exact scores).
+                lo = np.searchsorted(
+                    cand_ids, tdf["doc_first"].to_numpy(), side="left"
+                )
+                hi = np.searchsorted(
+                    cand_ids, tdf["doc_last"].to_numpy(), side="right"
+                )
+                sel = hi > lo
+                ids, sc = decode_rows(tdf, sel)
+                pos = np.searchsorted(cand_ids, ids)
+                ok = (pos < len(cand_ids)) & (cand_ids[np.minimum(pos, len(cand_ids) - 1)] == ids)
+                np.add.at(cand_scores, pos[ok], sc[ok])
+            if len(cand_ids) >= k:
+                tau = float(np.partition(cand_scores, -k)[-k])
+
+        if not len(cand_ids):
+            return empty
+        # keep k best with ties (boundary ties resolved downstream by doc_id)
+        if len(cand_ids) > k:
+            kth = float(np.partition(cand_scores, -k)[-k])
+            keep = cand_scores >= kth
+            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+        return pd.DataFrame(
+            {"qid": qid, "doc_int": cand_ids, "score": cand_scores}
+        )
+
+    cols = ["qid", "seg", "term", "w", "doc_first", "doc_last", "max_tf",
+            "min_dl", "doc_bytes", "tf_bytes", "dl_bytes"]
+    return (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )

@@ -1,0 +1,57 @@
+"""Index-store I/O helpers: parquet writers + checkpoint markers.
+
+Iceberg is the primary design target (partitioned tables, atomic commits);
+the sandbox image lacks the Iceberg runtime jar, so the layout falls back to
+directory-partitioned parquet with the same structure (SURVEY.md §4.2(c)).
+``try_iceberg`` gates the Iceberg path behind an import/config check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def iceberg_available(spark) -> bool:
+    """True if an Iceberg catalog is configured on this session."""
+    try:
+        return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None))
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def checkpoint_dir(store_path: str) -> str:
+    return os.path.join(store_path, "checkpoints")
+
+
+def checkpoint_exists(store_path: str, name: str) -> bool:
+    return os.path.exists(os.path.join(checkpoint_dir(store_path), f"{name}.json"))
+
+
+def write_checkpoint(store_path: str, name: str, payload: dict) -> None:
+    d = checkpoint_dir(store_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(d, f"{name}.json"))  # atomic marker
+
+
+def clear_checkpoint(store_path: str, name: str) -> None:
+    p = os.path.join(checkpoint_dir(store_path), f"{name}.json")
+    if os.path.exists(p):
+        os.remove(p)

@@ -1,0 +1,54 @@
+"""Pure-Python single-process reference engine (the rank-identity oracle).
+
+Shares the pinned tokenizer (functions/analysis.py) and BM25 formula
+(functions/bm25.py) with the Spark engine — SURVEY.md §5.2.4 — but is
+otherwise an independent implementation: plain dict/numpy postings,
+exhaustive scoring, no Spark, no codec.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from dynamo2es_lambda_spark.functions import analysis, bm25
+
+
+class PyOracle:
+    def __init__(self, doc_ids: list[str], texts: list[str]) -> None:
+        order = np.argsort(np.array(doc_ids, dtype=object), kind="stable")
+        self.doc_ids = [doc_ids[i] for i in order]
+        toks = analysis.tokenize_series(pd.Series([texts[i] for i in order]))
+        self.n_docs = len(self.doc_ids)
+        self.dl = np.array([len(t) for t in toks], dtype=np.int64)
+        self.avgdl = float(self.dl.mean()) if self.n_docs else 0.0
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        for d, ts in enumerate(toks):
+            for t, c in Counter(ts).items():
+                self.postings.setdefault(t, []).append((d, c))
+        self.df = {t: len(p) for t, p in self.postings.items()}
+
+    def topk(self, query: str, k: int = 10, mode: str = "or"):
+        """→ list[(doc_id, score)] ordered by (score desc, doc_id asc)."""
+        qtoks = analysis.tokenize_series(pd.Series([query]))[0]
+        qterms = sorted(Counter(qtoks).items())  # ascending term order
+        scores: dict[int, float] = {}
+        matched: dict[int, int] = {}
+        n_live = 0
+        for t, qtf in qterms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            n_live += 1
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0) * qtf
+            for d, tf in plist:
+                s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+                matched[d] = matched.get(d, 0) + 1
+        if mode == "and":
+            need = sum(1 for t, _ in qterms)
+            scores = {d: s for d, s in scores.items() if matched[d] == need}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]

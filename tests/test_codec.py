@@ -44,13 +44,18 @@ def test_block_roundtrip(rows):
     tfs = np.array([r[1] for r in rows], dtype=np.int64)
     dls = np.array([r[2] for r in rows], dtype=np.int64)
     blocks = codec.encode_blocks(doc_ids, tfs, dls)
-    got_ids, got_tfs = [], []
+    got_ids, got_tfs, got_dls = [], [], []
     for b in blocks:
-        ids, t = codec.decode_block(b["doc_first"], b["doc_bytes"], b["tf_bytes"])
+        ids, t, d = codec.decode_block(
+            b["doc_first"], b["doc_bytes"], b["tf_bytes"], b["dl_bytes"]
+        )
         assert b["n_docs"] == ids.size <= codec.BLOCK_SIZE
         assert b["doc_first"] == ids[0] and b["doc_last"] == ids[-1]
         assert b["max_tf"] == t.max()
+        assert b["min_dl"] == d.min()
         got_ids.append(ids)
         got_tfs.append(t)
+        got_dls.append(d)
     assert np.concatenate(got_ids).tolist() == doc_ids.tolist()
     assert np.concatenate(got_tfs).tolist() == tfs.tolist()
+    assert np.concatenate(got_dls).tolist() == dls.tolist()
