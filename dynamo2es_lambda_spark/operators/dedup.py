@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python in the hot path):
+
+- exact:      hash-groupBy on the normalized token stream
+- minhash+LSH: shingle → minhash (k seeded hashes) → band → bucket self-join
+- n-gram Jaccard: exact pairwise similarity over shingle sets
+- simhash:    32-bit sign-aggregated token-hash fingerprint
+
+Scale notes: exact dedup is one shuffle on the fingerprint. MinHash-LSH is
+the scale path for near-dup at 100 TB — signatures are tiny (k strings/doc),
+the band self-join shuffles only (band, key) buckets, and skewed buckets
+(boilerplate docs) can be salted or capped. The exact Jaccard operator is
+O(pairs-sharing-a-shingle) and exists for verification / small candidate
+sets (e.g. re-ranking LSH candidates).
+
+Every operator here has a DuckDB-SQL twin in plans/entry_queries.py used as
+the driver's independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import spark_tokens_expr
+from ..functions.text import fingerprint_md5
+
+MINHASH_SEEDS = 8
+SIMHASH_BITS = 32
+
+
+def _shingles(col: str, n: int = 3) -> str:
+    """Token n-gram shingle array expression (1-indexed slice — mirrors the
+    DuckDB list-indexing twin in plans/entry_queries.py)."""
+    toks = spark_tokens_expr(col)
+    return (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"else cast(array() as array<string>) end"
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of content-identical docs (normalized token stream).
+    → (fp, n_docs, canonical) with canonical = min id (string order)."""
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("id"),
+            fingerprint_md5(text_col).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("canonical"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = MINHASH_SEEDS, shingle_n: int = 3,
+) -> DataFrame:
+    """→ (id, sig_0..sig_{k-1}); docs with < shingle_n tokens drop out.
+
+    Hash family: md5(shingle || '#' || seed), min taken in string order —
+    uniform, deterministic, and exactly reproducible in any SQL dialect.
+    """
+    sh = _shingles(text_col, shingle_n)
+    exploded = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.expr(f"array_distinct({sh})")).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{s}")))).alias(f"sig_{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = MINHASH_SEEDS, rows_per_band: int = 1
+) -> DataFrame:
+    """Band the signatures, self-join buckets → distinct candidate (a, b).
+
+    rows_per_band=1 with k hashes ⇒ recall-oriented (P(candidate) ≈ 1-(1-J)^k).
+    """
+    n_bands = num_hashes // rows_per_band
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws('|', {sigs}))".format(
+            b=b,
+            sigs=", ".join(
+                f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    banded = sigs.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct shingle sets.
+    → (a, b, jac) for every pair sharing ≥1 shingle. Quadratic in the worst
+    case — use on bounded candidate sets (LSH output or sampled subsets)."""
+    sh = _shingles(text_col, shingle_n)
+    ex = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.expr(f"array_distinct({sh})")).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .select(
+            "a", "b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jac"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """→ (id, simhash) — sign-aggregated tf-weighted token hashes.
+
+    Token hash = first 8 hex chars of md5 (32 bits), reproducible in SQL
+    everywhere (Spark conv(); DuckDB '0x'-cast).
+    """
+    toks = spark_tokens_expr(text_col)
+    tf = (
+        df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.explode(F.expr(toks)).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+        )
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    combined = " + ".join(
+        f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
+        f"else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return (
+        tf.groupBy("id")
+        .agg(*bit_aggs)
+        .select("id", F.expr(combined).alias("simhash"))
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.expr(f"bit_count({a} ^ {b})") if isinstance(a, str) else \
+        F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,684 @@
+"""Driver-contract query pairs: Spark implementation + DuckDB oracle SQL.
+
+Every entry in SPARK_QUERIES has a same-named entry in ORACLE_SQL producing
+identical column names, types, and (rounded) values on the driver's parquet
+tables — the driver's CORRECTNESS gate runs both sides at sf=0.01 and
+compares row-count + schema + order-insensitive value hash.
+
+Float columns are rounded to fixed decimals on BOTH sides (suffix ``_r``) so
+summation-order noise cannot flip the hash; ranks are computed over the
+ROUNDED score with doc-id tie-break, making orderings bit-deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import IndexerConfig
+from ..functions import analysis, text as T
+from ..functions.bm25 import B, K1
+from ..operators import ann, dedup
+from . import build, search
+
+# ---------------------------------------------------------------- helpers
+
+DOC_TOKS = analysis.duckdb_tokens_sql("text")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tbl(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------ 1. doc_stats
+# SURVEY §2.2 "Doc statistics": per-doc token length + sha256 (north-rule
+# invariant column) — the doc_stats table of the index, as a query.
+
+def q_doc_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.n_tokens("text").alias("dl"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        "lang",
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len({DOC_TOKS}) AS BIGINT) AS dl,
+       sha256(text) AS sha,
+       lang
+FROM documents
+"""
+
+# ------------------------------------------------------------- 2. term_df
+# SURVEY §2.2 "Doc statistics" df(t): per-term document frequency.
+
+def q_term_df(spark, sf_dir):
+    toks = analysis.spark_tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(f"array_distinct({toks})")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+SQL_TERM_DF = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct({DOC_TOKS})) AS term FROM documents)
+GROUP BY term
+"""
+
+# ------------------------------------------------------ 3/4. BM25 top-k
+# The flagship: full engine path (field-map → dense ids → posting blocks →
+# block-max pruned BM25) vs an independent SQL BM25 oracle.
+
+FT_QUERIES = [
+    (0, "spark merge window"),
+    (1, "customer"),
+    (2, "the fast key"),
+    (3, "data slow batch"),
+    (4, "absentzzz"),
+]
+FT_QUERIES_AND = [
+    (0, "spark merge"),
+    (1, "window stream dup"),
+    (2, "absentzzz spark"),
+]
+FT_K = 10
+
+_STORES: dict[str, str] = {}
+
+
+def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """Build (once per sf_dir+mtime) the engine index over documents."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v3".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_{key}")
+    if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        build.build_index(
+            corpus, cfg, path,
+            num_segments=spark.sparkContext.defaultParallelism,
+            num_buckets=32, resume=True,
+        )
+        _STORES[key] = path
+    return search.load_store(path)
+
+
+def _rerank_rounded(res: DataFrame, k: int) -> DataFrame:
+    """Deterministic presentation: rank over (round(score,6) desc, doc_id)."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score_r")
+    )
+
+
+def q_fts_bm25(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search(spark, store, qpdf, k=50, algo="wand")
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_bm25_and(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES_AND, columns=["qid", "query"])
+    res = search.search(spark, store, qpdf, k=50, mode="and", algo="exhaustive")
+    return _rerank_rounded(res, FT_K)
+
+
+def _bm25_sql(queries: list[tuple[int, str]], k: int, and_mode: bool) -> str:
+    vals, needs = [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        terms = sorted(Counter(toks).items())
+        needs.append(f"({qid}, {len(terms)})")
+        for t, qtf in terms:
+            vals.append(f"({qid}, '{t}', {qtf})")
+    and_join = (
+        f"JOIN (VALUES {', '.join(needs)}) need(nqid, need) "
+        "ON scored.qid = need.nqid AND scored.nt = need.need"
+        if and_mode
+        else ""
+    )
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(scored.qid AS BIGINT) AS qid, scored.doc_id AS doc_id,
+         round(scored.score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY scored.qid
+           ORDER BY round(scored.score, 6) DESC, scored.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored {and_join}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------- 5. exact dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(array_to_string({DOC_TOKS}, ' ')) AS fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(CAST(doc_id AS VARCHAR)) AS canonical
+FROM documents
+GROUP BY fp
+"""
+
+# ----------------------------------------------------- 6. minhash LSH dedup
+
+_DUCK_SHINGLES = f"""
+CASE WHEN len({DOC_TOKS}) >= 3
+     THEN list_transform(range(1, len({DOC_TOKS}) - 1),
+                         i -> array_to_string(({DOC_TOKS})[i:i+2], ' '))
+     ELSE [] END
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def _sql_minhash() -> str:
+    sig_cols = ",\n       ".join(
+        f"min(md5(sh || '#{s}')) AS sig_{s}" for s in range(dedup.MINHASH_SEEDS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT id, {s} AS band, sig_{s} AS key FROM sigs"
+        for s in range(dedup.MINHASH_SEEDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT id, unnest(list_distinct(shingles)) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS id, {_DUCK_SHINGLES} AS shingles
+        FROM documents)
+),
+sigs AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+banded AS ({bands})
+SELECT DISTINCT a.id AS a, b.id AS b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.id < b.id
+"""
+
+
+# ------------------------------------------------- 7. n-gram Jaccard pairs
+
+JACCARD_MAX_ID = 60
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    sub = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_ID)
+    pairs = dedup.ngram_jaccard_pairs(sub, "doc_id", "text")
+    return pairs.select("a", "b", F.round("jac", 6).alias("jac_r"))
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH sh AS (
+  SELECT id, unnest(list_distinct(shingles)) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS id, {_DUCK_SHINGLES} AS shingles
+        FROM documents WHERE doc_id < {JACCARD_MAX_ID})
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS a, b.id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT inter.a AS a, inter.b AS b,
+       round(inter.i / (sa.sz + sb.sz - inter.i), 6) AS jac_r
+FROM inter
+JOIN sizes sa ON sa.id = inter.a
+JOIN sizes sb ON sb.id = inter.b
+"""
+
+# ----------------------------------------------------------- 8. simhash
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    bits = dedup.SIMHASH_BITS
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH tf AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS id, unnest({DOC_TOKS}) AS tok
+        FROM documents)
+  GROUP BY id, tok
+),
+h AS (SELECT id, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tf),
+bits AS (SELECT id, {bit_sums} FROM h GROUP BY id)
+SELECT id, CAST({combine} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# ------------------------------------------------------ 9. ANN cosine top-k
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = ann.brute_force_topk(emb, ANN_QUERY_IDS, k=50)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        res.withColumn("cos_r", F.round("cos", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
+SQL_ANN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+t AS (SELECT vec_id, v FROM e
+      WHERE vec_id NOT IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+scored AS (
+  SELECT q.qid AS qid, t.vec_id AS vec_id,
+         list_dot_product(q.qv, t.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM q CROSS JOIN t
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         round(cos, 6) AS cos_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
+"""
+
+# -------------------------------------------------------- 10. text quality
+
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.n_tokens("text").alias("n_tok"),
+        T.bpe_token_count("text").alias("n_bpe"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_r"),
+        F.round(T.quality_score("text"), 6).alias("quality_r"),
+    )
+
+
+def _sql_text_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {DOC_TOKS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(regexp_extract_all(lower(text), '{T.BPE_RE}')) AS BIGINT)
+           AS n_bpe,
+         len(regexp_extract_all(text, '{T.PUNCT_RE}'))
+           / greatest(length(text), 1) AS punct,
+         len(list_filter(toks, t -> t IN ({stop})))
+           / greatest(len(toks), 1) AS stop
+  FROM x
+)
+SELECT doc_id, n_tok, n_bpe,
+       round(punct, 6) AS punct_r,
+       round(stop, 6) AS stop_r,
+       round(least(n_tok / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.3
+             + least(stop * 5.0, 1.0) * 0.3, 6) AS quality_r
+FROM m
+"""
+
+
+# ---------------------------------------------------------- 11. lang id
+
+def q_text_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.lang_id("text").alias("pred_lang"),
+    )
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lg: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in T.LANG_STOPWORDS.items()
+    }
+    return f"""
+WITH x AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+           FROM documents),
+h AS (SELECT doc_id, {hits['en']} AS hen, {hits['de']} AS hde,
+             {hits['fr']} AS hfr, {hits['es']} AS hes FROM x)
+SELECT doc_id,
+       CASE WHEN hen >= hde AND hen >= hfr AND hen >= hes THEN 'en'
+            WHEN hde >= hfr AND hde >= hes THEN 'de'
+            WHEN hfr >= hes THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM h
+"""
+
+
+# ------------------------------------------------------ 12. fingerprints
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(T.n_tokens("text") > 0)
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.fingerprint_md5("text").alias("fp_md5"),
+        T.fingerprint_rolling("text").alias("fp_roll"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks FROM documents
+),
+v AS (
+  SELECT doc_id, toks,
+         list_transform(toks,
+           t -> (CAST(length(t) AS BIGINT) * 31 + ascii(t)) % {T.ROLL_P1})
+           AS vals
+  FROM x WHERE len(toks) > 0
+)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp_md5,
+       CAST(list_reduce(vals, (a, b) -> (a * {T.ROLL_MULT} + b) % {T.ROLL_P2})
+            AS BIGINT) AS fp_roll
+FROM v
+"""
+
+# -------------------------------------------- 13-15. event pipeline (CDC analog)
+# SURVEY §2.1 #13 action dispatch, #11 version LWW, plus sessionization.
+
+def q_events_dispatch(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .when(
+            F.col("event_type").isin("signup", "click", "view", "purchase"),
+            "index",
+        )
+        .otherwise("unknown")
+        .alias("action"),
+    )
+
+
+SQL_EVENTS_DISPATCH = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type IN ('signup', 'click', 'view', 'purchase')
+              THEN 'index'
+            ELSE 'unknown' END AS action
+FROM events
+"""
+
+
+def q_events_lww(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"))
+    )
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return last.join(counts, "user_id")
+
+
+SQL_EVENTS_LWW = """
+WITH last AS (
+  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id)
+SELECT l.user_id AS user_id, l.last_event_id, l.last_type, c.n_events
+FROM last l JOIN counts c ON c.user_id = l.user_id
+WHERE l.rn = 1
+"""
+
+
+SESSION_GAP_SEC = 1800
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull()
+            # timestampdiff works for TIMESTAMP_NTZ (the driver parquet's
+            # physical type); exact micros matches DuckDB's epoch_us diff
+            | (
+                F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+                > SESSION_GAP_SEC * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_new").alias("n_sessions"),
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev)
+                          > {SESSION_GAP_SEC} * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+# ------------------------------------------------- 16-18. generic OLAP ops
+
+def q_tpch_q1(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty_r"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price_r"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * (1 + F.col("l_tax"))),
+            2,
+        ).alias("sum_charge_r"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc_r"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty_r,
+       round(sum(l_extendedprice), 2) AS sum_price_r,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge_r,
+       round(avg(l_discount), 6) AS avg_disc_r
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_topk_orders(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TPCH_TOPK = """
+SELECT o_orderpriority,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS rn,
+       o_orderkey, o_totalprice
+FROM orders QUALIFY rn <= 3
+"""
+
+
+def q_tpch_revenue_nation(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue_r"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_TPCH_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ----------------------------------------------------------- registries
+
+SPARK_QUERIES = {
+    "doc_stats": q_doc_stats,
+    "term_df": q_term_df,
+    "fts_bm25_topk": q_fts_bm25,
+    "fts_bm25_and": q_fts_bm25_and,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "events_action_dispatch": q_events_dispatch,
+    "events_version_lww": q_events_lww,
+    "events_sessionize": q_events_sessions,
+    "tpch_q1_pricing_summary": q_tpch_q1,
+    "tpch_topk_per_group": q_tpch_topk_orders,
+    "tpch_revenue_by_nation": q_tpch_revenue_nation,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_stats": SQL_DOC_STATS,
+        "term_df": SQL_TERM_DF,
+        "fts_bm25_topk": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
+        "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_simhash": _sql_simhash(),
+        "ann_cosine_topk": SQL_ANN,
+        "text_quality": _sql_text_quality(),
+        "text_lang_id": _sql_lang_id(),
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "events_action_dispatch": SQL_EVENTS_DISPATCH,
+        "events_version_lww": SQL_EVENTS_LWW,
+        "events_sessionize": SQL_EVENTS_SESSIONS,
+        "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+        "tpch_topk_per_group": SQL_TPCH_TOPK,
+        "tpch_revenue_by_nation": SQL_TPCH_REVENUE,
+    }
