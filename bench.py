@@ -1,0 +1,171 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline numbers:
+- ``index_build_synth``: full engine index build (field-map → dense IDs →
+  tokenize → posting blocks → store) over the deterministic synthetic code
+  corpus scaled to the SF (500k docs/SF), the CPU-bound throughput metric
+  (docs/sec, postings/sec in ``extra``).
+- ``index_build_docs`` + ``bm25_query_set``: build over the driver's
+  documents table and answer the reference query set (block-max WAND).
+- dedup / ANN / text / TPC-H representative queries from the entry contract.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py and recorded in BASELINE.md / BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("d2es-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import pandas as pd
+
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.plans import build, entry_queries, search
+    from dynamo2es_lambda_spark.sources import synthetic
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn, repeat: int = 1):
+        best, out = None, None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        return out
+
+    # --- headline: synthetic code-corpus index build (CPU-bound) ---
+    # corpus is materialized to parquet UNTIMED: the metric is index-build
+    # throughput over an input table, not generator speed
+    n_synth = max(int(500_000 * sf), 2000)
+    synth_store = tempfile.mkdtemp(prefix="d2es_bench_synth_")
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"d2es_bench_corpus_{n_synth}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synthetic.corpus_df(spark, n_synth, partitions=2 * cpus).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    cfg = IndexerConfig(index="code")
+
+    def build_synth():
+        return build.build_index(
+            corpus, cfg, synth_store,
+            num_segments=2 * cpus, num_buckets=64, resume=False,
+        )
+
+    res = timed("index_build_synth", build_synth)
+    extra["synth_docs"] = n_synth
+    extra["synth_docs_per_sec"] = round(n_synth / queries["index_build_synth"], 1)
+
+    # posting throughput from lineage metrics (north-star metric)
+    lineage = spark.read.parquet(os.path.join(synth_store, "lineage"))
+    agg = lineage.groupBy().sum("postings", "compressed_bytes").first()
+    extra["synth_postings"] = int(agg[0])
+    extra["synth_postings_per_sec"] = round(agg[0] / queries["index_build_synth"], 1)
+    extra["synth_compressed_bytes"] = int(agg[1])
+
+    # --- engine over the driver documents table + query latency ---
+    docs_store = tempfile.mkdtemp(prefix="d2es_bench_docs_")
+
+    def build_docs():
+        from pyspark.sql import functions as F
+
+        c = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang",
+                F.col("text").alias("content"),
+            )
+        )
+        return build.build_index(
+            c, IndexerConfig(index="docs", id_field="docid"), docs_store,
+            num_segments=cpus, num_buckets=32, resume=False,
+        )
+
+    timed("index_build_docs", build_docs)
+    store = search.load_store(docs_store)
+    qpdf = pd.DataFrame(entry_queries.FT_QUERIES, columns=["qid", "query"])
+
+    lat = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        search.search(spark, store, qpdf, k=10, algo="wand").collect()
+        lat.append(time.monotonic() - t0)
+    queries["bm25_query_set_wand"] = round(min(lat), 3)
+    extra["bm25_qps"] = round(len(qpdf) / min(lat), 2)
+
+    # --- entry-contract representatives ---
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+        "doc_fingerprint",
+        "events_sessionize",
+        "tpch_q1_pricing_summary",
+        "tpch_revenue_by_nation",
+    ):
+        fn = entry_queries.SPARK_QUERIES[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).collect(), repeat=2)
+
+    shutil.rmtree(synth_store, ignore_errors=True)
+    shutil.rmtree(docs_store, ignore_errors=True)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,8 +31,11 @@ def assign_dense_ids(
     df: DataFrame,
     order_col: str = "doc_id",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Add ``doc_int`` = rank of ``order_col`` in global ascending order."""
+) -> tuple[DataFrame, int]:
+    """Add ``doc_int`` = rank of ``order_col`` in global ascending order.
+
+    Returns (df_with_doc_int, total_row_count) — the count is a free
+    byproduct of the offset pass, saving callers an extra job."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n, F.col(order_col))
@@ -66,4 +69,4 @@ def assign_dense_ids(
             pdf["doc_int"] = np.arange(base, base + len(pdf), dtype=np.int64)
             yield pdf
 
-    return parted.mapInPandas(assign, schema=out_schema)
+    return parted.mapInPandas(assign, schema=out_schema), acc

@@ -64,30 +64,87 @@ def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
     return docs.withColumn("dl", count_udf(F.col(content_col)))
 
 
+_BLOCK_COLS = [
+    "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
+    "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+]
+
+
 def build_posting_blocks(
-    tokens: DataFrame, n_docs: int, num_segments: int
+    tokens: DataFrame,
+    n_docs: int,
+    num_segments: int,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """tokens → block rows, one shuffle on (term, seg)."""
+    """tokens → block rows, one shuffle on (term, seg).
+
+    Implementation note: NOT groupBy().applyInPandas — that pays a Python
+    call + DataFrame construction per (term, seg) group (tens of thousands
+    of tiny groups ⇒ the per-group overhead dominated the build by ~3×).
+    Instead: repartition on (term, seg) + sortWithinPartitions, then ONE
+    mapInPandas per partition that streams sorted groups across Arrow batch
+    boundaries (a tail buffer carries the last, possibly-incomplete group).
+    Memory bound = largest single (term, seg) group = seg_size postings.
+    """
+    spark = tokens.sparkSession
     seg_size = max(1, -(-n_docs // num_segments))  # ceil
-
-    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, seg = key
-        pdf = pdf.sort_values("doc_int")
-        blocks = codec.encode_blocks(
-            pdf["doc_int"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(),
-        )
-        out = pd.DataFrame(blocks)
-        out.insert(0, "term", term)
-        out.insert(1, "seg", seg)
-        return out
-
-    return (
-        tokens.withColumn("seg", (F.col("doc_int") / F.lit(seg_size)).cast("int"))
-        .groupBy("term", "seg")
-        .applyInPandas(encode, schema=BLOCKS_SCHEMA)
+    n_shuffle = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+    tok = tokens.withColumn(
+        "seg", (F.col("doc_int") / F.lit(seg_size)).cast("int")
+    )
+    parted = tok.repartition(n_shuffle, "term", "seg").sortWithinPartitions(
+        "term", "seg", "doc_int"
+    )
+
+    def encode_stream(batches):
+        import numpy as np
+
+        carry: pd.DataFrame | None = None
+        rows: list[dict] = []
+
+        def flush_group(g: pd.DataFrame) -> None:
+            blocks = codec.encode_blocks(
+                g["doc_int"].to_numpy(),
+                g["tf"].to_numpy(),
+                g["dl"].to_numpy(),
+            )
+            term = g["term"].iat[0]
+            seg = int(g["seg"].iat[0])
+            for b in blocks:
+                b["term"] = term
+                b["seg"] = seg
+                rows.append(b)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            change = (
+                pdf["term"].ne(pdf["term"].shift())
+                | pdf["seg"].ne(pdf["seg"].shift())
+            ).to_numpy()
+            change[0] = True
+            starts = np.nonzero(change)[0]
+            last_start = starts[-1]
+            head = pdf.iloc[:last_start]
+            carry = pdf.iloc[last_start:].copy()
+            if len(head):
+                for _, g in head.groupby(["term", "seg"], sort=False):
+                    flush_group(g)
+            if rows:
+                yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+                rows = []
+        if carry is not None and len(carry):
+            flush_group(carry)
+        if rows:
+            yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+    return parted.mapInPandas(encode_stream, schema=BLOCKS_SCHEMA)
 
 
 def term_stats(blocks: DataFrame) -> DataFrame:

@@ -220,13 +220,17 @@ def _build_batch_once(
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     with_dl = postings.doc_lengths(docs, content_col)
-    with_ids = ids.assign_dense_ids(with_dl, order_col="doc_id")
+    with_ids, n_docs = ids.assign_dense_ids(with_dl, order_col="doc_id")
     if batch_idx:
         with_ids = with_ids.withColumn(
             "doc_int", F.col("doc_int") + F.lit(batch_idx * BATCH_STRIDE)
         )
-    # persist the (small, content-free) doc_stats projection; content itself
-    # is never stored twice
+    # cache across the two consumers (doc_stats write + token pass) — the
+    # upstream chain (scan → field-map → doclen UDF → range shuffle → assign)
+    # would otherwise recompute per action, doubling the Python stages
+    from pyspark.storagelevel import StorageLevel
+
+    with_ids = with_ids.persist(StorageLevel.MEMORY_AND_DISK)
     keep = [
         c
         for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
@@ -237,7 +241,6 @@ def _build_batch_once(
     store_io.write_parquet(with_ids.select(*keep), doc_stats_path)
 
     # token pass → one shuffle on (term, seg) → block rows
-    n_docs = with_ids.sparkSession.read.parquet(doc_stats_path).count()
     toks = postings.tokenize(with_ids, content_col)
     blocks = postings.build_posting_blocks(
         toks, n_docs=max(n_docs, 1), num_segments=num_segments
@@ -251,6 +254,7 @@ def _build_batch_once(
         postings_path,
         partition_by=("term_bucket",),
     )
+    with_ids.unpersist()
 
     # lineage + metrics from the committed blocks (read-back = what a future
     # query will see; column pruning keeps this scan metadata-only)
