@@ -58,6 +58,29 @@ def tokenize(docs: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def term_rows_from_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_int, dl, toks array<string>) → (doc_int, term, tf, dl).
+
+    Consumes the pre-tokenized arrays from assign_dense_ids_tokenized —
+    counting only, no second tokenizer pass.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield analysis.term_freqs_from_tokens(
+                pdf["doc_int"].to_numpy(dtype=np.int64),
+                pdf["toks"],
+                pdf["dl"].to_numpy(dtype=np.int64),
+            )
+
+    return docs.select("doc_int", "dl", "toks").mapInPandas(
+        run, schema=TOKENS_SCHEMA
+    )
+
+
 def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Adds ``dl`` (token count) via a scalar pandas UDF — no shuffle."""
     count_udf = F.pandas_udf(analysis.token_count_series, "long")
@@ -75,6 +98,8 @@ def build_posting_blocks(
     n_docs: int,
     num_segments: int,
     shuffle_partitions: int | None = None,
+    doc_base: int = 0,
+    seg_offset: int = 0,
 ) -> DataFrame:
     """tokens → block rows, one shuffle on (term, seg).
 
@@ -92,8 +117,13 @@ def build_posting_blocks(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
 
+    # seg ids are batch-local ranks plus a per-batch offset: doc_int carries
+    # a large batch stride (plans/build.py BATCH_STRIDE), which would
+    # overflow int32 if divided directly
     tok = tokens.withColumn(
-        "seg", (F.col("doc_int") / F.lit(seg_size)).cast("int")
+        "seg",
+        ((F.col("doc_int") - F.lit(doc_base)) / F.lit(seg_size)).cast("int")
+        + F.lit(seg_offset),
     )
     parted = tok.repartition(n_shuffle, "term", "seg").sortWithinPartitions(
         "term", "seg", "doc_int"

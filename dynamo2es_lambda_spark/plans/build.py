@@ -40,6 +40,7 @@ from ..sources import store_io
 
 DEFAULT_BUCKETS = 64
 BATCH_STRIDE = 1 << 40  # doc_int = batch * STRIDE + rank-within-batch
+SEG_STRIDE = 1 << 20    # seg id namespace per batch (int32-safe)
 
 
 @dataclass
@@ -219,31 +220,51 @@ def _build_batch_once(
     num_buckets: int,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
-    with_dl = postings.doc_lengths(docs, content_col)
-    with_ids, n_docs = ids.assign_dense_ids(with_dl, order_col="doc_id")
+    phases: dict[str, float] = {}
+    t_prev = t0
+
+    def mark(name: str) -> None:
+        nonlocal t_prev
+        now = time.monotonic()
+        phases[name] = round(now - t_prev, 2)
+        t_prev = now
+
+    rows, n_docs = ids.assign_tokenize_count(
+        docs, order_col="doc_id", content_col=content_col
+    )
+    mark("assign_offsets")
     if batch_idx:
-        with_ids = with_ids.withColumn(
+        rows = rows.withColumn(
             "doc_int", F.col("doc_int") + F.lit(batch_idx * BATCH_STRIDE)
         )
-    # cache across the two consumers (doc_stats write + token pass) — the
-    # upstream chain (scan → field-map → doclen UDF → range shuffle → assign)
+    # cache across the two consumers (doc_stats write + posting build) — the
+    # upstream chain (scan → field-map → range shuffle → tokenize/count)
     # would otherwise recompute per action, doubling the Python stages
     from pyspark.storagelevel import StorageLevel
 
-    with_ids = with_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     keep = [
         c
         for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
                   "version", "dl", "content_sha256", "lang")
-        if c in with_ids.columns
+        if c in rows.columns
     ]
     doc_stats_path = os.path.join(store_path, "doc_stats", f"batch={batch_name}")
-    store_io.write_parquet(with_ids.select(*keep), doc_stats_path)
+    store_io.write_parquet(
+        rows.filter(F.col("term").isNull()).select(*keep), doc_stats_path
+    )
+    mark("doc_stats_write")
 
-    # token pass → one shuffle on (term, seg) → block rows
-    toks = postings.tokenize(with_ids, content_col)
+    # term rows → one shuffle on (term, seg) → block rows
+    toks = rows.filter(F.col("term").isNotNull()).select(
+        "doc_int", "term", "tf", "dl"
+    )
     blocks = postings.build_posting_blocks(
-        toks, n_docs=max(n_docs, 1), num_segments=num_segments
+        toks,
+        n_docs=max(n_docs, 1),
+        num_segments=num_segments,
+        doc_base=batch_idx * BATCH_STRIDE,
+        seg_offset=batch_idx * SEG_STRIDE,
     )
     blocks = blocks.withColumn(
         "term_bucket", F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets))
@@ -254,7 +275,8 @@ def _build_batch_once(
         postings_path,
         partition_by=("term_bucket",),
     )
-    with_ids.unpersist()
+    rows.unpersist()
+    mark("postings_write")
 
     # lineage + metrics from the committed blocks (read-back = what a future
     # query will see; column pruning keeps this scan metadata-only)
@@ -280,9 +302,11 @@ def _build_batch_once(
         lineage, os.path.join(store_path, "lineage", f"batch={batch_name}")
     )
     n_blocks = written.count()
+    mark("lineage_metrics")
     store_io.write_checkpoint(
         store_path, batch_name,
-        {"docs": n_docs, "blocks": n_blocks, "took_sec": took},
+        {"docs": n_docs, "blocks": n_blocks, "took_sec": took,
+         "phases": phases},
     )
     return n_docs, n_blocks
 
@@ -290,16 +314,50 @@ def _build_batch_once(
 def _finalize_store(
     spark: SparkSession, store_path: str, num_segments: int, num_buckets: int
 ) -> None:
-    """Recompute global stats (N, avgdl) and term_stats across all committed
-    batches; write meta.json. Cheap: aggregates over doc_stats and block
-    metadata columns only."""
+    """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
+    list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
+    write meta.json. Aggregates touch doc_stats and block metadata columns
+    only — never the posting bytes."""
     doc_stats = spark.read.parquet(os.path.join(store_path, "doc_stats"))
-    agg = doc_stats.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
+    entries = doc_stats.select(
+        "doc_id", "version", "doc_int", "dl", F.lit(False).alias("is_tomb")
+    )
+    tomb_path = os.path.join(store_path, "tombstones")
+    if os.path.isdir(tomb_path):
+        tombs = spark.read.parquet(tomb_path).select(
+            "doc_id", "version",
+            F.lit(None).cast("long").alias("doc_int"),
+            F.lit(None).cast("long").alias("dl"),
+            F.lit(True).alias("is_tomb"),
+        )
+        entries = entries.unionByName(tombs)
+    # external-version LWW (lib/handler.js:80-106): highest version wins;
+    # on a tie the tombstone wins (REMOVE bumped +1 upstream, so a tie means
+    # a racing write — delete is pinned as the deterministic winner)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("version").desc_nulls_last(),
+        F.col("is_tomb").desc(),
+        F.col("doc_int").desc_nulls_last(),
+    )
+    winners = (
+        entries.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    live = winners.filter(~F.col("is_tomb")).select("doc_int", "dl")
+    dead = doc_stats.select("doc_int").join(
+        live.select("doc_int"), "doc_int", "left_anti"
+    )
+    store_io.write_parquet(dead, os.path.join(store_path, "dead"))
+
+    agg = live.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
     blocks = spark.read.parquet(os.path.join(store_path, "postings"))
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+    if num_segments == 0:
+        meta_path = os.path.join(store_path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                num_segments = json.load(f).get("num_segments", 0)
     meta = {
         "n_docs": int(agg["n"]),
         "avgdl": float(agg["avgdl"] or 0.0),

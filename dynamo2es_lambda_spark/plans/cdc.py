@@ -1,0 +1,222 @@
+"""CDC apply: incremental index maintenance from change-event batches.
+
+The reference consumes DynamoDB Stream batches and delegates merge semantics
+to Elasticsearch's external versioning (lib/handler.js:80-110). The engine
+implements the same semantics on its own store using the Lucene
+segment + delete-list model:
+
+- each CDC batch becomes a NEW index batch (postings + doc_stats for the
+  upserted docs) — existing segments are immutable;
+- deletes (and superseded versions) become tombstones; liveness is resolved
+  at finalize time into a ``dead`` doc_int list that queries filter against;
+- ``compact_store`` rewrites segments dropping dead postings (the background
+  segment-merge analog), after which df/avgdl statistics are exact again.
+
+Like Lucene/ES, between compactions df(t) still counts deleted docs —
+scores drift slightly from a fresh rebuild until compaction, which is the
+documented reference behavior; ``apply_changes(..., compact=True)`` gives
+rebuild-identical results (asserted in tests/test_cdc.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexerConfig
+from ..errors import EngineError
+from ..functions import codec
+from ..operators import actions, fieldmap
+from ..sources import store_io
+from . import build
+
+
+def _next_batch_idx(store_path: str) -> int:
+    d = store_io.checkpoint_dir(store_path)
+    if not os.path.isdir(d):
+        return 0
+    return len([f for f in os.listdir(d) if f.endswith(".json")])
+
+
+def apply_changes(
+    events: DataFrame,
+    cfg: IndexerConfig,
+    store_path: str,
+    *,
+    content_col: str = "content",
+    num_segments: int | None = None,
+    num_buckets: int = build.DEFAULT_BUCKETS,
+    compact: bool = False,
+) -> dict:
+    """Apply one CDC batch (event_name/keys/new_image/old_image rows).
+
+    Returns a summary dict (upserts, deletes, quarantined).
+    """
+    spark = events.sparkSession
+    num_segments = num_segments or spark.sparkContext.defaultParallelism
+
+    if cfg.before_hook:
+        cfg.before_hook(events)
+    try:
+        mapped = fieldmap.apply_field_mapping(
+            events, cfg, content_col=content_col
+        )
+        routed = actions.dispatch(mapped)
+
+        bad = routed.filter(F.col("error").isNotNull())
+        good = routed.filter(F.col("error").isNull())
+        quarantined = 0
+        if cfg.record_error_hook is not None:
+            quarantined = bad.count()
+            if quarantined:
+                store_io.write_parquet(
+                    bad.drop("keys", "new_image", "old_image"),
+                    os.path.join(store_path, "quarantine"),
+                    mode="append",
+                )
+                cfg.record_error_hook(bad)
+        else:
+            first = bad.select("error").first()
+            if first is not None:
+                raise EngineError(first["error"])
+
+        good = actions.last_writer_wins(good)
+
+        # ---- upserts: flatten new_image to corpus shape, build a segment
+        upserts = good.filter(F.col("action") == actions.ACTION_INDEX)
+        if cfg.transform_record_hook is not None:
+            upserts = cfg.transform_record_hook(upserts)
+        mapping_cols = ["doc_id", "index_name", "doc_type", "parent",
+                        "version", "content_sha256"]
+        img_fields = [
+            f.name
+            for f in upserts.schema["new_image"].dataType.fields
+            if f.name not in mapping_cols  # resolved mapping columns win
+        ]
+        corpus = upserts.select(
+            *[F.col(f"new_image.{f}").alias(f) for f in img_fields],
+            *mapping_cols,
+        )
+        batch_idx = _next_batch_idx(store_path)
+        batch_name = f"b{batch_idx}"
+        n_up = 0
+        if not corpus.isEmpty():
+            n_up, _ = build._build_batch(
+                corpus, store_path, batch_idx, batch_name,
+                content_col=content_col,
+                num_segments=num_segments,
+                num_buckets=num_buckets,
+                retries=cfg.retries,
+            )
+
+        # ---- deletes: tombstones (version already bumped by dispatch)
+        deletes = good.filter(F.col("action") == actions.ACTION_DELETE).select(
+            "doc_id", "version"
+        )
+        n_del = deletes.count()
+        if n_del:
+            store_io.write_parquet(
+                deletes,
+                os.path.join(store_path, "tombstones", f"batch={batch_name}"),
+            )
+
+        build._finalize_store(
+            spark, store_path, num_segments, num_buckets
+        )
+        if compact:
+            compact_store(spark, store_path, num_buckets=num_buckets)
+        result = {
+            "upserts": n_up,
+            "deletes": n_del,
+            "quarantined": quarantined,
+            "batch": batch_name,
+        }
+        if cfg.after_hook:
+            override = cfg.after_hook(result)
+            if override is not None:
+                return override
+        return result
+    except Exception as err:  # noqa: BLE001
+        if cfg.error_hook is not None:
+            return cfg.error_hook(err)
+        raise
+
+
+def compact_store(
+    spark: SparkSession, store_path: str, num_buckets: int = build.DEFAULT_BUCKETS
+) -> None:
+    """Segment-merge analog: rewrite postings dropping dead docs, keep only
+    live doc_stats rows, clear tombstones. After compaction df/N/avgdl are
+    exact over live docs."""
+    dead_path = os.path.join(store_path, "dead")
+    dead_df = spark.read.parquet(dead_path)
+    dead = set(r["doc_int"] for r in dead_df.collect())
+
+    postings_path = os.path.join(store_path, "postings")
+    blocks = spark.read.parquet(postings_path)
+
+    if dead:
+        import numpy as np
+        import pandas as pd
+
+        dead_arr = np.array(sorted(dead), dtype=np.int64)
+
+        def rewrite(batches):
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    ids, tfs, dls = codec.decode_block(
+                        row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                    )
+                    keep = ~np.isin(ids, dead_arr)
+                    if not keep.any():
+                        continue
+                    if keep.all():
+                        out.append(row._asdict())
+                        continue
+                    b = codec.encode_blocks(ids[keep], tfs[keep], dls[keep])[0]
+                    b["block_id"] = row.block_id
+                    b["term"] = row.term
+                    b["seg"] = row.seg
+                    b["term_bucket"] = row.term_bucket
+                    out.append(b)
+                if out:
+                    yield pd.DataFrame(out)[
+                        ["term", "seg", "block_id", "n_docs", "doc_first",
+                         "doc_last", "max_tf", "min_dl", "doc_bytes",
+                         "tf_bytes", "dl_bytes", "term_bucket"]
+                    ]
+
+        schema = (
+            "term string, seg int, block_id int, n_docs int, doc_first long, "
+            "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
+            "tf_bytes binary, dl_bytes binary, term_bucket bigint"
+        )
+        rewritten = blocks.mapInPandas(rewrite, schema=schema)
+        tmp = postings_path + "_compacting"
+        store_io.write_parquet(
+            rewritten.repartition("term_bucket"),
+            os.path.join(tmp, "batch=compacted"),
+            partition_by=("term_bucket",),
+        )
+        shutil.rmtree(postings_path)
+        os.replace(tmp, postings_path)
+
+        # doc_stats: live rows only, single batch dir
+        stats_path = os.path.join(store_path, "doc_stats")
+        stats = spark.read.parquet(stats_path)
+        live = stats.join(
+            F.broadcast(dead_df), "doc_int", "left_anti"
+        )
+        tmp_s = stats_path + "_compacting"
+        store_io.write_parquet(live, os.path.join(tmp_s, "batch=compacted"))
+        shutil.rmtree(stats_path)
+        os.replace(tmp_s, stats_path)
+
+    tomb = os.path.join(store_path, "tombstones")
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb)
+    build._finalize_store(spark, store_path, 0, num_buckets)

@@ -45,6 +45,7 @@ RESULT_SCHEMA = "qid long, rank int, doc_id string, score double"
 class IndexStore:
     path: str
     meta: dict
+    _dead: np.ndarray | None = None
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "postings"))
@@ -54,6 +55,22 @@ class IndexStore:
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    def dead_doc_ints(self, spark: SparkSession) -> np.ndarray | None:
+        """Sorted doc_ints superseded by newer versions or tombstoned
+        (plans/build._finalize_store). None when nothing is dead.
+
+        Collected driver-side and closed over by the scorers (broadcast on a
+        real cluster); at very large dead fractions run compact_store first.
+        """
+        if self._dead is None:
+            p = os.path.join(self.path, "dead")
+            if not os.path.isdir(p):
+                self._dead = np.zeros(0, dtype=np.int64)
+            else:
+                pdf = spark.read.parquet(p).toPandas()
+                self._dead = np.sort(pdf["doc_int"].to_numpy(np.int64))
+        return self._dead if self._dead.size else None
 
 
 def load_store(path: str) -> IndexStore:
@@ -120,9 +137,10 @@ def search(
     )
     qterms_df = spark.createDataFrame(qt[["qid", "term", "w"]])
     joined = blocks.join(F.broadcast(qterms_df), "term")
+    dead = store.dead_doc_ints(spark)
 
     if algo == "exhaustive":
-        cand = _score_exhaustive(joined, avgdl)
+        cand = _score_exhaustive(joined, avgdl, dead)
         agg = cand.groupBy("qid", "doc_int").agg(
             F.sum("score").alias("score"), F.count("*").alias("nt")
         )
@@ -139,7 +157,7 @@ def search(
     elif algo == "wand":
         if mode != "or":
             raise ValueError("wand algo implements mode='or'")
-        topk = _score_wand(joined, avgdl, k, n_terms_by_qid)
+        topk = _score_wand(joined, avgdl, k, n_terms_by_qid, dead)
         topk = _cut_topk(topk.groupBy("qid", "doc_int").agg(
             F.max("score").alias("score")), k)
     else:
@@ -176,7 +194,9 @@ def _cut_topk(agg: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
+def _score_exhaustive(
+    joined: DataFrame, avgdl: float, dead: np.ndarray | None = None
+) -> DataFrame:
     """Decode every matched block → (qid, doc_int, score) rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,6 +206,11 @@ def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
                 ids, tfs, dls = codec.decode_block(
                     row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
                 )
+                if dead is not None:
+                    keep = ~np.isin(ids, dead)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if not ids.size:
+                        continue
                 score = row.w * bm25.tf_norm(tfs, dls, avgdl)
                 outs.append(
                     pd.DataFrame(
@@ -202,7 +227,11 @@ def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
 
 
 def _score_wand(
-    joined: DataFrame, avgdl: float, k: int, n_terms_by_qid: dict
+    joined: DataFrame,
+    avgdl: float,
+    k: int,
+    n_terms_by_qid: dict,
+    dead: np.ndarray | None = None,
 ) -> DataFrame:
     """Block-max WAND, per (qid, seg) group (disjoint doc ranges → exact).
 
@@ -248,6 +277,11 @@ def _score_wand(
                     row["doc_first"], row["doc_bytes"],
                     row["tf_bytes"], row["dl_bytes"],
                 )
+                if dead is not None:
+                    keep = ~np.isin(ids, dead)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if not ids.size:
+                        continue
                 ids_l.append(ids)
                 sc_l.append(row["w"] * bm25.tf_norm(tfs, dls, avgdl))
             if not ids_l:

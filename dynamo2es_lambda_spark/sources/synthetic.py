@@ -77,12 +77,18 @@ def _uniform(counter: np.ndarray) -> np.ndarray:
     )
 
 
-def corpus_pdf(ids: np.ndarray) -> pd.DataFrame:
-    """Generate corpus rows for the given doc indices (vectorized)."""
+def corpus_pdf(ids: np.ndarray, tokens_scale: int = 1) -> pd.DataFrame:
+    """Generate corpus rows for the given doc indices (vectorized).
+
+    ``tokens_scale`` multiplies document length (1 → 50-200 tokens, the unit
+    test default; 8 → ~0.4-1.6k tokens, realistic source-file sizes for
+    CPU-bound benchmarking)."""
     ids = np.asarray(ids, dtype=np.int64)
     n = ids.size
     base = ids.astype(np.uint64) * np.uint64(1_000_003) + np.uint64(SEED)
-    lens = 50 + (_splitmix64(base) % np.uint64(150)).astype(np.int64)
+    lens = (50 + (_splitmix64(base) % np.uint64(150)).astype(np.int64)) * int(
+        tokens_scale
+    )
     total = int(lens.sum())
     doc_of_tok = np.repeat(np.arange(n), lens)
     pos_in_doc = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
@@ -121,12 +127,12 @@ def corpus_pdf(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
-def corpus_df(spark, n_docs: int, partitions: int = 32):
+def corpus_df(spark, n_docs: int, partitions: int = 32, tokens_scale: int = 1):
     """Distributed deterministic corpus: spark.range → mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield corpus_pdf(pdf["id"].to_numpy())
+            yield corpus_pdf(pdf["id"].to_numpy(), tokens_scale)
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)
