@@ -98,28 +98,72 @@ def lsh_assign(
     return df.mapInPandas(assign, schema=f"{fields}, bucket long")
 
 
+def lsh_assign_multi(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH: one output row per (input row, table) with that
+    table's ``bucket``. Candidate recall ≈ 1 - (1 - p^n_planes)^n_tables."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes: np.ndarray | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _planes(mat.shape[1], n_planes * n_tables, seed)
+            bits = (mat @ planes) > 0
+            outs = []
+            for t in range(n_tables):
+                sub = bits[:, t * n_planes:(t + 1) * n_planes]
+                bucket = (sub.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+                o = pdf.copy()
+                o["table"] = t
+                o["bucket"] = bucket
+                outs.append(o)
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(assign, schema=f"{fields}, table int, bucket long")
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: same-bucket candidates, exact re-rank.
-    → (qid, rank, vec_id, cos). Recall measured against brute_force_topk in
-    tests; raise recall by lowering n_planes (bigger buckets)."""
-    bucketed = lsh_assign(embeddings, vec_col, n_planes, seed)
+    """Approximate cosine top-k: multi-table same-bucket candidates, exact
+    re-rank. → (qid, rank, vec_id, cos). Recall rises with n_tables and
+    falls with n_planes (smaller buckets = fewer candidates scanned).
+
+    At scale: write the table partitioned by (table, bucket) — the candidate
+    join prunes to the queries' buckets instead of scanning the corpus."""
+    bucketed = lsh_assign_multi(embeddings, vec_col, n_planes, n_tables, seed)
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        "table", "bucket",
     )
     t = bucketed.filter(~F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"), "bucket"
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"),
+        "table", "bucket",
     )
-    scored = t.join(F.broadcast(q), "bucket").withColumn(
-        "cos", F.expr(cosine_expr("qvec", "tvec"))
+    cands = (
+        t.join(F.broadcast(q), ["table", "bucket"])
+        .groupBy("qid", "vec_id")
+        .agg(F.first("qvec").alias("qvec"), F.first("tvec").alias("tvec"))
     )
+    scored = cands.withColumn("cos", F.expr(cosine_expr("qvec", "tvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
