@@ -49,10 +49,11 @@ class BuildResult:
     become took/quarantined/metrics."""
 
     took_sec: float
-    n_docs: int
+    n_docs: int          # docs indexed by THIS run (0 if all batches skipped)
     n_blocks: int
     quarantined: int
     batches: list[str]
+    skipped_batches: int = 0  # checkpoint-resumed batches left untouched
 
 
 def dedup_latest_version(df: DataFrame) -> DataFrame:
@@ -137,10 +138,12 @@ def build_index(
         batch_names = []
         total_docs = 0
         total_blocks = 0
+        skipped = 0
         for b in range(num_batches):
             name = f"b{b}"
             batch_names.append(name)
             if resume and store_io.checkpoint_exists(store_path, name):
+                skipped += 1
                 continue
             part = (
                 good
@@ -166,6 +169,7 @@ def build_index(
             n_blocks=total_blocks,
             quarantined=quarantined,
             batches=batch_names,
+            skipped_batches=skipped,
         )
         # --- after_hook may replace the result (lib/handler.js:164-173) ---
         if cfg.after_hook:
