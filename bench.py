@@ -88,7 +88,7 @@ def main() -> None:
     def build_synth():
         return build.build_index(
             corpus, cfg, synth_store,
-            num_segments=2 * cpus, num_buckets=64, resume=False,
+            num_buckets=64, resume=False,
         )
 
     res = timed("index_build_synth", build_synth)
@@ -118,7 +118,7 @@ def main() -> None:
         )
         return build.build_index(
             c, IndexerConfig(index="docs", id_field="docid"), docs_store,
-            num_segments=cpus, num_buckets=32, resume=False,
+            num_buckets=32, resume=False,
         )
 
     timed("index_build_docs", build_docs)

@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--store", required=True)
     b.add_argument("--config", default="{}", help="IndexerConfig JSON")
     b.add_argument("--batches", type=int, default=1)
-    b.add_argument("--segments", type=int, default=0)
+    b.add_argument("--segments", type=int, default=0, help="docs per segment")
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
 
@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = IndexerConfig.from_dict(opts)
         res = build.build_index(
             spark.read.parquet(args.input), cfg, args.store,
-            num_segments=args.segments or None,
+            segment_docs=args.segments or None,
             num_buckets=args.buckets,
             num_batches=args.batches,
             resume=not args.no_resume,

@@ -72,99 +72,43 @@ def assign_dense_ids(
     return parted.mapInPandas(assign, schema=out_schema), acc
 
 
-def assign_dense_ids_tokenized(
-    df: DataFrame,
-    order_col: str = "doc_id",
-    content_col: str = "content",
-    num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
-    """Fused variant for the index build: assigns ``doc_int`` AND tokenizes
-    in the same Python pass, emitting ``dl`` + ``toks`` (array<string>)
-    instead of the raw content — the corpus crosses the Arrow boundary once
-    and is tokenized exactly once (the separate doc_lengths pass would
-    tokenize a second time just to count).
-
-    The pre-shuffle plan stays pure JVM (scan → field-map → range exchange),
-    so the offsets count job pays no Python cost.
-    """
-    from ..functions.analysis import tokenize_series
-
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != content_col
-    )
-    out_schema = f"{fields}, doc_int long, dl long, toks array<string>"
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = offsets[pid] + seen
-            seen += len(pdf)
-            toks = tokenize_series(pdf[content_col])
-            pdf = pdf.drop(columns=["_pid", content_col])
-            pdf["doc_int"] = np.arange(base, base + len(pdf), dtype=np.int64)
-            pdf["dl"] = toks.map(len).to_numpy(dtype=np.int64)
-            pdf["toks"] = toks.values
-            yield pdf
-
-    return parted.mapInPandas(assign, schema=out_schema), acc
-
 
 def assign_tokenize_count(
     df: DataFrame,
-    order_col: str = "doc_id",
     content_col: str = "content",
-    num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+    batch_name: str = "b0",
+) -> DataFrame:
     """Maximally-fused build pass: ONE Python crossing emits everything the
     index build needs — term rows (doc_int, term, tf, dl) interleaved with
     one doc-marker row per document (term IS NULL) carrying the doc metadata
     (doc_id, routing, version, sha256, dl).
 
+    ``doc_int = xxhash64(doc_id, batch_name)`` — a pure function of the DATA.
+    Task- or partition-derived ids are NOT safe here: AQE re-plans stages,
+    windows emit nondeterministic row orders, and retries re-execute tasks,
+    all of which changed task-identity-based ids between emissions (observed:
+    colliding ids from spark_partition_id() AND TaskContext under an
+    AQE-coalesced window). A data hash is identical under any plan, retry,
+    or parallelism — and makes per-batch rebuilds byte-reproducible.
+    Uniqueness is probabilistic (64-bit; collision audit in
+    plans/build._finalize_store); the batch salt keeps a document's versions
+    in different batches distinct for liveness tracking.
+
+    Trade-off vs dense ranked ids: posting deltas average ~2^64/N instead of
+    ~N/df, so varbyte spends ~8 bytes/doc instead of 1-2. The alternative
+    costs a full corpus range-shuffle + sort; see assign_dense_ids for that
+    mode when storage size dominates build cost.
+
     Downstream splits JVM-side: ``filter(term IS NULL)`` → doc_stats,
-    ``filter(term IS NOT NULL)`` → posting input. Compared to emitting token
-    arrays and re-reading them, this halves Arrow IPC volume and removes a
-    whole Python stage — the build's wall clock was IPC-latency-bound, not
-    CPU-bound (event-log analysis, 2026-08).
+    ``filter(term IS NOT NULL)`` → posting input. Globally-ordered ids are
+    unnecessary for rank identity: every top-k cut keeps score ties and the
+    final tie-break is the doc_id string (plans/search.py).
     """
     from ..functions.analysis import term_freqs_from_tokens, tokenize_series
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+    with_id = df.withColumn(
+        "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
     meta_cols = [f.name for f in df.schema.fields if f.name != content_col]
     meta_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -176,14 +120,10 @@ def assign_tokenize_count(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
         for pdf in batches:
             if pdf.empty:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = offsets[pid] + seen
-            seen += len(pdf)
-            doc_int = np.arange(base, base + len(pdf), dtype=np.int64)
+            doc_int = pdf["doc_int"].to_numpy(dtype=np.int64)
             toks = tokenize_series(pdf[content_col])
             dl = toks.map(len).to_numpy(dtype=np.int64)
             term_rows = term_freqs_from_tokens(doc_int, toks, dl)
@@ -195,4 +135,4 @@ def assign_tokenize_count(
             out = pd.concat([doc_rows, term_rows], ignore_index=True)
             yield out[["doc_int", "term", "tf", "dl", *meta_cols]]
 
-    return parted.mapInPandas(run, schema=out_schema), acc
+    return with_id.mapInPandas(run, schema=out_schema)

@@ -6,14 +6,15 @@ Design (SURVEY.md §2.2, §4.2):
   (doc_int, term, tf, dl). Vectorized pandas (functions/analysis.py); the
   Arrow hop is the only JVM↔Python crossing on the build path.
 
-- ``build_posting_blocks``: ONE shuffle, keyed by (term, seg) where
-  ``seg = doc_int // seg_size`` — segments are disjoint, ordered doc-ID
+- ``build_segments``: ONE shuffle, keyed by (term_bucket, seg) where
+  ``seg = doc_int // segment_docs`` — segments are disjoint, ordered doc-ID
   ranges. This is the salted repartition-by-term of the north rule: a hot
   term ("def", "the") spreads over all segments, so no single task owns a
   hot term's full posting list. Because segments partition the doc-ID space
   in order, a term's global posting list is just its segment lists
   concatenated in seg order — the salt is removed by ordering, not by a
-  second merge shuffle.
+  second merge shuffle. Doc-stat marker rows ride the same exchange, so one
+  job writes the whole segment batch.
 
 - Each (term, seg) group is delta+varbyte block-encoded (functions/codec.py)
   with block-max metadata; output rows are per-block → parquet min/max
@@ -23,9 +24,9 @@ Design (SURVEY.md §2.2, §4.2):
   (not over postings), persisted as term_stats.
 
 Scale notes: shuffle volume is exactly the postings (irreducible); map-side
-the tokenizer already emits (term, tf) aggregated per doc. seg_size controls
-skew: S ≈ 2-4× cluster cores bounds the biggest (term, seg) task at
-seg_size docs.
+the tokenizer already emits (term, tf) aggregated per doc. segment_docs
+bounds the biggest single (term, seg) group; shuffle_partitions spreads
+(bucket, seg) cells across tasks.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ from ..functions import analysis, codec
 
 TOKENS_SCHEMA = "doc_int long, term string, tf long, dl long"
 BLOCKS_SCHEMA = (
-    "term string, seg int, block_id int, n_docs int, doc_first long, "
+    "term string, seg long, block_id int, n_docs int, doc_first long, "
     "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
     "tf_bytes binary, dl_bytes binary"
 )
@@ -58,28 +59,6 @@ def tokenize(docs: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def term_rows_from_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_int, dl, toks array<string>) → (doc_int, term, tf, dl).
-
-    Consumes the pre-tokenized arrays from assign_dense_ids_tokenized —
-    counting only, no second tokenizer pass.
-    """
-    import numpy as np
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield analysis.term_freqs_from_tokens(
-                pdf["doc_int"].to_numpy(dtype=np.int64),
-                pdf["toks"],
-                pdf["dl"].to_numpy(dtype=np.int64),
-            )
-
-    return docs.select("doc_int", "dl", "toks").mapInPandas(
-        run, schema=TOKENS_SCHEMA
-    )
-
 
 def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Adds ``dl`` (token count) via a scalar pandas UDF — no shuffle."""
@@ -93,60 +72,117 @@ _BLOCK_COLS = [
 ]
 
 
-def build_posting_blocks(
-    tokens: DataFrame,
-    n_docs: int,
-    num_segments: int,
-    shuffle_partitions: int | None = None,
-    doc_base: int = 0,
-    seg_offset: int = 0,
-) -> DataFrame:
-    """tokens → block rows, one shuffle on (term, seg).
+DEFAULT_SEGMENT_DOCS = 4096
 
-    Implementation note: NOT groupBy().applyInPandas — that pays a Python
-    call + DataFrame construction per (term, seg) group (tens of thousands
-    of tiny groups ⇒ the per-group overhead dominated the build by ~3×).
-    Instead: repartition on (term, seg) + sortWithinPartitions, then ONE
-    mapInPandas per partition that streams sorted groups across Arrow batch
-    boundaries (a tail buffer carries the last, possibly-incomplete group).
-    Memory bound = largest single (term, seg) group = seg_size postings.
+
+def build_segments(
+    rows: DataFrame,
+    meta_cols: list[str],
+    num_buckets: int = 64,
+    segment_docs: int = DEFAULT_SEGMENT_DOCS,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Fused segment builder: term rows + doc-marker rows (term IS NULL,
+    from ids.assign_tokenize_count) → ONE DataFrame of typed rows
+    (``part`` = 'block' posting blocks | 'doc' doc-stat rows) ready for a
+    single partitioned write. One shuffle total, keyed (term_bucket, seg):
+    co-locates every (term, seg) group AND aligns tasks with the output
+    directory partitioning (few files per task); markers ride the same
+    exchange (bucket −1, spread by pmod(doc_int)) and pass through.
+
+    ``seg = doc_int // segment_docs``: disjoint, ordered doc-ID ranges of at
+    most segment_docs docs — valid for any doc_int layout (ids are sparse
+    across partitions/batches; empty segment ids simply never materialize).
+    Skew: a hot term's postings split across all segs; the hottest single
+    (term, seg) group is bounded by segment_docs postings.
     """
-    spark = tokens.sparkSession
-    seg_size = max(1, -(-n_docs // num_segments))  # ceil
+    spark = rows.sparkSession
     n_shuffle = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-
-    # seg ids are batch-local ranks plus a per-batch offset: doc_int carries
-    # a large batch stride (plans/build.py BATCH_STRIDE), which would
-    # overflow int32 if divided directly
-    tok = tokens.withColumn(
+    tok = rows.withColumn(
         "seg",
-        ((F.col("doc_int") - F.lit(doc_base)) / F.lit(seg_size)).cast("int")
-        + F.lit(seg_offset),
+        F.when(
+            F.col("term").isNotNull(),
+            # integer div — float division loses exactness near 2^63
+            F.expr(f"doc_int div {int(segment_docs)}"),
+        ).otherwise(F.pmod(F.col("doc_int"), F.lit(n_shuffle)).cast("long")),
+    ).withColumn(
+        "term_bucket",
+        F.when(
+            F.col("term").isNotNull(),
+            F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets)),
+        ).otherwise(F.lit(-1)),
     )
-    parted = tok.repartition(n_shuffle, "term", "seg").sortWithinPartitions(
-        "term", "seg", "doc_int"
+    parted = tok.repartition(
+        n_shuffle, "term_bucket", "seg"
+    ).sortWithinPartitions("term", "seg", "doc_int")
+
+    out_cols = ["part", *_BLOCK_COLS, "term_bucket", *meta_cols,
+                "doc_int", "dl"]
+    types = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+    meta_schema = ", ".join(f"{c} {types[c]}" for c in meta_cols)
+    out_schema = (
+        f"part string, {BLOCKS_SCHEMA}, term_bucket long, {meta_schema}, "
+        "doc_int long, dl long"
     )
 
     def encode_stream(batches):
         import numpy as np
 
         carry: pd.DataFrame | None = None
-        rows: list[dict] = []
+        blocks: list[dict] = []
 
         def flush_group(g: pd.DataFrame) -> None:
-            blocks = codec.encode_blocks(
+            bl = codec.encode_blocks(
                 g["doc_int"].to_numpy(),
                 g["tf"].to_numpy(),
                 g["dl"].to_numpy(),
             )
             term = g["term"].iat[0]
             seg = int(g["seg"].iat[0])
-            for b in blocks:
+            bucket = int(g["term_bucket"].iat[0])
+            for b in bl:
                 b["term"] = term
                 b["seg"] = seg
-                rows.append(b)
+                b["term_bucket"] = bucket
+                blocks.append(b)
+
+        # integer columns that are absent on one of the two row types MUST
+        # stay nullable-Int64 through the concat: a NaN-bearing int column
+        # silently upcasts to float64, which cannot represent 64-bit ids
+        # (rounding step is 1024 near 2^63) — this corrupted doc ids once.
+        int_cols = ["seg", "block_id", "n_docs", "doc_first", "doc_last",
+                    "max_tf", "min_dl", "term_bucket", "doc_int", "dl"]
+
+        def _nullable_ints(frame: pd.DataFrame) -> pd.DataFrame:
+            for c in int_cols:
+                if c in frame.columns:
+                    frame[c] = frame[c].astype("Int64")
+                else:
+                    frame[c] = pd.array([pd.NA] * len(frame), dtype="Int64")
+            return frame
+
+        def emit(markers: pd.DataFrame | None) -> pd.DataFrame:
+            frames = []
+            if blocks:
+                bdf = pd.DataFrame(blocks, columns=[*_BLOCK_COLS, "term_bucket"])
+                bdf.insert(0, "part", "block")
+                frames.append(_nullable_ints(bdf))
+                blocks.clear()
+            if markers is not None and len(markers):
+                mdf = markers[["seg", "term_bucket", *meta_cols]].copy()
+                mdf.insert(0, "part", "doc")
+                mdf["doc_int"] = markers["doc_int"].to_numpy()
+                mdf["dl"] = markers["dl"].to_numpy()
+                frames.append(_nullable_ints(mdf))
+            if not frames:
+                return None
+            out = pd.concat(frames, ignore_index=True)
+            for c in out_cols:
+                if c not in out.columns:
+                    out[c] = None
+            return out[out_cols]
 
         for pdf in batches:
             if carry is not None:
@@ -154,27 +190,32 @@ def build_posting_blocks(
                 carry = None
             if pdf.empty:
                 continue
-            change = (
-                pdf["term"].ne(pdf["term"].shift())
-                | pdf["seg"].ne(pdf["seg"].shift())
-            ).to_numpy()
-            change[0] = True
-            starts = np.nonzero(change)[0]
-            last_start = starts[-1]
-            head = pdf.iloc[:last_start]
-            carry = pdf.iloc[last_start:].copy()
-            if len(head):
-                for _, g in head.groupby(["term", "seg"], sort=False):
-                    flush_group(g)
-            if rows:
-                yield pd.DataFrame(rows, columns=_BLOCK_COLS)
-                rows = []
+            is_marker = pdf["term"].isna()
+            markers = pdf[is_marker]
+            pdf = pdf[~is_marker].reset_index(drop=True)
+            if len(pdf):
+                change = (
+                    pdf["term"].ne(pdf["term"].shift())
+                    | pdf["seg"].ne(pdf["seg"].shift())
+                ).to_numpy()
+                change[0] = True
+                last_start = np.nonzero(change)[0][-1]
+                head = pdf.iloc[:last_start]
+                carry = pdf.iloc[last_start:].copy()
+                if len(head):
+                    for _, g in head.groupby(["term", "seg"], sort=False):
+                        flush_group(g)
+            out = emit(markers)
+            if out is not None:
+                yield out
         if carry is not None and len(carry):
             flush_group(carry)
-        if rows:
-            yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+        out = emit(None)
+        if out is not None:
+            yield out
 
-    return parted.mapInPandas(encode_stream, schema=BLOCKS_SCHEMA)
+    return parted.mapInPandas(encode_stream, schema=out_schema)
+
 
 
 def term_stats(blocks: DataFrame) -> DataFrame:

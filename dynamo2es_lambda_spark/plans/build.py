@@ -39,8 +39,7 @@ from ..operators import fieldmap, ids, postings
 from ..sources import store_io
 
 DEFAULT_BUCKETS = 64
-BATCH_STRIDE = 1 << 40  # doc_int = batch * STRIDE + rank-within-batch
-SEG_STRIDE = 1 << 20    # seg id namespace per batch (int32-safe)
+# doc_int layout (batch | partition | row bits) lives in operators/ids.py
 
 
 @dataclass
@@ -76,7 +75,7 @@ def build_index(
     *,
     key_cols: tuple[str, ...] = fieldmap.DEFAULT_KEY_COLS,
     content_col: str = "content",
-    num_segments: int | None = None,
+    segment_docs: int | None = None,
     num_buckets: int = DEFAULT_BUCKETS,
     num_batches: int = 1,
     resume: bool = True,
@@ -85,7 +84,7 @@ def build_index(
     """Build the full inverted index from a corpus DataFrame."""
     spark = corpus.sparkSession
     t0 = time.monotonic()
-    num_segments = num_segments or spark.sparkContext.defaultParallelism * 2
+    segment_docs = segment_docs or postings.DEFAULT_SEGMENT_DOCS
 
     # --- before_hook (lib/handler.js:32-34) ---
     if cfg.before_hook:
@@ -155,14 +154,14 @@ def build_index(
             nd, nb = _build_batch(
                 part, store_path, b, name,
                 content_col=content_col,
-                num_segments=num_segments,
+                segment_docs=segment_docs,
                 num_buckets=num_buckets,
                 retries=cfg.retries,
             )
             total_docs += nd
             total_blocks += nb
 
-        _finalize_store(spark, store_path, num_segments, num_buckets)
+        _finalize_store(spark, store_path, segment_docs, num_buckets)
         result = BuildResult(
             took_sec=time.monotonic() - t0,
             n_docs=total_docs,
@@ -191,7 +190,7 @@ def _build_batch(
     batch_name: str,
     *,
     content_col: str,
-    num_segments: int,
+    segment_docs: int,
     num_buckets: int,
     retries: int = 0,
 ) -> tuple[int, int]:
@@ -203,7 +202,7 @@ def _build_batch(
         try:
             return _build_batch_once(
                 docs, store_path, batch_idx, batch_name,
-                content_col=content_col, num_segments=num_segments,
+                content_col=content_col, segment_docs=segment_docs,
                 num_buckets=num_buckets,
             )
         except Exception:  # noqa: BLE001
@@ -220,7 +219,7 @@ def _build_batch_once(
     batch_name: str,
     *,
     content_col: str,
-    num_segments: int,
+    segment_docs: int,
     num_buckets: int,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
@@ -233,59 +232,38 @@ def _build_batch_once(
         phases[name] = round(now - t_prev, 2)
         t_prev = now
 
-    rows, n_docs = ids.assign_tokenize_count(
-        docs, order_col="doc_id", content_col=content_col
+    rows = ids.assign_tokenize_count(
+        docs, content_col=content_col, batch_name=batch_name
     )
-    mark("assign_offsets")
-    if batch_idx:
-        rows = rows.withColumn(
-            "doc_int", F.col("doc_int") + F.lit(batch_idx * BATCH_STRIDE)
-        )
-    # cache across the two consumers (doc_stats write + posting build) — the
-    # upstream chain (scan → field-map → range shuffle → tokenize/count)
-    # would otherwise recompute per action, doubling the Python stages
-    from pyspark.storagelevel import StorageLevel
-
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
-    keep = [
+    meta_cols = [
         c
-        for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
-                  "version", "dl", "content_sha256", "lang")
+        for c in ("doc_id", "index_name", "doc_type", "parent",
+                  "version", "content_sha256", "lang")
         if c in rows.columns
     ]
-    doc_stats_path = os.path.join(store_path, "doc_stats", f"batch={batch_name}")
+    # ONE job per batch: python fused pass → (term_bucket, seg) exchange →
+    # encode/passthrough → single partitioned write. Posting blocks land
+    # under part=block/term_bucket=<h>, doc-stat rows under part=doc.
+    segments = postings.build_segments(
+        rows,
+        meta_cols=meta_cols,
+        num_buckets=num_buckets,
+        segment_docs=segment_docs,
+    )
+    seg_batch_path = os.path.join(
+        store_io.segments_path(store_path), f"batch={batch_name}"
+    )
     store_io.write_parquet(
-        rows.filter(F.col("term").isNull()).select(*keep), doc_stats_path
+        segments, seg_batch_path, partition_by=("part", "term_bucket")
     )
-    mark("doc_stats_write")
-
-    # term rows → one shuffle on (term, seg) → block rows
-    toks = rows.filter(F.col("term").isNotNull()).select(
-        "doc_int", "term", "tf", "dl"
-    )
-    blocks = postings.build_posting_blocks(
-        toks,
-        n_docs=max(n_docs, 1),
-        num_segments=num_segments,
-        doc_base=batch_idx * BATCH_STRIDE,
-        seg_offset=batch_idx * SEG_STRIDE,
-    )
-    blocks = blocks.withColumn(
-        "term_bucket", F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets))
-    )
-    postings_path = os.path.join(store_path, "postings", f"batch={batch_name}")
-    store_io.write_parquet(
-        blocks.repartition("term_bucket"),
-        postings_path,
-        partition_by=("term_bucket",),
-    )
-    rows.unpersist()
-    mark("postings_write")
+    mark("segments_write")
 
     # lineage + metrics from the committed blocks (read-back = what a future
     # query will see; column pruning keeps this scan metadata-only)
     spark = docs.sparkSession
-    written = spark.read.parquet(postings_path)
+    batch_df = spark.read.parquet(seg_batch_path)
+    n_docs = batch_df.filter(F.col("part") == "doc").count()
+    written = batch_df.filter(F.col("part") == "block")
     took = time.monotonic() - t0
     lineage = written.groupBy("seg").agg(
         F.count("*").alias("blocks"),
@@ -316,13 +294,13 @@ def _build_batch_once(
 
 
 def _finalize_store(
-    spark: SparkSession, store_path: str, num_segments: int, num_buckets: int
+    spark: SparkSession, store_path: str, segment_docs: int, num_buckets: int
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
     write meta.json. Aggregates touch doc_stats and block metadata columns
     only — never the posting bytes."""
-    doc_stats = spark.read.parquet(os.path.join(store_path, "doc_stats"))
+    doc_stats = store_io.read_doc_stats(spark, store_path)
     entries = doc_stats.select(
         "doc_id", "version", "doc_int", "dl", F.lit(False).alias("is_tomb")
     )
@@ -353,21 +331,33 @@ def _finalize_store(
     )
     store_io.write_parquet(dead, os.path.join(store_path, "dead"))
 
+    # collision audit: doc_int is a 64-bit hash of (doc_id, batch) — verify
+    # injectivity held (SURVEY.md §2.1 #9; astronomically rare below 10^9
+    # docs per batch, but a silent collision would corrupt postings)
+    audit = doc_stats.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_int").alias("n_ids"),
+    ).first()
+    if audit["n"] != audit["n_ids"]:
+        raise EngineError(
+            f"doc_int hash collision: {audit['n']} docs, "
+            f"{audit['n_ids']} distinct ids — re-salt or use dense ids"
+        )
+
     agg = live.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
-    blocks = spark.read.parquet(os.path.join(store_path, "postings"))
+    blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
-    if num_segments == 0:
+    if segment_docs == 0:
         meta_path = os.path.join(store_path, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                num_segments = json.load(f).get("num_segments", 0)
+                segment_docs = json.load(f).get("segment_docs", 0)
     meta = {
         "n_docs": int(agg["n"]),
         "avgdl": float(agg["avgdl"] or 0.0),
-        "num_segments": num_segments,
+        "segment_docs": segment_docs,
         "num_buckets": num_buckets,
-        "batch_stride": BATCH_STRIDE,
     }
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -389,7 +379,13 @@ def verify_sha256(corpus: DataFrame, cfg: IndexerConfig, store_path: str,
     source = mapped.select(
         "doc_id", F.col("content_sha256").alias("src_sha")
     )
-    indexed = spark.read.parquet(os.path.join(store_path, "doc_stats")).select(
+    indexed = store_io.read_doc_stats(spark, store_path)
+    dead_path = os.path.join(store_path, "dead")
+    if os.path.isdir(dead_path):
+        indexed = indexed.join(
+            spark.read.parquet(dead_path), "doc_int", "left_anti"
+        )
+    indexed = indexed.select(
         "doc_id", F.col("content_sha256").alias("idx_sha")
     )
     joined = source.join(indexed, "doc_id", "left")

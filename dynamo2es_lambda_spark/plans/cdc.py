@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..config import IndexerConfig
 from ..errors import EngineError
 from ..functions import codec
-from ..operators import actions, fieldmap
+from ..operators import actions, fieldmap, postings
 from ..sources import store_io
 from . import build
 
@@ -47,7 +47,7 @@ def apply_changes(
     store_path: str,
     *,
     content_col: str = "content",
-    num_segments: int | None = None,
+    segment_docs: int | None = None,
     num_buckets: int = build.DEFAULT_BUCKETS,
     compact: bool = False,
 ) -> dict:
@@ -56,7 +56,6 @@ def apply_changes(
     Returns a summary dict (upserts, deletes, quarantined).
     """
     spark = events.sparkSession
-    num_segments = num_segments or spark.sparkContext.defaultParallelism
 
     if cfg.before_hook:
         cfg.before_hook(events)
@@ -107,7 +106,7 @@ def apply_changes(
             n_up, _ = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
                 content_col=content_col,
-                num_segments=num_segments,
+                segment_docs=segment_docs or postings.DEFAULT_SEGMENT_DOCS,
                 num_buckets=num_buckets,
                 retries=cfg.retries,
             )
@@ -124,7 +123,7 @@ def apply_changes(
             )
 
         build._finalize_store(
-            spark, store_path, num_segments, num_buckets
+            spark, store_path, segment_docs or 0, num_buckets
         )
         if compact:
             compact_store(spark, store_path, num_buckets=num_buckets)
@@ -155,14 +154,18 @@ def compact_store(
     dead_df = spark.read.parquet(dead_path)
     dead = set(r["doc_int"] for r in dead_df.collect())
 
-    postings_path = os.path.join(store_path, "postings")
-    blocks = spark.read.parquet(postings_path)
+    seg_root = store_io.segments_path(store_path)
 
     if dead:
         import numpy as np
         import pandas as pd
 
         dead_arr = np.array(sorted(dead), dtype=np.int64)
+        segs = spark.read.parquet(seg_root)
+
+        block_cols = ["term", "seg", "block_id", "n_docs", "doc_first",
+                      "doc_last", "max_tf", "min_dl", "doc_bytes",
+                      "tf_bytes", "dl_bytes", "term_bucket"]
 
         def rewrite(batches):
             for pdf in batches:
@@ -175,7 +178,7 @@ def compact_store(
                     if not keep.any():
                         continue
                     if keep.all():
-                        out.append(row._asdict())
+                        out.append({c: getattr(row, c) for c in block_cols})
                         continue
                     b = codec.encode_blocks(ids[keep], tfs[keep], dls[keep])[0]
                     b["block_id"] = row.block_id
@@ -184,37 +187,37 @@ def compact_store(
                     b["term_bucket"] = row.term_bucket
                     out.append(b)
                 if out:
-                    yield pd.DataFrame(out)[
-                        ["term", "seg", "block_id", "n_docs", "doc_first",
-                         "doc_last", "max_tf", "min_dl", "doc_bytes",
-                         "tf_bytes", "dl_bytes", "term_bucket"]
-                    ]
+                    yield pd.DataFrame(out)[block_cols]
 
         schema = (
-            "term string, seg int, block_id int, n_docs int, doc_first long, "
+            "term string, seg long, block_id int, n_docs int, doc_first long, "
             "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
             "tf_bytes binary, dl_bytes binary, term_bucket bigint"
         )
-        rewritten = blocks.mapInPandas(rewrite, schema=schema)
-        tmp = postings_path + "_compacting"
-        store_io.write_parquet(
-            rewritten.repartition("term_bucket"),
-            os.path.join(tmp, "batch=compacted"),
-            partition_by=("term_bucket",),
+        live_blocks = (
+            segs.filter(F.col("part") == "block")
+            .select(*block_cols)
+            .mapInPandas(rewrite, schema=schema)
+            .withColumn("part", F.lit("block"))
         )
-        shutil.rmtree(postings_path)
-        os.replace(tmp, postings_path)
-
-        # doc_stats: live rows only, single batch dir
-        stats_path = os.path.join(store_path, "doc_stats")
-        stats = spark.read.parquet(stats_path)
-        live = stats.join(
+        live_docs = segs.filter(F.col("part") == "doc").join(
             F.broadcast(dead_df), "doc_int", "left_anti"
         )
-        tmp_s = stats_path + "_compacting"
-        store_io.write_parquet(live, os.path.join(tmp_s, "batch=compacted"))
-        shutil.rmtree(stats_path)
-        os.replace(tmp_s, stats_path)
+
+        def pad(df):
+            for f in segs.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select(*[f.name for f in segs.schema.fields])
+
+        tmp = seg_root + "_compacting"
+        store_io.write_parquet(
+            pad(live_blocks).unionByName(pad(live_docs)),
+            os.path.join(tmp, "batch=compacted"),
+            partition_by=("part", "term_bucket"),
+        )
+        shutil.rmtree(seg_root)
+        os.replace(tmp, seg_root)
 
     tomb = os.path.join(store_path, "tombstones")
     if os.path.isdir(tomb):

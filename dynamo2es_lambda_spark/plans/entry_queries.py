@@ -107,7 +107,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:v3".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v5".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"d2es_entry_{key}")
     if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
@@ -119,7 +119,6 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
-            num_segments=spark.sparkContext.defaultParallelism,
             num_buckets=32, resume=True,
         )
         _STORES[key] = path

@@ -48,10 +48,14 @@ class IndexStore:
     _dead: np.ndarray | None = None
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "postings"))
+        from ..sources import store_io
+
+        return store_io.read_blocks(spark, self.path)
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "doc_stats"))
+        from ..sources import store_io
+
+        return store_io.read_doc_stats(spark, self.path)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "term_stats"))

@@ -34,6 +34,36 @@ def write_parquet(
     w.parquet(path)
 
 
+def segments_path(store_path: str) -> str:
+    """Unified segment tree: one parquet dataset per batch holding BOTH
+    posting-block rows (part=block, sub-partitioned by term_bucket) and
+    doc-stat rows (part=doc) — the single-write layout of one build job."""
+    return os.path.join(store_path, "segments")
+
+
+def read_blocks(spark, store_path: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(segments_path(store_path)).filter(
+        F.col("part") == "block"
+    )
+
+
+def read_doc_stats(spark, store_path: str):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(segments_path(store_path)).filter(
+        F.col("part") == "doc"
+    )
+    keep = [
+        c
+        for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
+                  "version", "dl", "content_sha256", "lang", "batch")
+        if c in df.columns
+    ]
+    return df.select(*keep)
+
+
 def checkpoint_dir(store_path: str) -> str:
     return os.path.join(store_path, "checkpoints")
 

@@ -67,7 +67,7 @@ def run_one(cores: int) -> None:
     t0 = time.monotonic()
     res = build.build_index(
         corpus, IndexerConfig(index="code"), store,
-        num_segments=64, num_buckets=64, resume=False,
+        num_buckets=64, resume=False,
     )
     took = time.monotonic() - t0
     print(json.dumps({

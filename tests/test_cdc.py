@@ -103,9 +103,9 @@ def test_dispatch_semantics(spark):
 def cdc_store(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("cdc_store"))
     corpus = spark.createDataFrame(_corpus0())
-    build.build_index(corpus, CFG, path, num_segments=4, num_buckets=8)
+    build.build_index(corpus, CFG, path, segment_docs=64, num_buckets=8)
     res = cdc.apply_changes(
-        _events_df(spark), CFG, path, num_segments=4, num_buckets=8
+        _events_df(spark), CFG, path, segment_docs=64, num_buckets=8
     )
     assert res["upserts"] == 20  # 10 inserts + 10 modifies (LWW folded dup)
     assert res["deletes"] == 10
@@ -159,11 +159,11 @@ def test_streaming_foreachbatch(spark, tmp_path_factory):
     store_path = str(tmp_path_factory.mktemp("stream_store"))
     build.build_index(
         spark.createDataFrame(_corpus0()), CFG, store_path,
-        num_segments=4, num_buckets=8,
+        segment_docs=64, num_buckets=8,
     )
     _events_df(spark).write.mode("overwrite").parquet(src)
     q = apply_cdc.start_cdc_stream(
-        spark, CFG, store_path, src, chk, num_segments=4, num_buckets=8
+        spark, CFG, store_path, src, chk, segment_docs=64, num_buckets=8
     )
     q.awaitTermination(120)
     cdc.compact_store(spark, store_path, num_buckets=8)

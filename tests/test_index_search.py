@@ -17,7 +17,7 @@ CFG = IndexerConfig(index="code")
 def store(spark, corpus_df, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("index"))
     res = build.build_index(
-        corpus_df, CFG, path, num_segments=8, num_buckets=8
+        corpus_df, CFG, path, segment_docs=64, num_buckets=8
     )
     assert res.n_docs == 200
     assert res.n_blocks > 0
@@ -74,9 +74,11 @@ def test_sha256_invariant(corpus_df, store):
 
 
 def test_doc_stats_match_oracle(spark, store, oracle):
-    ds = store.doc_stats(spark).orderBy("doc_int").toPandas()
-    assert ds["doc_id"].tolist() == oracle.doc_ids          # dense rank order
+    ds = store.doc_stats(spark).orderBy("doc_id").toPandas()
+    assert ds["doc_id"].tolist() == oracle.doc_ids
     assert ds["dl"].tolist() == oracle.dl.tolist()
+    # doc_ints are unique (batch|partition|row bit layout, operators/ids.py)
+    assert ds["doc_int"].is_unique
     assert store.meta["n_docs"] == oracle.n_docs
     assert store.meta["avgdl"] == pytest.approx(oracle.avgdl)
 
@@ -91,7 +93,7 @@ def test_parallelism_determinism(spark, corpus_pdf, tmp_path_factory, store):
     and identical search results (SURVEY.md §5.2.7)."""
     path2 = str(tmp_path_factory.mktemp("index2"))
     df2 = spark.createDataFrame(corpus_pdf).repartition(13)
-    build.build_index(df2, CFG, path2, num_segments=3, num_buckets=8)
+    build.build_index(df2, CFG, path2, segment_docs=64, num_buckets=8)
     store2 = search.load_store(path2)
     q = synthetic.queries_pdf()
     r1 = (

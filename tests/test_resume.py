@@ -35,7 +35,7 @@ def _results(spark, path):
 def test_multibatch_rank_identity(spark, corpus, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("mb"))
     res = build.build_index(
-        corpus, CFG, path, num_segments=4, num_buckets=8, num_batches=3
+        corpus, CFG, path, segment_docs=64, num_buckets=8, num_batches=3
     )
     assert res.n_docs == N
     assert sorted(res.batches) == ["b0", "b1", "b2"]
@@ -54,19 +54,19 @@ def test_multibatch_rank_identity(spark, corpus, tmp_path_factory):
 def test_resume_after_partial_failure(spark, corpus, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("resume"))
     build.build_index(
-        corpus, CFG, path, num_segments=4, num_buckets=8, num_batches=3
+        corpus, CFG, path, segment_docs=64, num_buckets=8, num_batches=3
     )
     baseline = _results(spark, path)
 
     # simulate a mid-build crash: batch b1's outputs + checkpoint vanish
-    for sub in ("postings", "doc_stats", "lineage"):
+    for sub in ("segments", "lineage"):
         shutil.rmtree(os.path.join(path, sub, "batch=b1"))
     from dynamo2es_lambda_spark.sources import store_io
 
     store_io.clear_checkpoint(path, "b1")
 
     res = build.build_index(
-        corpus, CFG, path, num_segments=4, num_buckets=8, num_batches=3
+        corpus, CFG, path, segment_docs=64, num_buckets=8, num_batches=3
     )
     # only the missing batch was rebuilt
     assert res.n_docs < N and res.n_docs > 0
@@ -89,7 +89,7 @@ def test_retry_reruns_batch(spark, corpus, tmp_path_factory):
                         retry_options={"retries": 0})
     path = str(tmp_path_factory.mktemp("retry0"))
     with pytest.raises(RuntimeError, match="transient failure"):
-        build.build_index(corpus, cfg, path, num_segments=4, num_buckets=8)
+        build.build_index(corpus, cfg, path, segment_docs=64, num_buckets=8)
 
     # reference retry semantics: retries+1 attempts (handler-tests.js:1791-)
     attempts["n"] = 0
@@ -110,7 +110,7 @@ def test_retry_reruns_batch(spark, corpus, tmp_path_factory):
     path2 = str(tmp_path_factory.mktemp("retry1"))
     build._build_batch_once, orig = failing_once, real_build
     try:
-        res = build.build_index(corpus, cfg2, path2, num_segments=4, num_buckets=8)
+        res = build.build_index(corpus, cfg2, path2, segment_docs=64, num_buckets=8)
     finally:
         build._build_batch_once = orig
     assert calls["n"] == 2
