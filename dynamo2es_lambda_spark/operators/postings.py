@@ -75,11 +75,23 @@ _BLOCK_COLS = [
 DEFAULT_SEGMENT_DOCS = 4096
 
 
+def seg_shift_for(n_docs: int, segment_docs: int = DEFAULT_SEGMENT_DOCS) -> int:
+    """Right-shift turning a 64-bit hash doc_int into its segment id such
+    that segments average ~segment_docs docs (hash ids are uniform)."""
+    import math
+
+    n_segs = max(1, round(max(n_docs, 1) / segment_docs))
+    bits = max(0, math.ceil(math.log2(n_segs)))
+    # clamp to [1, 63]: the JVM shifts modulo 64, so shift=64 would be a
+    # no-op and give one segment per document
+    return min(max(64 - bits, 1), 63)
+
+
 def build_segments(
     rows: DataFrame,
     meta_cols: list[str],
     num_buckets: int = 64,
-    segment_docs: int = DEFAULT_SEGMENT_DOCS,
+    seg_shift: int = 52,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fused segment builder: term rows + doc-marker rows (term IS NULL,
@@ -90,11 +102,12 @@ def build_segments(
     directory partitioning (few files per task); markers ride the same
     exchange (bucket −1, spread by pmod(doc_int)) and pass through.
 
-    ``seg = doc_int // segment_docs``: disjoint, ordered doc-ID ranges of at
-    most segment_docs docs — valid for any doc_int layout (ids are sparse
-    across partitions/batches; empty segment ids simply never materialize).
-    Skew: a hot term's postings split across all segs; the hottest single
-    (term, seg) group is bounded by segment_docs postings.
+    ``seg = doc_int >> seg_shift``: disjoint, ordered slices of the 64-bit
+    hash space (doc ids are uniform hashes, so slices hold ~equal doc
+    counts; compute the shift with :func:`seg_shift_for`). Arithmetic shift
+    is order-preserving over signed ids. Skew: a hot term's postings split
+    across all segs; the hottest single (term, seg) group is bounded by the
+    segment's doc count.
     """
     spark = rows.sparkSession
     n_shuffle = shuffle_partitions or int(
@@ -104,8 +117,7 @@ def build_segments(
         "seg",
         F.when(
             F.col("term").isNotNull(),
-            # integer div — float division loses exactness near 2^63
-            F.expr(f"doc_int div {int(segment_docs)}"),
+            F.shiftright(F.col("doc_int"), seg_shift),
         ).otherwise(F.pmod(F.col("doc_int"), F.lit(n_shuffle)).cast("long")),
     ).withColumn(
         "term_bucket",

@@ -232,6 +232,10 @@ def _build_batch_once(
         phases[name] = round(now - t_prev, 2)
         t_prev = now
 
+    # JVM-only count (no Python stage upstream): sizes the hash-range
+    # segments so they average ~segment_docs docs
+    n_est = docs.count()
+    mark("count_docs")
     rows = ids.assign_tokenize_count(
         docs, content_col=content_col, batch_name=batch_name
     )
@@ -248,7 +252,7 @@ def _build_batch_once(
         rows,
         meta_cols=meta_cols,
         num_buckets=num_buckets,
-        segment_docs=segment_docs,
+        seg_shift=postings.seg_shift_for(n_est, segment_docs),
     )
     seg_batch_path = os.path.join(
         store_io.segments_path(store_path), f"batch={batch_name}"
