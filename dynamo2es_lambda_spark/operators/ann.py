@@ -98,6 +98,62 @@ def lsh_assign(
     return df.mapInPandas(assign, schema=f"{fields}, bucket long")
 
 
+def cosine_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: (a, b, cos) for a < b with
+    cos ≥ threshold. O(n²) cross join — verification / bounded candidate
+    sets; the scale path is :func:`cosine_near_dup_lsh`."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-table LSH bucket self-join for
+    candidates, exact cosine confirmation. Recall < 1 (tune n_tables up /
+    n_planes down); every returned pair is exact-verified."""
+    bucketed = lsh_assign_multi(embeddings, vec_col, n_planes, n_tables, seed)
+    x = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        "table", "bucket",
+    )
+    y = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        "table", "bucket",
+    )
+    cands = (
+        x.join(y, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
+    return (
+        cands.withColumn("cos", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def lsh_assign_multi(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -360,6 +360,33 @@ ranked AS (
 SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
 """
 
+# --------------------------------------------- 9b. embedding near-dup pairs
+
+NEAR_DUP_THRESHOLD = 0.3
+NEAR_DUP_MAX_ID = 300
+
+
+def q_ann_near_dup(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_ID
+    )
+    pairs = ann.cosine_near_dup_exact(emb, NEAR_DUP_THRESHOLD)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos_r"))
+
+
+SQL_ANN_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {NEAR_DUP_MAX_ID}),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(cos, 6) AS cos_r FROM p WHERE cos >= {NEAR_DUP_THRESHOLD}
+"""
+
 # -------------------------------------------------------- 10. text quality
 
 def q_text_quality(spark, sf_dir):
@@ -648,6 +675,7 @@ SPARK_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_near_dup_pairs": q_ann_near_dup,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -671,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
+        "ann_near_dup_pairs": SQL_ANN_NEAR_DUP,
         "text_quality": _sql_text_quality(),
         "text_lang_id": _sql_lang_id(),
         "doc_fingerprint": SQL_FINGERPRINT,

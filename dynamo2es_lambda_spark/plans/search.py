@@ -100,9 +100,16 @@ def search(
     k: int = 10,
     mode: str = "or",
     algo: str = "exhaustive",
+    index: str | None = None,
 ) -> DataFrame:
     """Top-k BM25. ``queries``: pandas (qid, query[, k]). Returns a DataFrame
-    (qid, rank, doc_id, score) — empty for queries with no matching term."""
+    (qid, rank, doc_id, score) — empty for queries with no matching term.
+
+    ``index`` restricts results to one routed index (the reference's
+    ``_index``, lib/handler.js:61-62): candidates are semi-joined against
+    that index's doc_ints before the top-k cut. Sized for selective use; at
+    scale prefer one store per index (the partition layout already isolates
+    them at write time)."""
     n_docs = float(store.meta["n_docs"])
     avgdl = float(store.meta["avgdl"])
     qt = _query_terms(queries)
@@ -143,11 +150,19 @@ def search(
     joined = blocks.join(F.broadcast(qterms_df), "term")
     dead = store.dead_doc_ints(spark)
 
+    allowed = None
+    if index is not None:
+        allowed = store.doc_stats(spark).filter(
+            F.col("index_name") == index
+        ).select("doc_int")
+
     if algo == "exhaustive":
         cand = _score_exhaustive(joined, avgdl, dead)
         agg = cand.groupBy("qid", "doc_int").agg(
             F.sum("score").alias("score"), F.count("*").alias("nt")
         )
+        if allowed is not None:
+            agg = agg.join(allowed, "doc_int", "left_semi")
         if mode == "and":
             need = spark.createDataFrame(
                 pd.DataFrame(
@@ -161,6 +176,21 @@ def search(
     elif algo == "wand":
         if mode != "or":
             raise ValueError("wand algo implements mode='or'")
+        if allowed is not None:
+            # per-segment heaps must not burn slots on out-of-index docs:
+            # fold the index restriction into the dead mask
+            allow = np.sort(
+                allowed.toPandas()["doc_int"].to_numpy(np.int64)
+            )
+            all_ids = store.doc_stats(spark).select("doc_int").toPandas()[
+                "doc_int"
+            ].to_numpy(np.int64)
+            extra_dead = np.setdiff1d(all_ids, allow)
+            dead = (
+                extra_dead
+                if dead is None
+                else np.union1d(dead, extra_dead)
+            )
         topk = _score_wand(joined, avgdl, k, n_terms_by_qid, dead)
         topk = _cut_topk(topk.groupBy("qid", "doc_int").agg(
             F.max("score").alias("score")), k)

@@ -36,8 +36,10 @@ CORPUS = os.path.join(
 # local[4] → local[16]: both levels sit on physical cores, so the 4× core
 # ratio is real. local[8] → local[32] would cross the SMT boundary, where
 # 4× more *logical* cores is only ~2× more hardware — not a scaling test.
-LEVELS = (4, 16)
-TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+)
+TRIALS = int(os.environ.get("SCALING_TRIALS", "4"))
 
 
 def run_one(cores: int) -> None:

@@ -102,3 +102,13 @@ def test_lsh_assign_deterministic(spark, emb):
     a = a.sort_values("vec_id", ignore_index=True)
     b = b.sort_values("vec_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark, emb):
+    exact = ann.cosine_near_dup_exact(emb, 0.3).toPandas()
+    approx = ann.cosine_near_dup_lsh(emb, 0.3, n_planes=4, n_tables=8).toPandas()
+    ex = set(map(tuple, exact[["a", "b"]].values))
+    ap = set(map(tuple, approx[["a", "b"]].values))
+    assert ap <= ex                      # every LSH pair is exact-verified
+    if ex:
+        assert len(ap) / len(ex) >= 0.4  # recall at 8x4 on test embeddings

@@ -106,3 +106,37 @@ def test_parallelism_determinism(spark, corpus_pdf, tmp_path_factory, store):
     )
     assert r1["doc_id"].tolist() == r2["doc_id"].tolist()
     assert np.allclose(r1["score"], r2["score"], atol=1e-12)
+
+
+def test_index_routing_filter(spark, corpus_pdf, tmp_path_factory):
+    """Multi-index routing (lib/handler.js:60-62): search(index=...) returns
+    only docs routed to that index, equal to the unfiltered ranking
+    restricted to them (ES filtered-query semantics: global stats)."""
+    from dynamo2es_lambda_spark import IndexerConfig
+
+    path = str(tmp_path_factory.mktemp("routed"))
+    cfg = IndexerConfig(index_prefix="code-", index_field="lang")
+    df = spark.createDataFrame(corpus_pdf).repartition(4)
+    build.build_index(df, cfg, path, segment_docs=64, num_buckets=8)
+    store = search.load_store(path)
+    q = synthetic.queries_pdf().iloc[:3]
+    py_docs = set(
+        (corpus_pdf[corpus_pdf.lang == "py"]["repo"] + "."
+         + corpus_pdf[corpus_pdf.lang == "py"]["path"] + "."
+         + corpus_pdf[corpus_pdf.lang == "py"]["commit"]).tolist()
+    )
+    for algo in ("exhaustive", "wand"):
+        full = search.search(spark, store, q, k=500, algo=algo).toPandas()
+        filt = search.search(
+            spark, store, q, k=10, algo=algo, index="code-py"
+        ).toPandas()
+        assert set(filt["doc_id"]) <= py_docs
+        for qid in filt["qid"].unique():
+            want = (
+                full[(full.qid == qid) & full.doc_id.isin(py_docs)]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(10)["doc_id"]
+                .tolist()
+            )
+            got = filt[filt.qid == qid].sort_values("rank")["doc_id"].tolist()
+            assert got == want, (algo, qid)
