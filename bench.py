@@ -118,7 +118,7 @@ def main() -> None:
         )
         return build.build_index(
             c, IndexerConfig(index="docs", id_field="docid"), docs_store,
-            num_buckets=32, resume=False,
+            num_buckets=32, resume=False, positions=True,
         )
 
     timed("index_build_docs", build_docs)
@@ -132,6 +132,19 @@ def main() -> None:
         lat.append(time.monotonic() - t0)
     queries["bm25_query_set_wand"] = round(min(lat), 3)
     extra["bm25_qps"] = round(len(qpdf) / min(lat), 2)
+
+    ph = pd.DataFrame(entry_queries.PHRASE_QUERIES, columns=["qid", "query"])
+    timed(
+        "bm25_phrase_set",
+        lambda: search.search_phrase(spark, store, ph, k=10).collect(),
+        repeat=2,
+    )
+    pf = pd.DataFrame(entry_queries.PREFIX_QUERIES, columns=["qid", "prefix"])
+    timed(
+        "bm25_prefix_set",
+        lambda: search.search_prefix(spark, store, pf, k=10).collect(),
+        repeat=2,
+    )
 
     # --- entry-contract representatives ---
     for name in (

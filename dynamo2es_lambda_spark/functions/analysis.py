@@ -101,6 +101,57 @@ def term_freqs_from_tokens(
     )
 
 
+def term_freqs_positions_from_tokens(
+    doc_ids: np.ndarray, token_lists: pd.Series, dls: np.ndarray
+) -> pd.DataFrame:
+    """(doc, term, tf, dl, pos_bytes) — the positional variant of the
+    counting kernel (phrase-query support, Lucene ``.pos`` analog).
+
+    Same integer-key trick as :func:`term_freqs_from_tokens`, plus a stable
+    sort so each (doc, term) group's token positions stay ascending; the
+    group's positions are delta-coded (first absolute) and varbyte-packed in
+    ONE vectorized pass (functions/codec.varbyte_encode_grouped).
+    """
+    from . import codec
+
+    lens = dls.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        out = _EMPTY_TF.copy()
+        out["pos_bytes"] = pd.Series([], dtype="object")
+        return out
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    codes, uniq = pd.factorize(flat, sort=False)
+    n_uniq = len(uniq)
+    doc_ord = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+    doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(total, dtype=np.int64) - doc_start[doc_ord]
+    key = doc_ord * np.int64(n_uniq) + codes
+    order = np.argsort(key, kind="stable")  # within-group original order
+    skey = key[order]
+    spos = pos_in_doc[order]
+    change = np.concatenate(([True], skey[1:] != skey[:-1]))
+    gstart = np.nonzero(change)[0]
+    gsize = np.diff(np.append(gstart, skey.size)).astype(np.int64)
+    # delta-code positions within each group; group's first stays absolute
+    deltas = spos.copy()
+    rest = np.nonzero(~change)[0]
+    deltas[rest] = spos[rest] - spos[rest - 1]
+    pos_payloads = codec.varbyte_encode_grouped(deltas, gsize)
+    gkey = skey[gstart]
+    d = (gkey // n_uniq).astype(np.int64)
+    c = (gkey % n_uniq).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_int": np.asarray(doc_ids, dtype=np.int64)[d],
+            "term": np.asarray(uniq, dtype=object)[c],
+            "tf": gsize,
+            "dl": lens[d],
+            "pos_bytes": pd.Series(pos_payloads, dtype="object"),
+        }
+    )
+
+
 def term_freqs_frame(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     """Vectorized (doc, term, tf, dl) from parallel id/text series.
     Returns columns: doc_int (int64), term (str), tf (int64), dl (int64)."""

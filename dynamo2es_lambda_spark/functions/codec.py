@@ -19,6 +19,13 @@ Wire format per block (BLOCK_SIZE docs max):
              never joins doc_stats (a per-query shuffle avoided).
 Block metadata (stored as plain columns → parquet min/max pruning works):
   n_docs, doc_first, doc_last, max_tf, min_dl
+
+Positional payloads (optional, for phrase queries — Lucene ``.pos`` analog):
+  pos_bytes: concatenation, in block doc order, of each doc's varbyte-encoded
+             token positions for the term (first position absolute, rest
+             delta-coded). Per-doc boundaries are implicit: doc d contributes
+             exactly tf(d) values, so one flat varbyte_decode + a segmented
+             cumsum keyed by the tf array reconstructs every position list.
 """
 
 from __future__ import annotations
@@ -28,14 +35,11 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LSB-first varbyte (protobuf varint layout), vectorized.
-
-    values: non-negative integers (any int dtype).
-    """
+def _varbyte_parts(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte array, per-value byte counts) for LSB-first varbyte."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # number of 7-bit groups per value
     ngroups = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -50,7 +54,50 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         grp = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (ngroups[mask] - 1 > k).astype(np.uint8) << 7
         out[pos] = grp | cont
-    return out.tobytes()
+    return out, ngroups
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LSB-first varbyte (protobuf varint layout), vectorized.
+
+    values: non-negative integers (any int dtype).
+    """
+    return _varbyte_parts(values)[0].tobytes()
+
+
+def varbyte_encode_grouped(
+    values: np.ndarray, group_sizes: np.ndarray
+) -> list[bytes]:
+    """Encode a flat value array once, slice into per-group byte strings.
+
+    ``group_sizes`` (int, sums to len(values)) delimits consecutive groups.
+    One vectorized encode pass; the only loop is the per-group bytes slicing.
+    """
+    buf, nbytes = _varbyte_parts(values)
+    sizes = np.asarray(group_sizes, dtype=np.int64)
+    if sizes.size == 0:
+        return []
+    ends_v = np.cumsum(sizes)
+    byte_cum = np.concatenate(([0], np.cumsum(nbytes)))
+    byte_ends = byte_cum[ends_v]
+    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+    raw = buf.tobytes()
+    return [raw[s:e] for s, e in zip(byte_starts, byte_ends)]
+
+
+def segmented_positions(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-group cumsum: decode flat position deltas (first absolute) into
+    flat absolute positions, groups delimited by ``counts``."""
+    d = np.asarray(deltas, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if d.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    c = np.cumsum(d)
+    ends = np.cumsum(counts)
+    base = np.repeat(
+        np.concatenate(([0], c[ends[:-1] - 1])), counts
+    )
+    return c - base
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -73,12 +120,20 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
-                  dls: np.ndarray) -> list[dict]:
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_payloads=None,
+) -> list[dict]:
     """Split one term-segment posting list (sorted by doc_id asc) into blocks.
 
     Returns a list of block dicts with keys: block_id, n_docs, doc_first,
-    doc_last, max_tf, min_dl, doc_bytes, tf_bytes, dl_bytes.
+    doc_last, max_tf, min_dl, doc_bytes, tf_bytes, dl_bytes, pos_bytes.
+
+    ``pos_payloads``: optional sequence (len == len(doc_ids)) of per-doc
+    pre-encoded position byte strings; concatenated per block into pos_bytes
+    (None when positions are not indexed).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -103,6 +158,11 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
                 "doc_bytes": varbyte_encode(gaps),
                 "tf_bytes": varbyte_encode(tfs[lo:hi] - 1),
                 "dl_bytes": varbyte_encode(dls[lo:hi] - 1),
+                "pos_bytes": (
+                    None
+                    if pos_payloads is None
+                    else b"".join(pos_payloads[lo:hi])
+                ),
             }
         )
     return blocks
@@ -117,3 +177,16 @@ def decode_block(
     tfs = varbyte_decode(tf_bytes).astype(np.int64) + 1
     dls = varbyte_decode(dl_bytes).astype(np.int64) + 1
     return doc_ids, tfs, dls
+
+
+def decode_block_positions(
+    pos_bytes: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block pos_bytes → (flat absolute positions, per-doc start offsets).
+
+    Doc i's positions are ``flat[starts[i] : starts[i] + tfs[i]]``, ascending.
+    """
+    deltas = varbyte_decode(pos_bytes).astype(np.int64)
+    flat = segmented_positions(deltas, tfs)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    return flat, starts

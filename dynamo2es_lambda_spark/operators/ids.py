@@ -77,6 +77,7 @@ def assign_tokenize_count(
     df: DataFrame,
     content_col: str = "content",
     batch_name: str = "b0",
+    positions: bool = False,
 ) -> DataFrame:
     """Maximally-fused build pass: ONE Python crossing emits everything the
     index build needs — term rows (doc_int, term, tf, dl) interleaved with
@@ -104,7 +105,11 @@ def assign_tokenize_count(
     unnecessary for rank identity: every top-k cut keeps score ties and the
     final tie-break is the doc_id string (plans/search.py).
     """
-    from ..functions.analysis import term_freqs_from_tokens, tokenize_series
+    from ..functions.analysis import (
+        term_freqs_from_tokens,
+        term_freqs_positions_from_tokens,
+        tokenize_series,
+    )
 
     with_id = df.withColumn(
         "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
@@ -115,8 +120,15 @@ def assign_tokenize_count(
         for f in df.schema.fields
         if f.name != content_col
     )
+    pos_part = ", pos_bytes binary" if positions else ""
     out_schema = (
-        f"doc_int long, term string, tf long, dl long, {meta_schema}"
+        f"doc_int long, term string, tf long, dl long{pos_part}, {meta_schema}"
+    )
+    term_cols = ["doc_int", "term", "tf", "dl"] + (
+        ["pos_bytes"] if positions else []
+    )
+    kernel = (
+        term_freqs_positions_from_tokens if positions else term_freqs_from_tokens
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,13 +138,15 @@ def assign_tokenize_count(
             doc_int = pdf["doc_int"].to_numpy(dtype=np.int64)
             toks = tokenize_series(pdf[content_col])
             dl = toks.map(len).to_numpy(dtype=np.int64)
-            term_rows = term_freqs_from_tokens(doc_int, toks, dl)
+            term_rows = kernel(doc_int, toks, dl)
             doc_rows = pdf[meta_cols].copy()
             doc_rows.insert(0, "doc_int", doc_int)
             doc_rows.insert(1, "term", None)
             doc_rows.insert(2, "tf", np.int64(0))
             doc_rows.insert(3, "dl", dl)
+            if positions:
+                doc_rows.insert(4, "pos_bytes", None)
             out = pd.concat([doc_rows, term_rows], ignore_index=True)
-            yield out[["doc_int", "term", "tf", "dl", *meta_cols]]
+            yield out[[*term_cols, *meta_cols]]
 
     return with_id.mapInPandas(run, schema=out_schema)

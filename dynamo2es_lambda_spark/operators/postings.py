@@ -43,7 +43,7 @@ TOKENS_SCHEMA = "doc_int long, term string, tf long, dl long"
 BLOCKS_SCHEMA = (
     "term string, seg long, block_id int, n_docs int, doc_first long, "
     "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
-    "tf_bytes binary, dl_bytes binary"
+    "tf_bytes binary, dl_bytes binary, pos_bytes binary"
 )
 
 
@@ -68,7 +68,7 @@ def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
 
 _BLOCK_COLS = [
     "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
-    "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+    "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
 ]
 
 
@@ -146,10 +146,16 @@ def build_segments(
         blocks: list[dict] = []
 
         def flush_group(g: pd.DataFrame) -> None:
+            pos = (
+                g["pos_bytes"].to_numpy(dtype=object)
+                if "pos_bytes" in g.columns
+                else None
+            )
             bl = codec.encode_blocks(
                 g["doc_int"].to_numpy(),
                 g["tf"].to_numpy(),
                 g["dl"].to_numpy(),
+                pos_payloads=pos,
             )
             term = g["term"].iat[0]
             seg = int(g["seg"].iat[0])

@@ -80,8 +80,17 @@ def build_index(
     num_batches: int = 1,
     resume: bool = True,
     dedup_versions: bool = False,
+    positions: bool = False,
 ) -> BuildResult:
-    """Build the full inverted index from a corpus DataFrame."""
+    """Build the full inverted index from a corpus DataFrame.
+
+    ``positions=True`` additionally stores per-(term, doc) token positions
+    (delta+varbyte, concatenated per block — functions/codec.py) enabling
+    exact phrase queries (plans/search.search_phrase). Costs ~1 extra byte
+    per token in the store and nothing at non-phrase query time (the
+    pos_bytes column is never read unless a phrase query asks for it —
+    columnar pruning).
+    """
     spark = corpus.sparkSession
     t0 = time.monotonic()
     segment_docs = segment_docs or postings.DEFAULT_SEGMENT_DOCS
@@ -157,11 +166,14 @@ def build_index(
                 segment_docs=segment_docs,
                 num_buckets=num_buckets,
                 retries=cfg.retries,
+                positions=positions,
             )
             total_docs += nd
             total_blocks += nb
 
-        _finalize_store(spark, store_path, segment_docs, num_buckets)
+        _finalize_store(
+            spark, store_path, segment_docs, num_buckets, positions=positions
+        )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
             n_docs=total_docs,
@@ -193,6 +205,7 @@ def _build_batch(
     segment_docs: int,
     num_buckets: int,
     retries: int = 0,
+    positions: bool = False,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → lineage →
     checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
@@ -203,7 +216,7 @@ def _build_batch(
             return _build_batch_once(
                 docs, store_path, batch_idx, batch_name,
                 content_col=content_col, segment_docs=segment_docs,
-                num_buckets=num_buckets,
+                num_buckets=num_buckets, positions=positions,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -221,6 +234,7 @@ def _build_batch_once(
     content_col: str,
     segment_docs: int,
     num_buckets: int,
+    positions: bool = False,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -237,7 +251,8 @@ def _build_batch_once(
     n_est = docs.count()
     mark("count_docs")
     rows = ids.assign_tokenize_count(
-        docs, content_col=content_col, batch_name=batch_name
+        docs, content_col=content_col, batch_name=batch_name,
+        positions=positions,
     )
     meta_cols = [
         c
@@ -298,7 +313,11 @@ def _build_batch_once(
 
 
 def _finalize_store(
-    spark: SparkSession, store_path: str, segment_docs: int, num_buckets: int
+    spark: SparkSession,
+    store_path: str,
+    segment_docs: int,
+    num_buckets: int,
+    positions: bool = False,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
@@ -362,6 +381,7 @@ def _finalize_store(
         "avgdl": float(agg["avgdl"] or 0.0),
         "segment_docs": segment_docs,
         "num_buckets": num_buckets,
+        "positions": positions,
     }
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -107,7 +107,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:v5".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v6".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"d2es_entry_{key}")
     if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
@@ -119,7 +119,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
-            num_buckets=32, resume=True,
+            num_buckets=32, resume=True, positions=True,
         )
         _STORES[key] = path
     return search.load_store(path)
@@ -200,6 +200,131 @@ ranked AS (
            ORDER BY round(scored.score, 6) DESC, scored.doc_id ASC
          ) AS INTEGER) AS rank
   FROM scored {and_join}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------ 4b/4c. phrase + prefix queries
+# ES match_phrase (positional index; plans/search.search_phrase) and prefix
+# (term-expansion over term_stats; plans/search.search_prefix).
+
+PHRASE_QUERIES = [
+    (0, "spark merge"),
+    (1, "part filter scan"),
+    (2, "sparkMerge"),   # code-aware tokenizer splits back to "spark merge"
+    (3, "zzzabsent phrase"),
+]
+PREFIX_QUERIES = [(0, "sc"), (1, "qu"), (2, "c"), (3, "zzzz")]
+
+
+def q_fts_phrase(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(PHRASE_QUERIES, columns=["qid", "query"])
+    res = search.search_phrase(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_prefix(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(PREFIX_QUERIES, columns=["qid", "prefix"])
+    res = search.search_prefix(spark, store, ppdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+_BM25_BODY = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term)
+"""
+
+
+def _phrase_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_phrase: AND-scored BM25 restricted to docs whose
+    token stream contains the phrase consecutively (space-joined token
+    containment ≡ consecutive positions — tokens never contain spaces)."""
+    vals, needs, pats = [], [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        terms = sorted(Counter(toks).items())
+        needs.append(f"({qid}, {len(terms)})")
+        pats.append(f"({qid}, ' {' '.join(toks)} ')")
+        for t, qtf in terms:
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, need) AS (VALUES {", ".join(needs)}),
+ph(pqid, pat) AS (VALUES {", ".join(pats)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(scored.qid AS BIGINT) AS qid, scored.doc_id AS doc_id,
+         round(scored.score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY scored.qid
+           ORDER BY round(scored.score, 6) DESC, scored.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+  JOIN (VALUES {", ".join(needs)}) need(nqid, need)
+    ON scored.qid = need.nqid AND scored.nt = need.need
+  JOIN ph ON ph.pqid = scored.qid
+  JOIN cs ON cs.doc_id = scored.doc_id AND contains(cs.s, ph.pat)
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _prefix_sql(prefixes: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_prefix: expand each prefix against the term
+    dictionary, OR-score the expanded set with qtf=1 BM25."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in prefixes)
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT v.qid AS qid, d.term AS term, 1 AS qtf
+  FROM (VALUES {vals}) v(qid, pfx)
+  JOIN dfreq d ON d.term LIKE v.pfx || '%'
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
 )
 SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
@@ -486,6 +611,30 @@ SELECT doc_id,
 FROM v
 """
 
+# ------------------------------------------------ 12b. multimodal metadata
+# SURVEY §2 "multimodal columns": opaque binary payload → typed metadata via
+# Arrow binary-column plumbing (operators/multimodal.binary_metadata). The
+# payload here is the document's UTF-8 bytes (the driver tables carry no
+# media blobs), making the full binary path DuckDB-verifiable; real
+# deployments point the same operator at image/audio blobs.
+
+def q_multimodal_meta(spark, sf_dir):
+    from ..operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.binary_metadata(d, "doc_id", "payload")
+
+
+SQL_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha_hex,
+       lower(substr(hex(encode(text)), 1, 32)) AS head_hex
+FROM documents
+"""
+
 # -------------------------------------------- 13-15. event pipeline (CDC analog)
 # SURVEY §2.1 #13 action dispatch, #11 version LWW, plus sessionization.
 
@@ -670,6 +819,8 @@ SPARK_QUERIES = {
     "term_df": q_term_df,
     "fts_bm25_topk": q_fts_bm25,
     "fts_bm25_and": q_fts_bm25_and,
+    "fts_phrase": q_fts_phrase,
+    "fts_prefix": q_fts_prefix,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -679,6 +830,7 @@ SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -694,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
         "term_df": SQL_TERM_DF,
         "fts_bm25_topk": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
         "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
+        "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
+        "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
@@ -703,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "text_lang_id": _sql_lang_id(),
         "doc_fingerprint": SQL_FINGERPRINT,
+        "multimodal_meta": SQL_MULTIMODAL_META,
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,

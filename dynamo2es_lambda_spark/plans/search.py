@@ -197,6 +197,13 @@ def search(
     else:
         raise ValueError(f"unknown algo: {algo}")
 
+    return _present(spark, store, topk, k)
+
+
+def _present(
+    spark: SparkSession, store: IndexStore, topk: DataFrame, k: int
+) -> DataFrame:
+    """(qid, doc_int, score) → final (qid, rank, doc_id, score)."""
     # doc_int → doc_id; result side is tiny → broadcast it into doc_stats scan
     stats = store.doc_stats(spark).select("doc_int", "doc_id")
     named = stats.join(F.broadcast(topk), "doc_int")
@@ -208,6 +215,211 @@ def search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def _matched_blocks(
+    spark: SparkSession,
+    store: IndexStore,
+    qt: pd.DataFrame,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pruned posting-block read for the query-term table ``qt`` (qid, term,
+    w[, ...]), broadcast-joined on term."""
+    live_terms = sorted(qt["term"].unique().tolist())
+    buckets = sorted(
+        {int(b) for b in _term_buckets(spark, live_terms, store.meta["num_buckets"])}
+    )
+    blocks = (
+        store.postings(spark)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(live_terms))
+    )
+    qterms_df = spark.createDataFrame(qt[["qid", "term", "w", *extra_cols]])
+    return blocks.join(F.broadcast(qterms_df), "term")
+
+
+def search_prefix(
+    spark: SparkSession,
+    store: IndexStore,
+    prefixes: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """ES ``prefix`` / ``match_phrase_prefix``-style multi-term query: expand
+    each prefix against term_stats (a metadata-sized scan — never postings),
+    then score the expanded term set as a regular OR query with per-term BM25
+    idf weights (ES ``rewrite: scoring_boolean``).
+
+    ``prefixes``: pandas (qid, prefix). ``max_expansions`` caps each prefix's
+    expansion (term-ascending, deterministic), like ES's max_expansions.
+    """
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+    pfx = prefixes.copy()
+    pfx["prefix"] = pfx["prefix"].astype(str).str.lower()
+    pats = sorted(set(pfx["prefix"]))
+    if not pats:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    cond = None
+    for p in pats:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    expanded = store.term_stats(spark).filter(cond).toPandas()
+
+    rows = []
+    for qid, prefix in zip(pfx["qid"], pfx["prefix"]):
+        hit = expanded[expanded["term"].str.startswith(prefix)]
+        hit = hit.sort_values("term")
+        if max_expansions is not None:
+            hit = hit.head(max_expansions)
+        for t, df_t in zip(hit["term"], hit["df"]):
+            rows.append((int(qid), t, float(df_t)))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl, store.dead_doc_ints(spark))
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def search_phrase(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact phrase top-k (ES ``match_phrase``): docs containing the query's
+    token sequence consecutively, ranked by the summed BM25 score of the
+    phrase terms (AND semantics over distinct terms).
+
+    Requires a store built with ``positions=True``: per-(term, doc) token
+    positions are decoded from the block pos_bytes payload and the phrase is
+    verified by position-chain intersection (positions of token i, shifted by
+    -i, intersected across the phrase). Everything runs per (qid, seg) —
+    segments are disjoint doc ranges, so per-segment results merge exactly.
+    """
+    if not store.meta.get("positions"):
+        from ..errors import EngineError
+
+        raise EngineError(
+            "phrase search needs a store built with positions=True"
+        )
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+
+    # per qid: ordered token list; per distinct term: qtf + BM25 weight
+    phrase_by_qid: dict[int, list[str]] = {}
+    rows = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        if not toks:
+            continue
+        phrase_by_qid[int(qid)] = list(toks)
+        for t, c in sorted(Counter(toks).items()):
+            rows.append((int(qid), t, int(c)))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    ts = (
+        store.term_stats(spark)
+        .filter(F.col("term").isin(sorted(qt["term"].unique().tolist())))
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    qt["df"] = qt["term"].map(ts)
+    # a phrase containing an unindexed term can never match (AND semantics)
+    dead_qids = set(qt.loc[qt["df"].isna(), "qid"])
+    qt = qt[~qt["qid"].isin(dead_qids)]
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    n_terms_by_qid = qt.groupby("qid").size().to_dict()
+    dead = store.dead_doc_ints(spark)
+
+    joined = _matched_blocks(spark, store, qt)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        phrase = phrase_by_qid[qid]
+        by_term: dict[str, tuple] = {}
+        for term, tdf in pdf.groupby("term", sort=True):
+            tdf = tdf.sort_values("doc_first")
+            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+            for row in tdf.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                flat, _ = codec.decode_block_positions(row.pos_bytes, tfs)
+                ids_l.append(ids)
+                tfs_l.append(tfs)
+                dls_l.append(dls)
+                pos_l.append(flat)
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            flat = np.concatenate(pos_l)
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            by_term[term] = (ids, tfs, dls, flat, starts)
+
+        # AND over distinct terms: a doc must contain them all
+        if len(by_term) < n_terms_by_qid[qid]:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "doc_int": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        cand = None
+        for ids, *_ in by_term.values():
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+        if dead is not None and cand.size:
+            cand = cand[~np.isin(cand, dead)]
+
+        w_by_term = (
+            pdf[["term", "w"]].drop_duplicates().set_index("term")["w"]
+        )
+        out_ids, out_scores = [], []
+        for d in cand:
+            valid = None
+            for off, tok in enumerate(phrase):
+                ids, tfs, _dls, flat, starts = by_term[tok]
+                i = int(np.searchsorted(ids, d))
+                p = flat[starts[i]: starts[i] + tfs[i]] - off
+                valid = p if valid is None else np.intersect1d(valid, p)
+                if valid.size == 0:
+                    break
+            if valid is None or valid.size == 0:
+                continue
+            score = 0.0
+            for tok, (ids, tfs, dls, _f, _s) in by_term.items():
+                i = int(np.searchsorted(ids, d))
+                score += float(w_by_term[tok]) * float(
+                    bm25.tf_norm(tfs[i: i + 1], dls[i: i + 1], avgdl)[0]
+                )
+            out_ids.append(int(d))
+            out_scores.append(score)
+        return pd.DataFrame(
+            {"qid": pd.Series(np.full(len(out_ids), qid), dtype="int64"),
+             "doc_int": pd.Series(out_ids, dtype="int64"),
+             "score": pd.Series(out_scores, dtype="float64")}
+        )
+
+    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+            "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    return _present(spark, store, _cut_topk(scored, k), k)
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], num_buckets: int):

@@ -21,6 +21,7 @@ class PyOracle:
         order = np.argsort(np.array(doc_ids, dtype=object), kind="stable")
         self.doc_ids = [doc_ids[i] for i in order]
         toks = analysis.tokenize_series(pd.Series([texts[i] for i in order]))
+        self.toks = [list(t) for t in toks]
         self.n_docs = len(self.doc_ids)
         self.dl = np.array([len(t) for t in toks], dtype=np.int64)
         self.avgdl = float(self.dl.mean()) if self.n_docs else 0.0
@@ -50,5 +51,45 @@ class PyOracle:
         if mode == "and":
             need = sum(1 for t, _ in qterms)
             scores = {d: s for d, s in scores.items() if matched[d] == need}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def _score_and(self, d: int, qterms) -> float:
+        """Summed BM25 of the distinct query terms for doc d (AND score)."""
+        s = 0.0
+        for t, qtf in qterms:
+            tf = dict(self.postings[t]).get(d)
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0) * qtf
+            s += w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+        return s
+
+    def phrase_topk(self, query: str, k: int = 10):
+        """match_phrase: docs containing the consecutive token sequence,
+        scored as the AND score of the phrase's distinct terms."""
+        ptoks = list(analysis.tokenize_series(pd.Series([query]))[0])
+        if not ptoks or any(t not in self.postings for t in set(ptoks)):
+            return []
+        qterms = sorted(Counter(ptoks).items())
+        n = len(ptoks)
+        hits = []
+        for d, dt in enumerate(self.toks):
+            if any(
+                dt[i: i + n] == ptoks for i in range(len(dt) - n + 1)
+            ):
+                hits.append((d, self._score_and(d, qterms)))
+        ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def prefix_topk(self, prefix: str, k: int = 10, max_expansions=None):
+        """ES prefix query with scoring_boolean rewrite: expand, OR-score."""
+        terms = sorted(t for t in self.postings if t.startswith(prefix))
+        if max_expansions is not None:
+            terms = terms[:max_expansions]
+        scores: dict[int, float] = {}
+        for t in terms:
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0)
+            for d, tf in self.postings[t]:
+                s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
