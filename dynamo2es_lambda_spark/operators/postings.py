@@ -237,5 +237,10 @@ def build_segments(
 
 
 def term_stats(blocks: DataFrame) -> DataFrame:
-    """Per-term document frequency from block metadata (cheap)."""
-    return blocks.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    """Per-term document frequency from block metadata (cheap). Carries the
+    term's storage bucket so query planning never re-hashes terms JVM-side —
+    the df lookup read doubles as the partition-pruning map."""
+    return blocks.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.first("term_bucket").alias("term_bucket"),
+    )

@@ -117,14 +117,8 @@ def search(
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted(qt["term"].unique().tolist())
 
-    # df(t) lookup — tiny targeted read
-    ts = (
-        store.term_stats(spark)
-        .filter(F.col("term").isin(terms))
-        .toPandas()
-        .set_index("term")["df"]
-    )
-    qt["df"] = qt["term"].map(ts)
+    # df(t) + storage-bucket lookup — ONE tiny targeted read
+    qt = _join_term_stats(spark, store, qt, terms)
     # AND semantics count ALL query terms — a term absent from the index can
     # never match, so such queries return empty (ES operator=and behavior)
     n_terms_by_qid = qt.groupby("qid").size().to_dict()
@@ -137,17 +131,7 @@ def search(
         * qt["qtf"].to_numpy()
     )
 
-    live_terms = sorted(qt["term"].unique().tolist())
-    buckets = sorted(
-        {int(b) for b in _term_buckets(spark, live_terms, store.meta["num_buckets"])}
-    )
-    blocks = (
-        store.postings(spark)
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(live_terms))
-    )
-    qterms_df = spark.createDataFrame(qt[["qid", "term", "w"]])
-    joined = blocks.join(F.broadcast(qterms_df), "term")
+    joined = _matched_blocks(spark, store, qt)
     dead = store.dead_doc_ints(spark)
 
     allowed = None
@@ -217,6 +201,28 @@ def _present(
     )
 
 
+def _join_term_stats(
+    spark: SparkSession,
+    store: IndexStore,
+    qt: pd.DataFrame,
+    terms: list[str],
+) -> pd.DataFrame:
+    """Attach df(t) and the storage bucket to the query-term table via one
+    targeted term_stats read (metadata-sized). Terms absent from the index
+    get df = NaN. Tolerates legacy stores without the term_bucket column."""
+    ts = (
+        store.term_stats(spark)
+        .filter(F.col("term").isin(terms))
+        .toPandas()
+        .set_index("term")
+    )
+    qt = qt.copy()
+    qt["df"] = qt["term"].map(ts["df"]) if len(ts) else float("nan")
+    if "term_bucket" in ts.columns and len(ts):
+        qt["bucket"] = qt["term"].map(ts["term_bucket"])
+    return qt
+
+
 def _matched_blocks(
     spark: SparkSession,
     store: IndexStore,
@@ -224,11 +230,21 @@ def _matched_blocks(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pruned posting-block read for the query-term table ``qt`` (qid, term,
-    w[, ...]), broadcast-joined on term."""
+    w[, bucket...]), broadcast-joined on term. Bucket pruning reads the
+    buckets recorded on term_stats when present (zero extra Spark jobs);
+    legacy stores without that column re-hash the terms JVM-side."""
     live_terms = sorted(qt["term"].unique().tolist())
-    buckets = sorted(
-        {int(b) for b in _term_buckets(spark, live_terms, store.meta["num_buckets"])}
-    )
+    if "bucket" in qt.columns and qt["bucket"].notna().all():
+        buckets = sorted({int(b) for b in qt["bucket"].unique()})
+    else:
+        buckets = sorted(
+            {
+                int(b)
+                for b in _term_buckets(
+                    spark, live_terms, store.meta["num_buckets"]
+                )
+            }
+        )
     blocks = (
         store.postings(spark)
         .filter(F.col("term_bucket").isin(buckets))
@@ -268,14 +284,20 @@ def search_prefix(
     expanded = store.term_stats(spark).filter(cond).toPandas()
 
     rows = []
+    has_bucket = "term_bucket" in expanded.columns
     for qid, prefix in zip(pfx["qid"], pfx["prefix"]):
         hit = expanded[expanded["term"].str.startswith(prefix)]
         hit = hit.sort_values("term")
         if max_expansions is not None:
             hit = hit.head(max_expansions)
-        for t, df_t in zip(hit["term"], hit["df"]):
-            rows.append((int(qid), t, float(df_t)))
-    qt = pd.DataFrame(rows, columns=["qid", "term", "df"])
+        for r in hit.itertuples(index=False):
+            rows.append(
+                (int(qid), r.term, float(r.df),
+                 int(r.term_bucket) if has_bucket else None)
+            )
+    qt = pd.DataFrame(rows, columns=["qid", "term", "df", "bucket"])
+    if not has_bucket:
+        qt = qt.drop(columns=["bucket"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
@@ -325,13 +347,9 @@ def search_phrase(
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    ts = (
-        store.term_stats(spark)
-        .filter(F.col("term").isin(sorted(qt["term"].unique().tolist())))
-        .toPandas()
-        .set_index("term")["df"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
     )
-    qt["df"] = qt["term"].map(ts)
     # a phrase containing an unindexed term can never match (AND semantics)
     dead_qids = set(qt.loc[qt["df"].isna(), "qid"])
     qt = qt[~qt["qid"].isin(dead_qids)]

@@ -1,0 +1,184 @@
+"""Generate PLANS.md: physical-plan evidence for the headline queries.
+
+For each representative operator this captures ``explain('formatted')`` and
+extracts the scale-relevant facts a plan reviewer checks:
+  - partition pruning into the posting store (PartitionFilters on
+    part/term_bucket) — a query touches only its terms' buckets;
+  - predicate pushdown + column pruning at the parquet scans
+    (PushedFilters / ReadSchema);
+  - broadcast joins for the small sides (query-term table, top-k result,
+    dimension tables) — no shuffle of the big side;
+  - exchange count: the index build has exactly ONE exchange.
+
+Usage: python scripts/explain_plans.py  (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def trim(plan: str, max_lines: int = 60) -> str:
+    lines = [ln.rstrip() for ln in plan.splitlines()]
+    if len(lines) > max_lines:
+        head = lines[: max_lines - 4]
+        head += ["   ... (trimmed) ...", *lines[-3:]]
+        lines = head
+    return "\n".join(lines)
+
+
+def facts(plan: str) -> list[str]:
+    out = []
+    n_ex = len(re.findall(
+        r"^\(\d+\) Exchange|Exchange (hash|range)partitioning",
+        plan, re.MULTILINE,
+    ))
+    out.append(f"shuffle exchanges: {n_ex}")
+    n_bc = len(re.findall(
+        r"^\(\d+\) Broadcast(HashJoin|Exchange)", plan, re.MULTILINE
+    ))
+    if n_bc:
+        out.append(f"broadcast joins/exchanges: {n_bc}")
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    for p in {p.strip() for p in pf if p.strip()}:
+        out.append(f"partition pruning: {p[:160]}")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    for p in sorted({p.strip() for p in pushed if p.strip()})[:3]:
+        out.append(f"pushed filters: {p[:160]}")
+    return out
+
+
+def main() -> None:
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.operators import dedup, fieldmap, ids, postings
+    from dynamo2es_lambda_spark.plans import build, entry_queries, search
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[tuple[str, str, str]] = []  # (title, commentary, plan)
+
+    # --- 1. index build: the one exchange ---
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("docid"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    cfg = IndexerConfig(index="docs", id_field="docid")
+    mapped = fieldmap.apply_field_mapping(
+        corpus, cfg, key_cols=("docid",), content_col="content"
+    ).filter(F.col("error").isNull())
+    mapped = fieldmap.pick_document_fields(mapped, cfg)
+    rows = ids.assign_tokenize_count(mapped, content_col="content")
+    meta_cols = [c for c in ("doc_id", "index_name", "content_sha256", "lang")
+                 if c in rows.columns]
+    segments = postings.build_segments(rows, meta_cols=meta_cols,
+                                       num_buckets=32, seg_shift=55)
+    sections.append((
+        "Index build (scan → fused tokenize/count → segment encode)",
+        "The entire build is ONE job with ONE hash exchange, keyed "
+        "(term_bucket, seg): the only shuffle volume is the postings "
+        "themselves. The tokenizer is a single ArrowEvalPython/MapInPandas "
+        "crossing; everything before it is a columnar parquet scan with "
+        "column pruning (ReadSchema carries only doc_id/lang/text).",
+        plan_of(segments),
+    ))
+
+    # --- 2. query: pruned posting read + broadcast joins ---
+    store_path = "/tmp/d2es_plans_store"
+    if not os.path.exists(os.path.join(store_path, "meta.json")):
+        build.build_index(corpus, cfg, store_path, key_cols=("docid",),
+                          num_buckets=32, positions=True)
+    store = search.load_store(store_path)
+    qpdf = pd.DataFrame({"qid": [0, 1], "query": ["spark merge", "customer"]})
+    res = search.search(spark, store, qpdf, k=10, algo="exhaustive")
+    sections.append((
+        "BM25 top-k query (exhaustive scorer)",
+        "The posting scan is pruned TWICE before any bytes move: directory "
+        "partition pruning on (part, term_bucket) — only the query terms' "
+        "buckets are listed — and parquet row-group min/max + pushed filter "
+        "on term. The query-term table and the top-k result are broadcast "
+        "(no shuffle of the posting side beyond the per-candidate groupBy).",
+        plan_of(res),
+    ))
+
+    # --- 3. TPC-H style join: broadcast dim + partial aggregation ---
+    q = entry_queries.SPARK_QUERIES["tpch_revenue_by_nation"]
+    sections.append((
+        "Join + aggregate (tpch_revenue_by_nation)",
+        "nation is broadcast explicitly; AQE may additionally convert the "
+        "customer/orders joins to broadcast at runtime. The groupBy runs as "
+        "partial (map-side) + final hash aggregation — standard "
+        "shuffle-minimal OLAP shape, all inside WholeStageCodegen.",
+        plan_of(q(spark, SF_DIR)),
+    ))
+
+    # --- 4. dedup: map-side combine ---
+    d = entry_queries.SPARK_QUERIES["dedup_exact"]
+    sections.append((
+        "Exact dedup (hash-groupBy)",
+        "Fingerprint computed with native expressions (md5 over the "
+        "token-joined normalized text) inside codegen; the groupBy is "
+        "partial+final so the shuffle carries one row per (fingerprint, "
+        "partition), not per document.",
+        plan_of(d(spark, SF_DIR)),
+    ))
+
+    # --- 5. minhash LSH: the banded self-join ---
+    sigs = dedup.minhash_signatures(
+        entry_queries._docs(spark, SF_DIR), "doc_id", "text"
+    )
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sections.append((
+        "MinHash-LSH candidate pairs",
+        "Signatures are one Arrow pass; banding is a native explode; the "
+        "candidate join is an equi-join on (band, key) — skew-bounded "
+        "because a bucket only holds near-duplicates, and AQE splits any "
+        "outlier bucket.",
+        plan_of(pairs),
+    ))
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — physical-plan evidence (`explain('formatted')`)\n\n"
+            f"Generated by `python scripts/explain_plans.py` over `{SF_DIR}`.\n"
+            "Facts extracted per plan: exchange count, broadcast usage,\n"
+            "partition pruning, predicate pushdown.\n"
+        )
+        for title, comment, plan in sections:
+            f.write(f"\n## {title}\n\n{comment}\n\n")
+            for fact in facts(plan):
+                f.write(f"- {fact}\n")
+            f.write("\n```\n" + trim(plan) + "\n```\n")
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
