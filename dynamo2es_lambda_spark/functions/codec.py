@@ -85,6 +85,20 @@ def varbyte_encode_grouped(
     return [raw[s:e] for s, e in zip(byte_starts, byte_ends)]
 
 
+def segmented_deltas(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`segmented_positions`: absolute per-group ascending
+    values → deltas with each group's first value absolute."""
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if flat.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    d = flat.copy()
+    d[1:] = flat[1:] - flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    d[starts] = flat[starts]
+    return d
+
+
 def segmented_positions(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Per-group cumsum: decode flat position deltas (first absolute) into
     flat absolute positions, groups delimited by ``counts``."""

@@ -317,7 +317,7 @@ def _finalize_store(
     store_path: str,
     segment_docs: int,
     num_buckets: int,
-    positions: bool = False,
+    positions: bool | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
@@ -371,17 +371,21 @@ def _finalize_store(
     blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+    meta_path = os.path.join(store_path, "meta.json")
+    prev_meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev_meta = json.load(f)
     if segment_docs == 0:
-        meta_path = os.path.join(store_path, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                segment_docs = json.load(f).get("segment_docs", 0)
+        segment_docs = prev_meta.get("segment_docs", 0)
+    if positions is None:
+        positions = bool(prev_meta.get("positions", False))
     meta = {
         "n_docs": int(agg["n"]),
         "avgdl": float(agg["avgdl"] or 0.0),
         "segment_docs": segment_docs,
         "num_buckets": num_buckets,
-        "positions": positions,
+        "positions": bool(positions),
     }
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -101,6 +101,15 @@ def apply_changes(
         )
         batch_idx = _next_batch_idx(store_path)
         batch_name = f"b{batch_idx}"
+        # an incremental batch must match the store's positional layout —
+        # a positional store stays phrase-queryable after CDC
+        positions = False
+        meta_path = os.path.join(store_path, "meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                positions = bool(json.load(f).get("positions", False))
         n_up = 0
         if not corpus.isEmpty():
             n_up, _ = build._build_batch(
@@ -109,6 +118,7 @@ def apply_changes(
                 segment_docs=segment_docs or postings.DEFAULT_SEGMENT_DOCS,
                 num_buckets=num_buckets,
                 retries=cfg.retries,
+                positions=positions,
             )
 
         # ---- deletes: tombstones (version already bumped by dispatch)
@@ -165,7 +175,7 @@ def compact_store(
 
         block_cols = ["term", "seg", "block_id", "n_docs", "doc_first",
                       "doc_last", "max_tf", "min_dl", "doc_bytes",
-                      "tf_bytes", "dl_bytes", "term_bucket"]
+                      "tf_bytes", "dl_bytes", "pos_bytes", "term_bucket"]
 
         def rewrite(batches):
             for pdf in batches:
@@ -180,7 +190,24 @@ def compact_store(
                     if keep.all():
                         out.append({c: getattr(row, c) for c in block_cols})
                         continue
-                    b = codec.encode_blocks(ids[keep], tfs[keep], dls[keep])[0]
+                    pos_payloads = None
+                    if row.pos_bytes is not None:
+                        # positions are per-doc, unaffected by other docs'
+                        # removal: slice out the kept docs' payloads
+                        flat, starts = codec.decode_block_positions(
+                            row.pos_bytes, tfs
+                        )
+                        kept = np.nonzero(keep)[0]
+                        cat = np.concatenate(
+                            [flat[starts[i]: starts[i] + tfs[i]] for i in kept]
+                        )
+                        pos_payloads = codec.varbyte_encode_grouped(
+                            codec.segmented_deltas(cat, tfs[kept]), tfs[kept]
+                        )
+                    b = codec.encode_blocks(
+                        ids[keep], tfs[keep], dls[keep],
+                        pos_payloads=pos_payloads,
+                    )[0]
                     b["block_id"] = row.block_id
                     b["term"] = row.term
                     b["seg"] = row.seg
@@ -192,7 +219,8 @@ def compact_store(
         schema = (
             "term string, seg long, block_id int, n_docs int, doc_first long, "
             "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
-            "tf_bytes binary, dl_bytes binary, term_bucket bigint"
+            "tf_bytes binary, dl_bytes binary, pos_bytes binary, "
+            "term_bucket bigint"
         )
         live_blocks = (
             segs.filter(F.col("part") == "block")

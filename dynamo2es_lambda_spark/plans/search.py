@@ -386,6 +386,21 @@ def search_phrase(
             dls = np.concatenate(dls_l)
             flat = np.concatenate(pos_l)
             starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            # blocks of one (term, seg) can come from several index BATCHES
+            # (CDC appends immutable segments): the concatenation is a merge
+            # of sorted runs, not globally sorted — searchsorted below needs
+            # a true sort, and the per-doc position payloads must follow it
+            order = np.argsort(ids, kind="stable")
+            if not np.array_equal(order, np.arange(ids.size)):
+                flat = (
+                    np.concatenate(
+                        [flat[starts[i]: starts[i] + tfs[i]] for i in order]
+                    )
+                    if flat.size
+                    else flat
+                )
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
             by_term[term] = (ids, tfs, dls, flat, starts)
 
         # AND over distinct terms: a doc must contain them all

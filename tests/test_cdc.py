@@ -169,3 +169,52 @@ def test_streaming_foreachbatch(spark, tmp_path_factory):
     cdc.compact_store(spark, store_path, num_buckets=8)
     store = search.load_store(store_path)
     assert store.meta["n_docs"] == len(_net_corpus())
+
+
+def test_phrase_survives_cdc_and_compaction(spark, tmp_path_factory):
+    """A positional store stays phrase-queryable through incremental CDC
+    batches (new segments inherit positions) and compaction (pos payloads
+    sliced, not dropped) — rank-identical to the oracle on the net corpus."""
+    path = str(tmp_path_factory.mktemp("cdc_pos"))
+    corpus = spark.createDataFrame(_corpus0())
+    build.build_index(
+        corpus, CFG, path, segment_docs=64, num_buckets=8, positions=True
+    )
+    cdc.apply_changes(_events_df(spark), CFG, path, segment_docs=64,
+                      num_buckets=8)
+    store = search.load_store(path)
+    assert store.meta["positions"] is True  # flag preserved by finalize
+
+    net = _net_corpus()
+    oracle = PyOracle(_doc_ids(net), net["content"].tolist())
+    # phrases: one from the v2-winning modified doc, one from an inserted
+    # doc, one from an original doc, one absent
+    ins_toks = oracle.toks[oracle.doc_ids.index(_doc_ids(net.iloc[[95]])[0])]
+    qs = [
+        (0, "winner version two"),
+        (1, " ".join(ins_toks[2:4])),
+        (2, "modified token"),
+        (3, "zzz nope"),
+    ]
+    qpdf = pd.DataFrame(qs, columns=["qid", "query"])
+
+    def check(exact_ranks: bool):
+        res = search.search_phrase(spark, store, qpdf, k=100).toPandas()
+        nonempty = 0
+        for qid, q in qs:
+            got = res[res.qid == qid].sort_values("rank")
+            want = oracle.phrase_topk(q, k=100)
+            nonempty += bool(want)
+            if exact_ranks:
+                assert got["doc_id"].tolist() == [d for d, _ in want], (qid, q)
+            else:
+                # pre-compaction BM25 stats still count dead docs (documented
+                # Lucene-style drift) → match the SET, not the order
+                assert set(got["doc_id"]) == {d for d, _ in want}, (qid, q)
+        assert nonempty >= 3
+
+    check(exact_ranks=False)  # pre-compaction: dead filtering, drifted stats
+    cdc.compact_store(spark, path, num_buckets=8)
+    store = search.load_store(path)
+    assert store.meta["positions"] is True
+    check(exact_ranks=True)  # post-compaction: exact stats, payloads intact
