@@ -278,31 +278,46 @@ def _build_batch_once(
     mark("segments_write")
 
     # lineage + metrics from the committed blocks (read-back = what a future
-    # query will see; column pruning keeps this scan metadata-only)
+    # query will see). ONE aggregation job covers doc count, block count, and
+    # per-segment metrics; the lineage table itself is metadata-sized, so it
+    # is written driver-side (pyarrow) instead of spending a Spark job.
     spark = docs.sparkSession
+    import pandas as pd
+
     batch_df = spark.read.parquet(seg_batch_path)
-    n_docs = batch_df.filter(F.col("part") == "doc").count()
-    written = batch_df.filter(F.col("part") == "block")
+    stats = (
+        batch_df.groupBy("part", "seg")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("n_docs").alias("postings"),
+            F.sum(
+                F.length("doc_bytes") + F.length("tf_bytes")
+                + F.length("dl_bytes")
+            ).alias("compressed_bytes"),
+        )
+        .toPandas()
+    )
+    n_docs = int(stats.loc[stats["part"] == "doc", "rows"].sum())
+    bp = stats[stats["part"] == "block"]
+    n_blocks = int(bp["rows"].sum())
     took = time.monotonic() - t0
-    lineage = written.groupBy("seg").agg(
-        F.count("*").alias("blocks"),
-        F.sum("n_docs").alias("postings"),
-        F.sum(
-            F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")
-        ).alias("compressed_bytes"),
-    ).withColumns(
+    lineage = pd.DataFrame(
         {
-            "batch": F.lit(batch_name),
-            "docs": F.lit(n_docs),
-            "took_sec": F.lit(took),
-            "docs_per_sec": F.lit(n_docs / took if took > 0 else 0.0),
-            "postings_per_sec": F.col("postings") / F.lit(max(took, 1e-9)),
+            "seg": bp["seg"].astype("int64"),
+            "blocks": bp["rows"].astype("int64"),
+            "postings": bp["postings"].astype("int64"),
+            "compressed_bytes": bp["compressed_bytes"].astype("int64"),
+            "batch": batch_name,
+            "docs": n_docs,
+            "took_sec": took,
+            "docs_per_sec": n_docs / took if took > 0 else 0.0,
+            "postings_per_sec": bp["postings"].astype("float64")
+            / max(took, 1e-9),
         }
     )
-    store_io.write_parquet(
+    _write_small_parquet(
         lineage, os.path.join(store_path, "lineage", f"batch={batch_name}")
     )
-    n_blocks = written.count()
     mark("lineage_metrics")
     store_io.write_checkpoint(
         store_path, batch_name,
@@ -310,6 +325,23 @@ def _build_batch_once(
          "phases": phases},
     )
     return n_docs, n_blocks
+
+
+def _write_small_parquet(pdf, path: str) -> None:
+    """Driver-side parquet write for metadata-sized tables (lineage, empty
+    dead lists) — spares a Spark job; Spark reads the result like any other
+    parquet directory."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, "part-00000.parquet"),
+    )
 
 
 def _finalize_store(
@@ -323,51 +355,69 @@ def _finalize_store(
     list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
     write meta.json. Aggregates touch doc_stats and block metadata columns
     only — never the posting bytes."""
-    doc_stats = store_io.read_doc_stats(spark, store_path)
-    entries = doc_stats.select(
-        "doc_id", "version", "doc_int", "dl", F.lit(False).alias("is_tomb")
-    )
-    tomb_path = os.path.join(store_path, "tombstones")
-    if os.path.isdir(tomb_path):
-        tombs = spark.read.parquet(tomb_path).select(
-            "doc_id", "version",
-            F.lit(None).cast("long").alias("doc_int"),
-            F.lit(None).cast("long").alias("dl"),
-            F.lit(True).alias("is_tomb"),
-        )
-        entries = entries.unionByName(tombs)
-    # external-version LWW (lib/handler.js:80-106): highest version wins;
-    # on a tie the tombstone wins (REMOVE bumped +1 upstream, so a tie means
-    # a racing write — delete is pinned as the deterministic winner)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("version").desc_nulls_last(),
-        F.col("is_tomb").desc(),
-        F.col("doc_int").desc_nulls_last(),
-    )
-    winners = (
-        entries.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-    )
-    live = winners.filter(~F.col("is_tomb")).select("doc_int", "dl")
-    dead = doc_stats.select("doc_int").join(
-        live.select("doc_int"), "doc_int", "left_anti"
-    )
-    store_io.write_parquet(dead, os.path.join(store_path, "dead"))
+    import pandas as pd
 
-    # collision audit: doc_int is a 64-bit hash of (doc_id, batch) — verify
-    # injectivity held (SURVEY.md §2.1 #9; astronomically rare below 10^9
-    # docs per batch, but a silent collision would corrupt postings)
+    doc_stats = store_io.read_doc_stats(spark, store_path)
+    tomb_path = os.path.join(store_path, "tombstones")
+
+    # ONE aggregation fuses the collision audit (distinct doc_int == rows),
+    # duplicate-doc detection (distinct doc_id == rows), and the live stats.
     audit = doc_stats.agg(
         F.count("*").alias("n"),
         F.countDistinct("doc_int").alias("n_ids"),
+        F.countDistinct("doc_id").alias("n_doc_ids"),
+        F.avg("dl").alias("avgdl"),
     ).first()
     if audit["n"] != audit["n_ids"]:
+        # doc_int is a 64-bit hash of (doc_id, batch) — injectivity must hold
+        # (SURVEY.md §2.1 #9; astronomically rare below 10^9 docs per batch,
+        # but a silent collision would corrupt postings)
         raise EngineError(
             f"doc_int hash collision: {audit['n']} docs, "
             f"{audit['n_ids']} distinct ids — re-salt or use dense ids"
         )
 
-    agg = live.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    if not os.path.isdir(tomb_path) and audit["n"] == audit["n_doc_ids"]:
+        # fast path (fresh build): no tombstones, no superseded versions —
+        # everything is live, no LWW window / anti-join jobs needed
+        _write_small_parquet(
+            pd.DataFrame({"doc_int": pd.Series([], dtype="int64")}),
+            os.path.join(store_path, "dead"),
+        )
+        n_live, avgdl = int(audit["n"]), float(audit["avgdl"] or 0.0)
+    else:
+        entries = doc_stats.select(
+            "doc_id", "version", "doc_int", "dl", F.lit(False).alias("is_tomb")
+        )
+        if os.path.isdir(tomb_path):
+            tombs = spark.read.parquet(tomb_path).select(
+                "doc_id", "version",
+                F.lit(None).cast("long").alias("doc_int"),
+                F.lit(None).cast("long").alias("dl"),
+                F.lit(True).alias("is_tomb"),
+            )
+            entries = entries.unionByName(tombs)
+        # external-version LWW (lib/handler.js:80-106): highest version wins;
+        # on a tie the tombstone wins (REMOVE bumped +1 upstream, so a tie
+        # means a racing write — delete is pinned as the deterministic winner)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("version").desc_nulls_last(),
+            F.col("is_tomb").desc(),
+            F.col("doc_int").desc_nulls_last(),
+        )
+        winners = (
+            entries.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        live = winners.filter(~F.col("is_tomb")).select("doc_int", "dl")
+        dead = doc_stats.select("doc_int").join(
+            live.select("doc_int"), "doc_int", "left_anti"
+        )
+        store_io.write_parquet(dead, os.path.join(store_path, "dead"))
+        live_agg = live.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_live, avgdl = int(live_agg["n"]), float(live_agg["avgdl"] or 0.0)
     blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
@@ -381,8 +431,8 @@ def _finalize_store(
     if positions is None:
         positions = bool(prev_meta.get("positions", False))
     meta = {
-        "n_docs": int(agg["n"]),
-        "avgdl": float(agg["avgdl"] or 0.0),
+        "n_docs": n_live,
+        "avgdl": avgdl,
         "segment_docs": segment_docs,
         "num_buckets": num_buckets,
         "positions": bool(positions),
