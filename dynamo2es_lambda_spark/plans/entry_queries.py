@@ -205,6 +205,87 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------- 4a2. index-routed BM25
+# The reference's _index routing (lib/handler.js:61-62): documents route to
+# per-lang indices via index_field + index_prefix; the query is restricted
+# to ONE routed index. ES semantics for a filtered query: BM25 stats stay
+# those of the queried store; only the candidate set is restricted.
+
+ROUTED_LANG = "en"
+
+
+def _routed_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """Store routed by lang (index_name = 'lang_<lang>')."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:routed-v1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"d2es_routed_{key}")
+    if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+        cfg = IndexerConfig(
+            index_field="lang", index_prefix="lang_", id_field="docid"
+        )
+        build.build_index(corpus, cfg, path, num_buckets=32, resume=True)
+        _STORES[key] = path
+    return search.load_store(path)
+
+
+def q_fts_bm25_filtered(spark, sf_dir):
+    store = _routed_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search(
+        spark, store, qpdf, k=50, algo="exhaustive",
+        index=f"lang_{ROUTED_LANG}",
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _bm25_filtered_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle: full-corpus BM25 stats, candidates restricted to one lang."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+flt AS (
+  SELECT scored.* FROM scored
+  JOIN documents doc
+    ON CAST(doc.doc_id AS VARCHAR) = scored.doc_id
+   AND doc.lang = '{ROUTED_LANG}'
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM flt
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------ 4b/4c. phrase + prefix queries
 # ES match_phrase (positional index; plans/search.search_phrase) and prefix
 # (term-expansion over term_stats; plans/search.search_prefix).
@@ -819,6 +900,7 @@ SPARK_QUERIES = {
     "term_df": q_term_df,
     "fts_bm25_topk": q_fts_bm25,
     "fts_bm25_and": q_fts_bm25_and,
+    "fts_bm25_filtered": q_fts_bm25_filtered,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
     "dedup_exact": q_dedup_exact,
@@ -846,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df": SQL_TERM_DF,
         "fts_bm25_topk": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
         "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
+        "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -59,3 +59,55 @@ def test_block_roundtrip(rows):
     assert np.concatenate(got_ids).tolist() == doc_ids.tolist()
     assert np.concatenate(got_tfs).tolist() == tfs.tolist()
     assert np.concatenate(got_dls).tolist() == dls.tolist()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=400),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_grouped_varbyte_roundtrip(vals, data):
+    """varbyte_encode_grouped slices == per-group independent encodes."""
+    arr = np.array(vals, dtype=np.uint64)
+    sizes = []
+    left = len(vals)
+    while left > 0:
+        s = data.draw(st.integers(min_value=1, max_value=left))
+        sizes.append(s)
+        left -= s
+    groups = codec.varbyte_encode_grouped(arr, np.array(sizes, dtype=np.int64))
+    assert len(groups) == len(sizes)
+    off = 0
+    for g, s in zip(groups, sizes):
+        assert g == codec.varbyte_encode(arr[off:off + s])
+        assert codec.varbyte_decode(g).tolist() == vals[off:off + s]
+        off += s
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=100),
+                 min_size=1, max_size=40),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_segmented_positions_roundtrip(gap_groups):
+    """positions → segmented_deltas → segmented_positions is the identity,
+    and matches per-group cumsum (the position codec used by phrase search)."""
+    pos_groups = [np.cumsum(np.array(g, dtype=np.int64)) for g in gap_groups]
+    flat = np.concatenate(pos_groups)
+    counts = np.array([len(g) for g in pos_groups], dtype=np.int64)
+    deltas = codec.segmented_deltas(flat, counts)
+    assert (deltas >= 0).all()  # varbyte-safe
+    back = codec.segmented_positions(deltas, counts)
+    assert back.tolist() == flat.tolist()
+    # full wire round-trip through grouped varbyte + block decode helper
+    payloads = codec.varbyte_encode_grouped(deltas, counts)
+    blob = b"".join(payloads)
+    flat2, starts = codec.decode_block_positions(blob, counts)
+    assert flat2.tolist() == flat.tolist()
+    off = 0
+    for i, g in enumerate(pos_groups):
+        assert starts[i] == off
+        off += len(g)
