@@ -151,6 +151,12 @@ def main() -> None:
         lambda: search.search_prefix(spark, store, pf, k=10).collect(),
         repeat=2,
     )
+    fz = pd.DataFrame(entry_queries.FUZZY_QUERIES, columns=["qid", "term"])
+    timed(
+        "bm25_fuzzy_set",
+        lambda: search.search_fuzzy(spark, store, fz, k=10).collect(),
+        repeat=2,
+    )
 
     # --- entry-contract representatives ---
     for name in (

@@ -297,6 +297,8 @@ PHRASE_QUERIES = [
     (3, "zzzabsent phrase"),
 ]
 PREFIX_QUERIES = [(0, "sc"), (1, "qu"), (2, "c"), (3, "zzzz")]
+FUZZY_QUERIES = [(0, "spak"), (1, "quer"), (2, "vale"), (3, "zzzzzz")]
+FUZZY_EDITS, FUZZY_EXPANSIONS = 1, 50
 
 
 def q_fts_phrase(spark, sf_dir):
@@ -311,6 +313,58 @@ def q_fts_prefix(spark, sf_dir):
     ppdf = pd.DataFrame(PREFIX_QUERIES, columns=["qid", "prefix"])
     res = search.search_prefix(spark, store, ppdf, k=50)
     return _rerank_rounded(res, FT_K)
+
+
+def q_fts_fuzzy(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    fpdf = pd.DataFrame(FUZZY_QUERIES, columns=["qid", "term"])
+    res = search.search_fuzzy(
+        spark, store, fpdf, k=50,
+        max_edits=FUZZY_EDITS, max_expansions=FUZZY_EXPANSIONS,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _fuzzy_sql(probes: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_fuzzy: Levenshtein term expansion (deterministic
+    (distance, term) cap) + qtf=1 OR-scored BM25 — DuckDB's levenshtein
+    matches Spark's (plain unit-cost edit distance)."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in probes)
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (
+             PARTITION BY v.qid
+             ORDER BY levenshtein(d.term, v.probe), d.term
+           ) AS rn
+    FROM (VALUES {vals}) v(qid, probe)
+    JOIN dfreq d ON levenshtein(d.term, v.probe) <= {FUZZY_EDITS}
+  ) WHERE rn <= {FUZZY_EXPANSIONS}
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
 
 
 _BM25_BODY = f"""
@@ -903,6 +957,7 @@ SPARK_QUERIES = {
     "fts_bm25_filtered": q_fts_bm25_filtered,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
+    "fts_fuzzy": q_fts_fuzzy,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -931,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
+        "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

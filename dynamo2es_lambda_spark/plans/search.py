@@ -308,6 +308,74 @@ def search_prefix(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def search_fuzzy(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    max_edits: int = 1,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """ES ``fuzzy``-style query: expand each query term to dictionary terms
+    within ``max_edits`` Levenshtein distance (term_stats scan — JVM-side
+    levenshtein, never postings), then OR-score the expansion with per-term
+    BM25 idf weights. Exact matches (distance 0) are included.
+
+    ``queries``: pandas (qid, term) — one fuzzy term per row; repeat qid for
+    multi-term fuzzy queries. ``max_expansions`` caps each term's expansion
+    deterministically (distance asc, then term asc), like ES.
+    """
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+    fz = queries.copy()
+    fz["term"] = fz["term"].astype(str).str.lower()
+    probes = sorted(set(fz["term"]))
+    if not probes:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # one dictionary scan computes distances to ALL probe terms; length
+    # pre-filter (|len(t) - len(p)| <= max_edits) prunes cheaply JVM-side
+    ts = store.term_stats(spark)
+    dist_cols = [
+        F.when(
+            F.abs(F.length("term") - F.lit(len(p))) <= max_edits,
+            F.levenshtein(F.col("term"), F.lit(p)),
+        ).otherwise(F.lit(max_edits + 1)).alias(f"_d{i}")
+        for i, p in enumerate(probes)
+    ]
+    cond = None
+    for i in range(len(probes)):
+        c = F.col(f"_d{i}") <= max_edits
+        cond = c if cond is None else (cond | c)
+    expanded = ts.select("*", *dist_cols).filter(cond).toPandas()
+
+    rows = []
+    has_bucket = "term_bucket" in expanded.columns
+    for qid, probe in zip(fz["qid"], fz["term"]):
+        di = f"_d{probes.index(probe)}"
+        hit = expanded[expanded[di] <= max_edits]
+        hit = hit.sort_values([di, "term"])
+        if max_expansions is not None:
+            hit = hit.head(max_expansions)
+        for r in hit.itertuples(index=False):
+            rows.append(
+                (int(qid), r.term, float(r.df),
+                 int(r.term_bucket) if has_bucket else None)
+            )
+    qt = pd.DataFrame(rows, columns=["qid", "term", "df", "bucket"])
+    if not has_bucket:
+        qt = qt.drop(columns=["bucket"])
+    qt = qt.drop_duplicates(subset=["qid", "term"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl, store.dead_doc_ints(spark))
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def search_phrase(
     spark: SparkSession,
     store: IndexStore,

@@ -80,6 +80,38 @@ class PyOracle:
         ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    @staticmethod
+    def _levenshtein(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def fuzzy_topk(self, probe: str, k: int = 10, max_edits: int = 1,
+                   max_expansions=50):
+        """ES fuzzy: expand to dictionary terms within edit distance,
+        deterministic cap by (distance, term), OR-score qtf=1."""
+        cands = sorted(
+            (self._levenshtein(t, probe), t)
+            for t in self.postings
+            if abs(len(t) - len(probe)) <= max_edits
+        )
+        terms = [t for d, t in cands if d <= max_edits]
+        if max_expansions is not None:
+            terms = terms[:max_expansions]
+        scores: dict[int, float] = {}
+        for t in terms:
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0)
+            for d, tf in self.postings[t]:
+                s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def prefix_topk(self, prefix: str, k: int = 10, max_expansions=None):
         """ES prefix query with scoring_boolean rewrite: expand, OR-score."""
         terms = sorted(t for t in self.postings if t.startswith(prefix))

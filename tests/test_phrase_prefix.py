@@ -179,3 +179,29 @@ def test_positions_kernel_property():
         deltas = codec.varbyte_decode(r.pos_bytes).astype(np.int64)
         assert np.cumsum(deltas).tolist() == want
         assert r.tf == len(want)
+
+
+def test_fuzzy_rank_identity(spark, pos_store, oracle):
+    probes = [(0, "mergee"), (1, "spli"), (2, "zzzzzzz"), (3, "get")]
+    fpdf = pd.DataFrame(probes, columns=["qid", "term"])
+    res = search.search_fuzzy(
+        spark, pos_store, fpdf, k=10, max_edits=1, max_expansions=50
+    ).toPandas()
+    n_nonempty = 0
+    for qid, p in probes:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.fuzzy_topk(p, k=10, max_edits=1, max_expansions=50)
+        n_nonempty += bool(want)
+        _assert_rank_identical(list(zip(got["doc_id"], got["score"])), want, qid)
+    assert n_nonempty >= 2
+
+
+def test_fuzzy_includes_exact_match(spark, pos_store, oracle):
+    """distance-0 (the probe itself, if indexed) is part of the expansion."""
+    term = next(iter(oracle.postings))
+    fpdf = pd.DataFrame([(0, term)], columns=["qid", "term"])
+    res = search.search_fuzzy(spark, pos_store, fpdf, k=200).toPandas()
+    exact = {d for d, _ in oracle.postings[term]}
+    got = set(res["doc_id"])
+    # every doc containing the exact term must be a candidate (k permitting)
+    assert {oracle.doc_ids[d] for d in exact} <= got or len(res) == 200
