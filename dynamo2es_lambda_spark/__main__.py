@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--segments", type=int, default=0, help="docs per segment")
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store positional payloads (enables phrase search)")
 
     s = sub.add_parser("search", help="top-k BM25 query")
     s.add_argument("--store", required=True)
@@ -49,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="or", choices=["or", "and"])
     s.add_argument("--algo", default="wand", choices=["wand", "exhaustive"])
+    s.add_argument("--type", default="match",
+                   choices=["match", "phrase", "prefix", "fuzzy"])
+    s.add_argument("--index", default=None,
+                   help="restrict to one routed _index (match type)")
+    s.add_argument("--max-edits", type=int, default=1)
+    s.add_argument("--max-expansions", type=int, default=50)
 
     c = sub.add_parser("cdc", help="apply a change-event batch")
     c.add_argument("--input", required=True, help="events parquet path")
@@ -75,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.buckets,
             num_batches=args.batches,
             resume=not args.no_resume,
+            positions=args.positions,
         )
         print(json.dumps(res.__dict__))
     elif args.cmd == "search":
@@ -82,8 +91,23 @@ def main(argv: list[str] | None = None) -> int:
         q = pd.DataFrame(
             {"qid": range(len(args.query)), "query": args.query}
         )
-        out = search.search(spark, store, q, k=args.k,
-                            mode=args.mode, algo=args.algo)
+        if args.type == "phrase":
+            out = search.search_phrase(spark, store, q, k=args.k)
+        elif args.type == "prefix":
+            out = search.search_prefix(
+                spark, store, q.rename(columns={"query": "prefix"}),
+                k=args.k, max_expansions=args.max_expansions,
+            )
+        elif args.type == "fuzzy":
+            out = search.search_fuzzy(
+                spark, store, q.rename(columns={"query": "term"}),
+                k=args.k, max_edits=args.max_edits,
+                max_expansions=args.max_expansions,
+            )
+        else:
+            out = search.search(spark, store, q, k=args.k,
+                                mode=args.mode, algo=args.algo,
+                                index=args.index)
         for r in out.orderBy("qid", "rank").collect():
             print(json.dumps(r.asDict()))
     elif args.cmd == "cdc":
