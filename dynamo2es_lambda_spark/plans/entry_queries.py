@@ -286,6 +286,44 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------------------------------- 4a3. terms-agg facets
+# ES ``aggs: {terms: {field: lang}}`` on a query: per-facet distinct-doc
+# counts over the matching set — counted from the same pruned posting read
+# the scorer uses (plans/search.search_facets).
+
+def q_fts_facet_lang(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    return search.search_facets(spark, store, qpdf, facet_col="lang")
+
+
+def _facet_sql(queries: list[tuple[int, str]]) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t in sorted(set(toks)):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, {DOC_TOKS} AS toks
+  FROM documents
+),
+posting AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+),
+q(qid, term) AS (VALUES {", ".join(vals)}),
+m AS (
+  SELECT DISTINCT q.qid AS qid, p.doc_id AS doc_id
+  FROM q JOIN posting p ON p.term = q.term
+)
+SELECT CAST(m.qid AS BIGINT) AS qid, c.lang AS facet,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN corpus c ON c.doc_id = m.doc_id
+GROUP BY m.qid, c.lang
+"""
+
+
 # ------------------------------------------ 4b/4c. phrase + prefix queries
 # ES match_phrase (positional index; plans/search.search_phrase) and prefix
 # (term-expansion over term_stats; plans/search.search_prefix).
@@ -955,6 +993,7 @@ SPARK_QUERIES = {
     "fts_bm25_topk": q_fts_bm25,
     "fts_bm25_and": q_fts_bm25_and,
     "fts_bm25_filtered": q_fts_bm25_filtered,
+    "fts_facet_lang": q_fts_facet_lang,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
@@ -984,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_topk": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
         "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
         "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
+        "fts_facet_lang": _facet_sql(FT_QUERIES),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),

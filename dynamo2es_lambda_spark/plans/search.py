@@ -308,6 +308,52 @@ def search_prefix(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def search_facets(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    facet_col: str = "lang",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``aggs: {terms: {field: ...}}`` over the query's matching docs:
+    per (qid, facet value) distinct-document counts.
+
+    Matching docs come from the same pruned posting read as scoring (no
+    score math needed); the facet column is joined from doc_stats. Returns
+    (qid, facet, n_docs).
+    """
+    qt = _query_terms(queries)
+    if qt.empty:
+        return spark.createDataFrame([], "qid long, facet string, n_docs long")
+    qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
+    n_terms_by_qid = qt.groupby("qid").size().to_dict()
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], "qid long, facet string, n_docs long")
+    qt["w"] = 1.0  # unused by counting; _matched_blocks expects the column
+
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, float(store.meta["avgdl"]) or 1.0,
+                             store.dead_doc_ints(spark))
+    hits = cand.groupBy("qid", "doc_int").agg(F.count("*").alias("nt"))
+    if mode == "and":
+        need = spark.createDataFrame(
+            pd.DataFrame({"qid": list(n_terms_by_qid),
+                          "need": list(n_terms_by_qid.values())})
+        )
+        hits = hits.join(F.broadcast(need), "qid").filter(
+            F.col("nt") == F.col("need")
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(facet_col).alias("facet")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def search_fuzzy(
     spark: SparkSession,
     store: IndexStore,

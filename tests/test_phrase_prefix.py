@@ -205,3 +205,26 @@ def test_fuzzy_includes_exact_match(spark, pos_store, oracle):
     got = set(res["doc_id"])
     # every doc containing the exact term must be a candidate (k permitting)
     assert {oracle.doc_ids[d] for d in exact} <= got or len(res) == 200
+
+
+def test_facets_match_bruteforce(spark, pos_store, oracle, corpus_pdf):
+    """Terms-agg facet counts == per-lang counts of OR-matching docs."""
+    qs = [(0, "merge window"), (1, "zzznope")]
+    qpdf = pd.DataFrame(qs, columns=["qid", "query"])
+    res = search.search_facets(
+        spark, pos_store, qpdf, facet_col="lang"
+    ).toPandas()
+    ids = (
+        corpus_pdf["repo"] + "." + corpus_pdf["path"] + "." + corpus_pdf["commit"]
+    ).tolist()
+    lang_by_id = dict(zip(ids, corpus_pdf["lang"]))
+    for qid, q in qs:
+        toks = set(analysis.tokenize_series(pd.Series([q]))[0])
+        want: dict[str, int] = {}
+        for i, dtoks in enumerate(oracle.toks):
+            if toks & set(dtoks):
+                lg = lang_by_id[oracle.doc_ids[i]]
+                want[lg] = want.get(lg, 0) + 1
+        got = dict(zip(res[res.qid == qid]["facet"],
+                       res[res.qid == qid]["n_docs"]))
+        assert got == want, (qid, got, want)
