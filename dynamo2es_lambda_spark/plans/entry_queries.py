@@ -286,6 +286,62 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------------------------------- 4a4. highlight snippets
+# ES ``highlight`` analog: snippet around the first matching query term,
+# computed with pure built-in expressions over the top-k docs only
+# (plans/search.highlight).
+
+HL_WINDOW = 3
+HL_K = 5
+
+
+def q_fts_highlight(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = _rerank_rounded(
+        search.search(spark, store, qpdf, k=50, algo="wand"), HL_K
+    )
+    corpus = _docs(spark, sf_dir)
+    out = search.highlight(
+        res, corpus, qpdf, id_col="doc_id", text_col="text", window=HL_WINDOW
+    )
+    return out.select("qid", "rank", "doc_id", "matched_term", "snippet")
+
+
+def _highlight_sql(queries: list[tuple[int, str]], k: int) -> str:
+    base = _bm25_sql(queries, k, and_mode=False)
+    ranked_part = base[: base.rindex("SELECT qid, rank, doc_id")]
+    term_lists = []
+    for qid, q in queries:
+        terms = sorted(set(analysis.tokenize_series(pd.Series([q]))[0]))
+        if terms:
+            lst = ", ".join(f"'{t}'" for t in terms)
+            term_lists.append(f"({qid}, [{lst}])")
+    return f"""{ranked_part},
+qt(tqid, terms) AS (VALUES {", ".join(term_lists)}),
+hl AS (
+  SELECT ranked.qid AS qid, ranked.rank AS rank, ranked.doc_id AS doc_id,
+         {DOC_TOKS} AS toks, qt.terms AS terms
+  FROM ranked
+  JOIN documents ON CAST(documents.doc_id AS VARCHAR) = ranked.doc_id
+  JOIN qt ON qt.tqid = ranked.qid
+  WHERE ranked.rank <= {k}
+),
+pos AS (
+  SELECT qid, rank, doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+                     i -> list_contains(terms, toks[i]))[1] AS p
+  FROM hl
+)
+SELECT qid, rank, doc_id,
+       toks[p] AS matched_term,
+       array_to_string(toks[greatest(1, p - {HL_WINDOW})
+                            : least(len(toks), p + {HL_WINDOW})], ' ')
+         AS snippet
+FROM pos
+"""
+
+
 # ----------------------------------------------- 4a3. terms-agg facets
 # ES ``aggs: {terms: {field: lang}}`` on a query: per-facet distinct-doc
 # counts over the matching set — counted from the same pruned posting read
@@ -994,6 +1050,7 @@ SPARK_QUERIES = {
     "fts_bm25_and": q_fts_bm25_and,
     "fts_bm25_filtered": q_fts_bm25_filtered,
     "fts_facet_lang": q_fts_facet_lang,
+    "fts_highlight": q_fts_highlight,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
@@ -1024,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
         "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
         "fts_facet_lang": _facet_sql(FT_QUERIES),
+        "fts_highlight": _highlight_sql(FT_QUERIES, HL_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),

@@ -308,6 +308,75 @@ def search_prefix(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def highlight(
+    results: DataFrame,
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    window: int = 3,
+) -> DataFrame:
+    """ES ``highlight`` analog: attach a snippet around the FIRST occurrence
+    of any query term to each (qid, doc_id) search result.
+
+    ``results``: (qid, rank, doc_id, ...) — e.g. the output of search().
+    ``corpus``: the source table (the store keeps no _source, like
+    Lucene-without-stored-fields; presentation joins back to the data lake).
+    The join is broadcast-results-into-corpus-scan: only the top-k rows'
+    documents are ever retokenized, with pure built-in expressions.
+
+    Snippet rule (deterministic, dialect-portable): tokenize with the pinned
+    analyzer; p = first token index matching any of the query's terms;
+    snippet = tokens[p-window .. p+window] joined with spaces. Returns
+    results + (matched_term, snippet).
+    """
+    spark = results.sparkSession
+    toks_expr = analysis.spark_tokens_expr(text_col)
+
+    per_qid = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        terms = sorted(set(analysis.tokenize_series(pd.Series([q]))[0]))
+        if not terms:
+            continue
+        arr = ", ".join(f"'{t}'" for t in terms)
+        per_qid.append((int(qid), arr))
+    if not per_qid:
+        return results.withColumn("matched_term", F.lit(None).cast("string")) \
+            .withColumn("snippet", F.lit(None).cast("string"))
+
+    src = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(toks_expr).alias("_toks"),
+    )
+    joined = src.join(F.broadcast(results), "doc_id")
+
+    # first matching token position per qid's term set (1-based), natively
+    pos = F.lit(None).cast("int")
+    for qid, arr in reversed(per_qid):
+        # element_at is 1-based (matching DuckDB's toks[i]); bracket
+        # indexing in Spark SQL is 0-based and would overrun
+        cand = F.expr(
+            f"filter(sequence(1, size(_toks)), "
+            f"i -> array_contains(array({arr}), element_at(_toks, i)))[0]"
+        )
+        pos = F.when(F.col("qid") == qid, cand).otherwise(pos)
+    out = joined.withColumn("_p", pos)
+    start = F.greatest(F.lit(1), F.col("_p") - window)
+    length = (
+        F.least(F.expr("size(_toks)"), F.col("_p") + window) - start + 1
+    )
+    return (
+        out.withColumn(
+            "matched_term", F.element_at(F.col("_toks"), F.col("_p"))
+        )
+        .withColumn(
+            "snippet",
+            F.array_join(F.slice(F.col("_toks"), start, length), " "),
+        )
+        .drop("_toks", "_p")
+    )
+
+
 def search_facets(
     spark: SparkSession,
     store: IndexStore,

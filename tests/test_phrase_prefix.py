@@ -228,3 +228,25 @@ def test_facets_match_bruteforce(spark, pos_store, oracle, corpus_pdf):
         got = dict(zip(res[res.qid == qid]["facet"],
                        res[res.qid == qid]["n_docs"]))
         assert got == want, (qid, got, want)
+
+
+def test_highlight_snippets(spark, pos_store, oracle, corpus_df, corpus_pdf):
+    """Snippet = window around the first occurrence of any query term."""
+    qs = [(0, "merge window")]
+    qpdf = pd.DataFrame(qs, columns=["qid", "query"])
+    res = search.search(spark, pos_store, qpdf, k=5, algo="wand")
+    out = search.highlight(
+        res, corpus_df.selectExpr(
+            "concat_ws('.', repo, path, commit) as doc_id", "content"
+        ),
+        qpdf, id_col="doc_id", text_col="content", window=2,
+    ).toPandas()
+    assert len(out) == 5
+    qterms = {"merge", "window"}
+    toks_by_id = dict(zip(oracle.doc_ids, oracle.toks))
+    for r in out.itertuples(index=False):
+        dt = toks_by_id[r.doc_id]
+        p = next(i for i, t in enumerate(dt) if t in qterms)
+        want = " ".join(dt[max(0, p - 2): p + 3])
+        assert r.matched_term == dt[p]
+        assert r.snippet == want
