@@ -128,6 +128,17 @@ def main() -> None:
         plan_of(res),
     ))
 
+    # --- 2b. phrase query: positional payloads read ONLY here ---
+    ph = pd.DataFrame({"qid": [0], "query": ["spark merge"]})
+    sections.append((
+        "Phrase query (positional index)",
+        "Only the phrase path reads the pos_bytes column — compare this "
+        "ReadSchema with the WAND plan above, where columnar pruning drops "
+        "the positional payload entirely. Verification runs per (qid, seg) "
+        "on disjoint doc ranges; the result merge is exact.",
+        plan_of(search.search_phrase(spark, store, ph, k=5)),
+    ))
+
     # --- 3. TPC-H style join: broadcast dim + partial aggregation ---
     q = entry_queries.SPARK_QUERIES["tpch_revenue_by_nation"]
     sections.append((

@@ -94,3 +94,30 @@ def test_index_identical_regardless_of_row_order(spark, tmp_path_factory):
             corpus, CFG, path, segment_docs=64, num_buckets=8, positions=True
         )
     pd.testing.assert_frame_equal(_blocks_pdf(spark, a), _blocks_pdf(spark, b))
+
+
+def test_hot_term_skew_bounded_by_segments(spark, tmp_path_factory):
+    """North-rule skew defense: a hot term's postings split across hash-range
+    segments, so no single (term, seg) task group exceeds the segment's doc
+    count — verified on the corpus's hottest keyword."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("skew"))
+    corpus = spark.createDataFrame(synthetic.corpus_pdf(np.arange(N)))
+    build.build_index(corpus, CFG, path, segment_docs=32, num_buckets=8)
+
+    groups = (
+        store_io.read_blocks(spark, path)
+        .groupBy("term", "seg")
+        .agg(F.sum("n_docs").alias("n"))
+        .toPandas()
+    )
+    hot = groups.groupby("term")["n"].sum().idxmax()
+    hot_rows = groups[groups["term"] == hot]
+    total = int(hot_rows["n"].sum())
+    # the hottest term appears in most docs, yet is spread over many segments
+    assert total > N // 2, (hot, total)
+    assert len(hot_rows) >= 4, "hot term must span multiple segments"
+    # no (term, seg) cell exceeds its segment's doc population: with ~32-doc
+    # hash-range segments allow generous variance, still far below N
+    assert int(groups["n"].max()) <= 32 * 4, int(groups["n"].max())
