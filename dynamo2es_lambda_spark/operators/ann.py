@@ -189,6 +189,78 @@ def lsh_assign_multi(
     return df.mapInPandas(assign, schema=f"{fields}, table int, bucket long")
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (ties: lowest cid). ``centroids``: (cid, cvec) — broadcast, so
+    assignment is a map-side argmax, no shuffle of the vector table.
+
+    Adds ``cid`` to the input columns. Deterministic sampled centroids
+    (fixed ids) stand in for k-means here — the IVF-flat structure and the
+    cluster-pruned query path are identical; swap in trained centroids at
+    deployment."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "_cos", F.expr(cosine_expr(vec_col, "cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cos", "cvec")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query probes its ``nprobe`` nearest
+    clusters and exact-reranks only their members. → (qid, rank, vec_id, cos).
+
+    At scale: write the table partitioned by ``cid`` — the candidate join
+    prunes to the probed clusters (same pattern as the posting store's
+    term_bucket pruning). Recall rises with nprobe; nprobe = n_centroids
+    degenerates to exact brute force."""
+    cents = embeddings.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    targets = embeddings.filter(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
+    )
+    assigned = ivf_assign(targets, cents, id_col="vec_id", vec_col="tvec")
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qp = q.join(F.broadcast(cents)).withColumn(
+        "_cos", F.expr(cosine_expr("qvec", "cvec"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    probes = (
+        qp.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qvec", "cid")
+    )
+
+    cands = assigned.join(F.broadcast(probes), "cid")
+    scored = cands.withColumn("cos", F.expr(cosine_expr("qvec", "tvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],

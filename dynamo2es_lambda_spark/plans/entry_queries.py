@@ -714,6 +714,76 @@ ranked AS (
 SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
 """
 
+# ------------------------------------------------- 9a2. IVF-flat ANN top-k
+# The IVF scale path (operators/ann.ann_topk_ivf): deterministic sampled
+# centroids, nprobe cluster pruning, exact re-rank inside probed clusters.
+
+IVF_CENTROID_IDS = list(range(100, 116))
+IVF_NPROBE = 3
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = ann.ann_topk_ivf(
+        emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, k=50, nprobe=IVF_NPROBE
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        res.withColumn("cos_r", F.round("cos", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
+def _ivf_sql() -> str:
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cids})),
+t AS (SELECT vec_id, v FROM e WHERE vec_id NOT IN ({qids})),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, c.cid,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {cos.format(a="t.v", b="c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM t CROSS JOIN c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos.format(a="q.v", b="c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM (SELECT * FROM e WHERE vec_id IN ({qids})) q CROSS JOIN c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT qp.qid AS qid, a.vec_id AS vec_id,
+         {cos.format(a="qp.qv", b="a.v")} AS cos
+  FROM qp JOIN assign a ON a.cid = qp.cid
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         round(cos, 6) AS cos_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 # --------------------------------------------- 9b. embedding near-dup pairs
 
 NEAR_DUP_THRESHOLD = 0.3
@@ -1059,6 +1129,7 @@ SPARK_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_near_dup_pairs": q_ann_near_dup,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -1090,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
+        "ann_ivf_topk": _ivf_sql(),
         "ann_near_dup_pairs": SQL_ANN_NEAR_DUP,
         "text_quality": _sql_text_quality(),
         "text_lang_id": _sql_lang_id(),

@@ -112,3 +112,31 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, emb):
     assert ap <= ex                      # every LSH pair is exact-verified
     if ex:
         assert len(ap) / len(ex) >= 0.4  # recall at 8x4 on test embeddings
+
+
+def test_ivf_topk_structure(spark, emb):
+    """IVF probes a cluster subset: results ⊆ brute-force candidate space,
+    exact within probed clusters, decent recall at moderate nprobe."""
+    from dynamo2es_lambda_spark.operators import ann
+
+    qids = [0, 1]
+    cents = list(range(10, 22))
+    exact = ann.brute_force_topk(emb, qids, k=10).toPandas()
+    ivf = ann.ann_topk_ivf(emb, qids, cents, k=10, nprobe=3).toPandas()
+    full = ann.ann_topk_ivf(
+        emb, qids, cents, k=10, nprobe=len(cents)
+    ).toPandas()
+    for qid in qids:
+        ex = exact[exact.qid == qid]
+        iv = ivf[ivf.qid == qid]
+        fl = full[full.qid == qid]
+        # probing ALL clusters == exact brute force
+        assert fl["vec_id"].tolist() == ex["vec_id"].tolist()
+        # cosines reported by IVF are exact for the vectors it returns
+        m = ex.set_index("vec_id")["cos"]
+        for r in iv.itertuples(index=False):
+            if r.vec_id in m.index:
+                assert abs(r.cos - m[r.vec_id]) < 1e-12
+        # moderate nprobe keeps most of the true top-10
+        recall = len(set(iv["vec_id"]) & set(ex["vec_id"])) / 10
+        assert recall >= 0.3, (qid, recall)
