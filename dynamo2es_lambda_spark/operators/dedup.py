@@ -92,11 +92,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = MINHASH_SEEDS, rows_per_band: int = 1
+    sigs: DataFrame,
+    num_hashes: int = MINHASH_SEEDS,
+    rows_per_band: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures, self-join buckets → distinct candidate (a, b).
 
     rows_per_band=1 with k hashes ⇒ recall-oriented (P(candidate) ≈ 1-(1-J)^k).
+
+    ``max_bucket``: at 100 TB, boilerplate (license headers, generated
+    code) creates giant buckets whose pairwise expansion is quadratic —
+    a single 1M-doc bucket would emit 5·10^11 pairs. Buckets larger than
+    the cap are excluded from pairing; handle them as whole clusters via
+    :func:`exact_duplicates`-style grouping instead (their members are
+    near-identical by construction). None = no cap (exact small-scale
+    behavior, the driver-oracle mode).
     """
     n_bands = num_hashes // rows_per_band
     band_structs = ", ".join(
@@ -111,6 +122,13 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+            ["band", "key"],
+            "left_semi",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

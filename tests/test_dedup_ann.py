@@ -140,3 +140,69 @@ def test_ivf_topk_structure(spark, emb):
         # moderate nprobe keeps most of the true top-10
         recall = len(set(iv["vec_id"]) & set(ex["vec_id"])) / 10
         assert recall >= 0.3, (qid, recall)
+
+
+def test_lsh_bucket_cap_excludes_boilerplate(spark):
+    """max_bucket drops giant (boilerplate) buckets from pairwise expansion
+    while genuinely-near pairs in small buckets survive."""
+    from dynamo2es_lambda_spark.operators import dedup
+
+    boiler = "the standard license header tokens repeated here " * 3
+    rows = [(str(i), boiler) for i in range(30)]           # one giant cluster
+    rows += [("a1", "unique merge sort window code alpha beta gamma"),
+             ("a2", "unique merge sort window code alpha beta delta")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+
+    uncapped = dedup.lsh_candidate_pairs(sigs).toPandas()
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket=10).toPandas()
+
+    assert len(uncapped) >= 30 * 29 // 2  # quadratic boilerplate pairs
+    boiler_ids = {str(i) for i in range(30)}
+    capped_pairs = set(zip(capped["a"], capped["b"]))
+    assert not any(a in boiler_ids and b in boiler_ids
+                   for a, b in capped_pairs)
+    assert ("a1", "a2") in capped_pairs  # small-bucket near-dup kept
+
+
+def test_search_legacy_term_stats_fallback(spark, tmp_path):
+    """Stores whose term_stats lacks the term_bucket column (pre-upgrade)
+    still answer queries — planning falls back to JVM-side re-hashing."""
+    import os
+
+    import numpy as np
+
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.plans import build, search
+    from dynamo2es_lambda_spark.sources import synthetic
+
+    path = str(tmp_path / "legacy")
+    corpus = spark.createDataFrame(synthetic.corpus_pdf(np.arange(80)))
+    build.build_index(corpus, IndexerConfig(index="code"), path,
+                      segment_docs=64, num_buckets=8)
+    store = search.load_store(path)
+    before = search.search(
+        spark, store, synthetic.queries_pdf(), k=5
+    ).toPandas()
+
+    # strip the bucket column as an old store would look
+    ts_path = os.path.join(path, "term_stats")
+    stripped = spark.read.parquet(ts_path).select("term", "df").toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    shutil.rmtree(ts_path)
+    os.makedirs(ts_path)
+    pq.write_table(pa.Table.from_pandas(stripped, preserve_index=False),
+                   os.path.join(ts_path, "part-00000.parquet"))
+
+    after = search.search(
+        spark, search.load_store(path), synthetic.queries_pdf(), k=5
+    ).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before.sort_values(["qid", "rank"], ignore_index=True),
+        after.sort_values(["qid", "rank"], ignore_index=True),
+    )
