@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         q = pd.DataFrame(
             {"qid": range(len(args.query)), "query": args.query}
         )
+        if args.type != "match" and (
+            args.index or args.mode != "or" or args.algo != "wand"
+        ):
+            p.error(
+                "--index/--mode/--algo apply to --type match only"
+            )
         if args.type == "phrase":
             out = search.search_phrase(spark, store, q, k=args.k)
         elif args.type == "prefix":

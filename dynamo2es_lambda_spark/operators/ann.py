@@ -194,22 +194,23 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    """IVF coarse quantizer: attach each vector's ``n`` nearest centroids by
     cosine (ties: lowest cid). ``centroids``: (cid, cvec) — broadcast, so
     assignment is a map-side argmax, no shuffle of the vector table.
 
-    Adds ``cid`` to the input columns. Deterministic sampled centroids
-    (fixed ids) stand in for k-means here — the IVF-flat structure and the
-    cluster-pruned query path are identical; swap in trained centroids at
-    deployment."""
+    Adds ``cid`` to the input columns (n rows per vector for n > 1 — the
+    query-probe case). Deterministic sampled centroids (fixed ids) stand in
+    for k-means here — the IVF-flat structure and the cluster-pruned query
+    path are identical; swap in trained centroids at deployment."""
     scored = vectors.join(F.broadcast(centroids)).withColumn(
         "_cos", F.expr(cosine_expr(vec_col, "cvec"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n)
         .drop("_rn", "_cos", "cvec")
     )
 
@@ -241,15 +242,7 @@ def ann_topk_ivf(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    qp = q.join(F.broadcast(cents)).withColumn(
-        "_cos", F.expr(cosine_expr("qvec", "cvec"))
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
-    probes = (
-        qp.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("qid", "qvec", "cid")
-    )
+    probes = ivf_assign(q, cents, id_col="qid", vec_col="qvec", n=nprobe)
 
     cands = assigned.join(F.broadcast(probes), "cid")
     scored = cands.withColumn("cos", F.expr(cosine_expr("qvec", "tvec")))

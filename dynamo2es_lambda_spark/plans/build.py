@@ -80,7 +80,7 @@ def build_index(
     num_batches: int = 1,
     resume: bool = True,
     dedup_versions: bool = False,
-    positions: bool = False,
+    positions: bool | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
 
@@ -90,10 +90,20 @@ def build_index(
     per token in the store and nothing at non-phrase query time (the
     pos_bytes column is never read unless a phrase query asks for it —
     columnar pruning).
+
+    ``positions=None`` (default) INHERITS an existing store's flag — a
+    resumed re-run must not flip a positional store to non-positional (or
+    vice versa) and desync meta.json from the committed batches' layout.
     """
     spark = corpus.sparkSession
     t0 = time.monotonic()
     segment_docs = segment_docs or postings.DEFAULT_SEGMENT_DOCS
+    if positions is None:
+        meta_path = os.path.join(store_path, "meta.json")
+        positions = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                positions = bool(json.load(f).get("positions", False))
 
     # --- before_hook (lib/handler.js:32-34) ---
     if cfg.before_hook:

@@ -48,12 +48,17 @@ def apply_changes(
     *,
     content_col: str = "content",
     segment_docs: int | None = None,
-    num_buckets: int = build.DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     compact: bool = False,
 ) -> dict:
     """Apply one CDC batch (event_name/keys/new_image/old_image rows).
 
     Returns a summary dict (upserts, deletes, quarantined).
+
+    ``num_buckets`` defaults to the STORE's bucket count (meta.json): a
+    batch written under a different bucket layout than the base build would
+    scatter a term's blocks across two pmod() layouts and break the
+    term_bucket pruning map.
     """
     spark = events.sparkSession
 
@@ -101,15 +106,21 @@ def apply_changes(
         )
         batch_idx = _next_batch_idx(store_path)
         batch_name = f"b{batch_idx}"
-        # an incremental batch must match the store's positional layout —
-        # a positional store stays phrase-queryable after CDC
+        # an incremental batch must match the store's layout: positional
+        # payloads (phrase-queryability) AND the term-bucket modulus (block
+        # partition pruning) both come from the existing meta
         positions = False
         meta_path = os.path.join(store_path, "meta.json")
         if os.path.exists(meta_path):
             import json
 
             with open(meta_path) as f:
-                positions = bool(json.load(f).get("positions", False))
+                meta = json.load(f)
+            positions = bool(meta.get("positions", False))
+            if num_buckets is None:
+                num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
+        if num_buckets is None:
+            num_buckets = build.DEFAULT_BUCKETS
         n_up = 0
         if not corpus.isEmpty():
             n_up, _ = build._build_batch(
@@ -155,11 +166,21 @@ def apply_changes(
 
 
 def compact_store(
-    spark: SparkSession, store_path: str, num_buckets: int = build.DEFAULT_BUCKETS
+    spark: SparkSession, store_path: str, num_buckets: int | None = None
 ) -> None:
     """Segment-merge analog: rewrite postings dropping dead docs, keep only
     live doc_stats rows, clear tombstones. After compaction df/N/avgdl are
-    exact over live docs."""
+    exact over live docs. ``num_buckets`` defaults to the store's own."""
+    meta_path = os.path.join(store_path, "meta.json")
+    if num_buckets is None:
+        import json
+
+        num_buckets = build.DEFAULT_BUCKETS
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                num_buckets = int(
+                    json.load(f).get("num_buckets", num_buckets)
+                )
     dead_path = os.path.join(store_path, "dead")
     dead_df = spark.read.parquet(dead_path)
     dead = set(r["doc_int"] for r in dead_df.collect())
@@ -171,11 +192,16 @@ def compact_store(
         import pandas as pd
 
         dead_arr = np.array(sorted(dead), dtype=np.int64)
-        segs = spark.read.parquet(seg_root)
+        # mergeSchema: a store upgraded mid-life can mix block files with
+        # and without the pos_bytes column
+        segs = spark.read.option("mergeSchema", "true").parquet(seg_root)
 
         block_cols = ["term", "seg", "block_id", "n_docs", "doc_first",
                       "doc_last", "max_tf", "min_dl", "doc_bytes",
-                      "tf_bytes", "dl_bytes", "pos_bytes", "term_bucket"]
+                      "tf_bytes", "dl_bytes", "term_bucket"]
+        has_pos = "pos_bytes" in segs.columns
+        if has_pos:
+            block_cols.insert(-1, "pos_bytes")
 
         def rewrite(batches):
             for pdf in batches:
@@ -191,7 +217,7 @@ def compact_store(
                         out.append({c: getattr(row, c) for c in block_cols})
                         continue
                     pos_payloads = None
-                    if row.pos_bytes is not None:
+                    if has_pos and row.pos_bytes is not None:
                         # positions are per-doc, unaffected by other docs'
                         # removal: slice out the kept docs' payloads
                         flat, starts = codec.decode_block_positions(
@@ -216,10 +242,11 @@ def compact_store(
                 if out:
                     yield pd.DataFrame(out)[block_cols]
 
+        pos_part = "pos_bytes binary, " if has_pos else ""
         schema = (
             "term string, seg long, block_id int, n_docs int, doc_first long, "
             "doc_last long, max_tf int, min_dl int, doc_bytes binary, "
-            "tf_bytes binary, dl_bytes binary, pos_bytes binary, "
+            f"tf_bytes binary, dl_bytes binary, {pos_part}"
             "term_bucket bigint"
         )
         live_blocks = (

@@ -227,7 +227,6 @@ def _matched_blocks(
     spark: SparkSession,
     store: IndexStore,
     qt: pd.DataFrame,
-    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pruned posting-block read for the query-term table ``qt`` (qid, term,
     w[, bucket...]), broadcast-joined on term. Bucket pruning reads the
@@ -250,8 +249,34 @@ def _matched_blocks(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(live_terms))
     )
-    qterms_df = spark.createDataFrame(qt[["qid", "term", "w", *extra_cols]])
+    qterms_df = spark.createDataFrame(qt[["qid", "term", "w"]])
     return blocks.join(F.broadcast(qterms_df), "term")
+
+
+def _score_expansion(
+    spark: SparkSession,
+    store: IndexStore,
+    rows: list[tuple],
+    has_bucket: bool,
+    k: int,
+) -> DataFrame:
+    """Score an expanded term set (rows of (qid, term, df[, bucket])) as an
+    OR query with per-term BM25 idf weights (qtf = 1). Shared by prefix and
+    fuzzy queries. Duplicate (qid, term) rows — overlapping expansions —
+    fold to one, so no term is double-counted."""
+    qt = pd.DataFrame(rows, columns=["qid", "term", "df", "bucket"])
+    if not has_bucket:
+        qt = qt.drop(columns=["bucket"])
+    qt = qt.drop_duplicates(subset=["qid", "term"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl, store.dead_doc_ints(spark))
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    return _present(spark, store, _cut_topk(agg, k), k)
 
 
 def search_prefix(
@@ -269,8 +294,6 @@ def search_prefix(
     ``prefixes``: pandas (qid, prefix). ``max_expansions`` caps each prefix's
     expansion (term-ascending, deterministic), like ES's max_expansions.
     """
-    n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
     pfx = prefixes.copy()
     pfx["prefix"] = pfx["prefix"].astype(str).str.lower()
     pats = sorted(set(pfx["prefix"]))
@@ -295,17 +318,7 @@ def search_prefix(
                 (int(qid), r.term, float(r.df),
                  int(r.term_bucket) if has_bucket else None)
             )
-    qt = pd.DataFrame(rows, columns=["qid", "term", "df", "bucket"])
-    if not has_bucket:
-        qt = qt.drop(columns=["bucket"])
-    if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
-
-    joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, avgdl, store.dead_doc_ints(spark))
-    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
-    return _present(spark, store, _cut_topk(agg, k), k)
+    return _score_expansion(spark, store, rows, has_bucket, k)
 
 
 def highlight(
@@ -440,8 +453,6 @@ def search_fuzzy(
     multi-term fuzzy queries. ``max_expansions`` caps each term's expansion
     deterministically (distance asc, then term asc), like ES.
     """
-    n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
     fz = queries.copy()
     fz["term"] = fz["term"].astype(str).str.lower()
     probes = sorted(set(fz["term"]))
@@ -477,18 +488,7 @@ def search_fuzzy(
                 (int(qid), r.term, float(r.df),
                  int(r.term_bucket) if has_bucket else None)
             )
-    qt = pd.DataFrame(rows, columns=["qid", "term", "df", "bucket"])
-    if not has_bucket:
-        qt = qt.drop(columns=["bucket"])
-    qt = qt.drop_duplicates(subset=["qid", "term"])
-    if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
-
-    joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, avgdl, store.dead_doc_ints(spark))
-    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
-    return _present(spark, store, _cut_topk(agg, k), k)
+    return _score_expansion(spark, store, rows, has_bucket, k)
 
 
 def search_phrase(

@@ -218,3 +218,34 @@ def test_phrase_survives_cdc_and_compaction(spark, tmp_path_factory):
     store = search.load_store(path)
     assert store.meta["positions"] is True
     check(exact_ranks=True)  # post-compaction: exact stats, payloads intact
+
+
+def test_cdc_inherits_store_bucket_layout(spark, tmp_path_factory):
+    """apply_changes without num_buckets must reuse the store's bucket
+    modulus (regression: a default-bucket CDC batch on a non-default-bucket
+    store split terms across two pmod layouts and pruned away matches)."""
+    path = str(tmp_path_factory.mktemp("cdc_buckets"))
+    corpus = spark.createDataFrame(_corpus0())
+    build.build_index(corpus, CFG, path, segment_docs=64, num_buckets=8)
+    res = cdc.apply_changes(_events_df(spark), CFG, path, segment_docs=64)
+    assert res["upserts"] == 20
+
+    store = search.load_store(path)
+    assert store.meta["num_buckets"] == 8
+    # every block (old + CDC batches) lies in the 8-bucket layout
+    from pyspark.sql import functions as F
+    from dynamo2es_lambda_spark.sources import store_io
+
+    bad = (
+        store_io.read_blocks(spark, path)
+        .filter(
+            F.col("term_bucket")
+            != F.pmod(F.abs(F.xxhash64("term")), F.lit(8))
+        )
+        .count()
+    )
+    assert bad == 0
+    # the v2-winning modified doc (new batch) is findable
+    q = pd.DataFrame({"qid": [0], "query": ["winner"]})
+    got = search.search(spark, store, q, k=5).toPandas()
+    assert len(got) == 1

@@ -250,3 +250,32 @@ def test_highlight_snippets(spark, pos_store, oracle, corpus_df, corpus_pdf):
         want = " ".join(dt[max(0, p - 2): p + 3])
         assert r.matched_term == dt[p]
         assert r.snippet == want
+
+
+def test_prefix_overlapping_expansions_not_double_counted(
+    spark, pos_store, oracle
+):
+    """Two prefixes of one qid whose expansions overlap must score each
+    expanded term ONCE (regression: duplicated (qid, term) rows doubled
+    the shared terms' BM25 contributions)."""
+    from dynamo2es_lambda_spark.functions import bm25
+
+    ppdf = pd.DataFrame([(0, "mer"), (0, "merge")], columns=["qid", "prefix"])
+    res = search.search_prefix(spark, pos_store, ppdf, k=10).toPandas()
+    terms = sorted(
+        t for t in oracle.postings
+        if t.startswith("mer") or t.startswith("merge")
+    )
+    scores = {}
+    for t in set(terms):
+        w = float(bm25.idf(oracle.n_docs, oracle.df[t])) * (bm25.K1 + 1.0)
+        for d, tf in oracle.postings[t]:
+            s = w * float(bm25.tf_norm(tf, oracle.dl[d], oracle.avgdl))
+            scores[d] = scores.get(d, 0.0) + s
+    want = sorted(
+        scores.items(), key=lambda kv: (-kv[1], oracle.doc_ids[kv[0]])
+    )[:10]
+    got = list(zip(res.sort_values("rank")["doc_id"], res["score"]))
+    _assert_rank_identical(
+        got, [(oracle.doc_ids[d], s) for d, s in want], 0
+    )
