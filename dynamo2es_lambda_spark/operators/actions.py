@@ -54,9 +54,13 @@ def dispatch(df: DataFrame) -> DataFrame:
 
 def last_writer_wins(df: DataFrame) -> DataFrame:
     """One row per doc_id: highest version; version ties → delete wins,
-    then latest arrival is undefined so we pin a total order on action."""
+    then latest arrival is undefined so we pin a total order on action and
+    finally on a full-row hash — deterministic under any shuffle order
+    (same policy as plans/build.dedup_latest_version)."""
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("version").desc_nulls_last(), F.col("action").asc()
+        F.col("version").desc_nulls_last(), F.col("action").asc(),
+        row_hash.desc(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -108,7 +108,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video → one row per sampled frame index (native explode — no Python
     for the fan-out; frame payload slicing happens vectorized after)."""
     frames = (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
         .withColumn(
             "frame_idx",
             F.explode(

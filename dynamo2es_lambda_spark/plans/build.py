@@ -57,9 +57,16 @@ class BuildResult:
 
 def dedup_latest_version(df: DataFrame) -> DataFrame:
     """External-version last-writer-wins (lib/handler.js:80-87 semantics):
-    keep the highest version per doc_id. No-op when version is all-null."""
+    keep the highest version per doc_id. No-op when version is all-null.
+
+    Version TIES (racing writers) resolve by a hash of the full row — an
+    arbitrary but DETERMINISTIC winner, so re-runs build identical stores
+    (ordering by the partition key alone would leave the tie to shuffle
+    arrival order). Same policy as operators/actions.last_writer_wins.
+    """
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("version").desc_nulls_last(), F.col("doc_id")
+        F.col("version").desc_nulls_last(), row_hash.desc()
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -260,6 +267,14 @@ def _build_batch_once(
     # segments so they average ~segment_docs docs
     n_est = docs.count()
     mark("count_docs")
+    if n_est == 0:
+        # an empty hash batch (small corpus, many batches) writes nothing:
+        # reading back a zero-row partitioned write cannot infer a schema
+        store_io.write_checkpoint(
+            store_path, batch_name,
+            {"docs": 0, "blocks": 0, "took_sec": 0.0, "phases": phases},
+        )
+        return 0, 0
     rows = ids.assign_tokenize_count(
         docs, content_col=content_col, batch_name=batch_name,
         positions=positions,
@@ -379,6 +394,15 @@ def _finalize_store(
         F.avg("dl").alias("avgdl"),
     ).first()
     if audit["n"] != audit["n_ids"]:
+        if audit["n"] != audit["n_doc_ids"]:
+            # the far more likely cause: the same doc_id indexed twice in
+            # one batch (its doc_int is identical by construction) — the
+            # caller must dedup upstream (dedup_versions=True / LWW)
+            raise EngineError(
+                f"duplicate doc_ids in one batch: {audit['n']} docs, "
+                f"{audit['n_doc_ids']} distinct doc_ids — pass "
+                "dedup_versions=True or dedup the corpus before indexing"
+            )
         # doc_int is a 64-bit hash of (doc_id, batch) — injectivity must hold
         # (SURVEY.md §2.1 #9; astronomically rare below 10^9 docs per batch,
         # but a silent collision would corrupt postings)

@@ -143,6 +143,16 @@ def apply_changes(
                 os.path.join(store_path, "tombstones", f"batch={batch_name}"),
             )
 
+        # the checkpoint is what advances _next_batch_idx: a delete-only
+        # batch (no upserts → _build_batch skipped) must still claim its
+        # batch name, or the NEXT batch reuses it and its tombstone
+        # overwrite silently resurrects this batch's deleted docs
+        if not n_up:
+            store_io.write_checkpoint(
+                store_path, batch_name,
+                {"docs": 0, "blocks": 0, "deletes": n_del, "cdc_only": True},
+            )
+
         build._finalize_store(
             spark, store_path, segment_docs or 0, num_buckets
         )

@@ -102,8 +102,9 @@ def search(
     algo: str = "exhaustive",
     index: str | None = None,
 ) -> DataFrame:
-    """Top-k BM25. ``queries``: pandas (qid, query[, k]). Returns a DataFrame
-    (qid, rank, doc_id, score) — empty for queries with no matching term.
+    """Top-k BM25. ``queries``: pandas (qid, query); ``k`` applies to every
+    query. Returns (qid, rank, doc_id, score) — empty for queries with no
+    matching term.
 
     ``index`` restricts results to one routed index (the reference's
     ``_index``, lib/handler.js:61-62): candidates are semi-joined against
@@ -175,7 +176,7 @@ def search(
                 if dead is None
                 else np.union1d(dead, extra_dead)
             )
-        topk = _score_wand(joined, avgdl, k, n_terms_by_qid, dead)
+        topk = _score_wand(joined, avgdl, k, dead)
         topk = _cut_topk(topk.groupBy("qid", "doc_int").agg(
             F.max("score").alias("score")), k)
     else:
@@ -692,7 +693,6 @@ def _score_wand(
     joined: DataFrame,
     avgdl: float,
     k: int,
-    n_terms_by_qid: dict,
     dead: np.ndarray | None = None,
 ) -> DataFrame:
     """Block-max WAND, per (qid, seg) group (disjoint doc ranges → exact).
