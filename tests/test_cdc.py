@@ -249,3 +249,71 @@ def test_cdc_inherits_store_bucket_layout(spark, tmp_path_factory):
     q = pd.DataFrame({"qid": [0], "query": ["winner"]})
     got = search.search(spark, store, q, k=5).toPandas()
     assert len(got) == 1
+
+
+def test_delete_only_batches_do_not_clobber_tombstones(spark, tmp_path_factory):
+    """Regression: consecutive delete-only CDC batches each claim a batch
+    name; the second must not overwrite the first's tombstones (which
+    silently resurrected the first batch's deleted docs)."""
+    path = str(tmp_path_factory.mktemp("delonly"))
+    corpus = spark.createDataFrame(_corpus0())
+    build.build_index(corpus, CFG, path, segment_docs=64, num_buckets=8)
+    c0 = _corpus0()
+
+    def remove_event(i):
+        r = c0.iloc[i]
+        return ("REMOVE", _keys(r), None, _img(r, 0))
+
+    for i in (5, 6):  # two separate delete-only batches
+        ev = pd.DataFrame([remove_event(i)],
+                          columns=["event_name", "keys", "new_image",
+                                   "old_image"])
+        cdc.apply_changes(
+            spark.createDataFrame(ev, schema=apply_cdc.EVENT_SCHEMA),
+            CFG, path, segment_docs=64,
+        )
+
+    store = search.load_store(path)
+    assert store.meta["n_docs"] == N0 - 2  # BOTH docs stay dead
+    gone = set(_doc_ids(c0.iloc[[5, 6]]))
+    res = search.search(
+        spark, store, pd.DataFrame({"qid": [0], "query": ["def"]}), k=200
+    ).toPandas()
+    assert not (set(res["doc_id"]) & gone)
+
+
+def test_empty_hash_batch_is_checkpointed_not_crashed(spark, tmp_path_factory):
+    """Regression: many batches over a tiny corpus leave some hash batches
+    empty; they must checkpoint and skip, not die on schema inference."""
+    path = str(tmp_path_factory.mktemp("emptybatch"))
+    small = spark.createDataFrame(synthetic.corpus_pdf(np.arange(5)))
+    res = build.build_index(
+        small, IndexerConfig(index="code"), path,
+        segment_docs=64, num_buckets=8, num_batches=16,
+    )
+    assert res.n_docs == 5
+    store = search.load_store(path)
+    assert store.meta["n_docs"] == 5
+    # resume run: everything checkpointed, nothing rebuilt
+    res2 = build.build_index(
+        small, IndexerConfig(index="code"), path,
+        segment_docs=64, num_buckets=8, num_batches=16,
+    )
+    assert res2.skipped_batches == 16
+
+
+def test_lww_version_tie_is_deterministic(spark):
+    """Regression: equal-version duplicates must pick the same winner on
+    every run (full-row-hash tie-break, not shuffle arrival order)."""
+    pdf = pd.DataFrame({
+        "doc_id": ["d"] * 2,
+        "content": ["alpha words here", "beta words here"],
+        "version": [3, 3],
+    })
+    winners = set()
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        w = build.dedup_latest_version(df).toPandas()
+        assert len(w) == 1
+        winners.add(w["content"].iloc[0])
+    assert len(winners) == 1
