@@ -85,3 +85,32 @@ def test_tokens_are_normalized_fixpoint(t):
     toks = analysis.tokenize_series(pd.Series([t]))[0]
     retok = analysis.tokenize_series(pd.Series([" ".join(toks)]))[0]
     assert retok == toks
+
+
+def test_cross_dialect_unicode_consistency(spark):
+    """Non-ASCII input must tokenize identically in all three pinned
+    implementations (pandas / Spark SQL / DuckDB): accented letters, CJK,
+    emoji and uppercase-unicode all act as separators consistently."""
+    import duckdb
+
+    from dynamo2es_lambda_spark.functions import analysis
+
+    texts = ["café naïve Über", "日本語のテキスト mixed ascii",
+             "emoji 🎉 party", "ÀÉÎÕÜ upper", "ß sharp", "Ωmega ωmega",
+             "tab\tand\nnewline", "semi;colon:path/to/file.py"]
+    py = analysis.tokenize_series(pd.Series(texts)).tolist()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"(?)" for _ in texts) + ") v(text)", texts
+    )
+    duck = [r[0] for r in con.execute(
+        f"SELECT {analysis.duckdb_tokens_sql('text')} FROM t").fetchall()]
+
+    sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    sp = [r[0] for r in sdf.selectExpr(
+        analysis.spark_tokens_expr("text") + " as toks").collect()]
+
+    for i, t in enumerate(texts):
+        assert py[i] == duck[i] == sp[i], (t, py[i], duck[i], sp[i])
