@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--positions", action="store_true",
                    help="store positional payloads (enables phrase search)")
+    b.add_argument("--id-mode", default=None, choices=["hash", "dense"],
+                   help="doc-id scheme: hash (no extra shuffle) or dense "
+                        "(rank ids, ~8x smaller posting deltas)")
 
     s = sub.add_parser("search", help="top-k BM25 query")
     s.add_argument("--store", required=True)
@@ -84,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
             num_batches=args.batches,
             resume=not args.no_resume,
             positions=args.positions,
+            id_mode=args.id_mode,
         )
         print(json.dumps(res.__dict__))
     elif args.cmd == "search":

@@ -105,20 +105,35 @@ def assign_tokenize_count(
     unnecessary for rank identity: every top-k cut keeps score ties and the
     final tie-break is the doc_id string (plans/search.py).
     """
+    with_id = df.withColumn(
+        "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
+    )
+    return tokenize_count_rows(with_id, content_col, positions)
+
+
+def tokenize_count_rows(
+    with_id: DataFrame,
+    content_col: str = "content",
+    positions: bool = False,
+) -> DataFrame:
+    """The fused tokenize/count pass over a frame that ALREADY carries
+    ``doc_int`` (hash- or dense-assigned): one Python crossing emitting term
+    rows interleaved with doc-marker rows (term IS NULL)."""
     from ..functions.analysis import (
         term_freqs_from_tokens,
         term_freqs_positions_from_tokens,
         tokenize_series,
     )
 
-    with_id = df.withColumn(
-        "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
-    )
-    meta_cols = [f.name for f in df.schema.fields if f.name != content_col]
+    meta_cols = [
+        f.name
+        for f in with_id.schema.fields
+        if f.name not in (content_col, "doc_int")
+    ]
     meta_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != content_col
+        for f in with_id.schema.fields
+        if f.name not in (content_col, "doc_int")
     )
     pos_part = ", pos_bytes binary" if positions else ""
     out_schema = (
@@ -150,3 +165,29 @@ def assign_tokenize_count(
             yield out[[*term_cols, *meta_cols]]
 
     return with_id.mapInPandas(run, schema=out_schema)
+
+
+DENSE_BATCH_SHIFT = 44  # dense ids: (batch_idx << 44) | rank — disjoint
+                        # per-batch ranges, up to ~5*10^5 batches of 2^44 docs
+
+
+def assign_dense_tokenize_count(
+    df: DataFrame,
+    content_col: str = "content",
+    batch_idx: int = 0,
+    positions: bool = False,
+) -> tuple[DataFrame, int]:
+    """Dense-id variant of the build pass: ``doc_int = (batch_idx << 44) +
+    rank(doc_id)``. Rank-dense ids make posting deltas ~N/df instead of
+    ~2^64/N, shrinking doc_bytes to 1-2 varbyte bytes per posting (see
+    SCALE.md §1 "Index size"), at the cost of assign_dense_ids' range
+    shuffle + per-partition offset pass. Deterministic: rank in global
+    doc_id sort order, independent of partitioning (operators/ids.py top
+    docstring). Returns (rows, doc_count)."""
+    with_id, n = assign_dense_ids(df, order_col="doc_id")
+    if batch_idx:
+        with_id = with_id.withColumn(
+            "doc_int",
+            F.col("doc_int") + F.lit(batch_idx << DENSE_BATCH_SHIFT),
+        )
+    return tokenize_count_rows(with_id, content_col, positions), n

@@ -88,6 +88,7 @@ def build_index(
     resume: bool = True,
     dedup_versions: bool = False,
     positions: bool | None = None,
+    id_mode: str | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
 
@@ -101,16 +102,26 @@ def build_index(
     ``positions=None`` (default) INHERITS an existing store's flag — a
     resumed re-run must not flip a positional store to non-positional (or
     vice versa) and desync meta.json from the committed batches' layout.
+
+    ``id_mode``: ``"hash"`` (default) — doc_int = xxhash64(doc_id, batch),
+    no extra shuffle, ~8 delta bytes/posting; ``"dense"`` — rank-dense ids
+    via one range shuffle, ~1-2 delta bytes/posting (storage-optimal; see
+    SCALE.md). None inherits an existing store's mode.
     """
     spark = corpus.sparkSession
     t0 = time.monotonic()
     segment_docs = segment_docs or postings.DEFAULT_SEGMENT_DOCS
+    meta_path = os.path.join(store_path, "meta.json")
+    prev = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
     if positions is None:
-        meta_path = os.path.join(store_path, "meta.json")
-        positions = False
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                positions = bool(json.load(f).get("positions", False))
+        positions = bool(prev.get("positions", False))
+    if id_mode is None:
+        id_mode = prev.get("id_mode", "hash")
+    if id_mode not in ("hash", "dense"):
+        raise EngineError(f"unknown id_mode: {id_mode}")
 
     # --- before_hook (lib/handler.js:32-34) ---
     if cfg.before_hook:
@@ -184,12 +195,14 @@ def build_index(
                 num_buckets=num_buckets,
                 retries=cfg.retries,
                 positions=positions,
+                id_mode=id_mode,
             )
             total_docs += nd
             total_blocks += nb
 
         _finalize_store(
-            spark, store_path, segment_docs, num_buckets, positions=positions
+            spark, store_path, segment_docs, num_buckets,
+            positions=positions, id_mode=id_mode,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -223,6 +236,7 @@ def _build_batch(
     num_buckets: int,
     retries: int = 0,
     positions: bool = False,
+    id_mode: str = "hash",
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → lineage →
     checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
@@ -234,6 +248,7 @@ def _build_batch(
                 docs, store_path, batch_idx, batch_name,
                 content_col=content_col, segment_docs=segment_docs,
                 num_buckets=num_buckets, positions=positions,
+                id_mode=id_mode,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -252,6 +267,7 @@ def _build_batch_once(
     segment_docs: int,
     num_buckets: int,
     positions: bool = False,
+    id_mode: str = "hash",
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -263,22 +279,34 @@ def _build_batch_once(
         phases[name] = round(now - t_prev, 2)
         t_prev = now
 
-    # JVM-only count (no Python stage upstream): sizes the hash-range
-    # segments so they average ~segment_docs docs
-    n_est = docs.count()
+    import math
+
+    if id_mode == "dense":
+        # rank-dense ids: one range shuffle; the offsets pass counts for free
+        rows, n_est = ids.assign_dense_tokenize_count(
+            docs, content_col=content_col, batch_idx=batch_idx,
+            positions=positions,
+        )
+        # dense ids are contiguous → segments are exact 2^shift-doc slices
+        seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
+    else:
+        # JVM-only count (no Python stage upstream): sizes the hash-range
+        # segments so they average ~segment_docs docs
+        n_est = docs.count()
+        rows = ids.assign_tokenize_count(
+            docs, content_col=content_col, batch_name=batch_name,
+            positions=positions,
+        )
+        seg_shift = postings.seg_shift_for(n_est, segment_docs)
     mark("count_docs")
     if n_est == 0:
-        # an empty hash batch (small corpus, many batches) writes nothing:
+        # an empty batch (small corpus, many batches) writes nothing:
         # reading back a zero-row partitioned write cannot infer a schema
         store_io.write_checkpoint(
             store_path, batch_name,
             {"docs": 0, "blocks": 0, "took_sec": 0.0, "phases": phases},
         )
         return 0, 0
-    rows = ids.assign_tokenize_count(
-        docs, content_col=content_col, batch_name=batch_name,
-        positions=positions,
-    )
     meta_cols = [
         c
         for c in ("doc_id", "index_name", "doc_type", "parent",
@@ -292,7 +320,7 @@ def _build_batch_once(
         rows,
         meta_cols=meta_cols,
         num_buckets=num_buckets,
-        seg_shift=postings.seg_shift_for(n_est, segment_docs),
+        seg_shift=seg_shift,
     )
     seg_batch_path = os.path.join(
         store_io.segments_path(store_path), f"batch={batch_name}"
@@ -375,6 +403,7 @@ def _finalize_store(
     segment_docs: int,
     num_buckets: int,
     positions: bool | None = None,
+    id_mode: str | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
@@ -464,12 +493,15 @@ def _finalize_store(
         segment_docs = prev_meta.get("segment_docs", 0)
     if positions is None:
         positions = bool(prev_meta.get("positions", False))
+    if id_mode is None:
+        id_mode = prev_meta.get("id_mode", "hash")
     meta = {
         "n_docs": n_live,
         "avgdl": avgdl,
         "segment_docs": segment_docs,
         "num_buckets": num_buckets,
         "positions": bool(positions),
+        "id_mode": id_mode,
     }
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)

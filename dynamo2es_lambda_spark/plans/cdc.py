@@ -110,6 +110,7 @@ def apply_changes(
         # payloads (phrase-queryability) AND the term-bucket modulus (block
         # partition pruning) both come from the existing meta
         positions = False
+        id_mode = "hash"
         meta_path = os.path.join(store_path, "meta.json")
         if os.path.exists(meta_path):
             import json
@@ -117,6 +118,7 @@ def apply_changes(
             with open(meta_path) as f:
                 meta = json.load(f)
             positions = bool(meta.get("positions", False))
+            id_mode = meta.get("id_mode", "hash")
             if num_buckets is None:
                 num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
         if num_buckets is None:
@@ -130,6 +132,7 @@ def apply_changes(
                 num_buckets=num_buckets,
                 retries=cfg.retries,
                 positions=positions,
+                id_mode=id_mode,
             )
 
         # ---- deletes: tombstones (version already bumped by dispatch)
