@@ -32,41 +32,83 @@ def assign_dense_ids(
     order_col: str = "doc_id",
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """Add ``doc_int`` = rank of ``order_col`` in global ascending order.
+    """Add ``doc_int`` = dense contiguous id in (hash-bucket, ``order_col``)
+    order: ids cover exactly [0, N) and are a pure function of the DATA.
 
-    Returns (df_with_doc_int, total_row_count) — the count is a free
-    byproduct of the offset pass, saving callers an extra job."""
+    Two passes, both keyed by ``_pid = pmod(abs(xxhash64(order_col)),
+    DENSE_ID_BUCKETS)`` — a data-derived bucket, NOT a physical partition
+    id:
+
+    1. a column-pruned, map-side-combined count per _pid (+ a
+       countDistinct duplicate audit) → driver prefix offsets;
+    2. the single full-width shuffle groups rows by _pid (sorted by
+       (order_col) within), and each row's id = offset[_pid] + its rank
+       inside the bucket.
+
+    Physical-plan-derived keys (spark_partition_id, RangePartitioner
+    boundaries) are deliberately avoided: range-sample boundaries are not
+    guaranteed identical across the two actions, which could misalign
+    offsets against data (see this module's top docstring on why ids must
+    be functions of the data). Returns (df_with_doc_int, total_rows).
+
+    Raises :class:`EngineError` on duplicate ``order_col`` values — a
+    duplicate would silently occupy two dense ids (the hash-id mode's
+    collision audit cannot see it)."""
+    from ..errors import EngineError
+
+    # logical id-buckets are a FIXED constant → ids are a pure function of
+    # the data alone, identical on any cluster size; num_partitions is only
+    # the physical shuffle width (performance knob, no effect on ids)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+    pid_col = F.pmod(
+        F.abs(F.xxhash64(F.col(order_col))), F.lit(DENSE_ID_BUCKETS)
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    with_pid = df.withColumn("_pid", pid_col)
+    stats = with_pid.groupBy("_pid").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct(order_col).alias("n_ids"),
+    ).collect()
+    dups = sum(r["cnt"] - r["n_ids"] for r in stats)
+    if dups:
+        raise EngineError(
+            f"duplicate {order_col} values ({dups}) — dense ids require "
+            "unique ids; dedup the corpus (dedup_versions=True) first"
+        )
+    counts = {r["_pid"]: r["cnt"] for r in stats}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
+    parted = with_pid.repartition(n, "_pid").sortWithinPartitions(
+        "_pid", order_col
+    )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     out_schema = f"{fields}, doc_int long"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
+        # several _pid buckets can share one physical partition; rows come
+        # sorted by (_pid, order_col), so per-bucket running counters give
+        # each row its in-bucket rank regardless of Arrow batch boundaries
+        seen: dict[int, int] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = offsets[pid] + seen
-            seen += len(pdf)
+            pids = pdf["_pid"].to_numpy(np.int64)
+            ids = np.empty(len(pdf), dtype=np.int64)
+            change = np.concatenate(([True], pids[1:] != pids[:-1]))
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(pdf))
+            for lo, hi in zip(starts, ends):
+                pid = int(pids[lo])
+                base = offsets[pid] + seen.get(pid, 0)
+                seen[pid] = seen.get(pid, 0) + (hi - lo)
+                ids[lo:hi] = np.arange(base, base + (hi - lo), dtype=np.int64)
             pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_int"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            pdf["doc_int"] = ids
             yield pdf
 
     return parted.mapInPandas(assign, schema=out_schema), acc
@@ -169,6 +211,8 @@ def tokenize_count_rows(
 
 DENSE_BATCH_SHIFT = 44  # dense ids: (batch_idx << 44) | rank — disjoint
                         # per-batch ranges, up to ~5*10^5 batches of 2^44 docs
+DENSE_ID_BUCKETS = 65536  # fixed logical bucket count for dense-id order —
+                          # a constant so ids never depend on cluster size
 
 
 def assign_dense_tokenize_count(
@@ -176,6 +220,7 @@ def assign_dense_tokenize_count(
     content_col: str = "content",
     batch_idx: int = 0,
     positions: bool = False,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense-id variant of the build pass: ``doc_int = (batch_idx << 44) +
     rank(doc_id)``. Rank-dense ids make posting deltas ~N/df instead of
@@ -184,7 +229,16 @@ def assign_dense_tokenize_count(
     shuffle + per-partition offset pass. Deterministic: rank in global
     doc_id sort order, independent of partitioning (operators/ids.py top
     docstring). Returns (rows, doc_count)."""
-    with_id, n = assign_dense_ids(df, order_col="doc_id")
+    from ..errors import EngineError
+
+    if batch_idx >= (1 << (63 - DENSE_BATCH_SHIFT)):
+        raise EngineError(
+            f"dense-id batch namespace exhausted (batch {batch_idx} ≥ "
+            f"2^{63 - DENSE_BATCH_SHIFT}); compact_store to fold batches"
+        )
+    with_id, n = assign_dense_ids(
+        df, order_col="doc_id", num_partitions=num_partitions
+    )
     if batch_idx:
         with_id = with_id.withColumn(
             "doc_int",

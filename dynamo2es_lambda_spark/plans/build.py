@@ -89,6 +89,7 @@ def build_index(
     dedup_versions: bool = False,
     positions: bool | None = None,
     id_mode: str | None = None,
+    dense_partitions: int | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
 
@@ -111,15 +112,24 @@ def build_index(
     spark = corpus.sparkSession
     t0 = time.monotonic()
     segment_docs = segment_docs or postings.DEFAULT_SEGMENT_DOCS
-    meta_path = os.path.join(store_path, "meta.json")
-    prev = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prev = json.load(f)
+    prev = store_io.read_meta(store_path)
+    committed = store_io.has_checkpoints(store_path)
     if positions is None:
         positions = bool(prev.get("positions", False))
+    elif committed and prev and bool(prev.get("positions", False)) != positions:
+        raise EngineError(
+            f"store at {store_path} was built with positions="
+            f"{prev.get('positions', False)}; an explicit conflicting value "
+            "would mix batch layouts — rebuild or omit the flag to inherit"
+        )
     if id_mode is None:
         id_mode = prev.get("id_mode", "hash")
+    elif committed and prev and prev.get("id_mode", "hash") != id_mode:
+        raise EngineError(
+            f"store at {store_path} was built with id_mode="
+            f"{prev.get('id_mode', 'hash')}; an explicit conflicting value "
+            "would mix id namespaces — rebuild or omit the flag to inherit"
+        )
     if id_mode not in ("hash", "dense"):
         raise EngineError(f"unknown id_mode: {id_mode}")
 
@@ -196,6 +206,7 @@ def build_index(
                 retries=cfg.retries,
                 positions=positions,
                 id_mode=id_mode,
+                dense_partitions=dense_partitions,
             )
             total_docs += nd
             total_blocks += nb
@@ -237,6 +248,7 @@ def _build_batch(
     retries: int = 0,
     positions: bool = False,
     id_mode: str = "hash",
+    dense_partitions: int | None = None,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → lineage →
     checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
@@ -248,7 +260,7 @@ def _build_batch(
                 docs, store_path, batch_idx, batch_name,
                 content_col=content_col, segment_docs=segment_docs,
                 num_buckets=num_buckets, positions=positions,
-                id_mode=id_mode,
+                id_mode=id_mode, dense_partitions=dense_partitions,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -268,6 +280,7 @@ def _build_batch_once(
     num_buckets: int,
     positions: bool = False,
     id_mode: str = "hash",
+    dense_partitions: int | None = None,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -282,10 +295,11 @@ def _build_batch_once(
     import math
 
     if id_mode == "dense":
-        # rank-dense ids: one range shuffle; the offsets pass counts for free
+        # dense ids: the offsets pass is a column-pruned count aggregation
+        # (cheap); the ONE full-width shuffle is the bucket repartition
         rows, n_est = ids.assign_dense_tokenize_count(
             docs, content_col=content_col, batch_idx=batch_idx,
-            positions=positions,
+            positions=positions, num_partitions=dense_partitions,
         )
         # dense ids are contiguous → segments are exact 2^shift-doc slices
         seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
@@ -484,11 +498,7 @@ def _finalize_store(
     blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
-    meta_path = os.path.join(store_path, "meta.json")
-    prev_meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prev_meta = json.load(f)
+    prev_meta = store_io.read_meta(store_path)
     if segment_docs == 0:
         segment_docs = prev_meta.get("segment_docs", 0)
     if positions is None:

@@ -109,20 +109,11 @@ def apply_changes(
         # an incremental batch must match the store's layout: positional
         # payloads (phrase-queryability) AND the term-bucket modulus (block
         # partition pruning) both come from the existing meta
-        positions = False
-        id_mode = "hash"
-        meta_path = os.path.join(store_path, "meta.json")
-        if os.path.exists(meta_path):
-            import json
-
-            with open(meta_path) as f:
-                meta = json.load(f)
-            positions = bool(meta.get("positions", False))
-            id_mode = meta.get("id_mode", "hash")
-            if num_buckets is None:
-                num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
+        meta = store_io.read_meta(store_path)
+        positions = bool(meta.get("positions", False))
+        id_mode = meta.get("id_mode", "hash")
         if num_buckets is None:
-            num_buckets = build.DEFAULT_BUCKETS
+            num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
         n_up = 0
         if not corpus.isEmpty():
             n_up, _ = build._build_batch(
@@ -184,16 +175,12 @@ def compact_store(
     """Segment-merge analog: rewrite postings dropping dead docs, keep only
     live doc_stats rows, clear tombstones. After compaction df/N/avgdl are
     exact over live docs. ``num_buckets`` defaults to the store's own."""
-    meta_path = os.path.join(store_path, "meta.json")
     if num_buckets is None:
-        import json
-
-        num_buckets = build.DEFAULT_BUCKETS
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                num_buckets = int(
-                    json.load(f).get("num_buckets", num_buckets)
-                )
+        num_buckets = int(
+            store_io.read_meta(store_path).get(
+                "num_buckets", build.DEFAULT_BUCKETS
+            )
+        )
     dead_path = os.path.join(store_path, "dead")
     dead_df = spark.read.parquet(dead_path)
     dead = set(r["doc_int"] for r in dead_df.collect())

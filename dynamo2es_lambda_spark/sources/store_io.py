@@ -64,6 +64,23 @@ def read_doc_stats(spark, store_path: str):
     return df.select(*keep)
 
 
+def read_meta(store_path: str) -> dict:
+    """The store's meta.json, or {} for a store not yet finalized — the ONE
+    reader for store-level flags (id_mode, positions, num_buckets, ...)."""
+    p = os.path.join(store_path, "meta.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def has_checkpoints(store_path: str) -> bool:
+    d = checkpoint_dir(store_path)
+    return os.path.isdir(d) and any(
+        f.endswith(".json") for f in os.listdir(d)
+    )
+
+
 def checkpoint_dir(store_path: str) -> str:
     return os.path.join(store_path, "checkpoints")
 

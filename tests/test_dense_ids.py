@@ -75,18 +75,61 @@ def test_dense_phrase_works(spark, stores):
     pd.testing.assert_frame_equal(res, res_h)
 
 
-def test_dense_ids_are_ranks(spark, stores):
+def test_dense_ids_contiguous_and_deterministic(spark, corpus, stores,
+                                                tmp_path_factory):
+    """Dense ids cover exactly [0, N) and are a pure function of the data:
+    a rebuild under different parallelism assigns identical ids."""
     stats = (
         search.load_store(stores["dense"]).doc_stats(spark)
         .select("doc_int", "doc_id").toPandas()
-        .sort_values("doc_id", ignore_index=True)
+        .sort_values("doc_int", ignore_index=True)
     )
     assert stats["doc_int"].tolist() == list(range(len(stats)))
+
+    p2 = str(tmp_path_factory.mktemp("ids_dense2"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        build.build_index(
+            corpus.repartition(13), CFG, p2, segment_docs=64, num_buckets=8,
+            id_mode="dense", positions=True, dense_partitions=5,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    stats2 = (
+        search.load_store(p2).doc_stats(spark)
+        .select("doc_int", "doc_id").toPandas()
+        .sort_values("doc_int", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(stats, stats2)
+
+
+def test_dense_duplicate_doc_ids_rejected(spark, tmp_path):
+    dup = spark.createDataFrame(
+        [("r", "p", "c", "py", "text one", 0),
+         ("r", "p", "c", "py", "text two", 0)],
+        "repo string, path string, commit string, lang string, "
+        "content string, version long",
+    )
+    with pytest.raises(EngineError, match="duplicate doc_id"):
+        build.build_index(dup, CFG, str(tmp_path / "dup"), id_mode="dense")
+
+
+def test_conflicting_mode_flags_rejected(spark, stores, corpus):
+    with pytest.raises(EngineError, match="id_mode"):
+        build.build_index(corpus, CFG, stores["dense"], id_mode="hash")
+    with pytest.raises(EngineError, match="positions"):
+        build.build_index(corpus, CFG, stores["dense"], positions=False)
 
 
 def test_dense_mode_is_sticky_for_resume_and_cdc(spark, corpus, stores,
                                                  tmp_path_factory):
-    p = stores["dense"]
+    import shutil
+
+    # work on a COPY: this test mutates the store (CDC append) and the
+    # module-scoped fixture is shared with the read-only tests
+    p = str(tmp_path_factory.mktemp("sticky")) + "/store"
+    shutil.copytree(stores["dense"], p)
     # resume run with NO id_mode argument inherits dense
     res = build.build_index(corpus, CFG, p, segment_docs=64, num_buckets=8)
     assert res.skipped_batches == 1
