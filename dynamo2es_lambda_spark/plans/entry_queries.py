@@ -286,6 +286,107 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------------------------------- 4a5. bool queries
+# ES ``bool``: must (AND, scored) + should (optional score) + must_not
+# (filter exclusion) — plans/search.search_bool.
+
+BOOL_QUERIES = [
+    (0, "spark merge", "window", "dup"),
+    (1, "", "customer table", "spark"),
+    (2, "the fast", "", ""),
+    (3, "absentzzz", "key", ""),
+]
+
+
+def q_fts_bool(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        BOOL_QUERIES, columns=["qid", "must", "should", "must_not"]
+    )
+    res = search.search_bool(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _bool_sql(queries: list[tuple[int, str, str, str]], k: int) -> str:
+    def vals(idx):
+        rows = []
+        for q in queries:
+            toks = analysis.tokenize_series(pd.Series([q[idx]]))[0]
+            for t, qtf in sorted(Counter(toks).items()):
+                rows.append(f"({q[0]}, '{t}', {qtf})")
+        return rows
+
+    mv, sv, nv = vals(1), vals(2), vals(3)
+    needs = []
+    for qid, m, _s, _n in queries:
+        toks = analysis.tokenize_series(pd.Series([m]))[0]
+        if toks:
+            needs.append(f"({qid}, {len(set(toks))})")
+
+    score = (
+        f"sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+        f"* ({K1} + 1.0) * p.tf "
+        f"/ (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)))"
+    )
+
+    def clause(name, values):
+        return f"""{name} AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id, {score} AS score, count(*) AS nt
+  FROM (VALUES {", ".join(values)}) q(qid, term, qtf)
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+)"""
+
+    parts = [clause("mscore", mv)] if mv else []
+    if sv:
+        parts.append(clause("sscore", sv))
+    base_m = f"""
+  SELECT m.qid AS qid, m.doc_id AS doc_id,
+         m.score{" + coalesce(s.score, 0.0)" if sv else ""} AS score
+  FROM (SELECT mscore.qid, mscore.doc_id, mscore.score
+        FROM mscore
+        JOIN (VALUES {", ".join(needs)}) need(nqid, need)
+          ON mscore.qid = need.nqid AND mscore.nt = need.need) m
+  {"LEFT JOIN sscore s ON s.qid = m.qid AND s.doc_id = m.doc_id" if sv else ""}
+""" if mv else ""
+    base_s = f"""
+  SELECT qid, doc_id, score FROM sscore
+  WHERE qid NOT IN (SELECT nqid FROM (VALUES {", ".join(needs)}) n(nqid, nn))
+""" if sv and mv else ("SELECT qid, doc_id, score FROM sscore" if sv else "")
+    base = " UNION ALL ".join(x for x in (base_m, base_s) if x)
+    parts.append(f"base AS ({base})")
+
+    flt = "base"
+    if nv:
+        parts.append(f"""notdocs AS (
+  SELECT DISTINCT q.qid AS qid, p.doc_id AS doc_id
+  FROM (VALUES {", ".join(nv)}) q(qid, term, qtf)
+  JOIN posting p ON p.term = q.term
+)""")
+        parts.append("""flt AS (
+  SELECT base.* FROM base
+  ANTI JOIN notdocs
+    ON notdocs.qid = base.qid AND notdocs.doc_id = base.doc_id
+)""")
+        flt = "flt"
+    return f"""{_BM25_BODY},
+{",".join(parts)},
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM {flt}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------- 4a4. highlight snippets
 # ES ``highlight`` analog: snippet around the first matching query term,
 # computed with pure built-in expressions over the top-k docs only
@@ -1120,6 +1221,7 @@ SPARK_QUERIES = {
     "fts_bm25_and": q_fts_bm25_and,
     "fts_bm25_filtered": q_fts_bm25_filtered,
     "fts_facet_lang": q_fts_facet_lang,
+    "fts_bool": q_fts_bool,
     "fts_highlight": q_fts_highlight,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
@@ -1152,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_and": _bm25_sql(FT_QUERIES_AND, FT_K, and_mode=True),
         "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
         "fts_facet_lang": _facet_sql(FT_QUERIES),
+        "fts_bool": _bool_sql(BOOL_QUERIES, FT_K),
         "fts_highlight": _highlight_sql(FT_QUERIES, HL_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),

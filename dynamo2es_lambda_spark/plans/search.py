@@ -202,6 +202,100 @@ def _present(
     )
 
 
+def _match_scores(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    query_col: str,
+) -> tuple[DataFrame | None, dict]:
+    """Internal: (qid, doc_int, score, nt) for every doc matching ≥1 term of
+    ``queries[query_col]`` — the un-cut OR-match table bool queries compose.
+    Returns (None, {}) when no query has an indexed term; the dict maps qid
+    → number of distinct query terms (for AND/must enforcement)."""
+    q = queries[["qid", query_col]].rename(columns={query_col: "query"})
+    q = q[q["query"].astype(str).str.len() > 0]
+    qt = _query_terms(q)
+    if qt.empty:
+        return None, {}
+    qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
+    n_terms_by_qid = qt.groupby("qid").size().to_dict()
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return None, n_terms_by_qid
+    n_docs = float(store.meta["n_docs"])
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(
+        joined, float(store.meta["avgdl"]), store.dead_doc_ints(spark)
+    )
+    agg = cand.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score"), F.count("*").alias("nt")
+    )
+    return agg, n_terms_by_qid
+
+
+def search_bool(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``bool`` query: per qid, ``must`` terms are all required (AND,
+    scored), ``should`` terms add score when present (OR, optional), and
+    docs containing ANY ``must_not`` term are excluded.
+
+    ``queries``: pandas (qid, must, should, must_not) — each a query string
+    (empty string = clause absent). With no must clause, candidates are the
+    should matches (ES behavior when bool has only should). Scores are the
+    summed BM25 of matched must + should terms; must_not contributes no
+    score (a pure filter, like ES filter-context exclusion).
+    """
+    must, n_must = _match_scores(spark, store, queries, "must")
+    should, _ = _match_scores(spark, store, queries, "should")
+    mnot, _ = _match_scores(spark, store, queries, "must_not")
+
+    if must is not None:
+        need = spark.createDataFrame(
+            pd.DataFrame({"qid": list(n_must), "need": list(n_must.values())})
+        )
+        base = (
+            must.join(F.broadcast(need), "qid")
+            .filter(F.col("nt") == F.col("need"))
+            .select("qid", "doc_int", "score")
+        )
+        # queries WITH a must clause whose terms are unindexed match nothing;
+        # queries WITHOUT a must clause fall through to should-only
+        must_qids = set(n_must)
+        if should is not None:
+            extra = should.select(
+                "qid", "doc_int", F.col("score").alias("s2")
+            )
+            base = base.join(extra, ["qid", "doc_int"], "left").select(
+                "qid", "doc_int",
+                (F.col("score") + F.coalesce(F.col("s2"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+            should_only = should.filter(
+                ~F.col("qid").isin(list(must_qids))
+            ).select("qid", "doc_int", "score")
+            base = base.unionByName(should_only)
+    elif should is not None:
+        base = should.select("qid", "doc_int", "score")
+    else:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    if mnot is not None:
+        base = base.join(
+            mnot.select("qid", "doc_int"), ["qid", "doc_int"], "left_anti"
+        )
+    return _present(spark, store, _cut_topk(base, k), k)
+
+
 def _join_term_stats(
     spark: SparkSession,
     store: IndexStore,

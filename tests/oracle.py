@@ -112,6 +112,47 @@ class PyOracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def bool_topk(self, must: str, should: str, must_not: str, k: int = 10):
+        """ES bool: must = AND (scored), should = optional score, must_not =
+        filter-out. Candidates = must-matchers, or should-matchers when no
+        must clause."""
+        def qterms(q):
+            return sorted(
+                Counter(analysis.tokenize_series(pd.Series([q]))[0]).items()
+            ) if q else []
+
+        mt, st, nt = qterms(must), qterms(should), qterms(must_not)
+
+        def or_scores(terms):
+            out: dict[int, tuple[float, int]] = {}
+            for t, qtf in terms:
+                if t not in self.postings:
+                    continue
+                w = (float(bm25.idf(self.n_docs, self.df[t]))
+                     * (bm25.K1 + 1.0) * qtf)
+                for d, tf in self.postings[t]:
+                    s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                    ps, pn = out.get(d, (0.0, 0))
+                    out[d] = (ps + s, pn + 1)
+            return out
+
+        if mt:
+            m = or_scores(mt)
+            cand = {d: s for d, (s, n) in m.items() if n == len(mt)}
+            if st:
+                s_sc = or_scores(st)
+                cand = {d: s + s_sc.get(d, (0.0, 0))[0]
+                        for d, s in cand.items()}
+        elif st:
+            cand = {d: s for d, (s, _n) in or_scores(st).items()}
+        else:
+            return []
+        if nt:
+            excl = set(or_scores(nt))
+            cand = {d: s for d, s in cand.items() if d not in excl}
+        ranked = sorted(cand.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def prefix_topk(self, prefix: str, k: int = 10, max_expansions=None):
         """ES prefix query with scoring_boolean rewrite: expand, OR-score."""
         terms = sorted(t for t in self.postings if t.startswith(prefix))

@@ -279,3 +279,39 @@ def test_prefix_overlapping_expansions_not_double_counted(
     _assert_rank_identical(
         got, [(oracle.doc_ids[d], s) for d, s in want], 0
     )
+
+
+def test_bool_query_rank_identity(spark, pos_store, oracle):
+    """ES bool (must/should/must_not) vs the pure-Python oracle."""
+    toks3 = oracle.toks[3]
+    qs = [
+        # must AND + should boost + must_not filter
+        (0, " ".join(toks3[:2]), toks3[5], toks3[9]),
+        # should-only candidates, with an exclusion
+        (1, "", " ".join(toks3[2:4]), toks3[0]),
+        # must-only
+        (2, " ".join(toks3[6:8]), "", ""),
+        # unindexed must term → matches nothing even with a should clause
+        (3, "zzzabsent", toks3[1], ""),
+    ]
+    qpdf = pd.DataFrame(qs, columns=["qid", "must", "should", "must_not"])
+    res = search.search_bool(spark, pos_store, qpdf, k=10).toPandas()
+    n_nonempty = 0
+    for qid, m, s, n in qs:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.bool_topk(m, s, n, k=10)
+        n_nonempty += bool(want)
+        _assert_rank_identical(list(zip(got["doc_id"], got["score"])), want, qid)
+    assert n_nonempty >= 3
+    assert res[res.qid == 3].empty
+
+
+def test_bool_must_not_actually_excludes(spark, pos_store, oracle):
+    hot = max(oracle.df, key=oracle.df.get)  # most common term
+    qpdf = pd.DataFrame(
+        [(0, "", "merge window", hot)],
+        columns=["qid", "must", "should", "must_not"],
+    )
+    res = search.search_bool(spark, pos_store, qpdf, k=200).toPandas()
+    hot_docs = {oracle.doc_ids[d] for d, _ in oracle.postings[hot]}
+    assert not (set(res["doc_id"]) & hot_docs)
