@@ -494,6 +494,7 @@ PHRASE_QUERIES = [
 PREFIX_QUERIES = [(0, "sc"), (1, "qu"), (2, "c"), (3, "zzzz")]
 FUZZY_QUERIES = [(0, "spak"), (1, "quer"), (2, "vale"), (3, "zzzzzz")]
 FUZZY_EDITS, FUZZY_EXPANSIONS = 1, 50
+WILDCARD_QUERIES = [(0, "s*k"), (1, "*able"), (2, "d?p"), (3, "zz*")]
 
 
 def q_fts_phrase(spark, sf_dir):
@@ -518,6 +519,54 @@ def q_fts_fuzzy(spark, sf_dir):
         max_edits=FUZZY_EDITS, max_expansions=FUZZY_EXPANSIONS,
     )
     return _rerank_rounded(res, FT_K)
+
+
+def q_fts_wildcard(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    wpdf = pd.DataFrame(WILDCARD_QUERIES, columns=["qid", "pattern"])
+    res = search.search_wildcard(spark, store, wpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _wildcard_sql(patterns: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_wildcard: LIKE expansion (* -> %, ? -> _),
+    deterministic term-ascending cap, qtf=1 OR-scored BM25."""
+    vals = ", ".join(
+        f"({qid}, '{p.replace('*', '%').replace('?', '_')}')"
+        for qid, p in patterns
+    )
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (PARTITION BY v.qid ORDER BY d.term) AS rn
+    FROM (VALUES {vals}) v(qid, pat)
+    JOIN dfreq d ON d.term LIKE v.pat
+  ) WHERE rn <= 50
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
 
 
 def _fuzzy_sql(probes: list[tuple[int, str]], k: int) -> str:
@@ -1226,6 +1275,7 @@ SPARK_QUERIES = {
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
+    "fts_wildcard": q_fts_wildcard,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1259,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
+        "fts_wildcard": _wildcard_sql(WILDCARD_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

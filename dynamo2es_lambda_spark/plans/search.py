@@ -531,6 +531,59 @@ def search_facets(
     )
 
 
+def search_wildcard(
+    spark: SparkSession,
+    store: IndexStore,
+    patterns: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """ES ``wildcard`` query: ``*`` = any run, ``?`` = one char, matched
+    against the term dictionary (metadata-sized scan — never postings),
+    deterministic term-ascending ``max_expansions`` cap, expansion OR-scored
+    with per-term BM25 idf weights (like prefix/fuzzy).
+
+    ``patterns``: pandas (qid, pattern); tokens are [a-z0-9]+ so patterns
+    are lowercased and need no LIKE-escaping.
+    """
+    from ..errors import EngineError
+
+    pats = patterns.copy()
+    pats["pattern"] = pats["pattern"].astype(str).str.lower()
+    for p in pats["pattern"]:
+        if not all(c.isalnum() or c in "*?" for c in p):
+            raise EngineError(f"wildcard pattern has invalid chars: {p!r}")
+
+    def to_like(p: str) -> str:
+        return p.replace("*", "%").replace("?", "_")
+
+    uniq = sorted(set(pats["pattern"]))
+    if not uniq:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    cond = None
+    for p in uniq:
+        c = F.col("term").like(to_like(p))
+        cond = c if cond is None else (cond | c)
+    expanded = store.term_stats(spark).filter(cond).toPandas()
+
+    rows = []
+    has_bucket = "term_bucket" in expanded.columns
+    for qid, p in zip(pats["qid"], pats["pattern"]):
+        import fnmatch
+
+        hit = expanded[
+            expanded["term"].map(lambda t, p=p: fnmatch.fnmatchcase(t, p))
+        ].sort_values("term")
+        if max_expansions is not None:
+            hit = hit.head(max_expansions)
+        for r in hit.itertuples(index=False):
+            rows.append(
+                (int(qid), r.term, float(r.df),
+                 int(r.term_bucket) if has_bucket else None)
+            )
+    return _score_expansion(spark, store, rows, has_bucket, k)
+
+
 def search_fuzzy(
     spark: SparkSession,
     store: IndexStore,

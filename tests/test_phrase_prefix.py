@@ -315,3 +315,40 @@ def test_bool_must_not_actually_excludes(spark, pos_store, oracle):
     res = search.search_bool(spark, pos_store, qpdf, k=200).toPandas()
     hot_docs = {oracle.doc_ids[d] for d, _ in oracle.postings[hot]}
     assert not (set(res["doc_id"]) & hot_docs)
+
+
+def test_wildcard_rank_identity(spark, pos_store, oracle):
+    import fnmatch
+
+    from dynamo2es_lambda_spark.functions import bm25
+
+    pats = [(0, "mer*"), (1, "*andler"), (2, "s?an"), (3, "zzz*")]
+    wpdf = pd.DataFrame(pats, columns=["qid", "pattern"])
+    res = search.search_wildcard(spark, pos_store, wpdf, k=10).toPandas()
+    n_nonempty = 0
+    for qid, p in pats:
+        terms = sorted(t for t in oracle.postings
+                       if fnmatch.fnmatchcase(t, p))[:50]
+        scores = {}
+        for t in terms:
+            w = float(bm25.idf(oracle.n_docs, oracle.df[t])) * (bm25.K1 + 1.0)
+            for d, tf in oracle.postings[t]:
+                s = w * float(bm25.tf_norm(tf, oracle.dl[d], oracle.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+        want = sorted(scores.items(),
+                      key=lambda kv: (-kv[1], oracle.doc_ids[kv[0]]))[:10]
+        got = res[res.qid == qid].sort_values("rank")
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])),
+            [(oracle.doc_ids[d], s) for d, s in want], qid,
+        )
+    assert n_nonempty >= 2
+
+
+def test_wildcard_rejects_bad_pattern(spark, pos_store):
+    with pytest.raises(EngineError, match="invalid chars"):
+        search.search_wildcard(
+            spark, pos_store,
+            pd.DataFrame([(0, "a%b")], columns=["qid", "pattern"]),
+        )
