@@ -157,6 +157,33 @@ def main() -> None:
         lambda: search.search_fuzzy(spark, store, fz, k=10).collect(),
         repeat=2,
     )
+    wc = pd.DataFrame(
+        entry_queries.WILDCARD_QUERIES, columns=["qid", "pattern"]
+    )
+    timed(
+        "bm25_wildcard_set",
+        lambda: search.search_wildcard(spark, store, wc, k=10).collect(),
+        repeat=2,
+    )
+    bq = pd.DataFrame(
+        entry_queries.BOOL_QUERIES,
+        columns=["qid", "must", "should", "must_not"],
+    )
+    timed(
+        "bm25_bool_set",
+        lambda: search.search_bool(spark, store, bq, k=10).collect(),
+        repeat=2,
+    )
+    # index-filtered WAND over the whole store: stresses the cogroup
+    # constraint path (allow set = full corpus × queries) — the round-2
+    # replacement for the driver-side collect
+    timed(
+        "bm25_filtered_wand_set",
+        lambda: search.search(
+            spark, store, qpdf, k=10, algo="wand", index="docs"
+        ).collect(),
+        repeat=2,
+    )
 
     # --- entry-contract representatives ---
     for name in (

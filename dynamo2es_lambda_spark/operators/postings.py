@@ -113,7 +113,14 @@ def build_segments(
     n_shuffle = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # ``seg`` on MARKER rows is a shuffle-spreading key (pmod), not the
+    # posting segment; ``doc_seg`` records the doc's TRUE posting segment so
+    # downstream consumers (plans/search._segment_constraints cogroup,
+    # plans/cdc.compact_store) can route per-doc constraints to exactly the
+    # (term, seg) groups that hold the doc's postings.
     tok = rows.withColumn(
+        "doc_seg", F.shiftright(F.col("doc_int"), seg_shift)
+    ).withColumn(
         "seg",
         F.when(
             F.col("term").isNotNull(),
@@ -131,12 +138,12 @@ def build_segments(
     ).sortWithinPartitions("term", "seg", "doc_int")
 
     out_cols = ["part", *_BLOCK_COLS, "term_bucket", *meta_cols,
-                "doc_int", "dl"]
+                "doc_int", "dl", "doc_seg"]
     types = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
     meta_schema = ", ".join(f"{c} {types[c]}" for c in meta_cols)
     out_schema = (
         f"part string, {BLOCKS_SCHEMA}, term_bucket long, {meta_schema}, "
-        "doc_int long, dl long"
+        "doc_int long, dl long, doc_seg long"
     )
 
     def encode_stream(batches):
@@ -171,7 +178,8 @@ def build_segments(
         # silently upcasts to float64, which cannot represent 64-bit ids
         # (rounding step is 1024 near 2^63) — this corrupted doc ids once.
         int_cols = ["seg", "block_id", "n_docs", "doc_first", "doc_last",
-                    "max_tf", "min_dl", "term_bucket", "doc_int", "dl"]
+                    "max_tf", "min_dl", "term_bucket", "doc_int", "dl",
+                    "doc_seg"]
 
         def _nullable_ints(frame: pd.DataFrame) -> pd.DataFrame:
             for c in int_cols:
@@ -189,7 +197,8 @@ def build_segments(
                 frames.append(_nullable_ints(bdf))
                 blocks.clear()
             if markers is not None and len(markers):
-                mdf = markers[["seg", "term_bucket", *meta_cols]].copy()
+                mdf = markers[["seg", "term_bucket", "doc_seg",
+                               *meta_cols]].copy()
                 mdf.insert(0, "part", "doc")
                 mdf["doc_int"] = markers["doc_int"].to_numpy()
                 mdf["dl"] = markers["dl"].to_numpy()

@@ -55,6 +55,45 @@ class BuildResult:
     skipped_batches: int = 0  # checkpoint-resumed batches left untouched
 
 
+_META_COLS = ("doc_id", "index_name", "doc_type", "parent", "version",
+              "content_sha256")
+
+
+def build_meta(df: DataFrame, action: str | None = None) -> DataFrame:
+    """Per-record lineage for after_hook: one row per processed record with
+    (doc_id, action, routing/version/sha columns) — the engine's analog of
+    the ``meta`` list of {event, action, document} the reference accumulates
+    per record and hands to afterHook (lib/handler.js:115-125,167; asserted
+    test/handler-tests.js:268-285). A DataFrame, not a collected list — at
+    100 TB the hook decides whether to aggregate, sample, or persist it."""
+    cols = [c for c in _META_COLS if c in df.columns]
+    if action is None and "action" in df.columns:
+        return df.select(*cols, "action")
+    return df.select(*cols).withColumn(
+        "action", F.lit(action or "index")
+    )
+
+
+def invoke_after_hook(hook, result, meta_df: DataFrame):
+    """Call after_hook with (result, meta) when it accepts a second
+    positional arg (reference afterHook signature, lib/handler.js:167);
+    single-arg hooks keep the result-only contract."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(hook).parameters.values())
+    except (TypeError, ValueError):
+        return hook(result)
+    n_pos = len(
+        [p for p in params
+         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    )
+    var_pos = any(p.kind == p.VAR_POSITIONAL for p in params)
+    if var_pos or n_pos >= 2:
+        return hook(result, meta_df)
+    return hook(result)
+
+
 def dedup_latest_version(df: DataFrame) -> DataFrame:
     """External-version last-writer-wins (lib/handler.js:80-87 semantics):
     keep the highest version per doc_id. No-op when version is all-null.
@@ -83,7 +122,7 @@ def build_index(
     key_cols: tuple[str, ...] = fieldmap.DEFAULT_KEY_COLS,
     content_col: str = "content",
     segment_docs: int | None = None,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     num_batches: int = 1,
     resume: bool = True,
     dedup_versions: bool = False,
@@ -108,6 +147,14 @@ def build_index(
     no extra shuffle, ~8 delta bytes/posting; ``"dense"`` — rank-dense ids
     via one range shuffle, ~1-2 delta bytes/posting (storage-optimal; see
     SCALE.md). None inherits an existing store's mode.
+
+    ``num_buckets`` follows the same inherit-or-conflict discipline as
+    positions/id_mode: None inherits an existing store's bucket count
+    (default 64 on a fresh store); an explicit value conflicting with a
+    committed store raises — a second pmod() layout would scatter a term's
+    blocks across two bucket assignments and silently break the
+    term_bucket pruning in plans/search._matched_blocks (term_stats keeps
+    ONE bucket per term).
     """
     spark = corpus.sparkSession
     t0 = time.monotonic()
@@ -132,6 +179,19 @@ def build_index(
         )
     if id_mode not in ("hash", "dense"):
         raise EngineError(f"unknown id_mode: {id_mode}")
+    if num_buckets is None:
+        num_buckets = int(prev.get("num_buckets", DEFAULT_BUCKETS))
+    elif (
+        committed
+        and prev
+        and int(prev.get("num_buckets", num_buckets)) != int(num_buckets)
+    ):
+        raise EngineError(
+            f"store at {store_path} was built with num_buckets="
+            f"{prev.get('num_buckets')}; an explicit conflicting value would "
+            "write blocks under a second pmod() layout and break term_bucket "
+            "pruning — rebuild or omit the value to inherit"
+        )
 
     # --- before_hook (lib/handler.js:32-34) ---
     if cfg.before_hook:
@@ -167,6 +227,7 @@ def build_index(
         if dedup_versions:
             good = dedup_latest_version(good)
 
+        meta_df = build_meta(good, action="index")
         good = fieldmap.pick_document_fields(good, cfg)
 
         # --- empty-batch short-circuit (lib/handler.js:138-147) ---
@@ -176,7 +237,7 @@ def build_index(
                 quarantined=quarantined, batches=[],
             )
             if cfg.after_hook:
-                override = cfg.after_hook(result)
+                override = invoke_after_hook(cfg.after_hook, result, meta_df)
                 if override is not None:
                     return override
             return result
@@ -207,6 +268,7 @@ def build_index(
                 positions=positions,
                 id_mode=id_mode,
                 dense_partitions=dense_partitions,
+                sink_options=cfg.sink_options,
             )
             total_docs += nd
             total_blocks += nb
@@ -223,9 +285,10 @@ def build_index(
             batches=batch_names,
             skipped_batches=skipped,
         )
-        # --- after_hook may replace the result (lib/handler.js:164-173) ---
+        # --- after_hook may replace the result (lib/handler.js:164-173);
+        # two-arg hooks also receive the per-record meta (lib/handler.js:167)
         if cfg.after_hook:
-            override = cfg.after_hook(result)
+            override = invoke_after_hook(cfg.after_hook, result, meta_df)
             if override is not None:
                 return override
         return result
@@ -249,6 +312,7 @@ def _build_batch(
     positions: bool = False,
     id_mode: str = "hash",
     dense_partitions: int | None = None,
+    sink_options: dict | None = None,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → lineage →
     checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
@@ -261,6 +325,7 @@ def _build_batch(
                 content_col=content_col, segment_docs=segment_docs,
                 num_buckets=num_buckets, positions=positions,
                 id_mode=id_mode, dense_partitions=dense_partitions,
+                sink_options=sink_options,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -281,6 +346,7 @@ def _build_batch_once(
     positions: bool = False,
     id_mode: str = "hash",
     dense_partitions: int | None = None,
+    sink_options: dict | None = None,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -339,8 +405,13 @@ def _build_batch_once(
     seg_batch_path = os.path.join(
         store_io.segments_path(store_path), f"batch={batch_name}"
     )
+    # sink_options passthrough: the reference merges its user bulk options
+    # into the ES bulk sink call (lib/handler.js:151-153, test
+    # handler-tests.js:1749-1788); the engine's sink is the store write, so
+    # the dict lands on the DataFrameWriter (e.g. compression codec)
     store_io.write_parquet(
-        segments, seg_batch_path, partition_by=("part", "term_bucket")
+        segments, seg_batch_path, partition_by=("part", "term_bucket"),
+        options=sink_options,
     )
     mark("segments_write")
 

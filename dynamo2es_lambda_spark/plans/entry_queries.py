@@ -107,7 +107,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:v6".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v7".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"d2es_entry_{key}")
     if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
@@ -219,7 +219,7 @@ def _routed_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:routed-v1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:routed-v2".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"d2es_routed_{key}")
     if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
@@ -237,10 +237,13 @@ def _routed_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
 
 
 def q_fts_bm25_filtered(spark, sf_dir):
+    # algo="wand" deliberately: exercises the cogroup-constrained WAND path
+    # (index filter folded into each (qid, seg) scorer group, zero driver
+    # collects) against the same oracle as the exhaustive twin
     store = _routed_store(spark, sf_dir)
     qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
     res = search.search(
-        spark, store, qpdf, k=50, algo="exhaustive",
+        spark, store, qpdf, k=50, algo="wand",
         index=f"lang_{ROUTED_LANG}",
     )
     return _rerank_rounded(res, FT_K)
@@ -676,13 +679,18 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 
 def _prefix_sql(prefixes: list[tuple[int, str]], k: int) -> str:
     """Oracle for q_fts_prefix: expand each prefix against the term
-    dictionary, OR-score the expanded set with qtf=1 BM25."""
+    dictionary with the engine's deterministic term-ascending cap of 50
+    (search_prefix's max_expansions default, ES parity), OR-score the
+    expanded set with qtf=1 BM25."""
     vals = ", ".join(f"({qid}, '{p}')" for qid, p in prefixes)
     return f"""{_BM25_BODY},
 q AS (
-  SELECT v.qid AS qid, d.term AS term, 1 AS qtf
-  FROM (VALUES {vals}) v(qid, pfx)
-  JOIN dfreq d ON d.term LIKE v.pfx || '%'
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (PARTITION BY v.qid ORDER BY d.term) AS rn
+    FROM (VALUES {vals}) v(qid, pfx)
+    JOIN dfreq d ON d.term LIKE v.pfx || '%'
+  ) WHERE rn <= 50
 ),
 scored AS (
   SELECT q.qid AS qid, p.doc_id AS doc_id,

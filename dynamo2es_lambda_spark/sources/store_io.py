@@ -27,11 +27,33 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    options: dict | None = None,
 ) -> None:
+    """``options`` are user bulk/sink options merged into the writer — the
+    engine's analog of the reference merging its ``bulk`` option dict into
+    the sink call (/root/reference/lib/handler.js:151-153); e.g.
+    ``{"compression": "zstd"}`` reaches ``DataFrameWriter.option``."""
     w = df.write.mode(mode)
+    for key, val in (options or {}).items():
+        w = w.option(key, val)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count of a parquet directory from file FOOTERS only — a driver
+    metadata read, no Spark job, no row materialization. 0 for a missing
+    directory."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(root, fn)).num_rows
+    return n
 
 
 def segments_path(store_path: str) -> str:
@@ -62,6 +84,34 @@ def read_doc_stats(spark, store_path: str):
         if c in df.columns
     ]
     return df.select(*keep)
+
+
+def read_doc_rows(spark, store_path: str, cols: tuple[str, ...] = ("doc_int", "seg")):
+    """Doc-stat marker rows WITH their posting-segment assignment: the
+    marker's ``doc_seg`` column records ``doc_int >> seg_shift`` of the
+    batch that indexed the doc (operators/postings.build_segments) — i.e.
+    exactly the ``seg`` of every posting block holding the doc. Returned
+    aliased as ``seg``: what plans/search._segment_constraints and
+    plans/cdc.compact_store key their cogroups on. (The marker's raw
+    ``seg`` column is only a shuffle-spreading key — never use it.)"""
+    from pyspark.sql import functions as F
+
+    from ..errors import EngineError
+
+    df = spark.read.parquet(segments_path(store_path)).filter(
+        F.col("part") == "doc"
+    )
+    if "doc_seg" not in df.columns:
+        raise EngineError(
+            f"store at {store_path} predates the doc_seg marker column — "
+            "rebuild the index to enable segment-routed constraints"
+        )
+    sel = [
+        F.col("doc_seg").alias("seg") if c == "seg" else F.col(c)
+        for c in cols
+        if c == "seg" or c in df.columns
+    ]
+    return df.select(*sel)
 
 
 def read_meta(store_path: str) -> dict:

@@ -1,0 +1,410 @@
+"""Round-2 regression suite.
+
+Covers:
+- bool query: a qid whose EVERY must term is unindexed matches nothing even
+  when no query in the batch has an indexed must term (ADVICE r1, high);
+- index-filtered WAND == index-filtered exhaustive, with the filter routed
+  to the scorer distributedly (cogroup — no driver collect of doc_stats;
+  VERDICT r1 "What's wrong" #1);
+- delete-heavy stores: WAND/exhaustive/expansion queries stay exact when
+  >50% of docs are dead, with the dead list applied as anti-join/cogroup
+  (VERDICT r1 #3);
+- expansion caps applied JVM-side with ES-parity defaults (prefix
+  max_expansions=50, empty prefix rejected — ADVICE r1, low);
+- num_buckets inherit-or-conflict guard (ADVICE r1, medium);
+- sink_options passthrough to the store writer (reference
+  lib/handler.js:151-153, test handler-tests.js:1749-1788);
+- event-shape validation (reference lib/schemas.js:47-56, tests
+  handler-tests.js:1399-1468);
+- per-record meta handed to two-arg after_hooks (reference
+  lib/handler.js:115-125,167, asserted handler-tests.js:268-285).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError, ValidationError
+from dynamo2es_lambda_spark.plans import build, cdc, search
+from dynamo2es_lambda_spark.sources import synthetic
+
+from .oracle import PyOracle
+from .test_cdc import _corpus0, _events_df, _img, _keys
+
+CFG = IndexerConfig(index="code")
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r2_index"))
+    build.build_index(corpus_df, CFG, path, segment_docs=64, num_buckets=8)
+    return search.load_store(path)
+
+
+@pytest.fixture(scope="module")
+def routed_store(spark, corpus_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r2_routed"))
+    cfg = IndexerConfig(index_prefix="code-", index_field="lang")
+    df = spark.createDataFrame(corpus_pdf).repartition(4)
+    build.build_index(df, cfg, path, segment_docs=64, num_buckets=8)
+    return search.load_store(path)
+
+
+@pytest.fixture(scope="module")
+def deleted_store(spark, tmp_path_factory):
+    """Store where >50% of the corpus is dead (un-compacted tombstones)."""
+    path = str(tmp_path_factory.mktemp("r2_deleted"))
+    cfg = IndexerConfig(index="code", version_field="version",
+                        record_error_hook=lambda df: None)
+    c0 = _corpus0()
+    build.build_index(
+        spark.createDataFrame(c0), cfg, path, segment_docs=64, num_buckets=8
+    )
+    rows = []
+    for i in range(60):  # REMOVE 60 of 100 docs
+        r = c0.iloc[i]
+        rows.append(("REMOVE", _keys(r), None, _img(r, 0)))
+    events = pd.DataFrame(
+        rows, columns=["event_name", "keys", "new_image", "old_image"]
+    )
+    from dynamo2es_lambda_spark.streaming import apply_cdc
+
+    res = cdc.apply_changes(
+        spark.createDataFrame(events, schema=apply_cdc.EVENT_SCHEMA),
+        cfg, path, segment_docs=64,
+    )
+    assert res["deletes"] == 60
+    store = search.load_store(path)
+    assert store.n_dead() == 60
+    live = c0.iloc[60:]
+    oracle = PyOracle(
+        (live["repo"] + "." + live["path"] + "." + live["commit"]).tolist(),
+        live["content"].tolist(),
+    )
+    return store, oracle
+
+
+# ---------------------------------------------------------------- bool
+
+def test_bool_all_musts_unindexed(spark, store):
+    """ES semantics: a bool query with an unindexed must term matches
+    nothing — even when NO query in the batch has an indexed must term, so
+    the must table is None (the round-1 bug served should-only matches)."""
+    q = pd.DataFrame(
+        {"qid": [0], "must": ["zzzabsent"], "should": ["def"],
+         "must_not": [""]}
+    )
+    res = search_bool_pdf(spark, store, q)
+    assert len(res) == 0
+
+
+def test_bool_mixed_unindexed_must(spark, store):
+    """Same batch: qid 0 has an unindexed must (matches nothing), qid 1 has
+    no must clause (should-only matches allowed)."""
+    q = pd.DataFrame(
+        {"qid": [0, 1], "must": ["zzzabsent", ""],
+         "should": ["def", "def"], "must_not": ["", ""]}
+    )
+    res = search_bool_pdf(spark, store, q)
+    assert set(res["qid"]) == {1}
+    assert len(res[res.qid == 1]) > 0
+
+
+def search_bool_pdf(spark, store, q, k=10):
+    return search.search_bool(spark, store, q, k=k).toPandas()
+
+
+# -------------------------------------------- index-filtered WAND == exhaustive
+
+def test_wand_filtered_rank_identity(spark, routed_store, queries_pdf):
+    """The cogroup-constrained WAND path (index filter folded into each
+    (qid, seg) scorer group) is rank- and score-identical to the exhaustive
+    semi-join path for every routed index."""
+    langs = [
+        r["index_name"]
+        for r in routed_store.doc_stats(spark)
+        .select("index_name").distinct().collect()
+    ]
+    assert len(langs) >= 2
+    for lang in sorted(langs)[:3]:
+        ex = (
+            search.search(spark, routed_store, queries_pdf, k=10,
+                          algo="exhaustive", index=lang)
+            .orderBy("qid", "rank").toPandas()
+        )
+        wd = (
+            search.search(spark, routed_store, queries_pdf, k=10,
+                          algo="wand", index=lang)
+            .orderBy("qid", "rank").toPandas()
+        )
+        assert ex["doc_id"].tolist() == wd["doc_id"].tolist(), lang
+        assert np.allclose(ex["score"], wd["score"], atol=1e-9)
+
+
+def test_wand_filter_nonmatching_index_empty(spark, routed_store, queries_pdf):
+    res = search.search(
+        spark, routed_store, queries_pdf, k=10, algo="wand",
+        index="code-nosuchlang",
+    )
+    assert res.count() == 0
+
+
+# ------------------------------------------------------ delete-heavy store
+
+def test_deleted_majority_exact(spark, deleted_store):
+    """With 60% of docs dead and NO compaction, every algo returns exactly
+    the live docs — dead applied via anti-join (exhaustive) and cogroup
+    (WAND), never a driver-side dead array. Scores use the un-compacted
+    df/avgdl (documented ES/Lucene drift), so only membership is asserted
+    plus exhaustive==wand score identity."""
+    store, oracle = deleted_store
+    qpdf = synthetic.queries_pdf()
+    ex = search.search(spark, store, qpdf, k=200, algo="exhaustive") \
+        .orderBy("qid", "rank").toPandas()
+    wd = search.search(spark, store, qpdf, k=200, algo="wand") \
+        .orderBy("qid", "rank").toPandas()
+    assert ex["doc_id"].tolist() == wd["doc_id"].tolist()
+    assert np.allclose(ex["score"], wd["score"], atol=1e-9)
+    live_ids = set(oracle.doc_ids)
+    assert set(ex["doc_id"]).issubset(live_ids)
+    # membership matches the oracle per query (AND over matched live docs)
+    for qid, q in zip(qpdf["qid"], qpdf["query"]):
+        got = set(ex[ex.qid == qid]["doc_id"])
+        want = {d for d, _ in oracle.topk(q, k=200)}
+        assert got == want, (qid, q)
+
+
+def test_deleted_store_phrase_prefix_fuzzy(spark, deleted_store):
+    """Expansion and phrase paths anti-join the dead list too (the store
+    here has no positions, so phrase is exercised in test_cdc; prefix and
+    fuzzy must never return a dead doc)."""
+    store, oracle = deleted_store
+    live_ids = set(oracle.doc_ids)
+    pf = pd.DataFrame({"qid": [0], "prefix": ["de"]})
+    res = search.search_prefix(spark, store, pf, k=200).toPandas()
+    assert len(res) > 0 and set(res["doc_id"]).issubset(live_ids)
+    fz = pd.DataFrame({"qid": [0], "term": ["def"]})
+    res = search.search_fuzzy(spark, store, fz, k=200).toPandas()
+    assert len(res) > 0 and set(res["doc_id"]).issubset(live_ids)
+
+
+# ------------------------------------------------------------- expansions
+
+def test_prefix_empty_rejected(spark, store):
+    with pytest.raises(EngineError, match="empty prefix"):
+        search.search_prefix(
+            spark, store, pd.DataFrame({"qid": [0], "prefix": [""]})
+        )
+
+
+def test_prefix_default_cap_50(spark, tmp_path_factory):
+    """Default max_expansions=50 (ES parity): with 60 terms sharing a
+    prefix, only the 50 term-ascending first expansions score."""
+    spark_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"] * 60,
+                "path": [f"p{i:02d}" for i in range(60)],
+                "commit": ["c"] * 60,
+                "content": [f"zqx{i:03d} filler" for i in range(60)],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("r2_prefix_cap"))
+    build.build_index(spark_df, CFG, path, segment_docs=64, num_buckets=4)
+    st = search.load_store(path)
+    pf = pd.DataFrame({"qid": [0], "prefix": ["zqx"]})
+    res = search.search_prefix(spark, st, pf, k=100).toPandas()
+    # terms zqx000..zqx049 matched, zqx050..zqx059 beyond the cap
+    assert len(res) == 50
+    matched_paths = {d.split(".")[1] for d in res["doc_id"]}
+    assert matched_paths == {f"p{i:02d}" for i in range(50)}
+    res_all = search.search_prefix(
+        spark, st, pf, k=100, max_expansions=None
+    ).toPandas()
+    assert len(res_all) == 60
+
+
+def test_phrase_high_df_bigram(spark, tmp_path_factory):
+    """A phrase whose tokens are in EVERY doc (maximal candidate set)
+    exercises the vectorized position-chain verification; only docs with the
+    consecutive bigram match."""
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * n,
+            "path": [f"p{i:03d}" for i in range(n)],
+            "commit": ["c"] * n,
+            "content": [
+                f"alpha beta gamma uniq{i}" if i % 2 == 0
+                else f"alpha gamma beta uniq{i}"
+                for i in range(n)
+            ],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r2_bigram"))
+    build.build_index(
+        spark.createDataFrame(pdf), CFG, path,
+        segment_docs=64, num_buckets=4, positions=True,
+    )
+    st = search.load_store(path)
+    q = pd.DataFrame({"qid": [0], "query": ["alpha beta"]})
+    res = search.search_phrase(spark, st, q, k=n).toPandas()
+    got = {d.split(".")[1] for d in res["doc_id"]}
+    assert got == {f"p{i:03d}" for i in range(0, n, 2)}
+
+
+# ------------------------------------------------------- num_buckets guard
+
+def test_num_buckets_conflict_raises(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r2_buckets"))
+    build.build_index(corpus_df, CFG, path, segment_docs=64, num_buckets=8)
+    with pytest.raises(EngineError, match="num_buckets"):
+        build.build_index(
+            corpus_df, CFG, path, segment_docs=64, num_buckets=16
+        )
+    # omitted → inherits; resume skips the committed batch without error
+    res = build.build_index(corpus_df, CFG, path, segment_docs=64)
+    assert res.skipped_batches == 1
+    assert search.load_store(path).meta["num_buckets"] == 8
+
+
+def test_num_buckets_conflict_cdc(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r2_buckets_cdc"))
+    cfg = IndexerConfig(index="code", version_field="version",
+                        record_error_hook=lambda df: None)
+    build.build_index(
+        spark.createDataFrame(_corpus0()), cfg, path,
+        segment_docs=64, num_buckets=8,
+    )
+    with pytest.raises(EngineError, match="num_buckets"):
+        cdc.apply_changes(_events_df(spark), cfg, path, num_buckets=32)
+
+
+# ---------------------------------------------------- sink_options passthrough
+
+def test_sink_options_reach_writer(spark, corpus_df, tmp_path_factory):
+    """sink_options (the reference's bulk-option dict, lib/handler.js:151-153)
+    land on the DataFrameWriter: a gzip codec shows up in the store files."""
+    import glob
+    import os
+
+    path = str(tmp_path_factory.mktemp("r2_sink"))
+    cfg = IndexerConfig(index="code", sink_options={"compression": "gzip"})
+    build.build_index(corpus_df, cfg, path, segment_docs=64, num_buckets=8)
+    files = glob.glob(
+        os.path.join(path, "segments", "**", "*.parquet"), recursive=True
+    )
+    assert files and all(f.endswith(".gz.parquet") for f in files)
+    # the store still queries correctly
+    st = search.load_store(path)
+    q = pd.DataFrame({"qid": [0], "query": ["def"]})
+    assert search.search(spark, st, q, k=5).count() == 5
+
+
+def test_sink_options_body_forbidden():
+    with pytest.raises(ValidationError, match="body"):
+        IndexerConfig(index="code", sink_options={"body": []})
+
+
+# ------------------------------------------------------ event validation
+
+def test_validate_events_missing_keys(spark):
+    """Reference EVENT schema (lib/schemas.js:47-56; tests
+    handler-tests.js:1399-1468): eventName and dynamodb.Keys are required;
+    both violations are collected into ONE ValidationError."""
+    from dynamo2es_lambda_spark.streaming import apply_cdc
+
+    pdf = pd.DataFrame(
+        [(None, None, None, None),
+         ("INSERT", {"repo": "r", "path": "p", "commit": "c"},
+          {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+           "content": "x", "version": 0}, None)],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    df = spark.createDataFrame(pdf, schema=apply_cdc.EVENT_SCHEMA)
+    with pytest.raises(ValidationError) as ei:
+        cdc.validate_events(df)
+    msgs = " ".join(ei.value.details)
+    assert '"event_name" is required' in msgs
+    assert '"keys" is required' in msgs
+
+
+def test_validate_events_error_hook_catches(spark, tmp_path_factory):
+    """A malformed frame surfaces through error_hook (reference errorHook
+    catches validation failures, lib/handler.js:174-179)."""
+    caught = []
+    cfg = IndexerConfig(
+        index="code", version_field="version",
+        error_hook=lambda err: caught.append(err) or {"handled": True},
+    )
+    pdf = pd.DataFrame(
+        [(None, {"repo": "r", "path": "p", "commit": "c"}, None, None)],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    from dynamo2es_lambda_spark.streaming import apply_cdc
+
+    df = spark.createDataFrame(pdf, schema=apply_cdc.EVENT_SCHEMA)
+    path = str(tmp_path_factory.mktemp("r2_vev"))
+    out = cdc.apply_changes(df, cfg, path)
+    assert out == {"handled": True}
+    assert isinstance(caught[0], ValidationError)
+
+
+# ------------------------------------------------------- after_hook meta
+
+def test_after_hook_receives_meta_build(spark, corpus_df, tmp_path_factory):
+    """Two-arg after_hooks get the per-record meta (reference hands afterHook
+    the {event, action, document} list — lib/handler.js:115-125,167,
+    asserted test/handler-tests.js:268-285)."""
+    seen = {}
+
+    def hook(result, meta):
+        seen["meta"] = meta.orderBy("doc_id").toPandas()
+        seen["result"] = result
+
+    path = str(tmp_path_factory.mktemp("r2_meta"))
+    cfg = IndexerConfig(index="code", after_hook=hook)
+    res = build.build_index(corpus_df, cfg, path, segment_docs=64,
+                            num_buckets=8)
+    meta = seen["meta"]
+    assert len(meta) == res.n_docs == 200
+    assert set(meta["action"]) == {"index"}
+    assert {"doc_id", "action", "index_name", "content_sha256"}.issubset(
+        meta.columns
+    )
+    assert set(meta["index_name"]) == {"code"}
+
+
+def test_after_hook_single_arg_compat(spark, corpus_df, tmp_path_factory):
+    """Round-1 single-arg hooks keep working (and may override the result)."""
+    path = str(tmp_path_factory.mktemp("r2_meta1"))
+    cfg = IndexerConfig(index="code", after_hook=lambda result: "override")
+    out = build.build_index(corpus_df, cfg, path, segment_docs=64,
+                            num_buckets=8)
+    assert out == "override"
+
+
+def test_after_hook_receives_meta_cdc(spark, tmp_path_factory):
+    seen = {}
+
+    def hook(result, meta):
+        seen["meta"] = meta.toPandas()
+
+    cfg = IndexerConfig(index="code", version_field="version",
+                        record_error_hook=lambda df: None, after_hook=hook)
+    path = str(tmp_path_factory.mktemp("r2_meta_cdc"))
+    build.build_index(
+        spark.createDataFrame(_corpus0()),
+        IndexerConfig(index="code", version_field="version",
+                      record_error_hook=lambda df: None),
+        path, segment_docs=64, num_buckets=8,
+    )
+    cdc.apply_changes(_events_df(spark), cfg, path, segment_docs=64)
+    meta = seen["meta"]
+    # 20 upserts (LWW-folded) + 10 deletes
+    assert set(meta["action"]) == {"index", "delete"}
+    assert len(meta[meta.action == "delete"]) == 10
+    assert len(meta[meta.action == "index"]) == 20
