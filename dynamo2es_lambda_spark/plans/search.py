@@ -275,40 +275,6 @@ def _present(
     )
 
 
-def _match_scores(
-    spark: SparkSession,
-    store: IndexStore,
-    queries: pd.DataFrame,
-    query_col: str,
-) -> tuple[DataFrame | None, dict]:
-    """Internal: (qid, doc_int, score, nt) for every doc matching ≥1 term of
-    ``queries[query_col]`` — the un-cut OR-match table bool queries compose.
-    Returns (None, {}) when no query has an indexed term; the dict maps qid
-    → number of distinct query terms (for AND/must enforcement)."""
-    q = queries[["qid", query_col]].rename(columns={query_col: "query"})
-    q = q[q["query"].astype(str).str.len() > 0]
-    qt = _query_terms(q)
-    if qt.empty:
-        return None, {}
-    qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
-    n_terms_by_qid = qt.groupby("qid").size().to_dict()
-    qt = qt.dropna(subset=["df"])
-    if qt.empty:
-        return None, n_terms_by_qid
-    n_docs = float(store.meta["n_docs"])
-    qt["w"] = (
-        bm25.idf(n_docs, qt["df"].to_numpy())
-        * (bm25.K1 + 1.0)
-        * qt["qtf"].to_numpy()
-    )
-    joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, float(store.meta["avgdl"]))
-    agg = cand.groupBy("qid", "doc_int").agg(
-        F.sum("score").alias("score"), F.count("*").alias("nt")
-    )
-    return _drop_dead(spark, store, agg), n_terms_by_qid
-
-
 def search_bool(
     spark: SparkSession,
     store: IndexStore,
@@ -323,56 +289,80 @@ def search_bool(
     (empty string = clause absent). With no must clause, candidates are the
     should matches (ES behavior when bool has only should). Scores are the
     summed BM25 of matched must + should terms; must_not contributes no
-    score (a pure filter, like ES filter-context exclusion).
+    score (a pure filter, like ES filter-context exclusion). A qid WITH a
+    must clause whose terms are all unindexed matches nothing (the ``need``
+    table is built before unindexed terms are dropped, so nt_must can never
+    reach it).
 
-    A qid WITH a must clause whose terms are all unindexed matches nothing
-    — in BOTH the mixed-batch branch (``need`` join) and the every-must-
-    unindexed branch (``n_must`` exclusion below), matching ES semantics.
+    ONE fused pipeline for all three clauses: the clause index rides the
+    low 2 bits of a composite qid (qid<<2 | clause) through the shared
+    term-stats read, block read and scoring, and bool semantics resolve in
+    a single per-(qid, doc) aggregation — one shuffle total, vs one full
+    pipeline per clause.
     """
-    must, n_must = _match_scores(spark, store, queries, "must")
-    should, _ = _match_scores(spark, store, queries, "should")
-    mnot, _ = _match_scores(spark, store, queries, "must_not")
-
-    if must is not None:
-        need = spark.createDataFrame(
-            pd.DataFrame({"qid": list(n_must), "need": list(n_must.values())})
-        )
-        base = (
-            must.join(F.broadcast(need), "qid")
-            .filter(F.col("nt") == F.col("need"))
-            .select("qid", "doc_int", "score")
-        )
-        # queries WITH a must clause whose terms are unindexed match nothing;
-        # queries WITHOUT a must clause fall through to should-only
-        must_qids = set(n_must)
-        if should is not None:
-            extra = should.select(
-                "qid", "doc_int", F.col("score").alias("s2")
-            )
-            base = base.join(extra, ["qid", "doc_int"], "left").select(
-                "qid", "doc_int",
-                (F.col("score") + F.coalesce(F.col("s2"), F.lit(0.0))).alias(
-                    "score"
-                ),
-            )
-            should_only = should.filter(
-                ~F.col("qid").isin(list(must_qids))
-            ).select("qid", "doc_int", "score")
-            base = base.unionByName(should_only)
-    elif should is not None:
-        base = should.select("qid", "doc_int", "score")
-        if n_must:
-            # every must clause in the batch is unindexed (must is None) —
-            # but those qids still HAVE a must clause and must match nothing,
-            # not fall through to should-only (ADVICE r1, high)
-            base = base.filter(~F.col("qid").isin([int(q) for q in n_must]))
-    else:
+    frames = []
+    for idx, col in ((0, "must"), (1, "should"), (2, "must_not")):
+        q = queries[["qid", col]].rename(columns={col: "query"})
+        q = q[q["query"].astype(str).str.len() > 0]
+        qt_i = _query_terms(q)
+        if not qt_i.empty:
+            qt_i["qid"] = qt_i["qid"] * 4 + idx
+            frames.append(qt_i)
+    if not frames:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = pd.concat(frames, ignore_index=True)
 
-    if mnot is not None:
-        base = base.join(
-            mnot.select("qid", "doc_int"), ["qid", "doc_int"], "left_anti"
+    qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
+    # per-qid required must-term count, from the PRE-dropna table: an
+    # unindexed must term still counts toward need (→ can never be met)
+    n_must = {
+        int(cq) // 4: int(n)
+        for cq, n in qt[qt["qid"] % 4 == 0].groupby("qid").size().items()
+    }
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = float(store.meta["n_docs"])
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, float(store.meta["avgdl"]))
+    clause = F.col("qid").bitwiseAND(F.lit(3))
+    agg = (
+        cand.select(
+            F.shiftright("qid", 2).alias("qid"),
+            clause.alias("clause"),
+            "doc_int",
+            "score",
         )
+        .groupBy("qid", "doc_int")
+        .agg(
+            # must + should contributions; must_not is filter-context only
+            F.sum(F.when(F.col("clause") <= 1, F.col("score"))).alias("score"),
+            F.count(F.when(F.col("clause") == 0, 1)).alias("nt_must"),
+            F.count(F.when(F.col("clause") == 1, 1)).alias("nt_should"),
+            F.max(F.when(F.col("clause") == 2, 1)).alias("mnot"),
+        )
+    )
+    agg = _drop_dead(spark, store, agg)
+    if n_must:
+        need = spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": list(n_must), "need": list(n_must.values())}
+            )
+        )
+        agg = agg.join(F.broadcast(need), "qid", "left")
+    else:
+        agg = agg.withColumn("need", F.lit(None).cast("long"))
+    base = agg.filter(
+        F.col("mnot").isNull()
+        & F.when(F.col("need").isNotNull(), F.col("nt_must") == F.col("need"))
+        .otherwise(F.col("nt_should") >= 1)
+    ).select("qid", "doc_int", "score")
     return _present(spark, store, _cut_topk(base, k), k)
 
 
