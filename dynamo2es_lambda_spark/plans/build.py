@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from ..config import IndexerConfig
 from ..errors import EngineError
+from ..jsonlog import LOG, log_event
 from ..operators import fieldmap, ids, postings
 from ..sources import store_io
 
@@ -193,6 +194,13 @@ def build_index(
             "pruning — rebuild or omit the value to inherit"
         )
 
+    # structured logging middleware analog (lib/handler.js:28): one JSON
+    # event stream per run — see jsonlog.py
+    log_event(
+        LOG, "build.start", store=store_path, num_batches=num_batches,
+        num_buckets=num_buckets, positions=bool(positions), id_mode=id_mode,
+    )
+
     # --- before_hook (lib/handler.js:32-34) ---
     if cfg.before_hook:
         cfg.before_hook(corpus)
@@ -285,6 +293,11 @@ def build_index(
             batches=batch_names,
             skipped_batches=skipped,
         )
+        log_event(
+            LOG, "build.done", store=store_path,
+            took_sec=round(result.took_sec, 3), n_docs=total_docs,
+            n_blocks=total_blocks, quarantined=quarantined, skipped=skipped,
+        )
         # --- after_hook may replace the result (lib/handler.js:164-173);
         # two-arg hooks also receive the per-record meta (lib/handler.js:167)
         if cfg.after_hook:
@@ -294,6 +307,12 @@ def build_index(
         return result
     except Exception as err:  # noqa: BLE001
         # --- errorHook converts failure → normal return (lib/handler.js:174-179)
+        import logging as _logging
+
+        log_event(
+            LOG, "build.error", level=_logging.ERROR, store=store_path,
+            error=str(err), error_type=type(err).__name__,
+        )
         if cfg.error_hook is not None:
             return cfg.error_hook(err)
         raise
@@ -461,6 +480,11 @@ def _build_batch_once(
         store_path, batch_name,
         {"docs": n_docs, "blocks": n_blocks, "took_sec": took,
          "phases": phases},
+    )
+    log_event(
+        LOG, "build.batch", store=store_path, batch=batch_name,
+        docs=n_docs, blocks=n_blocks, took_sec=round(took, 3),
+        phases=phases,
     )
     return n_docs, n_blocks
 

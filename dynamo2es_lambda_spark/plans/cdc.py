@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..config import IndexerConfig
 from ..errors import EngineError, ValidationError
 from ..functions import codec
+from ..jsonlog import LOG, log_event
 from ..operators import actions, fieldmap, postings
 from ..sources import store_io
 from . import build
@@ -209,12 +210,19 @@ def apply_changes(
             "quarantined": quarantined,
             "batch": batch_name,
         }
+        log_event(LOG, "cdc.apply", store=store_path, **result)
         if cfg.after_hook:
             override = build.invoke_after_hook(cfg.after_hook, result, meta_df)
             if override is not None:
                 return override
         return result
     except Exception as err:  # noqa: BLE001
+        import logging as _logging
+
+        log_event(
+            LOG, "cdc.error", level=_logging.ERROR, store=store_path,
+            error=str(err), error_type=type(err).__name__,
+        )
         if cfg.error_hook is not None:
             return cfg.error_hook(err)
         raise
@@ -353,3 +361,4 @@ def compact_store(
     if os.path.isdir(tomb):
         shutil.rmtree(tomb)
     build._finalize_store(spark, store_path, 0, num_buckets)
+    log_event(LOG, "cdc.compact", store=store_path)

@@ -22,6 +22,25 @@ def iceberg_available(spark) -> bool:
         return False
 
 
+def storage_format(spark) -> str:
+    """'iceberg' when an Iceberg catalog is configured AND the runtime jar
+    is on the classpath; else 'parquet'. The big store tables (segment tree)
+    route through this; metadata-sized side tables (lineage, dead,
+    term_stats via driver writes) stay plain parquet — they are footers-and-
+    pages small and read whole. The sandbox image has no Iceberg jar, so the
+    parquet branch is the tested one (SURVEY.md §4.2(c)); the directory
+    layout is Iceberg-compatible either way."""
+    if not iceberg_available(spark):
+        return "parquet"
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return "iceberg"
+    except Exception:  # noqa: BLE001
+        return "parquet"
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -32,13 +51,16 @@ def write_parquet(
     """``options`` are user bulk/sink options merged into the writer — the
     engine's analog of the reference merging its ``bulk`` option dict into
     the sink call (/root/reference/lib/handler.js:151-153); e.g.
-    ``{"compression": "zstd"}`` reaches ``DataFrameWriter.option``."""
-    w = df.write.mode(mode)
+    ``{"compression": "zstd"}`` reaches ``DataFrameWriter.option``.
+
+    Format routes through :func:`storage_format` (Iceberg when a configured
+    catalog + runtime exist, else parquet — identical directory layout)."""
+    w = df.write.format(storage_format(df.sparkSession)).mode(mode)
     for key, val in (options or {}).items():
         w = w.option(key, val)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.save(path)
 
 
 def parquet_num_rows(path: str) -> int:
@@ -63,10 +85,15 @@ def segments_path(store_path: str) -> str:
     return os.path.join(store_path, "segments")
 
 
+def read_store(spark, path: str):
+    """Format-routed read of a store table (see :func:`storage_format`)."""
+    return spark.read.format(storage_format(spark)).load(path)
+
+
 def read_blocks(spark, store_path: str):
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(segments_path(store_path)).filter(
+    return read_store(spark, segments_path(store_path)).filter(
         F.col("part") == "block"
     )
 
@@ -74,7 +101,7 @@ def read_blocks(spark, store_path: str):
 def read_doc_stats(spark, store_path: str):
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(segments_path(store_path)).filter(
+    df = read_store(spark, segments_path(store_path)).filter(
         F.col("part") == "doc"
     )
     keep = [
@@ -98,7 +125,7 @@ def read_doc_rows(spark, store_path: str, cols: tuple[str, ...] = ("doc_int", "s
 
     from ..errors import EngineError
 
-    df = spark.read.parquet(segments_path(store_path)).filter(
+    df = read_store(spark, segments_path(store_path)).filter(
         F.col("part") == "doc"
     )
     if "doc_seg" not in df.columns:

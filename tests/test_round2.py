@@ -353,6 +353,61 @@ def test_validate_events_error_hook_catches(spark, tmp_path_factory):
     assert isinstance(caught[0], ValidationError)
 
 
+# -------------------------------------------------- structured logging
+
+def test_structured_logging_build(spark, corpus_df, tmp_path_factory):
+    """bunyan-middleware analog (lib/handler.js:28): a build run emits a
+    newline-delimited JSON event stream (build.start → build.batch ->
+    build.done) once a handler is attached; silent otherwise."""
+    import io
+    import json as jsonlib
+    import logging as pylogging
+
+    from dynamo2es_lambda_spark import jsonlog
+
+    buf = io.StringIO()
+    logger = jsonlog.json_logger(stream=buf)
+    try:
+        path = str(tmp_path_factory.mktemp("r2_log"))
+        build.build_index(corpus_df, CFG, path, segment_docs=64,
+                          num_buckets=8)
+    finally:
+        for h in list(logger.handlers):
+            if getattr(h, "_d2es_json", False):
+                logger.removeHandler(h)
+    events = [jsonlib.loads(line) for line in buf.getvalue().splitlines()]
+    names = [e["event"] for e in events]
+    assert names[0] == "build.start" and names[-1] == "build.done"
+    assert "build.batch" in names
+    batch = next(e for e in events if e["event"] == "build.batch")
+    assert batch["docs"] == 200 and batch["name"] == jsonlog.LOGGER_NAME
+    assert {"time", "level", "store", "phases"} <= set(batch)
+
+
+def test_structured_logging_error_event(spark, corpus_df, tmp_path_factory):
+    import io
+    import json as jsonlib
+
+    from dynamo2es_lambda_spark import jsonlog
+
+    buf = io.StringIO()
+    logger = jsonlog.json_logger(stream=buf)
+    try:
+        path = str(tmp_path_factory.mktemp("r2_log_err"))
+        cfg = IndexerConfig(index="code",
+                            transform_record_hook=lambda df: 1 / 0)
+        with pytest.raises(ZeroDivisionError):
+            build.build_index(corpus_df, cfg, path)
+    finally:
+        for h in list(logger.handlers):
+            if getattr(h, "_d2es_json", False):
+                logger.removeHandler(h)
+    events = [jsonlib.loads(line) for line in buf.getvalue().splitlines()]
+    err = next(e for e in events if e["event"] == "build.error")
+    assert err["level"] == "error"
+    assert err["error_type"] == "ZeroDivisionError"
+
+
 # ------------------------------------------------------- after_hook meta
 
 def test_after_hook_receives_meta_build(spark, corpus_df, tmp_path_factory):
