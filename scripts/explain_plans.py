@@ -139,6 +139,35 @@ def main() -> None:
         plan_of(search.search_phrase(spark, store, ph, k=5)),
     ))
 
+    # --- 2c. index-filtered WAND: cogroup-routed constraints ---
+    res_f = search.search(spark, store, qpdf, k=10, algo="wand",
+                          index="docs")
+    sections.append((
+        "Index-filtered WAND (cogroup-routed constraints)",
+        "The index filter (and the dead list, when present) reaches each "
+        "(qid, seg) scorer group through FlatMapCoGroupsInPandas: the "
+        "allow/dead rows shuffle by their doc_seg — volume proportional to "
+        "the constrained docs × queries — and the posting side shuffles "
+        "exactly as the unfiltered WAND does. Nothing is collected to the "
+        "driver (round-1's toPandas of doc_stats is gone); out-of-index "
+        "docs are excluded INSIDE the scorer so they never burn heap slots "
+        "(a post-hoc semi-join would not be exact).",
+        plan_of(res_f),
+    ))
+
+    # --- 2d. prefix expansion: JVM-side cap before any collect ---
+    pf = pd.DataFrame({"qid": [0], "prefix": ["c"]})
+    sections.append((
+        "Prefix expansion (JVM-side max_expansions cap)",
+        "The pattern table broadcasts into ONE term_stats scan "
+        "(metadata-sized — never postings); the deterministic "
+        "max_expansions cap is a row_number window applied BEFORE the "
+        "collect, so at most patterns × 50 rows reach the driver no matter "
+        "how many dictionary terms match. The capped set then drives the "
+        "same pruned posting read as a regular OR query.",
+        plan_of(search.search_prefix(spark, store, pf, k=5)),
+    ))
+
     # --- 3. TPC-H style join: broadcast dim + partial aggregation ---
     q = entry_queries.SPARK_QUERIES["tpch_revenue_by_nation"]
     sections.append((
