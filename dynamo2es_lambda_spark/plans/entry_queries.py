@@ -390,6 +390,162 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------ 4a3b. bool + minimum_should_match
+# ES bool's minimum_should_match: require N distinct should terms to match
+# (with a must clause present, should is otherwise optional).
+
+BOOL_MSM_QUERIES = [
+    (0, "", "spark merge window", ""),
+    (1, "the", "customer table data", ""),
+    (2, "", "slow batch", "dup"),
+]
+BOOL_MSM = 2
+
+
+def q_fts_bool_msm(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        BOOL_MSM_QUERIES, columns=["qid", "must", "should", "must_not"]
+    )
+    res = search.search_bool(
+        spark, store, qpdf, k=50, minimum_should_match=BOOL_MSM
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _bool_msm_sql(
+    queries: list[tuple[int, str, str, str]], k: int, msm: int
+) -> str:
+    """Oracle for q_fts_bool_msm — mirrors the engine's fused-clause
+    aggregation: one scored CTE with per-clause counters, then the bool
+    predicate (must AND via need-count, nt_should >= msm, must_not
+    exclusion) on top."""
+    vals, needs = [], []
+    for qid, m, s_, n_ in queries:
+        for clause, text in ((0, m), (1, s_), (2, n_)):
+            toks = analysis.tokenize_series(pd.Series([text]))[0]
+            for t, qtf in sorted(Counter(toks).items()):
+                vals.append(f"({qid}, '{t}', {qtf}, {clause})")
+        mtoks = analysis.tokenize_series(pd.Series([m]))[0]
+        if mtoks:
+            needs.append(f"({qid}, {len(set(mtoks))})")
+    term_score = (
+        f"q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+        f"* ({K1} + 1.0) * p.tf "
+        f"/ (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    need_join = (
+        f"LEFT JOIN (VALUES {', '.join(needs)}) need(nqid, need) "
+        "ON scored.qid = need.nqid"
+        if needs
+        else "LEFT JOIN (VALUES (-1, 0)) need(nqid, need) "
+             "ON scored.qid = need.nqid"
+    )
+    return f"""{_BM25_BODY},
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(CASE WHEN q.clause <= 1 THEN {term_score} END) AS score,
+         count(CASE WHEN q.clause = 0 THEN 1 END) AS nt_must,
+         count(CASE WHEN q.clause = 1 THEN 1 END) AS nt_should,
+         max(CASE WHEN q.clause = 2 THEN 1 END) AS mnot
+  FROM (VALUES {", ".join(vals)}) q(qid, term, qtf, clause)
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+flt AS (
+  SELECT scored.qid, scored.doc_id, scored.score
+  FROM scored
+  {need_join}
+  WHERE mnot IS NULL
+    AND CASE WHEN need IS NOT NULL
+             THEN nt_must = need AND nt_should >= {msm}
+             ELSE nt_should >= {max(1, msm)} END
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM flt
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------ 4a3c. more_like_this
+# ES more_like_this (free-text like): tf×idf term selection capped at
+# max_query_terms, then OR BM25 — plans/search.search_more_like_this.
+
+MLT_QUERIES = [
+    (0, "spark merge window customer fast table"),
+    (1, "data slow batch key dup stream"),
+]
+MLT_MAX_TERMS = 4
+
+
+def q_fts_more_like_this(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    lpdf = pd.DataFrame(MLT_QUERIES, columns=["qid", "like"])
+    res = search.search_more_like_this(
+        spark, store, lpdf, k=50, max_query_terms=MLT_MAX_TERMS
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _mlt_sql(likes: list[tuple[int, str]], k: int, max_terms: int) -> str:
+    """Oracle for q_fts_more_like_this: identical term selection (tf_like ×
+    idf rounded to 9 dp, desc, term asc, top max_terms) then OR BM25."""
+    vals = []
+    for qid, text in likes:
+        toks = analysis.tokenize_series(pd.Series([text]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+lt(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+sel AS (
+  SELECT qid, term, qtf FROM (
+    SELECT lt.qid AS qid, lt.term AS term, lt.qtf AS qtf,
+           row_number() OVER (
+             PARTITION BY lt.qid
+             ORDER BY round(lt.qtf * ln(1.0 + (s.n - d.df + 0.5)
+                            / (d.df + 0.5)), 9) DESC,
+                      lt.term ASC
+           ) AS rn
+    FROM lt
+    JOIN dfreq d ON d.term = lt.term
+    CROSS JOIN stats s
+  ) WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM sel q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------- 4a4. highlight snippets
 # ES ``highlight`` analog: snippet around the first matching query term,
 # computed with pure built-in expressions over the top-k docs only
@@ -1279,6 +1435,8 @@ SPARK_QUERIES = {
     "fts_bm25_filtered": q_fts_bm25_filtered,
     "fts_facet_lang": q_fts_facet_lang,
     "fts_bool": q_fts_bool,
+    "fts_bool_msm": q_fts_bool_msm,
+    "fts_more_like_this": q_fts_more_like_this,
     "fts_highlight": q_fts_highlight,
     "fts_phrase": q_fts_phrase,
     "fts_prefix": q_fts_prefix,
@@ -1313,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_filtered": _bm25_filtered_sql(FT_QUERIES, FT_K),
         "fts_facet_lang": _facet_sql(FT_QUERIES),
         "fts_bool": _bool_sql(BOOL_QUERIES, FT_K),
+        "fts_bool_msm": _bool_msm_sql(BOOL_MSM_QUERIES, FT_K, BOOL_MSM),
+        "fts_more_like_this": _mlt_sql(MLT_QUERIES, FT_K, MLT_MAX_TERMS),
         "fts_highlight": _highlight_sql(FT_QUERIES, HL_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),

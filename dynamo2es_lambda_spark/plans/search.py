@@ -280,6 +280,7 @@ def search_bool(
     store: IndexStore,
     queries: pd.DataFrame,
     k: int = 10,
+    minimum_should_match: int | None = None,
 ) -> DataFrame:
     """ES ``bool`` query: per qid, ``must`` terms are all required (AND,
     scored), ``should`` terms add score when present (OR, optional), and
@@ -293,6 +294,11 @@ def search_bool(
     must clause whose terms are all unindexed matches nothing (the ``need``
     table is built before unindexed terms are dropped, so nt_must can never
     reach it).
+
+    ``minimum_should_match`` (ES parameter of the same name): None keeps
+    the ES default — should is optional when a must clause exists, and ≥1
+    should term must match otherwise; an explicit integer requires that
+    many DISTINCT should terms to match in both cases.
 
     ONE fused pipeline for all three clauses: the clause index rides the
     low 2 bits of a composite qid (qid<<2 | clause) through the shared
@@ -358,12 +364,72 @@ def search_bool(
         agg = agg.join(F.broadcast(need), "qid", "left")
     else:
         agg = agg.withColumn("need", F.lit(None).cast("long"))
+    msm_with_must = minimum_should_match or 0
+    msm_without = max(1, minimum_should_match or 1)
     base = agg.filter(
         F.col("mnot").isNull()
-        & F.when(F.col("need").isNotNull(), F.col("nt_must") == F.col("need"))
-        .otherwise(F.col("nt_should") >= 1)
+        & F.when(
+            F.col("need").isNotNull(),
+            (F.col("nt_must") == F.col("need"))
+            & (F.col("nt_should") >= msm_with_must),
+        ).otherwise(F.col("nt_should") >= msm_without)
     ).select("qid", "doc_int", "score")
     return _present(spark, store, _cut_topk(base, k), k)
+
+
+def search_more_like_this(
+    spark: SparkSession,
+    store: IndexStore,
+    likes: pd.DataFrame,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """ES ``more_like_this`` with free-text ``like`` input: tokenize the
+    like text with the pinned analyzer, rank its terms by interestingness
+    ``tf_like × idf`` (ES's MLT term selection), keep the top
+    ``max_query_terms`` (deterministic: interestingness desc, term asc,
+    both sides rounded to 9 dp for dialect-identical selection), then score
+    the selected terms as a regular OR BM25 query with qtf = like-text tf.
+
+    ``likes``: pandas (qid, like). ``min_doc_freq`` drops terms rarer than
+    the threshold in the corpus (ES parameter of the same name). Term
+    selection is driver-side over the LIKE TEXT's own vocabulary (query-
+    sized, like all query preprocessing) — never over the dictionary.
+    """
+    rows = []
+    for qid, text in zip(likes["qid"], likes["like"]):
+        toks = analysis.tokenize_series(pd.Series([str(text)]))[0]
+        for t, c in sorted(Counter(toks).items()):
+            rows.append((int(qid), t, int(c)))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
+    qt = qt.dropna(subset=["df"])
+    qt = qt[qt["df"] >= min_doc_freq]
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = float(store.meta["n_docs"])
+    idf = bm25.idf(n_docs, qt["df"].to_numpy())
+    qt = qt.assign(_sel=np.round(qt["qtf"].to_numpy() * idf, 9))
+    qt = (
+        qt.sort_values(["qid", "_sel", "term"],
+                       ascending=[True, False, True])
+        .groupby("qid", sort=False)
+        .head(max_query_terms)
+    )
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, float(store.meta["avgdl"]))
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
 
 
 def _join_term_stats(

@@ -116,6 +116,75 @@ def search_bool_pdf(spark, store, q, k=10):
     return search.search_bool(spark, store, q, k=k).toPandas()
 
 
+def test_bool_minimum_should_match(spark, tmp_path_factory):
+    """ES minimum_should_match: require N distinct should terms; with a
+    must clause, should stays optional unless msm is set."""
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 4,
+            "path": ["a", "b", "c", "d"],
+            "commit": ["c"] * 4,
+            "content": [
+                "alpha beta gamma",   # a: matches 3 should terms
+                "alpha filler0",      # b: 1 should term
+                "alpha beta filler1", # c: 2
+                "delta filler2",      # d: 0
+            ],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r2_msm"))
+    build.build_index(spark.createDataFrame(pdf), CFG, path,
+                      segment_docs=64, num_buckets=4)
+    st = search.load_store(path)
+    q = pd.DataFrame(
+        {"qid": [0], "must": [""], "should": ["alpha beta gamma"],
+         "must_not": [""]}
+    )
+    r1 = search.search_bool(spark, st, q, k=10).toPandas()
+    assert {d.split(".")[1] for d in r1["doc_id"]} == {"a", "b", "c"}
+    r2 = search.search_bool(
+        spark, st, q, k=10, minimum_should_match=2
+    ).toPandas()
+    assert {d.split(".")[1] for d in r2["doc_id"]} == {"a", "c"}
+    # with a must clause: msm applies on top of the must requirement
+    q3 = pd.DataFrame(
+        {"qid": [0], "must": ["alpha"], "should": ["beta gamma"],
+         "must_not": [""]}
+    )
+    r3 = search.search_bool(
+        spark, st, q3, k=10, minimum_should_match=2
+    ).toPandas()
+    assert {d.split(".")[1] for d in r3["doc_id"]} == {"a"}
+
+
+def test_more_like_this_selection(spark, tmp_path_factory):
+    """MLT keeps only the top max_query_terms by tf×idf: a ubiquitous term
+    (low idf) is dropped from the selection before scoring."""
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 4,
+            "path": ["a", "b", "c", "d"],
+            "commit": ["c"] * 4,
+            "content": [
+                "common rare1",
+                "common rare2",
+                "common filler0",
+                "common filler1",
+            ],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r2_mlt"))
+    build.build_index(spark.createDataFrame(pdf), CFG, path,
+                      segment_docs=64, num_buckets=4)
+    st = search.load_store(path)
+    likes = pd.DataFrame({"qid": [0], "like": ["common rare1 rare2"]})
+    res = search.search_more_like_this(
+        spark, st, likes, k=10, max_query_terms=2
+    ).toPandas()
+    # 'common' (df=4, lowest idf) is dropped: only rare1/rare2 docs match
+    assert {d.split(".")[1] for d in res["doc_id"]} == {"a", "b"}
+
+
 # -------------------------------------------- index-filtered WAND == exhaustive
 
 def test_wand_filtered_rank_identity(spark, routed_store, queries_pdf):
