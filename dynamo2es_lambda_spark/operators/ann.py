@@ -215,6 +215,111 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) trained DISTRIBUTEDLY for the IVF coarse
+    quantizer. Per iteration:
+
+    - assignment: broadcast the k × dim centroid table, map-side argmax
+      cosine (``ivf_assign`` — no shuffle of the vector table);
+    - update: per-dimension partial sums JVM-side (``posexplode`` →
+      partial+final groupBy on (cid, pos)) — the exchange carries only
+      partitions × k × dim partial aggregates, never the vectors;
+    - the k × dim centroid matrix lives on the driver between iterations —
+      broadcast-sized by construction (it IS the broadcast side).
+
+    Init = deterministic maximin (farthest-point): a hash-ordered seed
+    point, then k−1 rounds each adding the point with the smallest max
+    cosine to the chosen set (one broadcast-join aggregation per round —
+    k−1 cheap jobs; guarantees well-separated clusters each receive an
+    initial centroid, unlike random sampling). Empty clusters keep their
+    previous centroid; centroids are L2-normalized (cosine is
+    scale-invariant, normalization keeps the mean-of-members update
+    spherical). Float-sum reduction order is not fixed, so centroids are
+    deterministic only to float tolerance — use the fixed-id
+    sampled-centroid path when bit-exact reproducibility is required (the
+    driver-gated query does). Returns (cid, cvec)."""
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
+    )
+
+    def norm(v: np.ndarray) -> np.ndarray:
+        return v / (np.linalg.norm(v) + 1e-12)
+
+    def cents_df(c: np.ndarray) -> DataFrame:
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"cid": range(len(c)), "cvec": [list(map(float, v)) for v in c]}
+            )
+        )
+
+    seed = (
+        vecs.orderBy(F.xxhash64("vec_id"), F.col("vec_id")).limit(1).toPandas()
+    )
+    chosen = [norm(np.asarray(seed["tvec"].iloc[0], dtype=np.float64))]
+    for _ in range(n_centroids - 1):
+        far = (
+            vecs.join(F.broadcast(cents_df(np.stack(chosen))))
+            .withColumn("_cos", F.expr(cosine_expr("tvec", "cvec")))
+            .groupBy("vec_id")
+            .agg(F.max("_cos").alias("m"), F.first("tvec").alias("tvec"))
+            .orderBy(F.col("m").asc(), F.col("vec_id"))
+            .limit(1)
+            .toPandas()
+        )
+        chosen.append(norm(np.asarray(far["tvec"].iloc[0], dtype=np.float64)))
+    cents = np.stack(chosen)
+
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vecs, cents_df(cents), id_col="vec_id", vec_col="tvec"
+        )
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("tvec").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .toPandas()
+        )
+        new = cents.copy()
+        for cid, g in sums.groupby("cid"):
+            v = g.sort_values("pos")["s"].to_numpy(np.float64)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                new[int(cid)] = v / norm
+        cents = new
+    return cents_df(cents)
+
+
+def _ivf_probe_rerank(
+    targets: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF query path: assign targets to their nearest centroid,
+    probe each query's ``nprobe`` nearest clusters, exact-rerank only their
+    members. ``targets``: (vec_id, tvec); ``queries``: (qid, qvec)."""
+    assigned = ivf_assign(targets, cents, id_col="vec_id", vec_col="tvec")
+    probes = ivf_assign(queries, cents, id_col="qid", vec_col="qvec", n=nprobe)
+    cands = assigned.join(F.broadcast(probes), "cid")
+    scored = cands.withColumn("cos", F.expr(cosine_expr("qvec", "tvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -227,31 +332,49 @@ def ann_topk_ivf(
     """IVF-flat approximate top-k: each query probes its ``nprobe`` nearest
     clusters and exact-reranks only their members. → (qid, rank, vec_id, cos).
 
-    At scale: write the table partitioned by ``cid`` — the candidate join
-    prunes to the probed clusters (same pattern as the posting store's
-    term_bucket pruning). Recall rises with nprobe; nprobe = n_centroids
-    degenerates to exact brute force."""
+    Centroids here are fixed-id samples — bit-deterministic, what the
+    driver-gated oracle query uses; ``ann_topk_ivf_kmeans`` swaps in
+    distributedly-trained spherical k-means centroids for better recall at
+    the same query cost. At scale: write the table partitioned by ``cid`` —
+    the candidate join prunes to the probed clusters (same pattern as the
+    posting store's term_bucket pruning). Recall rises with nprobe; nprobe
+    = n_centroids degenerates to exact brute force."""
     cents = embeddings.filter(F.col(id_col).isin(centroid_ids)).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     targets = embeddings.filter(~F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
     )
-    assigned = ivf_assign(targets, cents, id_col="vec_id", vec_col="tvec")
-
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    probes = ivf_assign(q, cents, id_col="qid", vec_col="qvec", n=nprobe)
+    return _ivf_probe_rerank(targets, q, cents, k, nprobe)
 
-    cands = assigned.join(F.broadcast(probes), "cid")
-    scored = cands.withColumn("cos", F.expr(cosine_expr("qvec", "tvec")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos")
+
+def ann_topk_ivf_kmeans(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 16,
+    iters: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat with k-means-trained centroids (``kmeans_centroids``): the
+    production IVF shape — train once over the corpus, then the same
+    cluster-pruned probe/rerank as ``ann_topk_ivf``."""
+    targets = embeddings.filter(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
     )
+    cents = kmeans_centroids(
+        targets, n_centroids=n_centroids, iters=iters,
+        id_col="vec_id", vec_col="tvec",
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    return _ivf_probe_rerank(targets, q, cents, k, nprobe)
 
 
 def ann_topk_lsh(

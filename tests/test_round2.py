@@ -422,6 +422,36 @@ def test_validate_events_error_hook_catches(spark, tmp_path_factory):
     assert isinstance(caught[0], ValidationError)
 
 
+# -------------------------------------------------------- IVF k-means
+
+def test_ivf_kmeans_recall(spark):
+    """Distributed spherical k-means centroids: on well-separated clusters,
+    nprobe=1 IVF matches exact brute-force top-k (full recall)."""
+    from dynamo2es_lambda_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4).repeat(2, axis=1) * 10.0  # 4 orthogonal dirs in R^8
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = centers[c] + rng.normal(0, 0.3, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).repartition(4)
+    queries = [0, 50, 100, 150]
+    exact = ann.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = ann.ann_topk_ivf_kmeans(
+        emb, queries, n_centroids=4, iters=4, k=5, nprobe=1
+    ).toPandas()
+    for q in queries:
+        e = exact[exact.qid == q].sort_values("rank")["vec_id"].tolist()
+        a = approx[approx.qid == q].sort_values("rank")["vec_id"].tolist()
+        assert e == a, q
+
+
 # -------------------------------------------------- structured logging
 
 def test_structured_logging_build(spark, corpus_df, tmp_path_factory):
