@@ -770,6 +770,219 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------- 4d. regexp / match_phrase_prefix / dis_max
+# ES regexp (anchored dictionary expansion), match_phrase_prefix (positional
+# chain + last-token prefix expansion) and dis_max (max + tie_breaker over
+# clause scores) — plans/search.search_regexp / search_phrase_prefix /
+# search_dis_max.
+
+REGEXP_QUERIES = [
+    (0, "sc.n"),
+    (1, "mer(ge|ging)s?"),
+    (2, "w.ndow.*"),
+    (3, "zzz+absent"),
+]
+PP_QUERIES = [
+    (0, "spark mer"),
+    (1, "part filter sc"),
+    (2, "sparkMer"),      # code-aware split: fixed [spark], prefix "mer"
+    (3, "zzzabsent wi"),  # unindexed fixed term -> no hits
+]
+PP_EXPANSIONS = 50
+DISMAX_CLAUSES = [
+    (0, 0, "spark merge"),
+    (0, 1, "customer window"),
+    (1, 0, "fast key"),
+    (1, 1, "zzzabsent"),
+]
+DISMAX_TIE = 0.3
+
+
+def q_fts_regexp(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    rpdf = pd.DataFrame(REGEXP_QUERIES, columns=["qid", "pattern"])
+    res = search.search_regexp(spark, store, rpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_phrase_prefix(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(PP_QUERIES, columns=["qid", "query"])
+    res = search.search_phrase_prefix(
+        spark, store, qpdf, k=50, max_expansions=PP_EXPANSIONS
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_dis_max(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    cpdf = pd.DataFrame(DISMAX_CLAUSES, columns=["qid", "clause", "query"])
+    res = search.search_dis_max(
+        spark, store, cpdf, k=50, tie_breaker=DISMAX_TIE
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _regexp_sql(patterns: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_regexp: anchored full-term regex expansion
+    (DuckDB regexp_full_match ≡ the engine's ^(?:...)$ rlike), the same
+    deterministic term-ascending cap of 50, qtf=1 OR-scored BM25."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in patterns)
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (PARTITION BY v.qid ORDER BY d.term) AS rn
+    FROM (VALUES {vals}) v(qid, pat)
+    JOIN dfreq d ON regexp_full_match(d.term, v.pat)
+  ) WHERE rn <= 50
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _phrase_prefix_sql(
+    queries: list[tuple[int, str]], k: int, max_expansions: int
+) -> str:
+    """Oracle for q_fts_phrase_prefix: expand the last analyzed token as a
+    prefix (capped term-ascending), require the fixed tokens + expansion to
+    appear consecutively (space-joined containment), score = fixed-multiset
+    AND BM25 + the best matching expansion's qtf=1 BM25."""
+    vvals, fvals, nvals = [], [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        if not toks:
+            continue
+        fixed, pfx = list(toks[:-1]), toks[-1]
+        vvals.append(f"({qid}, ' {' '.join(fixed + [''])}', '{pfx}')")
+        terms = sorted(Counter(fixed).items())
+        nvals.append(f"({qid}, {len(terms)})")
+        for t, qtf in terms:
+            fvals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+v(qid, fixedpat, pfx) AS (VALUES {", ".join(vvals)}),
+exp AS (
+  SELECT qid, term FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (PARTITION BY v.qid ORDER BY d.term) AS rn
+    FROM v JOIN dfreq d ON d.term LIKE v.pfx || '%'
+  ) WHERE rn <= {max_expansions}
+),
+fixedq(fqid, fterm, qtf) AS (VALUES {", ".join(fvals)}),
+need(nqid, need) AS (VALUES {", ".join(nvals)}),
+sf AS (
+  SELECT q.fqid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS s_f,
+         count(*) AS nt
+  FROM fixedq q
+  JOIN posting p ON p.term = q.fterm
+  JOIN dfreq d ON d.term = q.fterm
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.fqid, p.doc_id
+),
+se AS (
+  SELECT e.qid AS qid, p.doc_id AS doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+           * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS s_e
+  FROM exp e
+  JOIN posting p ON p.term = e.term
+  JOIN dfreq d ON d.term = e.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  JOIN v ON v.qid = e.qid
+  JOIN cs ON cs.doc_id = p.doc_id
+         AND contains(cs.s, v.fixedpat || e.term || ' ')
+),
+tot AS (
+  SELECT se.qid AS qid, se.doc_id AS doc_id,
+         max(COALESCE(sf.s_f, 0.0) + se.s_e) AS score
+  FROM se
+  JOIN sf ON sf.qid = se.qid AND sf.doc_id = se.doc_id
+  JOIN need ON need.nqid = se.qid AND sf.nt = need.need
+  GROUP BY se.qid, se.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM tot
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _dis_max_sql(
+    clauses: list[tuple[int, int, str]], k: int, tie_breaker: float
+) -> str:
+    """Oracle for q_fts_dis_max: per-clause OR BM25 scores, combined per doc
+    as max + tie_breaker * (sum - max)."""
+    vals = []
+    for qid, clause, q in clauses:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, {clause}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, clause, term, qtf) AS (VALUES {", ".join(vals)}),
+per_clause AS (
+  SELECT q.qid AS qid, q.clause AS clause, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS sc
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, q.clause, p.doc_id
+),
+comb AS (
+  SELECT qid, doc_id,
+         max(sc) + {tie_breaker} * (sum(sc) - max(sc)) AS score
+  FROM per_clause
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM comb
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 _BM25_BODY = f"""
 WITH corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks FROM documents
@@ -1442,6 +1655,9 @@ SPARK_QUERIES = {
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
     "fts_wildcard": q_fts_wildcard,
+    "fts_regexp": q_fts_regexp,
+    "fts_phrase_prefix": q_fts_phrase_prefix,
+    "fts_dis_max": q_fts_dis_max,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1478,6 +1694,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
         "fts_wildcard": _wildcard_sql(WILDCARD_QUERIES, FT_K),
+        "fts_regexp": _regexp_sql(REGEXP_QUERIES, FT_K),
+        "fts_phrase_prefix": _phrase_prefix_sql(
+            PP_QUERIES, FT_K, PP_EXPANSIONS
+        ),
+        "fts_dis_max": _dis_max_sql(DISMAX_CLAUSES, FT_K, DISMAX_TIE),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

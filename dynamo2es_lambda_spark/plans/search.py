@@ -721,6 +721,42 @@ def search_wildcard(
     return _score_expansion(spark, store, qt, k)
 
 
+def search_regexp(
+    spark: SparkSession,
+    store: IndexStore,
+    patterns: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """ES ``regexp`` query: the pattern is matched against the ENTIRE term
+    (Lucene anchoring semantics — ``a.c`` matches ``abc``, not ``xabcx``),
+    expanded against the term dictionary (metadata-sized scan — never
+    postings), capped JVM-side with the deterministic term-ascending
+    ``max_expansions`` window, then OR-scored with per-term BM25 idf weights
+    exactly like prefix/wildcard/fuzzy (ES ``rewrite: scoring_boolean``).
+
+    ``patterns``: pandas (qid, pattern). Patterns are lowercased (the
+    dictionary is lowercase) and evaluated JVM-side via ``rlike`` with
+    explicit ``^...$`` anchors. Empty patterns are rejected.
+    """
+    pats = patterns.copy()
+    pats["pattern"] = pats["pattern"].astype(str).str.lower()
+    if (pats["pattern"].str.len() == 0).any():
+        raise EngineError("empty regexp pattern")
+    pats["rx"] = "^(?:" + pats["pattern"] + ")$"
+    pats = pats[["qid", "pattern", "rx"]].drop_duplicates()
+    if pats.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    pdf = spark.createDataFrame(pats)
+    hit = store.term_stats(spark).join(
+        F.broadcast(pdf), F.expr("term RLIKE rx")
+    )
+    qt = _collect_expansion(
+        hit, "pattern", [F.col("term").asc()], max_expansions
+    )
+    return _score_expansion(spark, store, qt, k)
+
+
 def search_fuzzy(
     spark: SparkSession,
     store: IndexStore,
@@ -761,6 +797,85 @@ def search_fuzzy(
         max_expansions,
     )
     return _score_expansion(spark, store, qt, k)
+
+
+def _decode_positional_terms(pdf: pd.DataFrame) -> dict[str, tuple]:
+    """Decode every (term, seg) posting-block group of ``pdf`` into sorted
+    numpy arrays: term -> (ids, tfs, dls, flat_positions, starts)."""
+    by_term: dict[str, tuple] = {}
+    for term, tdf in pdf.groupby("term", sort=True):
+        tdf = tdf.sort_values("doc_first")
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for row in tdf.itertuples(index=False):
+            ids, tfs, dls = codec.decode_block(
+                row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+            )
+            flat, _ = codec.decode_block_positions(row.pos_bytes, tfs)
+            ids_l.append(ids)
+            tfs_l.append(tfs)
+            dls_l.append(dls)
+            pos_l.append(flat)
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        flat = np.concatenate(pos_l)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        # blocks of one (term, seg) can come from several index BATCHES
+        # (CDC appends immutable segments): the concatenation is a merge
+        # of sorted runs, not globally sorted — searchsorted below needs
+        # a true sort, and the per-doc position payloads must follow it
+        order = np.argsort(ids, kind="stable")
+        if not np.array_equal(order, np.arange(ids.size)):
+            flat = (
+                np.concatenate(
+                    [flat[starts[i]: starts[i] + tfs[i]] for i in order]
+                )
+                if flat.size
+                else flat
+            )
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        by_term[term] = (ids, tfs, dls, flat, starts)
+    return by_term
+
+
+def _adjusted_pos_keys(
+    entry: tuple,
+    sub: np.ndarray,
+    off: int,
+    stride: int,
+    check_membership: bool = False,
+) -> np.ndarray:
+    """Vectorized (candidate, adjusted-position) key set for one phrase
+    token: gather every candidate's positions for the token, shift by the
+    token's phrase offset, and encode as ``cand_index * stride + pos``.
+    With ``check_membership`` candidates absent from the token's posting
+    list contribute nothing (used for phrase-prefix expansion terms, which
+    unlike fixed phrase terms are not pre-intersected into the candidates)."""
+    ids, tfs, _dls, flat, starts = entry
+    if check_membership:
+        if ids.size == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(ids, sub)
+        pos_c = np.minimum(pos, ids.size - 1)
+        member = ids[pos_c] == sub
+        cand_idx = np.nonzero(member)[0].astype(np.int64)
+        idx = pos_c[member]
+    else:
+        idx = np.searchsorted(ids, sub)
+        cand_idx = np.arange(sub.size, dtype=np.int64)
+    lens = tfs[idx]
+    total = int(lens.sum())
+    csum = np.cumsum(lens)
+    gather = (
+        np.repeat(starts[idx], lens)
+        + np.arange(total)
+        - np.repeat(csum - lens, lens)
+    )
+    poss = flat[gather].astype(np.int64) - off
+    drep = np.repeat(cand_idx, lens)
+    ok = poss >= 0
+    return drep[ok] * stride + poss[ok]
 
 
 def search_phrase(
@@ -828,40 +943,7 @@ def search_phrase(
              "doc_int": pd.Series([], dtype="int64"),
              "score": pd.Series([], dtype="float64")}
         )
-        by_term: dict[str, tuple] = {}
-        for term, tdf in pdf.groupby("term", sort=True):
-            tdf = tdf.sort_values("doc_first")
-            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-            for row in tdf.itertuples(index=False):
-                ids, tfs, dls = codec.decode_block(
-                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
-                )
-                flat, _ = codec.decode_block_positions(row.pos_bytes, tfs)
-                ids_l.append(ids)
-                tfs_l.append(tfs)
-                dls_l.append(dls)
-                pos_l.append(flat)
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l)
-            dls = np.concatenate(dls_l)
-            flat = np.concatenate(pos_l)
-            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            # blocks of one (term, seg) can come from several index BATCHES
-            # (CDC appends immutable segments): the concatenation is a merge
-            # of sorted runs, not globally sorted — searchsorted below needs
-            # a true sort, and the per-doc position payloads must follow it
-            order = np.argsort(ids, kind="stable")
-            if not np.array_equal(order, np.arange(ids.size)):
-                flat = (
-                    np.concatenate(
-                        [flat[starts[i]: starts[i] + tfs[i]] for i in order]
-                    )
-                    if flat.size
-                    else flat
-                )
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
-                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            by_term[term] = (ids, tfs, dls, flat, starts)
+        by_term = _decode_positional_terms(pdf)
 
         # AND over distinct terms: a doc must contain them all
         if len(by_term) < n_terms_by_qid[qid]:
@@ -887,20 +969,7 @@ def search_phrase(
             sub = cand[c0: c0 + chunk]
             valid = None
             for off, tok in enumerate(phrase):
-                ids, tfs, _dls, flat, starts = by_term[tok]
-                idx = np.searchsorted(ids, sub)
-                lens = tfs[idx]
-                total = int(lens.sum())
-                csum = np.cumsum(lens)
-                gather = (
-                    np.repeat(starts[idx], lens)
-                    + np.arange(total)
-                    - np.repeat(csum - lens, lens)
-                )
-                poss = flat[gather].astype(np.int64) - off
-                drep = np.repeat(np.arange(sub.size, dtype=np.int64), lens)
-                ok = poss >= 0
-                key = drep[ok] * stride + poss[ok]
+                key = _adjusted_pos_keys(by_term[tok], sub, off, stride)
                 valid = (
                     key
                     if valid is None
@@ -933,6 +1002,288 @@ def search_phrase(
             "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
+_DISMAX_CLAUSE_STRIDE = 1_000_000  # composite qid = qid * stride + clause
+
+
+def search_dis_max(
+    spark: SparkSession,
+    store: IndexStore,
+    clauses: pd.DataFrame,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``dis_max``: each clause is an OR-match BM25 query; a doc's score
+    is its best clause score plus ``tie_breaker`` × the sum of its other
+    matching clauses' scores (ES semantics exactly).
+
+    ``clauses``: pandas (qid, clause, query) — ``clause`` a small int id.
+    Implementation: clauses are packed into composite qids
+    (``qid * stride + clause``) so ONE pruned posting read + ONE exhaustive
+    scoring pass serves every clause of every query; the dis_max combine is
+    a single groupBy((qid, doc)) with max/sum aggregates — no extra scan or
+    shuffle per clause.
+    """
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+    rows = []
+    for qid, clause, q in zip(
+        clauses["qid"], clauses["clause"], clauses["query"]
+    ):
+        if not (0 <= int(clause) < _DISMAX_CLAUSE_STRIDE):
+            raise EngineError(f"clause id out of range: {clause}")
+        toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
+        cq = int(qid) * _DISMAX_CLAUSE_STRIDE + int(clause)
+        for t, c in sorted(Counter(toks).items()):
+            rows.append((cq, t, int(c)))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])  # OR semantics: unindexed terms drop out
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    per_clause = cand.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score")
+    )
+    combined = (
+        per_clause.withColumn(
+            "_q", (F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long")
+        )
+        .groupBy(F.col("_q").alias("qid"), F.col("doc_int"))
+        .agg(
+            (
+                F.max("score")
+                + F.lit(float(tie_breaker))
+                * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
+    )
+    combined = _drop_dead(spark, store, combined)
+    return _present(spark, store, _cut_topk(combined, k), k)
+
+
+def search_phrase_prefix(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the query's last analyzed token is a
+    PREFIX — a doc matches when it contains the fixed tokens consecutively,
+    immediately followed by any dictionary term completing the prefix.
+
+    The prefix expands against term_stats (metadata-sized scan, capped
+    JVM-side term-ascending at ``max_expansions``, ES default 50 — same
+    machinery as ``search_prefix``). Scoring: for every matching expansion
+    ``e`` the doc scores as the phrase-AND BM25 of the fixed-term multiset
+    plus the qtf=1 BM25 of ``e``; multiple matching expansions take the MAX
+    (dis_max over expansions, ES's multi-term rewrite spirit). Verification
+    reuses the vectorized position-chain kernel: fixed offsets 0..n-2 chain
+    as in ``search_phrase``; each expansion is checked at offset n-1 with a
+    membership-filtered key intersection — no per-document Python loop.
+    """
+    if not store.meta.get("positions"):
+        raise EngineError(
+            "phrase-prefix search needs a store built with positions=True"
+        )
+    n_docs = float(store.meta["n_docs"])
+    avgdl = float(store.meta["avgdl"])
+
+    fixed_by_qid: dict[int, list[str]] = {}
+    pfx_rows = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
+        if not toks:
+            continue
+        fixed_by_qid[int(qid)] = list(toks[:-1])
+        pfx_rows.append((int(qid), toks[-1]))
+    if not pfx_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    pats = pd.DataFrame(pfx_rows, columns=["qid", "prefix"]).drop_duplicates()
+    pdf = spark.createDataFrame(pats)
+    hit = store.term_stats(spark).join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    exp = _collect_expansion(
+        hit, "prefix", [F.col("term").asc()], max_expansions
+    )
+    exp_by_qid = (
+        exp.groupby("qid")["term"].apply(lambda s: sorted(set(s))).to_dict()
+        if not exp.empty
+        else {}
+    )
+
+    rows = [
+        (qid, t, int(c))
+        for qid, fixed in fixed_by_qid.items()
+        for t, c in sorted(Counter(fixed).items())
+    ]
+    fx = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if not fx.empty:
+        fx = _join_term_stats(
+            spark, store, fx, sorted(fx["term"].unique().tolist())
+        )
+    # a qid dies when a fixed term is unindexed (phrase AND semantics) or
+    # when its prefix expands to nothing
+    dead = set(fx.loc[fx["df"].isna(), "qid"]) if not fx.empty else set()
+    dead |= {q for q in fixed_by_qid if q not in exp_by_qid}
+
+    fx = (
+        fx[~fx["qid"].isin(dead)]
+        if not fx.empty
+        else pd.DataFrame(columns=["qid", "term", "qtf", "df"])
+    )
+    exp = exp[~exp["qid"].isin(dead)] if not exp.empty else exp
+    if exp.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    fx = fx.assign(
+        w_f=bm25.idf(n_docs, fx["df"].to_numpy(dtype="float64"))
+        * (bm25.K1 + 1.0)
+        * fx["qtf"].to_numpy(dtype="float64")
+        if len(fx)
+        else pd.Series([], dtype="float64"),
+        w_e=0.0,
+    )
+    exp = exp.assign(
+        w_f=0.0,
+        w_e=bm25.idf(n_docs, exp["df"].to_numpy(dtype="float64"))
+        * (bm25.K1 + 1.0),
+    )
+    has_bucket = "bucket" in exp.columns and (
+        fx.empty or "bucket" in fx.columns
+    )
+    cols = ["qid", "term", "w_f", "w_e"] + (["bucket"] if has_bucket else [])
+    both = pd.concat(
+        [fx[cols]] * (0 if fx.empty else 1) + [exp[cols]], ignore_index=True
+    )
+    agg = {"w_f": ("w_f", "sum"), "w_e": ("w_e", "sum")}
+    if has_bucket:
+        agg["bucket"] = ("bucket", "first")
+    qt = both.groupby(["qid", "term"], as_index=False).agg(**agg)
+    qt["w"] = qt["w_f"] + qt["w_e"]
+
+    wf = {
+        (int(q), t): float(v)
+        for q, t, v in zip(qt["qid"], qt["term"], qt["w_f"])
+    }
+    we = {
+        (int(q), t): float(v)
+        for q, t, v in zip(qt["qid"], qt["term"], qt["w_e"])
+    }
+
+    joined = _matched_blocks(spark, store, qt)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        fixed = fixed_by_qid[qid]
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_int": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        by_term = _decode_positional_terms(pdf)
+        if any(t not in by_term for t in fixed):
+            return empty
+        exps = [e for e in exp_by_qid.get(qid, []) if e in by_term]
+        if not exps:
+            return empty
+
+        # candidates: ALL fixed terms present AND >= 1 expansion present
+        cand = None
+        for t in dict.fromkeys(fixed):
+            ids = by_term[t][0]
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return empty
+        eu = np.unique(np.concatenate([by_term[e][0] for e in exps]))
+        cand = eu if cand is None else np.intersect1d(cand, eu)
+        if cand.size == 0:
+            return empty
+
+        maxpos = 1
+        for _ids, _tfs, _dls, flat, _starts in by_term.values():
+            if flat.size:
+                maxpos = max(maxpos, int(flat.max()) + 2)
+        stride = maxpos + len(fixed) + 1
+        off_last = len(fixed)
+        chunk = max(1, (2**62) // stride)
+
+        doc_l, score_l = [], []
+        for c0 in range(0, cand.size, chunk):
+            sub = cand[c0: c0 + chunk]
+            valid = None
+            broke = False
+            for off, tok in enumerate(fixed):
+                key2 = _adjusted_pos_keys(by_term[tok], sub, off, stride)
+                valid = (
+                    key2
+                    if valid is None
+                    else np.intersect1d(valid, key2, assume_unique=True)
+                )
+                if valid.size == 0:
+                    broke = True
+                    break
+            if broke:
+                continue
+            hits = []
+            for e in exps:
+                ke = _adjusted_pos_keys(
+                    by_term[e], sub, off_last, stride, check_membership=True
+                )
+                if valid is not None:
+                    ke = np.intersect1d(valid, ke, assume_unique=True)
+                if ke.size:
+                    hits.append((e, sub[np.unique(ke // stride)]))
+            if not hits:
+                continue
+            all_docs = np.unique(np.concatenate([d for _, d in hits]))
+            base = np.zeros(all_docs.size, dtype=np.float64)
+            for t in dict.fromkeys(fixed):
+                ids, tfs, dls, _f, _s = by_term[t]
+                i = np.searchsorted(ids, all_docs)
+                base += wf[(qid, t)] * bm25.tf_norm(tfs[i], dls[i], avgdl)
+            best = np.full(all_docs.size, -np.inf, dtype=np.float64)
+            for e, docs_e in hits:
+                ids, tfs, dls, _f, _s = by_term[e]
+                i = np.searchsorted(ids, docs_e)
+                se = we[(qid, e)] * bm25.tf_norm(tfs[i], dls[i], avgdl)
+                j = np.searchsorted(all_docs, docs_e)
+                np.maximum.at(best, j, se)
+            doc_l.append(all_docs)
+            score_l.append(base + best)
+        if not doc_l:
+            return empty
+        docs = np.concatenate(doc_l)
+        return pd.DataFrame(
+            {"qid": pd.Series(np.full(docs.size, qid), dtype="int64"),
+             "doc_int": pd.Series(docs, dtype="int64"),
+             "score": pd.Series(np.concatenate(score_l), dtype="float64")}
+        )
+
+    cols2 = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+             "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols2)
         .groupBy("qid", "seg")
         .applyInPandas(run, schema="qid long, doc_int long, score double")
     )

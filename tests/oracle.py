@@ -153,6 +153,88 @@ class PyOracle:
         ranked = sorted(cand.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def regexp_topk(self, pattern: str, k: int = 10, max_expansions=50):
+        """ES regexp query: whole-term anchored match against the dictionary,
+        deterministic term-ascending cap, OR-score qtf=1."""
+        import re
+
+        rx = re.compile(f"^(?:{pattern.lower()})$")
+        terms = sorted(t for t in self.postings if rx.match(t))
+        if max_expansions is not None:
+            terms = terms[:max_expansions]
+        scores: dict[int, float] = {}
+        for t in terms:
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0)
+            for d, tf in self.postings[t]:
+                s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def phrase_prefix_topk(self, query: str, k: int = 10, max_expansions=50):
+        """match_phrase_prefix: last token is a prefix; a doc matches when
+        the fixed tokens occur consecutively followed by any expansion of
+        the prefix; score = AND score of fixed terms + max over matching
+        expansions of the expansion's qtf=1 BM25."""
+        ptoks = list(analysis.tokenize_series(pd.Series([query]))[0])
+        if not ptoks:
+            return []
+        fixed, pfx = ptoks[:-1], ptoks[-1]
+        if any(t not in self.postings for t in set(fixed)):
+            return []
+        exps = sorted(t for t in self.postings if t.startswith(pfx))
+        if max_expansions is not None:
+            exps = exps[:max_expansions]
+        if not exps:
+            return []
+        qterms_fixed = sorted(Counter(fixed).items())
+        n = len(fixed)
+        hits = []
+        for d, dt in enumerate(self.toks):
+            best = None
+            for e in exps:
+                seq = fixed + [e]
+                if any(
+                    dt[i: i + n + 1] == seq for i in range(len(dt) - n)
+                ):
+                    tf = dict(self.postings[e])[d]
+                    se = (
+                        float(bm25.idf(self.n_docs, self.df[e]))
+                        * (bm25.K1 + 1.0)
+                        * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                    )
+                    best = se if best is None else max(best, se)
+            if best is not None:
+                s = (self._score_and(d, qterms_fixed) if fixed else 0.0)
+                hits.append((d, s + best))
+        ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def dis_max_topk(self, clause_queries: list[str], k: int = 10,
+                     tie_breaker: float = 0.0):
+        """ES dis_max over OR-match clauses: score = best clause score +
+        tie_breaker * sum of the other matching clauses' scores."""
+        per_doc: dict[int, list[float]] = {}
+        for q in clause_queries:
+            qtoks = analysis.tokenize_series(pd.Series([q]))[0]
+            scores: dict[int, float] = {}
+            for t, qtf in sorted(Counter(qtoks).items()):
+                if t not in self.postings:
+                    continue
+                w = (float(bm25.idf(self.n_docs, self.df[t]))
+                     * (bm25.K1 + 1.0) * qtf)
+                for d, tf in self.postings[t]:
+                    s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                    scores[d] = scores.get(d, 0.0) + s
+            for d, s in scores.items():
+                per_doc.setdefault(d, []).append(s)
+        out = {
+            d: max(ss) + tie_breaker * (sum(ss) - max(ss))
+            for d, ss in per_doc.items()
+        }
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def prefix_topk(self, prefix: str, k: int = 10, max_expansions=None):
         """ES prefix query with scoring_boolean rewrite: expand, OR-score."""
         terms = sorted(t for t in self.postings if t.startswith(prefix))

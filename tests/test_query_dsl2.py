@@ -1,0 +1,188 @@
+"""Round-2 query-DSL additions vs the pure-Python oracle: regexp,
+match_phrase_prefix, dis_max (SURVEY.md §2.2 — the reference relies on the
+full ES query DSL being available over the documents it indexes,
+/root/reference/lib/handler.js:100).
+"""
+
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.plans import build, search
+
+from .oracle import PyOracle
+
+CFG = IndexerConfig(index="code")
+
+
+@pytest.fixture(scope="module")
+def pos_store(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dsl2idx"))
+    build.build_index(
+        corpus_df, CFG, path, segment_docs=64, num_buckets=8, positions=True
+    )
+    return search.load_store(path)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    ids = (
+        corpus_pdf["repo"] + "." + corpus_pdf["path"] + "." + corpus_pdf["commit"]
+    ).tolist()
+    return PyOracle(ids, corpus_pdf["content"].tolist())
+
+
+def _assert_rank_identical(got, want, qid):
+    assert len(got) == len(want), f"qid={qid}: {len(got)} vs {len(want)}"
+    for i, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"qid={qid} rank={i + 1}: doc {gd} != {wd}"
+        assert gs == pytest.approx(ws, abs=1e-9), f"qid={qid} rank={i + 1}"
+
+
+# --------------------------------------------------------------- regexp
+
+def test_regexp_rank_identity(spark, pos_store, oracle):
+    toks = oracle.toks[5]
+    t0 = toks[0]
+    pats = [
+        (0, t0[:2] + ".*"),               # prefix-equivalent regex
+        (1, "[a-f]" + t0[1:3] + ".?.*"),  # class + optional
+        (2, "qu(ery|ick)[a-z]*"),
+        (3, "zzz+absent"),
+    ]
+    res = search.search_regexp(
+        spark, pos_store, pd.DataFrame(pats, columns=["qid", "pattern"]),
+        k=10,
+    ).toPandas()
+    n_nonempty = 0
+    for qid, p in pats:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.regexp_topk(p, k=10)
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, qid
+        )
+    assert n_nonempty >= 2
+
+
+def test_regexp_rejects_empty_pattern(spark, pos_store):
+    with pytest.raises(EngineError):
+        search.search_regexp(
+            spark, pos_store,
+            pd.DataFrame([(0, "")], columns=["qid", "pattern"]),
+        )
+
+
+def test_regexp_expansion_cap(spark, pos_store, oracle):
+    """A match-everything regex is bounded by max_expansions, and the capped
+    expansion is deterministic (term-ascending) — identical to the oracle."""
+    res = search.search_regexp(
+        spark, pos_store,
+        pd.DataFrame([(0, "[a-z0-9]*")], columns=["qid", "pattern"]),
+        k=10, max_expansions=7,
+    ).toPandas()
+    want = oracle.regexp_topk("[a-z0-9]*", k=10, max_expansions=7)
+    got = res[res.qid == 0].sort_values("rank")
+    _assert_rank_identical(list(zip(got["doc_id"], got["score"])), want, 0)
+
+
+# ----------------------------------------------------- match_phrase_prefix
+
+def _pp_queries(oracle):
+    toks = oracle.toks[3]
+    # real bigram with the last token cut to a prefix; trigram ditto; a
+    # camelCase form the tokenizer must split; an absent fixed term
+    big = f"{toks[4]} {toks[5][:2]}"
+    tri = f"{toks[10]} {toks[11]} {toks[12][:3]}"
+    camel = toks[7] + toks[8][:2].capitalize()
+    return [
+        (0, big),
+        (1, tri),
+        (2, camel),
+        (3, f"zzzabsent {toks[5][:2]}"),
+        (4, toks[6][:3]),  # no fixed part: bare-prefix phrase
+    ]
+
+
+def test_phrase_prefix_rank_identity(spark, pos_store, oracle):
+    qs = _pp_queries(oracle)
+    res = search.search_phrase_prefix(
+        spark, pos_store, pd.DataFrame(qs, columns=["qid", "query"]), k=10
+    ).toPandas()
+    n_nonempty = 0
+    for qid, q in qs:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.phrase_prefix_topk(q, k=10)
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, qid
+        )
+    assert n_nonempty >= 3, "fixture phrase-prefixes must actually match"
+
+
+def test_phrase_prefix_subsumes_phrase_hits(spark, pos_store, oracle):
+    """Every exact-phrase hit must also be a phrase-prefix hit when the
+    last token is left whole (the term itself completes its own prefix)."""
+    toks = oracle.toks[3]
+    q = f"{toks[4]} {toks[5]}"
+    pp = search.search_phrase_prefix(
+        spark, pos_store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=50,
+    ).toPandas()
+    ph = search.search_phrase(
+        spark, pos_store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=50,
+    ).toPandas()
+    assert set(ph["doc_id"]) <= set(pp["doc_id"])
+
+
+def test_phrase_prefix_needs_positions(spark, corpus_df, tmp_path):
+    path = str(tmp_path / "nopos")
+    build.build_index(
+        corpus_df, CFG, path, segment_docs=64, num_buckets=8, positions=False
+    )
+    st = search.load_store(path)
+    with pytest.raises(EngineError):
+        search.search_phrase_prefix(
+            spark, st, pd.DataFrame([(0, "a b")], columns=["qid", "query"])
+        )
+
+
+# --------------------------------------------------------------- dis_max
+
+def test_dis_max_rank_identity(spark, pos_store, oracle):
+    t = oracle.toks
+    clauses = [
+        (0, 0, f"{t[1][0]} {t[1][1]}"),
+        (0, 1, f"{t[2][0]} {t[2][3]}"),
+        (1, 0, t[4][2]),
+        (1, 1, "zzzabsent"),
+    ]
+    for tie in (0.0, 0.3):
+        res = search.search_dis_max(
+            spark, pos_store,
+            pd.DataFrame(clauses, columns=["qid", "clause", "query"]),
+            k=10, tie_breaker=tie,
+        ).toPandas()
+        for qid in (0, 1):
+            cq = [q for q_, _c, q in clauses if q_ == qid]
+            want = oracle.dis_max_topk(cq, k=10, tie_breaker=tie)
+            got = res[res.qid == qid].sort_values("rank")
+            _assert_rank_identical(
+                list(zip(got["doc_id"], got["score"])), want, qid
+            )
+
+
+def test_dis_max_tie_breaker_zero_is_pure_max(spark, pos_store, oracle):
+    """With one clause, dis_max must equal the plain OR query."""
+    q = f"{oracle.toks[0][0]} {oracle.toks[0][1]}"
+    dm = search.search_dis_max(
+        spark, pos_store,
+        pd.DataFrame([(0, 0, q)], columns=["qid", "clause", "query"]),
+        k=10,
+    ).toPandas()
+    want = oracle.topk(q, k=10)
+    _assert_rank_identical(
+        list(zip(dm.sort_values("rank")["doc_id"], dm["score"])), want, 0
+    )
