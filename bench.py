@@ -185,6 +185,43 @@ def main() -> None:
         repeat=2,
     )
 
+    # --- multi-field store: build (text + source qualified terms) and the
+    # multi_match best_fields query set (per-field stats, one posting read)
+    mf_store_path = tempfile.mkdtemp(prefix="d2es_bench_mf_")
+
+    def build_mf():
+        from pyspark.sql import functions as F
+
+        c = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang", "text", "source",
+            )
+        )
+        return build.build_index(
+            c, IndexerConfig(index="docs", id_field="docid"), mf_store_path,
+            num_buckets=32, resume=False, fields=("text", "source"),
+        )
+
+    timed("index_build_docs_multifield", build_mf)
+    mf_store = search.load_store(mf_store_path)
+    mm = pd.DataFrame(entry_queries.MM_QUERIES, columns=["qid", "query"])
+    timed(
+        "bm25_multi_match_set",
+        lambda: search.multi_match(
+            spark, mf_store, mm, fields=entry_queries.MM_BOOSTS, k=10,
+            tie_breaker=entry_queries.MM_TIE,
+        ).collect(),
+        repeat=2,
+    )
+    pp = pd.DataFrame(entry_queries.PP_QUERIES, columns=["qid", "query"])
+    timed(
+        "bm25_phrase_prefix_set",
+        lambda: search.search_phrase_prefix(spark, store, pp, k=10).collect(),
+        repeat=2,
+    )
+
     # --- entry-contract representatives ---
     for name in (
         "dedup_exact",
@@ -202,6 +239,7 @@ def main() -> None:
 
     shutil.rmtree(synth_store, ignore_errors=True)
     shutil.rmtree(docs_store, ignore_errors=True)
+    shutil.rmtree(mf_store_path, ignore_errors=True)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

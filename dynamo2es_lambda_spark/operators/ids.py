@@ -120,6 +120,7 @@ def assign_tokenize_count(
     content_col: str = "content",
     batch_name: str = "b0",
     positions: bool = False,
+    fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Maximally-fused build pass: ONE Python crossing emits everything the
     index build needs — term rows (doc_int, term, tf, dl) interleaved with
@@ -150,39 +151,56 @@ def assign_tokenize_count(
     with_id = df.withColumn(
         "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
     )
-    return tokenize_count_rows(with_id, content_col, positions)
+    return tokenize_count_rows(with_id, content_col, positions, fields=fields)
 
 
 def tokenize_count_rows(
     with_id: DataFrame,
     content_col: str = "content",
     positions: bool = False,
+    fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The fused tokenize/count pass over a frame that ALREADY carries
     ``doc_int`` (hash- or dense-assigned): one Python crossing emitting term
-    rows interleaved with doc-marker rows (term IS NULL)."""
+    rows interleaved with doc-marker rows (term IS NULL).
+
+    ``fields``: multi-field mode (ES documents have many indexed fields —
+    the reference's field mapping emits them, lib/handler.js:100). Each
+    listed column is tokenized independently; terms are qualified
+    ``"<field>:<token>"`` so ALL fields share ONE posting namespace (same
+    single-shuffle build, same bucket pruning), and each term row carries
+    ITS field's token count as ``dl`` — so the per-posting inlined dl, and
+    therefore every BM25 length norm, is field-local for free. Doc markers
+    carry ``dl`` = total tokens plus ``field_dls`` (per-field counts in
+    ``fields`` order) for the per-field avgdl aggregation at finalize.
+    """
     from ..functions.analysis import (
         term_freqs_from_tokens,
         term_freqs_positions_from_tokens,
         tokenize_series,
     )
 
+    drop = set(fields) if fields else {content_col}
     meta_cols = [
         f.name
         for f in with_id.schema.fields
-        if f.name not in (content_col, "doc_int")
+        if f.name not in drop and f.name != "doc_int"
     ]
     meta_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in with_id.schema.fields
-        if f.name not in (content_col, "doc_int")
+        if f.name in meta_cols
     )
     pos_part = ", pos_bytes binary" if positions else ""
+    fd_part = ", field_dls array<bigint>" if fields else ""
     out_schema = (
-        f"doc_int long, term string, tf long, dl long{pos_part}, {meta_schema}"
+        f"doc_int long, term string, tf long, dl long{pos_part}{fd_part}, "
+        f"{meta_schema}"
     )
-    term_cols = ["doc_int", "term", "tf", "dl"] + (
-        ["pos_bytes"] if positions else []
+    term_cols = (
+        ["doc_int", "term", "tf", "dl"]
+        + (["pos_bytes"] if positions else [])
+        + (["field_dls"] if fields else [])
     )
     kernel = (
         term_freqs_positions_from_tokens if positions else term_freqs_from_tokens
@@ -193,9 +211,30 @@ def tokenize_count_rows(
             if pdf.empty:
                 continue
             doc_int = pdf["doc_int"].to_numpy(dtype=np.int64)
-            toks = tokenize_series(pdf[content_col])
-            dl = toks.map(len).to_numpy(dtype=np.int64)
-            term_rows = kernel(doc_int, toks, dl)
+            field_dls = None
+            if fields:
+                frames = []
+                per_field_dl = []
+                for fld in fields:
+                    toks = tokenize_series(pdf[fld].fillna(""))
+                    dl_f = toks.map(len).to_numpy(dtype=np.int64)
+                    per_field_dl.append(dl_f)
+                    tr = kernel(doc_int, toks, dl_f)
+                    if len(tr):
+                        tr = tr.copy()
+                        tr["term"] = fld + ":" + tr["term"]
+                    frames.append(tr)
+                term_rows = pd.concat(frames, ignore_index=True)
+                term_rows["field_dls"] = None
+                dl = np.sum(per_field_dl, axis=0, dtype=np.int64)
+                field_dls = [
+                    [int(f[i]) for f in per_field_dl]
+                    for i in range(len(pdf))
+                ]
+            else:
+                toks = tokenize_series(pdf[content_col])
+                dl = toks.map(len).to_numpy(dtype=np.int64)
+                term_rows = kernel(doc_int, toks, dl)
             doc_rows = pdf[meta_cols].copy()
             doc_rows.insert(0, "doc_int", doc_int)
             doc_rows.insert(1, "term", None)
@@ -203,6 +242,8 @@ def tokenize_count_rows(
             doc_rows.insert(3, "dl", dl)
             if positions:
                 doc_rows.insert(4, "pos_bytes", None)
+            if fields:
+                doc_rows["field_dls"] = field_dls
             out = pd.concat([doc_rows, term_rows], ignore_index=True)
             yield out[[*term_cols, *meta_cols]]
 
@@ -221,6 +262,7 @@ def assign_dense_tokenize_count(
     batch_idx: int = 0,
     positions: bool = False,
     num_partitions: int | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense-id variant of the build pass: ``doc_int = (batch_idx << 44) +
     rank(doc_id)``. Rank-dense ids make posting deltas ~N/df instead of
@@ -244,4 +286,4 @@ def assign_dense_tokenize_count(
             "doc_int",
             F.col("doc_int") + F.lit(batch_idx << DENSE_BATCH_SHIFT),
         )
-    return tokenize_count_rows(with_id, content_col, positions), n
+    return tokenize_count_rows(with_id, content_col, positions, fields=fields), n

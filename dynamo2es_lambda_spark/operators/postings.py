@@ -209,6 +209,13 @@ def build_segments(
             for c in out_cols:
                 if c not in out.columns:
                     out[c] = None
+            if "field_dls" in out.columns:
+                # concat pads the block rows' absent array column with float
+                # NaN, which Arrow rejects for array<bigint> — null them
+                out["field_dls"] = [
+                    v if isinstance(v, (list, np.ndarray)) else None
+                    for v in out["field_dls"]
+                ]
             return out[out_cols]
 
         for pdf in batches:

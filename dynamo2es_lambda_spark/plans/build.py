@@ -130,8 +130,17 @@ def build_index(
     positions: bool | None = None,
     id_mode: str | None = None,
     dense_partitions: int | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
+
+    ``fields``: multi-field mode — tokenize each listed column into ONE
+    shared posting namespace as ``"<field>:<token>"`` terms (ES multi-field
+    documents; the reference's field mapping emits them,
+    lib/handler.js:100). Per-posting dl is field-local (inlined dl_bytes),
+    meta records per-field avgdl, so every per-field BM25 norm is exact;
+    query with ``search(..., field=...)`` / ``search.multi_match``. Follows
+    the same inherit-or-conflict discipline as positions/id_mode.
 
     ``positions=True`` additionally stores per-(term, doc) token positions
     (delta+varbyte, concatenated per block — functions/codec.py) enabling
@@ -180,6 +189,22 @@ def build_index(
         )
     if id_mode not in ("hash", "dense"):
         raise EngineError(f"unknown id_mode: {id_mode}")
+    if fields is not None:
+        fields = tuple(fields)
+        for f_ in fields:
+            if ":" in f_ or not f_:
+                raise EngineError(f"invalid field name: {f_!r}")
+        if len(set(fields)) != len(fields):
+            raise EngineError(f"duplicate field names: {fields}")
+    prev_fields = tuple(prev.get("fields") or ()) or None
+    if fields is None:
+        fields = prev_fields
+    elif committed and prev and prev_fields != fields:
+        raise EngineError(
+            f"store at {store_path} was built with fields={prev_fields}; an "
+            "explicit conflicting value would mix qualified and unqualified "
+            "term namespaces — rebuild or omit the value to inherit"
+        )
     if num_buckets is None:
         num_buckets = int(prev.get("num_buckets", DEFAULT_BUCKETS))
     elif (
@@ -277,13 +302,14 @@ def build_index(
                 id_mode=id_mode,
                 dense_partitions=dense_partitions,
                 sink_options=cfg.sink_options,
+                fields=fields,
             )
             total_docs += nd
             total_blocks += nb
 
         _finalize_store(
             spark, store_path, segment_docs, num_buckets,
-            positions=positions, id_mode=id_mode,
+            positions=positions, id_mode=id_mode, fields=fields,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -332,6 +358,7 @@ def _build_batch(
     id_mode: str = "hash",
     dense_partitions: int | None = None,
     sink_options: dict | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → lineage →
     checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
@@ -344,7 +371,7 @@ def _build_batch(
                 content_col=content_col, segment_docs=segment_docs,
                 num_buckets=num_buckets, positions=positions,
                 id_mode=id_mode, dense_partitions=dense_partitions,
-                sink_options=sink_options,
+                sink_options=sink_options, fields=fields,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -366,6 +393,7 @@ def _build_batch_once(
     id_mode: str = "hash",
     dense_partitions: int | None = None,
     sink_options: dict | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -385,6 +413,7 @@ def _build_batch_once(
         rows, n_est = ids.assign_dense_tokenize_count(
             docs, content_col=content_col, batch_idx=batch_idx,
             positions=positions, num_partitions=dense_partitions,
+            fields=fields,
         )
         # dense ids are contiguous → segments are exact 2^shift-doc slices
         seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
@@ -394,7 +423,7 @@ def _build_batch_once(
         n_est = docs.count()
         rows = ids.assign_tokenize_count(
             docs, content_col=content_col, batch_name=batch_name,
-            positions=positions,
+            positions=positions, fields=fields,
         )
         seg_shift = postings.seg_shift_for(n_est, segment_docs)
     mark("count_docs")
@@ -409,7 +438,7 @@ def _build_batch_once(
     meta_cols = [
         c
         for c in ("doc_id", "index_name", "doc_type", "parent",
-                  "version", "content_sha256", "lang")
+                  "version", "content_sha256", "lang", "field_dls")
         if c in rows.columns
     ]
     # ONE job per batch: python fused pass → (term_bucket, seg) exchange →
@@ -513,15 +542,29 @@ def _finalize_store(
     num_buckets: int,
     positions: bool | None = None,
     id_mode: str | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
-    list), recompute global stats (N, avgdl over LIVE docs) and term_stats;
-    write meta.json. Aggregates touch doc_stats and block metadata columns
-    only — never the posting bytes."""
+    list), recompute global stats (N, avgdl over LIVE docs — per field in
+    multi-field stores) and term_stats; write meta.json. Aggregates touch
+    doc_stats and block metadata columns only — never the posting bytes."""
     import pandas as pd
 
     doc_stats = store_io.read_doc_stats(spark, store_path)
     tomb_path = os.path.join(store_path, "tombstones")
+    if fields is None and store_io.read_meta(store_path).get("fields"):
+        # a finalize without the flag (CDC apply / compact) must still
+        # recompute the per-field stats of a multi-field store
+        fields = tuple(store_io.read_meta(store_path)["fields"])
+    if fields and "field_dls" not in doc_stats.columns:
+        raise EngineError(
+            f"store at {store_path} is multi-field ({fields}) but its "
+            "doc_stats rows carry no field_dls — mixed-layout batches"
+        )
+    field_avgs = [
+        F.avg(F.col("field_dls")[i]).alias(f"_af{i}")
+        for i in range(len(fields or ()))
+    ]
 
     # ONE aggregation fuses the collision audit (distinct doc_int == rows),
     # duplicate-doc detection (distinct doc_id == rows), and the live stats.
@@ -530,6 +573,7 @@ def _finalize_store(
         F.countDistinct("doc_int").alias("n_ids"),
         F.countDistinct("doc_id").alias("n_doc_ids"),
         F.avg("dl").alias("avgdl"),
+        *field_avgs,
     ).first()
     if audit["n"] != audit["n_ids"]:
         if audit["n"] != audit["n_doc_ids"]:
@@ -557,15 +601,30 @@ def _finalize_store(
             os.path.join(store_path, "dead"),
         )
         n_live, avgdl = int(audit["n"]), float(audit["avgdl"] or 0.0)
+        avgdl_fields = {
+            f_: float(audit[f"_af{i}"] or 0.0)
+            for i, f_ in enumerate(fields or ())
+        }
     else:
+        fd_col = (
+            [F.col("field_dls")]
+            if fields and "field_dls" in doc_stats.columns
+            else []
+        )
         entries = doc_stats.select(
-            "doc_id", "version", "doc_int", "dl", F.lit(False).alias("is_tomb")
+            "doc_id", "version", "doc_int", "dl", *fd_col,
+            F.lit(False).alias("is_tomb"),
         )
         if os.path.isdir(tomb_path):
             tombs = spark.read.parquet(tomb_path).select(
                 "doc_id", "version",
                 F.lit(None).cast("long").alias("doc_int"),
                 F.lit(None).cast("long").alias("dl"),
+                *(
+                    [F.lit(None).cast("array<bigint>").alias("field_dls")]
+                    if fd_col
+                    else []
+                ),
                 F.lit(True).alias("is_tomb"),
             )
             entries = entries.unionByName(tombs)
@@ -581,15 +640,26 @@ def _finalize_store(
             entries.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
         )
-        live = winners.filter(~F.col("is_tomb")).select("doc_int", "dl")
+        live = winners.filter(~F.col("is_tomb")).select(
+            "doc_int", "dl", *([c for c in ("field_dls",) if fd_col])
+        )
         dead = doc_stats.select("doc_int").join(
             live.select("doc_int"), "doc_int", "left_anti"
         )
         store_io.write_parquet(dead, os.path.join(store_path, "dead"))
         live_agg = live.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+            *(field_avgs if fd_col else []),
         ).first()
         n_live, avgdl = int(live_agg["n"]), float(live_agg["avgdl"] or 0.0)
+        avgdl_fields = (
+            {
+                f_: float(live_agg[f"_af{i}"] or 0.0)
+                for i, f_ in enumerate(fields or ())
+            }
+            if fd_col
+            else {}
+        )
     blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
@@ -608,6 +678,9 @@ def _finalize_store(
         "positions": bool(positions),
         "id_mode": id_mode,
     }
+    if fields:
+        meta["fields"] = list(fields)
+        meta["avgdl_fields"] = avgdl_fields
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

@@ -154,6 +154,9 @@ def apply_changes(
         meta = store_io.read_meta(store_path)
         positions = bool(meta.get("positions", False))
         id_mode = meta.get("id_mode", "hash")
+        # multi-field stores qualify terms per field — an incremental batch
+        # must tokenize the same columns under the same qualifiers
+        mf_fields = tuple(meta["fields"]) if meta.get("fields") else None
         if num_buckets is None:
             num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
         elif meta and int(meta.get("num_buckets", num_buckets)) != int(
@@ -176,6 +179,7 @@ def apply_changes(
                 positions=positions,
                 id_mode=id_mode,
                 sink_options=cfg.sink_options,
+                fields=mf_fields,
             )
 
         # ---- deletes: tombstones (version already bumped by dispatch)

@@ -770,6 +770,143 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------------------------------- 4e. multi_match (fields)
+# ES multi-field documents: ONE store indexes text AND source under
+# field-qualified terms with per-field stats (plans/build fields=...);
+# multi_match combines per-field BM25 best_fields + tie_breaker
+# (plans/search.multi_match).
+
+SRC_TOKS = analysis.duckdb_tokens_sql("source")
+MM_QUERIES = [
+    (0, "spark merge src7"),
+    (1, "customer src3"),
+    (2, "window data"),
+    (3, "absentzzz"),
+]
+MM_BOOSTS = {"text": 1.0, "source": 2.5}
+MM_TIE = 0.2
+
+_MF_STORES: dict[str, str] = {}
+
+
+def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """Multi-field engine index over documents (fields text + source)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:mf1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_mf_{key}")
+    if key not in _MF_STORES or not os.path.exists(
+        os.path.join(path, "meta.json")
+    ):
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "lang", "text", "source",
+        )
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        build.build_index(
+            corpus, cfg, path,
+            num_buckets=32, resume=True, fields=("text", "source"),
+        )
+        _MF_STORES[key] = path
+    return search.load_store(path)
+
+
+def q_fts_multi_match(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(MM_QUERIES, columns=["qid", "query"])
+    res = search.multi_match(
+        spark, store, qpdf, fields=MM_BOOSTS, k=50,
+        match_type="best_fields", tie_breaker=MM_TIE,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _multi_match_sql(
+    queries: list[tuple[int, str]], k: int, boosts: dict, tie: float
+) -> str:
+    """Oracle for q_fts_multi_match: independent per-field BM25 (each field
+    has its own postings, df and avgdl; n is the shared doc count), boosted,
+    combined best_fields: max + tie_breaker * (sum - max)."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    bt, bs = boosts["text"], boosts["source"]
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt,
+         {SRC_TOKS} AS ts
+  FROM documents
+),
+dl_t AS (SELECT doc_id, len(tt) AS dl FROM corpus),
+dl_s AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n,
+                 (SELECT avg(dl) FROM dl_t) AS avg_t,
+                 (SELECT avg(dl) FROM dl_s) AS avg_s
+          FROM corpus),
+post_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+post_s AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY term),
+df_s AS (SELECT term, count(*) AS df FROM post_s GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+sc_t AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_t))
+         ) * {bt} AS sc
+  FROM q
+  JOIN post_t p ON p.term = q.term
+  JOIN df_t d ON d.term = q.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+sc_s AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_s))
+         ) * {bs} AS sc
+  FROM q
+  JOIN post_s p ON p.term = q.term
+  JOIN df_s d ON d.term = q.term
+  JOIN dl_s dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+comb AS (
+  SELECT COALESCE(t.qid, s2.qid) AS qid,
+         COALESCE(t.doc_id, s2.doc_id) AS doc_id,
+         greatest(COALESCE(t.sc, s2.sc), COALESCE(s2.sc, t.sc))
+           + {tie} * (COALESCE(t.sc, 0) + COALESCE(s2.sc, 0)
+                      - greatest(COALESCE(t.sc, s2.sc), COALESCE(s2.sc, t.sc))
+                     ) AS score
+  FROM sc_t t
+  FULL OUTER JOIN sc_s s2 ON t.qid = s2.qid AND t.doc_id = s2.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM comb
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------- 4d. regexp / match_phrase_prefix / dis_max
 # ES regexp (anchored dictionary expansion), match_phrase_prefix (positional
 # chain + last-token prefix expansion) and dis_max (max + tie_breaker over
@@ -1658,6 +1795,7 @@ SPARK_QUERIES = {
     "fts_regexp": q_fts_regexp,
     "fts_phrase_prefix": q_fts_phrase_prefix,
     "fts_dis_max": q_fts_dis_max,
+    "fts_multi_match": q_fts_multi_match,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1699,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
             PP_QUERIES, FT_K, PP_EXPANSIONS
         ),
         "fts_dis_max": _dis_max_sql(DISMAX_CLAUSES, FT_K, DISMAX_TIE),
+        "fts_multi_match": _multi_match_sql(
+            MM_QUERIES, FT_K, MM_BOOSTS, MM_TIE
+        ),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

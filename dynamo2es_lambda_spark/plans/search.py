@@ -112,6 +112,28 @@ def _query_terms(queries: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "term", "qtf"])
 
 
+def _field_of(store: IndexStore, field: str | None) -> tuple[str, float]:
+    """Resolve a query's target field on a store → (term prefix, avgdl).
+
+    Single-field stores: empty prefix, global avgdl (``field`` must be
+    omitted). Multi-field stores (built with ``build_index(fields=...)``):
+    terms are qualified ``"<field>:<token>"`` and every BM25 length norm
+    uses THAT field's avgdl; ``field=None`` targets the first (default)
+    field — so existing call sites keep working against either store kind.
+    """
+    flds = store.meta.get("fields")
+    if not flds:
+        if field is not None:
+            raise EngineError(
+                f"store has no named fields (single-field); got field={field!r}"
+            )
+        return "", float(store.meta["avgdl"])
+    f = field if field is not None else flds[0]
+    if f not in flds:
+        raise EngineError(f"unknown field {f!r}; store fields: {flds}")
+    return f + ":", float(store.meta["avgdl_fields"][f])
+
+
 def _drop_dead(spark: SparkSession, store: IndexStore, df: DataFrame) -> DataFrame:
     """Remove dead docs from a (..., doc_int, ...) frame — distributed
     anti-join, exact wherever dead docs cannot affect other docs' scores
@@ -130,6 +152,7 @@ def search(
     mode: str = "or",
     algo: str = "exhaustive",
     index: str | None = None,
+    field: str | None = None,
 ) -> DataFrame:
     """Top-k BM25. ``queries``: pandas (qid, query); ``k`` applies to every
     query. Returns (qid, rank, doc_id, score) — empty for queries with no
@@ -141,12 +164,19 @@ def search(
     restricted. Exhaustive applies it as a semi-join on the candidate
     aggregate; WAND folds it into each (qid, seg) scorer group via cogroup
     (``_segment_constraints``) so out-of-index docs never burn heap slots —
-    both fully distributed."""
+    both fully distributed.
+
+    ``field`` targets one field of a multi-field store (ES ``match`` on a
+    named field); default = the store's first field. Terms are qualified
+    and the length norm uses the field's avgdl — WAND bounds stay exact
+    because the per-posting dl is already field-local."""
     n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
+    prefix, avgdl = _field_of(store, field)
     qt = _query_terms(queries)
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    if prefix:
+        qt["term"] = prefix + qt["term"]
     terms = sorted(qt["term"].unique().tolist())
 
     # df(t) + storage-bucket lookup — ONE tiny targeted read
@@ -209,6 +239,84 @@ def search(
         raise ValueError(f"unknown algo: {algo}")
 
     return _present(spark, store, topk, k)
+
+
+def multi_match(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    fields: dict[str, float] | list[str],
+    k: int = 10,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``multi_match`` over a multi-field store: run the query against
+    every listed field (optionally boosted: ``{"content": 1.0, "path": 2.0}``)
+    and combine per-doc — ``best_fields`` = best field score + tie_breaker ×
+    the rest (ES default, a dis_max over fields); ``most_fields`` = sum of
+    all field scores.
+
+    One pruned posting read + one exhaustive scoring pass serves every
+    (query, field) pair: fields pack into composite qids and each term row
+    carries its field's boost-folded weight AND its field's avgdl (the
+    per-posting dl is already field-local), so the combine is a single
+    groupBy — no per-field scan."""
+    if isinstance(fields, dict):
+        fmap = {str(f): float(b) for f, b in fields.items()}
+    else:
+        fmap = {str(f): 1.0 for f in fields}
+    if not fmap:
+        raise EngineError("multi_match needs at least one field")
+    if match_type not in ("best_fields", "most_fields"):
+        raise EngineError(f"unknown multi_match type: {match_type}")
+    n_docs = float(store.meta["n_docs"])
+    qt0 = _query_terms(queries)
+    if qt0.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    parts = []
+    for i, (f, boost) in enumerate(sorted(fmap.items())):
+        prefix, f_avgdl = _field_of(store, f)
+        p = qt0.copy()
+        p["qid"] = p["qid"] * _DISMAX_CLAUSE_STRIDE + i
+        p["term"] = prefix + p["term"]
+        p["boost"] = boost
+        p["avgdl"] = f_avgdl
+        parts.append(p)
+    qt = pd.concat(parts, ignore_index=True)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+        * qt["boost"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, 0.0)  # per-term avgdl column overrides
+    per_field = cand.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score")
+    )
+    grouped = per_field.withColumn(
+        "_q", (F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long")
+    ).groupBy(F.col("_q").alias("qid"), F.col("doc_int"))
+    if match_type == "best_fields":
+        combined = grouped.agg(
+            (
+                F.max("score")
+                + F.lit(float(tie_breaker))
+                * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
+    else:
+        combined = grouped.agg(F.sum("score").alias("score"))
+    combined = _drop_dead(spark, store, combined)
+    return _present(spark, store, _cut_topk(combined, k), k)
 
 
 def _segment_constraints(
@@ -281,6 +389,7 @@ def search_bool(
     queries: pd.DataFrame,
     k: int = 10,
     minimum_should_match: int | None = None,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``bool`` query: per qid, ``must`` terms are all required (AND,
     scored), ``should`` terms add score when present (OR, optional), and
@@ -304,8 +413,9 @@ def search_bool(
     low 2 bits of a composite qid (qid<<2 | clause) through the shared
     term-stats read, block read and scoring, and bool semantics resolve in
     a single per-(qid, doc) aggregation — one shuffle total, vs one full
-    pipeline per clause.
+    pipeline per clause. ``field`` targets one field of a multi-field store.
     """
+    prefix, avgdl = _field_of(store, field)
     frames = []
     for idx, col in ((0, "must"), (1, "should"), (2, "must_not")):
         q = queries[["qid", col]].rename(columns={col: "query"})
@@ -317,6 +427,8 @@ def search_bool(
     if not frames:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qt = pd.concat(frames, ignore_index=True)
+    if prefix:
+        qt["term"] = prefix + qt["term"]
 
     qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
     # per-qid required must-term count, from the PRE-dropna table: an
@@ -336,7 +448,7 @@ def search_bool(
     )
 
     joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, float(store.meta["avgdl"]))
+    cand = _score_exhaustive(joined, avgdl)
     clause = F.col("qid").bitwiseAND(F.lit(3))
     agg = (
         cand.select(
@@ -384,6 +496,7 @@ def search_more_like_this(
     k: int = 10,
     max_query_terms: int = 25,
     min_doc_freq: int = 1,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``more_like_this`` with free-text ``like`` input: tokenize the
     like text with the pinned analyzer, rank its terms by interestingness
@@ -397,11 +510,12 @@ def search_more_like_this(
     selection is driver-side over the LIKE TEXT's own vocabulary (query-
     sized, like all query preprocessing) — never over the dictionary.
     """
+    prefix, mlt_avgdl = _field_of(store, field)
     rows = []
     for qid, text in zip(likes["qid"], likes["like"]):
         toks = analysis.tokenize_series(pd.Series([str(text)]))[0]
         for t, c in sorted(Counter(toks).items()):
-            rows.append((int(qid), t, int(c)))
+            rows.append((int(qid), prefix + t, int(c)))
     qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -426,7 +540,7 @@ def search_more_like_this(
         * qt["qtf"].to_numpy()
     )
     joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, float(store.meta["avgdl"]))
+    cand = _score_exhaustive(joined, mlt_avgdl)
     agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
     agg = _drop_dead(spark, store, agg)
     return _present(spark, store, _cut_topk(agg, k), k)
@@ -480,7 +594,8 @@ def _matched_blocks(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(live_terms))
     )
-    qterms_df = spark.createDataFrame(qt[["qid", "term", "w"]])
+    keep = ["qid", "term", "w"] + (["avgdl"] if "avgdl" in qt.columns else [])
+    qterms_df = spark.createDataFrame(qt[keep])
     return blocks.join(F.broadcast(qterms_df), "term")
 
 
@@ -489,16 +604,19 @@ def _score_expansion(
     store: IndexStore,
     qt: pd.DataFrame,
     k: int,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Score an expanded term set (columns qid, term, df[, bucket]) as an
     OR query with per-term BM25 idf weights (qtf = 1). Shared by prefix,
-    wildcard and fuzzy queries. Duplicate (qid, term) rows — overlapping
-    expansions — fold to one, so no term is double-counted."""
+    wildcard, regexp and fuzzy queries. Duplicate (qid, term) rows —
+    overlapping expansions — fold to one, so no term is double-counted.
+    ``avgdl`` overrides the store scalar for field-targeted expansions."""
     qt = qt.drop_duplicates(subset=["qid", "term"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
+    if avgdl is None:
+        avgdl = float(store.meta["avgdl"])
     qt = qt.copy()
     qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
     joined = _matched_blocks(spark, store, qt)
@@ -540,6 +658,7 @@ def search_prefix(
     prefixes: pd.DataFrame,
     k: int = 10,
     max_expansions: int | None = 50,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``prefix`` / ``match_phrase_prefix``-style multi-term query: expand
     each prefix against term_stats (a metadata-sized scan — never postings),
@@ -549,13 +668,17 @@ def search_prefix(
     ``prefixes``: pandas (qid, prefix). ``max_expansions`` caps each prefix's
     expansion (term-ascending, deterministic, applied JVM-side before any
     collect) — default 50, ES's default. Empty prefixes are rejected: they
-    would match the entire dictionary."""
+    would match the entire dictionary. ``field`` targets one field of a
+    multi-field store (the dictionary is matched under that field's term
+    qualifier)."""
+    fp, avgdl = _field_of(store, field)
     pfx = prefixes.copy()
     pfx["prefix"] = pfx["prefix"].astype(str).str.lower()
     if (pfx["prefix"].str.len() == 0).any():
         raise EngineError(
             "empty prefix would expand to the entire term dictionary"
         )
+    pfx["prefix"] = fp + pfx["prefix"]
     pats = pfx[["qid", "prefix"]].drop_duplicates()
     if pats.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -566,7 +689,7 @@ def search_prefix(
     qt = _collect_expansion(
         hit, "prefix", [F.col("term").asc()], max_expansions
     )
-    return _score_expansion(spark, store, qt, k)
+    return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
 def highlight(
@@ -644,17 +767,22 @@ def search_facets(
     queries: pd.DataFrame,
     facet_col: str = "lang",
     mode: str = "or",
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``aggs: {terms: {field: ...}}`` over the query's matching docs:
     per (qid, facet value) distinct-document counts.
 
     Matching docs come from the same pruned posting read as scoring (no
     score math needed); the facet column is joined from doc_stats. Returns
-    (qid, facet, n_docs).
+    (qid, facet, n_docs). ``field`` targets one field of a multi-field
+    store.
     """
+    prefix, _ = _field_of(store, field)
     qt = _query_terms(queries)
     if qt.empty:
         return spark.createDataFrame([], "qid long, facet string, n_docs long")
+    if prefix:
+        qt["term"] = prefix + qt["term"]
     qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
     n_terms_by_qid = qt.groupby("qid").size().to_dict()
     qt = qt.dropna(subset=["df"])
@@ -690,6 +818,7 @@ def search_wildcard(
     patterns: pd.DataFrame,
     k: int = 10,
     max_expansions: int | None = 50,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``wildcard`` query: ``*`` = any run, ``?`` = one char, matched
     against the term dictionary (metadata-sized scan — never postings),
@@ -698,15 +827,17 @@ def search_wildcard(
 
     ``patterns``: pandas (qid, pattern); tokens are [a-z0-9]+ so patterns
     are lowercased and translate 1:1 to SQL LIKE (* → %, ? → _) with no
-    escaping — the LIKE join IS the exact wildcard match.
+    escaping — the LIKE join IS the exact wildcard match. ``field`` targets
+    one field of a multi-field store.
     """
+    fp, avgdl = _field_of(store, field)
     pats = patterns.copy()
     pats["pattern"] = pats["pattern"].astype(str).str.lower()
     for p in pats["pattern"]:
         if not all(c.isalnum() or c in "*?" for c in p):
             raise EngineError(f"wildcard pattern has invalid chars: {p!r}")
     pats["lk"] = pats["pattern"].map(
-        lambda p: p.replace("*", "%").replace("?", "_")
+        lambda p: fp + p.replace("*", "%").replace("?", "_")
     )
     pats = pats[["qid", "pattern", "lk"]].drop_duplicates()
     if pats.empty:
@@ -718,7 +849,7 @@ def search_wildcard(
     qt = _collect_expansion(
         hit, "pattern", [F.col("term").asc()], max_expansions
     )
-    return _score_expansion(spark, store, qt, k)
+    return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
 def search_regexp(
@@ -727,6 +858,7 @@ def search_regexp(
     patterns: pd.DataFrame,
     k: int = 10,
     max_expansions: int | None = 50,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``regexp`` query: the pattern is matched against the ENTIRE term
     (Lucene anchoring semantics — ``a.c`` matches ``abc``, not ``xabcx``),
@@ -737,13 +869,18 @@ def search_regexp(
 
     ``patterns``: pandas (qid, pattern). Patterns are lowercased (the
     dictionary is lowercase) and evaluated JVM-side via ``rlike`` with
-    explicit ``^...$`` anchors. Empty patterns are rejected.
+    explicit ``^...$`` anchors. Empty patterns are rejected. ``field``
+    targets one field of a multi-field store (the anchored match applies to
+    the unqualified token after that field's qualifier).
     """
+    import re as _re
+
+    fp, avgdl = _field_of(store, field)
     pats = patterns.copy()
     pats["pattern"] = pats["pattern"].astype(str).str.lower()
     if (pats["pattern"].str.len() == 0).any():
         raise EngineError("empty regexp pattern")
-    pats["rx"] = "^(?:" + pats["pattern"] + ")$"
+    pats["rx"] = "^" + _re.escape(fp) + "(?:" + pats["pattern"] + ")$"
     pats = pats[["qid", "pattern", "rx"]].drop_duplicates()
     if pats.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -754,7 +891,7 @@ def search_regexp(
     qt = _collect_expansion(
         hit, "pattern", [F.col("term").asc()], max_expansions
     )
-    return _score_expansion(spark, store, qt, k)
+    return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
 def search_fuzzy(
@@ -764,6 +901,7 @@ def search_fuzzy(
     k: int = 10,
     max_edits: int = 1,
     max_expansions: int | None = 50,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``fuzzy``-style query: expand each query term to dictionary terms
     within ``max_edits`` Levenshtein distance (term_stats scan — JVM-side
@@ -774,7 +912,10 @@ def search_fuzzy(
     ``queries``: pandas (qid, term) — one fuzzy term per row; repeat qid for
     multi-term fuzzy queries. ``max_expansions`` caps each term's expansion
     deterministically (distance asc, then term asc) JVM-side, like ES.
+    ``field`` targets one field of a multi-field store: the edit distance is
+    measured on the unqualified token after the field's qualifier.
     """
+    fp, avgdl = _field_of(store, field)
     fz = queries.copy()
     fz["probe"] = fz["term"].astype(str).str.lower()
     probes = fz[["qid", "probe"]].drop_duplicates()
@@ -782,21 +923,28 @@ def search_fuzzy(
         return spark.createDataFrame([], RESULT_SCHEMA)
     pdf = spark.createDataFrame(probes)
     # broadcast-NLJ of the tiny probe table into ONE dictionary scan; the
-    # |len(t) - len(p)| <= max_edits band prunes before the levenshtein
+    # |len(t) - len(p)| <= max_edits band prunes before the levenshtein;
+    # multi-field stores strip the field qualifier before both
+    bare = (
+        F.expr(f"substring(term, {len(fp) + 1})") if fp else F.col("term")
+    )
+    ts = store.term_stats(spark)
+    if fp:
+        ts = ts.filter(F.col("term").startswith(fp))
     hit = (
-        store.term_stats(spark)
+        ts.withColumn("_bare", bare)
         .join(
             F.broadcast(pdf),
-            F.abs(F.length("term") - F.length("probe")) <= max_edits,
+            F.abs(F.length("_bare") - F.length("probe")) <= max_edits,
         )
-        .withColumn("_dist", F.levenshtein(F.col("term"), F.col("probe")))
+        .withColumn("_dist", F.levenshtein(F.col("_bare"), F.col("probe")))
         .filter(F.col("_dist") <= max_edits)
     )
     qt = _collect_expansion(
         hit, "probe", [F.col("_dist").asc(), F.col("term").asc()],
         max_expansions,
     )
-    return _score_expansion(spark, store, qt, k)
+    return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
 def _decode_positional_terms(pdf: pd.DataFrame) -> dict[str, tuple]:
@@ -883,6 +1031,7 @@ def search_phrase(
     store: IndexStore,
     queries: pd.DataFrame,
     k: int = 10,
+    field: str | None = None,
 ) -> DataFrame:
     """Exact phrase top-k (ES ``match_phrase``): docs containing the query's
     token sequence consecutively, ranked by the summed BM25 score of the
@@ -902,13 +1051,13 @@ def search_phrase(
             "phrase search needs a store built with positions=True"
         )
     n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
+    prefix, avgdl = _field_of(store, field)
 
     # per qid: ordered token list; per distinct term: qtf + BM25 weight
     phrase_by_qid: dict[int, list[str]] = {}
     rows = []
     for qid, q in zip(queries["qid"], queries["query"]):
-        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        toks = [prefix + t for t in analysis.tokenize_series(pd.Series([q]))[0]]
         if not toks:
             continue
         phrase_by_qid[int(qid)] = list(toks)
@@ -1018,6 +1167,7 @@ def search_dis_max(
     clauses: pd.DataFrame,
     k: int = 10,
     tie_breaker: float = 0.0,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``dis_max``: each clause is an OR-match BM25 query; a doc's score
     is its best clause score plus ``tie_breaker`` × the sum of its other
@@ -1031,7 +1181,7 @@ def search_dis_max(
     shuffle per clause.
     """
     n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
+    prefix, avgdl = _field_of(store, field)
     rows = []
     for qid, clause, q in zip(
         clauses["qid"], clauses["clause"], clauses["query"]
@@ -1041,7 +1191,7 @@ def search_dis_max(
         toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
         cq = int(qid) * _DISMAX_CLAUSE_STRIDE + int(clause)
         for t, c in sorted(Counter(toks).items()):
-            rows.append((cq, t, int(c)))
+            rows.append((cq, prefix + t, int(c)))
     qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -1085,6 +1235,7 @@ def search_phrase_prefix(
     queries: pd.DataFrame,
     k: int = 10,
     max_expansions: int | None = 50,
+    field: str | None = None,
 ) -> DataFrame:
     """ES ``match_phrase_prefix``: the query's last analyzed token is a
     PREFIX — a doc matches when it contains the fixed tokens consecutively,
@@ -1105,12 +1256,15 @@ def search_phrase_prefix(
             "phrase-prefix search needs a store built with positions=True"
         )
     n_docs = float(store.meta["n_docs"])
-    avgdl = float(store.meta["avgdl"])
+    fprefix, avgdl = _field_of(store, field)
 
     fixed_by_qid: dict[int, list[str]] = {}
     pfx_rows = []
     for qid, q in zip(queries["qid"], queries["query"]):
-        toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
+        toks = [
+            fprefix + t
+            for t in analysis.tokenize_series(pd.Series([str(q)]))[0]
+        ]
         if not toks:
             continue
         fixed_by_qid[int(qid)] = list(toks[:-1])
@@ -1312,7 +1466,12 @@ def _cut_topk(agg: DataFrame, k: int) -> DataFrame:
 def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
     """Decode every matched block → (qid, doc_int, score) rows. Dead docs
     are NOT filtered here — callers anti-join the aggregate against the dead
-    list (distributed; exact for additive scoring)."""
+    list (distributed; exact for additive scoring).
+
+    When ``joined`` carries a per-term ``avgdl`` column (multi-field
+    queries: each term's field has its own average length) it overrides the
+    scalar — the length norm is field-local, matching per-field ES stats."""
+    per_term_avgdl = "avgdl" in joined.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1321,7 +1480,8 @@ def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
                 ids, tfs, dls = codec.decode_block(
                     row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
                 )
-                score = row.w * bm25.tf_norm(tfs, dls, avgdl)
+                ad = float(row.avgdl) if per_term_avgdl else avgdl
+                score = row.w * bm25.tf_norm(tfs, dls, ad)
                 outs.append(
                     pd.DataFrame(
                         {"qid": row.qid, "doc_int": ids, "score": score}
@@ -1330,7 +1490,9 @@ def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    cols = ["qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"]
+    cols = ["qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"] + (
+        ["avgdl"] if per_term_avgdl else []
+    )
     return joined.select(*cols).mapInPandas(
         run, schema="qid long, doc_int long, score double"
     )

@@ -107,7 +107,8 @@ def read_doc_stats(spark, store_path: str):
     keep = [
         c
         for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
-                  "version", "dl", "content_sha256", "lang", "batch")
+                  "version", "dl", "field_dls", "content_sha256", "lang",
+                  "batch")
         if c in df.columns
     ]
     return df.select(*keep)
