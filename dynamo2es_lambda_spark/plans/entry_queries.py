@@ -770,6 +770,144 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------- 4f. term-level + scoring wrappers (terms / exists /
+# function_score). ES term/terms = exact unanalyzed dictionary match;
+# exists = field-presence from marker metadata; function_score =
+# field_value_factor rescore (plans/search.search_terms / search_exists /
+# search_function_score).
+
+TERMS_QUERIES = [
+    (0, "spark"), (0, "merge"),     # multi-value terms query
+    (1, "sparkMerge"),              # unanalyzed: not a dictionary term
+    (2, "customer"),
+]
+FS_QUERIES = [(0, "spark merge window"), (1, "customer"), (2, "absentzzz")]
+FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE = 0.5, "log1p", "multiply"
+
+
+def q_fts_terms(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    tpdf = pd.DataFrame(TERMS_QUERIES, columns=["qid", "term"])
+    res = search.search_terms(spark, store, tpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_function_score(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FS_QUERIES, columns=["qid", "query"])
+    res = search.search_function_score(
+        spark, store, qpdf, k=50, factor_col="dl",
+        modifier=FS_MODIFIER, factor_weight=FS_WEIGHT,
+        boost_mode=FS_BOOST_MODE,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_exists(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    return search.search_exists(spark, store, "source", qid=0, k=FT_K).select(
+        "qid", "rank", "doc_id",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def _terms_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_terms: the term strings are matched VERBATIM
+    (lowercased, no analysis) against the dictionary, qtf=1 OR BM25."""
+    vals = ", ".join(f"({qid}, '{t.lower()}')" for qid, t in queries)
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT DISTINCT v.qid AS qid, v.term AS term, 1 AS qtf
+  FROM (VALUES {vals}) v(qid, term)
+  JOIN dfreq d ON d.term = v.term
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _function_score_sql(
+    queries: list[tuple[int, str]], k: int,
+    weight: float, modifier: str, boost_mode: str,
+) -> str:
+    """Oracle for q_fts_function_score: OR BM25 rescored by
+    modifier(weight × dl) per doc."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    fexpr = {
+        "none": f"({weight} * dl.dl)",
+        "log1p": f"ln(1.0 + {weight} * dl.dl)",
+        "sqrt": f"sqrt({weight} * dl.dl)",
+    }[modifier]
+    comb = "*" if boost_mode == "multiply" else "+"
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) {comb} max({fexpr}) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _exists_sql(k: int) -> str:
+    """Oracle for q_fts_exists: docs whose source field analyzes to >= 1
+    token, constant score 1.0, ranked by doc_id."""
+    return f"""
+WITH hits AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id
+  FROM documents
+  WHERE len({SRC_TOKS}) > 0
+),
+ranked AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id, 1.0 AS score_r,
+         CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank
+  FROM hits
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------- 4e. multi_match (fields)
 # ES multi-field documents: ONE store indexes text AND source under
 # field-qualified terms with per-field stats (plans/build fields=...);
@@ -1796,6 +1934,9 @@ SPARK_QUERIES = {
     "fts_phrase_prefix": q_fts_phrase_prefix,
     "fts_dis_max": q_fts_dis_max,
     "fts_multi_match": q_fts_multi_match,
+    "fts_terms": q_fts_terms,
+    "fts_function_score": q_fts_function_score,
+    "fts_exists": q_fts_exists,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1840,6 +1981,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_multi_match": _multi_match_sql(
             MM_QUERIES, FT_K, MM_BOOSTS, MM_TIE
         ),
+        "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),
+        "fts_function_score": _function_score_sql(
+            FS_QUERIES, FT_K, FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE
+        ),
+        "fts_exists": _exists_sql(FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

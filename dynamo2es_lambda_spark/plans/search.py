@@ -1158,6 +1158,164 @@ def search_phrase(
     return _present(spark, store, _cut_topk(scored, k), k)
 
 
+def search_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    field: str | None = None,
+    constant_score: float | None = None,
+) -> DataFrame:
+    """ES ``term`` / ``terms`` query: EXACT dictionary terms (no analysis —
+    the caller's strings are matched verbatim against the index, lowercase
+    like the dictionary), OR-scored BM25 with qtf = 1 per distinct term.
+
+    ``queries``: pandas (qid, term); repeat qid for a multi-value ``terms``
+    query. ``constant_score`` wraps the match in ES ``constant_score``
+    semantics: every matching doc scores exactly that boost (rank ties
+    break on doc_id, as everywhere).
+    """
+    prefix, avgdl = _field_of(store, field)
+    qt = queries[["qid", "term"]].copy()
+    qt["term"] = prefix + qt["term"].astype(str).str.lower()
+    qt = qt.drop_duplicates()
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["qtf"] = 1
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = float(store.meta["n_docs"])
+    qt = qt.copy()
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    if constant_score is not None:
+        # uniform scores → every doc ties; rank on doc_id directly instead
+        # of letting _cut_topk keep the entire tied set
+        stats = store.doc_stats(spark).select("doc_int", "doc_id")
+        named = agg.join(stats, "doc_int").withColumn(
+            "score", F.lit(float(constant_score))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+        return (
+            named.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+        )
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def search_exists(
+    spark: SparkSession,
+    store: IndexStore,
+    field: str,
+    qid: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES ``exists`` query on a multi-field store: docs whose ``field`` has
+    at least one token. Pure METADATA — answered from the doc-stat markers'
+    per-field length array (``field_dls``), no posting read at all; scored
+    ES-style as a constant (filter context), ranked by doc_id."""
+    flds = store.meta.get("fields")
+    if not flds:
+        raise EngineError("exists needs a multi-field store")
+    if field not in flds:
+        raise EngineError(f"unknown field {field!r}; store fields: {flds}")
+    i = flds.index(field)
+    hits = (
+        store.doc_stats(spark)
+        .filter(F.col("field_dls")[i] > 0)
+        .select(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            "doc_int",
+            "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+    )
+    hits = _drop_dead(spark, store, hits)
+    # every hit scores the same constant → rank straight on doc_id here
+    # (doc_id is already on the marker row); routing the full matching set
+    # through _cut_topk would keep ALL score-ties and broadcast them
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search_function_score(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    factor_col: str = "dl",
+    modifier: str = "log1p",
+    factor_weight: float = 1.0,
+    boost_mode: str = "multiply",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function: rescore
+    the OR BM25 match by a per-document factor from a doc_stats column —
+    ``factor = modifier(factor_weight × col)`` with modifier ∈ {none, log1p,
+    sqrt}; ``boost_mode`` ∈ {multiply, sum} combines it with the query score.
+
+    The factor joins from the metadata-sized doc_stats AFTER the candidate
+    aggregation and BEFORE the top-k cut (the rescore changes the ranking,
+    so cutting first would be wrong)."""
+    if modifier not in ("none", "log1p", "sqrt"):
+        raise EngineError(f"unknown modifier: {modifier}")
+    if boost_mode not in ("multiply", "sum"):
+        raise EngineError(f"unknown boost_mode: {boost_mode}")
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = _query_terms(queries)
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    raw = F.lit(float(factor_weight)) * F.col(factor_col).cast("double")
+    factor = {
+        "none": raw,
+        "log1p": F.log1p(raw),
+        "sqrt": F.sqrt(raw),
+    }[modifier]
+    stats = store.doc_stats(spark).select(
+        "doc_int", factor.alias("_factor")
+    )
+    agg = agg.join(stats, "doc_int")
+    combined = (
+        F.col("score") * F.col("_factor")
+        if boost_mode == "multiply"
+        else F.col("score") + F.col("_factor")
+    )
+    agg = agg.withColumn("score", combined).drop("_factor")
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 _DISMAX_CLAUSE_STRIDE = 1_000_000  # composite qid = qid * stride + clause
 
 

@@ -235,6 +235,44 @@ class PyOracle:
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def terms_topk(self, terms: list[str], k: int = 10,
+                   constant_score=None):
+        """ES term/terms: exact dictionary terms (no analysis), qtf=1
+        OR-score; constant_score makes every match score that boost and
+        rank purely on doc_id."""
+        scores: dict[int, float] = {}
+        for t in sorted(set(x.lower() for x in terms)):
+            if t not in self.postings:
+                continue
+            w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0)
+            for d, tf in self.postings[t]:
+                s = w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+        if constant_score is not None:
+            ranked = sorted(scores, key=lambda d: self.doc_ids[d])
+            return [(self.doc_ids[d], float(constant_score))
+                    for d in ranked[:k]]
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def function_score_topk(self, query: str, k: int = 10,
+                            modifier: str = "log1p",
+                            factor_weight: float = 1.0,
+                            boost_mode: str = "multiply"):
+        """ES function_score field_value_factor over the doc length."""
+        base = dict(
+            (d, s) for dd, s in self.topk(query, k=10**9)
+            for d in [self.doc_ids.index(dd)]
+        )
+        out = {}
+        for d, s in base.items():
+            raw = factor_weight * float(self.dl[d])
+            f = {"none": raw, "log1p": np.log1p(raw),
+                 "sqrt": np.sqrt(raw)}[modifier]
+            out[d] = s * f if boost_mode == "multiply" else s + f
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def prefix_topk(self, prefix: str, k: int = 10, max_expansions=None):
         """ES prefix query with scoring_boolean rewrite: expand, OR-score."""
         terms = sorted(t for t in self.postings if t.startswith(prefix))

@@ -1,0 +1,132 @@
+"""Term-level + scoring-wrapper queries vs the pure-Python oracle: term /
+terms (exact, unanalyzed), constant_score, exists (multi-field metadata),
+function_score field_value_factor (SURVEY.md §2.2 — ES query DSL the
+reference relies on over its indexed documents, /root/reference/
+lib/handler.js:100).
+"""
+
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.plans import build, search
+
+from .oracle import PyOracle
+
+CFG = IndexerConfig(index="code")
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tlidx"))
+    build.build_index(corpus_df, CFG, path, segment_docs=64, num_buckets=8)
+    return search.load_store(path)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    ids = (
+        corpus_pdf["repo"] + "." + corpus_pdf["path"] + "." + corpus_pdf["commit"]
+    ).tolist()
+    return PyOracle(ids, corpus_pdf["content"].tolist())
+
+
+def _assert_rank_identical(got, want, label=""):
+    assert len(got) == len(want), f"{label}: {len(got)} vs {len(want)}"
+    for i, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"{label} rank={i + 1}: doc {gd} != {wd}"
+        assert gs == pytest.approx(ws, abs=1e-9), f"{label} rank={i + 1}"
+
+
+def _got(res, qid=0):
+    g = res[res.qid == qid].sort_values("rank")
+    return list(zip(g["doc_id"], g["score"]))
+
+
+def test_terms_exact_no_analysis(spark, store, oracle):
+    """'term' queries match the dictionary verbatim: a camelCase input that
+    the ANALYZER would split must NOT match (it is not a dictionary term),
+    while its lowercase subtokens do."""
+    t0, t1 = oracle.toks[0][0], oracle.toks[0][1]
+    res = search.search_terms(
+        spark, store,
+        pd.DataFrame({"qid": [0, 0, 1], "term": [t0, t1, t0 + t1.capitalize()]}),
+        k=10,
+    ).toPandas()
+    _assert_rank_identical(_got(res, 0), oracle.terms_topk([t0, t1], k=10))
+    assert len(res[res.qid == 1]) == 0, "unanalyzed camelCase must not match"
+
+
+def test_terms_vs_match_single_token(spark, store, oracle):
+    """For a single lowercase token, term ≡ match."""
+    t = oracle.toks[4][0]
+    tm = search.search_terms(
+        spark, store, pd.DataFrame({"qid": [0], "term": [t]}), k=10
+    ).toPandas()
+    mt = search.search(
+        spark, store, pd.DataFrame({"qid": [0], "query": [t]}), k=10
+    ).toPandas()
+    _assert_rank_identical(_got(tm), _got(mt))
+
+
+def test_constant_score(spark, store, oracle):
+    t = oracle.toks[2][0]
+    res = search.search_terms(
+        spark, store, pd.DataFrame({"qid": [0], "term": [t]}),
+        k=10, constant_score=1.7,
+    ).toPandas()
+    want = oracle.terms_topk([t], k=10, constant_score=1.7)
+    _assert_rank_identical(_got(res), want, "constant_score")
+
+
+@pytest.mark.parametrize("modifier,boost_mode", [
+    ("log1p", "multiply"), ("sqrt", "sum"), ("none", "multiply"),
+])
+def test_function_score(spark, store, oracle, modifier, boost_mode):
+    q = " ".join(oracle.toks[1][:2])
+    res = search.search_function_score(
+        spark, store, pd.DataFrame({"qid": [0], "query": [q]}),
+        k=10, modifier=modifier, factor_weight=0.5, boost_mode=boost_mode,
+    ).toPandas()
+    want = oracle.function_score_topk(
+        q, k=10, modifier=modifier, factor_weight=0.5, boost_mode=boost_mode
+    )
+    _assert_rank_identical(_got(res), want, f"{modifier}/{boost_mode}")
+
+
+def test_function_score_rejects_unknown(spark, store):
+    with pytest.raises(EngineError):
+        search.search_function_score(
+            spark, store, pd.DataFrame({"qid": [0], "query": ["a"]}),
+            modifier="exp",
+        )
+
+
+def test_exists_on_multifield(spark, corpus_df, corpus_pdf, tmp_path):
+    """exists(field) = docs with >=1 token in that field — answered from
+    marker metadata. A corpus where some docs have an empty 'extra' field
+    must surface exactly the non-empty ones."""
+    from pyspark.sql import functions as F
+
+    df = corpus_df.withColumn(
+        "extra",
+        F.when(F.length("path") % 2 == 0, F.col("lang")).otherwise(F.lit("")),
+    )
+    path = str(tmp_path / "exidx")
+    build.build_index(
+        df, CFG, path, segment_docs=64, num_buckets=8,
+        fields=("content", "extra"),
+    )
+    st = search.load_store(path)
+    res = search.search_exists(spark, st, "extra", k=10**6).toPandas()
+    ids = (
+        corpus_pdf["repo"] + "." + corpus_pdf["path"] + "." + corpus_pdf["commit"]
+    )
+    want = sorted(ids[corpus_pdf["path"].str.len() % 2 == 0])
+    assert sorted(res["doc_id"]) == want
+    assert (res["score"] == 1.0).all()
+    # ranks are doc_id-ascending and contiguous
+    assert list(res.sort_values("rank")["doc_id"]) == want
+    with pytest.raises(EngineError):
+        search.search_exists(spark, st, "nope")
