@@ -770,6 +770,124 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------- 4g. simple_query_string
+# +must -not "phrase" should — parsed into the fused clause pipeline +
+# one composite-qid phrase kernel pass (plans/search.search_query_string).
+
+QS_QUERIES = [
+    (0, '+spark merge "part filter scan"'),
+    (1, "customer -window"),
+    (2, '"spark merge" -absentzzz'),
+    (3, "+absentzzz spark"),
+    (4, "fast key data"),
+]
+
+
+def q_fts_query_string(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(QS_QUERIES, columns=["qid", "query"])
+    res = search.search_query_string(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _query_string_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_query_string: clause-side BM25 (must/should/
+    must_not) full-outer-joined with phrase containment scores, the same
+    gate as the engine (all must, all phrases, no must_not, >=1 should when
+    nothing else constrains)."""
+    from dynamo2es_lambda_spark.plans.search import parse_query_string
+
+    clause_vals, ph_term_vals, ph_pat_vals, need_vals = [], [], [], []
+    for qid, q in queries:
+        p = parse_query_string(q)
+        for cl, toks in ((0, p["must"]), (1, p["should"]),
+                         (2, p["must_not"])):
+            for t, c in sorted(Counter(toks).items()):
+                clause_vals.append(f"({qid}, {cl}, '{t}', {c})")
+        for j, ph in enumerate(p["phrases"]):
+            ptoks = list(analysis.tokenize_series(pd.Series([ph]))[0])
+            terms = sorted(Counter(ptoks).items())
+            ph_pat_vals.append(
+                f"({qid}, {j}, ' {' '.join(ptoks)} ', {len(terms)})"
+            )
+            for t, c in terms:
+                ph_term_vals.append(f"({qid}, {j}, '{t}', {c})")
+        nm, np_ = len(set(p["must"])), len(p["phrases"])
+        nsg = 1 if (p["must"] or p["phrases"] or not p["should"]) else 0
+        need_vals.append(f"({qid}, {nm}, {np_}, {nsg})")
+    bm = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+q(qid, clause, term, qtf) AS (VALUES {", ".join(clause_vals)}),
+boolside AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(CASE WHEN q.clause <= 1 THEN q.qtf * {bm} END) AS b_score,
+         count(CASE WHEN q.clause = 0 THEN 1 END) AS nt_must,
+         count(CASE WHEN q.clause = 1 THEN 1 END) AS nt_should,
+         max(CASE WHEN q.clause = 2 THEN 1 END) AS mnot
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+pq(pqid, pidx, term, qtf) AS (VALUES {", ".join(ph_term_vals)}),
+pp(ppqid, ppidx, pat, needt) AS (VALUES {", ".join(ph_pat_vals)}),
+php AS (
+  SELECT pq.pqid AS qid, pq.pidx AS pidx, p.doc_id AS doc_id,
+         sum(pq.qtf * {bm}) AS sc, count(*) AS nt
+  FROM pq
+  JOIN posting p ON p.term = pq.term
+  JOIN dfreq d ON d.term = pq.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY pq.pqid, pq.pidx, p.doc_id
+),
+phm AS (
+  SELECT php.qid AS qid, php.doc_id AS doc_id,
+         count(*) AS ph_cnt, sum(php.sc) AS p_score
+  FROM php
+  JOIN pp ON pp.ppqid = php.qid AND pp.ppidx = php.pidx
+         AND php.nt = pp.needt
+  JOIN cs ON cs.doc_id = php.doc_id AND contains(cs.s, pp.pat)
+  GROUP BY php.qid, php.doc_id
+),
+need(nqid, nm, np, nsg) AS (VALUES {", ".join(need_vals)}),
+comb AS (
+  SELECT COALESCE(b.qid, m.qid) AS qid,
+         COALESCE(b.doc_id, m.doc_id) AS doc_id,
+         COALESCE(b.b_score, 0) + COALESCE(m.p_score, 0) AS score,
+         b.nt_must AS nt_must, b.nt_should AS nt_should, b.mnot AS mnot,
+         m.ph_cnt AS ph_cnt
+  FROM boolside b
+  FULL OUTER JOIN phm m ON b.qid = m.qid AND b.doc_id = m.doc_id
+),
+gated AS (
+  SELECT c.qid AS qid, c.doc_id AS doc_id, c.score AS score
+  FROM comb c JOIN need n ON n.nqid = c.qid
+  WHERE c.mnot IS NULL
+    AND (n.nm = 0 OR COALESCE(c.nt_must, 0) = n.nm)
+    AND (n.np = 0 OR COALESCE(c.ph_cnt, 0) = n.np)
+    AND (n.nsg = 1 OR COALESCE(c.nt_should, 0) >= 1)
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------- 4f. term-level + scoring wrappers (terms / exists /
 # function_score). ES term/terms = exact unanalyzed dictionary match;
 # exists = field-presence from marker metadata; function_score =
@@ -1937,6 +2055,7 @@ SPARK_QUERIES = {
     "fts_terms": q_fts_terms,
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
+    "fts_query_string": q_fts_query_string,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1986,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
             FS_QUERIES, FT_K, FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE
         ),
         "fts_exists": _exists_sql(FT_K),
+        "fts_query_string": _query_string_sql(QS_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

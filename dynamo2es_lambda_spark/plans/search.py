@@ -1046,6 +1046,23 @@ def search_phrase(
     Everything runs per (qid, seg) — segments are disjoint doc ranges, so
     per-segment results merge exactly.
     """
+    scored = _phrase_scores(spark, store, queries, field)
+    if scored is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
+def _phrase_scores(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    field: str | None = None,
+) -> DataFrame | None:
+    """The phrase pipeline up to (qid, doc_int, score) rows — shared by
+    search_phrase and the query_string phrase clauses (which pack phrases
+    into composite qids). Returns None when no query has indexable terms.
+    Dead docs are NOT dropped here (callers aggregate first)."""
     if not store.meta.get("positions"):
         raise EngineError(
             "phrase search needs a store built with positions=True"
@@ -1065,7 +1082,7 @@ def search_phrase(
             rows.append((int(qid), t, int(c)))
     qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
     if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None
 
     qt = _join_term_stats(
         spark, store, qt, sorted(qt["term"].unique().tolist())
@@ -1074,7 +1091,7 @@ def search_phrase(
     dead_qids = set(qt.loc[qt["df"].isna(), "qid"])
     qt = qt[~qt["qid"].isin(dead_qids)]
     if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None
     qt["w"] = (
         bm25.idf(n_docs, qt["df"].to_numpy())
         * (bm25.K1 + 1.0)
@@ -1149,13 +1166,226 @@ def search_phrase(
 
     cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
             "tf_bytes", "dl_bytes", "pos_bytes"]
-    scored = (
+    return (
         joined.select(*cols)
         .groupBy("qid", "seg")
         .applyInPandas(run, schema="qid long, doc_int long, score double")
     )
-    scored = _drop_dead(spark, store, scored)
-    return _present(spark, store, _cut_topk(scored, k), k)
+
+
+_QS_PHRASE_STRIDE = 64  # composite phrase qid = qid * 64 + phrase_idx
+
+
+def parse_query_string(q: str) -> dict:
+    """ES ``simple_query_string`` subset: ``+word`` must, ``-word`` must_not,
+    ``"multi word"`` required phrase, bare words optional (should). Words
+    are analyzed with the pinned tokenizer AFTER clause assignment (a
+    camelCase word contributes all its subtokens to its clause). Negated
+    phrases are not supported (raises)."""
+    import re
+
+    phrases: list[str] = []
+
+    def _grab(m: "re.Match") -> str:
+        if m.group(1) == "-":
+            raise EngineError("negated phrases are not supported")
+        phrases.append(m.group(2))
+        return " "
+
+    rest = re.sub(r'([+-]?)"([^"]*)"', _grab, str(q))
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    for w in rest.split():
+        sign = ""
+        if w[0] in "+-":
+            sign, w = w[0], w[1:]
+        if not w:
+            continue
+        toks = list(analysis.tokenize_series(pd.Series([w]))[0])
+        {"+": must, "-": must_not, "": should}[sign].extend(toks)
+    phrases = [p for p in phrases if p.strip()]
+    return {
+        "must": must, "should": should, "must_not": must_not,
+        "phrases": phrases,
+    }
+
+
+def search_query_string(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``simple_query_string``: one string per query mixing required
+    terms (``+w``), excluded terms (``-w``), required phrases (``"a b"``)
+    and optional terms. A doc matches when it has ALL must terms, ALL
+    phrases, NO must_not term, and (when there is no must term and no
+    phrase) at least one should term. Score = BM25 of must terms + matched
+    should terms + each phrase's AND score.
+
+    Plan shape: ONE fused clause pipeline (the search_bool composite-qid
+    trick: must/should/must_not ride the low bits through a single pruned
+    posting read + scoring pass) full-outer-joined with ONE phrase kernel
+    pass in which all phrases of all queries pack into composite qids —
+    two posting reads total regardless of query or clause count, and the
+    combine is a broadcast-joined filter, no extra shuffle beyond the two
+    aggregations.
+    """
+    if _QS_PHRASE_STRIDE < 2:  # pragma: no cover - constant sanity
+        raise EngineError("bad phrase stride")
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+
+    parsed: dict[int, dict] = {}
+    for qid, q in zip(queries["qid"], queries["query"]):
+        parsed[int(qid)] = parse_query_string(q)
+    for qid, p in parsed.items():
+        if len(p["phrases"]) >= _QS_PHRASE_STRIDE:
+            raise EngineError(
+                f"too many phrases in one query (qid={qid}): "
+                f"{len(p['phrases'])} >= {_QS_PHRASE_STRIDE}"
+            )
+
+    # --- clause side (must=0 / should=1 / must_not=2 on the low bits) ---
+    rows = []
+    for qid, p in parsed.items():
+        for idx, toks in ((0, p["must"]), (1, p["should"]),
+                          (2, p["must_not"])):
+            for t, c in sorted(Counter(prefix + t for t in toks).items()):
+                rows.append((qid * 4 + idx, t, int(c)))
+    tq = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    need_rows = {
+        qid: (
+            len(set(p["must"])),
+            len(p["phrases"]),
+            1 if (p["must"] or p["phrases"] or not p["should"]) else 0,
+        )
+        for qid, p in parsed.items()
+    }
+
+    bool_agg = None
+    if not tq.empty:
+        tq = _join_term_stats(
+            spark, store, tq, sorted(tq["term"].unique().tolist())
+        )
+        tq = tq.dropna(subset=["df"])
+        if not tq.empty:
+            tq = tq.copy()
+            tq["w"] = (
+                bm25.idf(n_docs, tq["df"].to_numpy())
+                * (bm25.K1 + 1.0)
+                * tq["qtf"].to_numpy()
+            )
+            joined = _matched_blocks(spark, store, tq)
+            cand = _score_exhaustive(joined, avgdl)
+            clause = F.col("qid").bitwiseAND(F.lit(3))
+            bool_agg = (
+                cand.select(
+                    F.shiftright("qid", 2).alias("qid"),
+                    clause.alias("clause"),
+                    "doc_int",
+                    "score",
+                )
+                .groupBy("qid", "doc_int")
+                .agg(
+                    F.sum(
+                        F.when(F.col("clause") <= 1, F.col("score"))
+                    ).alias("b_score"),
+                    F.count(F.when(F.col("clause") == 0, 1)).alias("nt_must"),
+                    F.count(F.when(F.col("clause") == 1, 1)).alias(
+                        "nt_should"
+                    ),
+                    F.max(F.when(F.col("clause") == 2, 1)).alias("mnot"),
+                )
+            )
+
+    # --- phrase side: every (qid, phrase) packs into a composite qid ---
+    ph_rows = [
+        (qid * _QS_PHRASE_STRIDE + j, ph)
+        for qid, p in parsed.items()
+        for j, ph in enumerate(p["phrases"])
+    ]
+    phrase_agg = None
+    if ph_rows:
+        ps = _phrase_scores(
+            spark, store,
+            pd.DataFrame(ph_rows, columns=["qid", "query"]),
+            field,
+        )
+        if ps is not None:
+            phrase_agg = (
+                ps.select(
+                    (F.col("qid") / _QS_PHRASE_STRIDE)
+                    .cast("long")
+                    .alias("qid"),
+                    "doc_int",
+                    "score",
+                )
+                .groupBy("qid", "doc_int")
+                .agg(
+                    F.sum("score").alias("p_score"),
+                    F.count("*").alias("ph_cnt"),
+                )
+            )
+
+    if bool_agg is None and phrase_agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if bool_agg is None:
+        full = phrase_agg.withColumns(
+            {
+                "b_score": F.lit(None).cast("double"),
+                "nt_must": F.lit(None).cast("long"),
+                "nt_should": F.lit(None).cast("long"),
+                "mnot": F.lit(None).cast("int"),
+            }
+        )
+    elif phrase_agg is None:
+        full = bool_agg.withColumns(
+            {
+                "p_score": F.lit(None).cast("double"),
+                "ph_cnt": F.lit(None).cast("long"),
+            }
+        )
+    else:
+        full = bool_agg.join(phrase_agg, ["qid", "doc_int"], "full_outer")
+
+    need = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": list(need_rows),
+                "nm": [v[0] for v in need_rows.values()],
+                "np": [v[1] for v in need_rows.values()],
+                "no_should_gate": [v[2] for v in need_rows.values()],
+            }
+        )
+    )
+    full = full.join(F.broadcast(need), "qid")
+    gated = full.filter(
+        F.col("mnot").isNull()
+        & (
+            (F.col("nm") == 0)
+            | (F.coalesce(F.col("nt_must"), F.lit(0)) == F.col("nm"))
+        )
+        & (
+            (F.col("np") == 0)
+            | (F.coalesce(F.col("ph_cnt"), F.lit(0)) == F.col("np"))
+        )
+        & (
+            (F.col("no_should_gate") == 1)
+            | (F.coalesce(F.col("nt_should"), F.lit(0)) >= 1)
+        )
+    ).select(
+        "qid",
+        "doc_int",
+        (
+            F.coalesce(F.col("b_score"), F.lit(0.0))
+            + F.coalesce(F.col("p_score"), F.lit(0.0))
+        ).alias("score"),
+    )
+    gated = _drop_dead(spark, store, gated)
+    return _present(spark, store, _cut_topk(gated, k), k)
 
 
 def search_terms(

@@ -235,6 +235,51 @@ class PyOracle:
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def query_string_topk(self, q: str, k: int = 10):
+        """simple_query_string subset: +must -not "phrase" should. A doc
+        needs all must terms, all phrases, no must_not term, and >=1 should
+        term when there is no must/phrase; score = BM25(must) + BM25(matched
+        should) + each phrase's AND score."""
+        from dynamo2es_lambda_spark.plans.search import parse_query_string
+
+        p = parse_query_string(q)
+        must_terms = sorted(Counter(p["must"]).items())
+        should_terms = sorted(Counter(p["should"]).items())
+        mnot = set(p["must_not"])
+        hits = []
+        for d, dt in enumerate(self.toks):
+            dset = set(dt)
+            if any(t in dset for t in mnot):
+                continue
+            if any(t not in dset for t, _ in must_terms):
+                continue
+            ok_ph, p_score = True, 0.0
+            for ph in p["phrases"]:
+                ptoks = list(analysis.tokenize_series(pd.Series([ph]))[0])
+                n = len(ptoks)
+                if not any(
+                    dt[i: i + n] == ptoks for i in range(len(dt) - n + 1)
+                ):
+                    ok_ph = False
+                    break
+                p_score += self._score_and(
+                    d, sorted(Counter(ptoks).items())
+                )
+            if not ok_ph:
+                continue
+            sh_matched = [(t, c) for t, c in should_terms if t in dset]
+            if not must_terms and not p["phrases"] and should_terms and \
+                    not sh_matched:
+                continue
+            s = p_score
+            if must_terms:
+                s += self._score_and(d, must_terms)
+            if sh_matched:
+                s += self._score_and(d, sh_matched)
+            hits.append((d, s))
+        ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def terms_topk(self, terms: list[str], k: int = 10,
                    constant_score=None):
         """ES term/terms: exact dictionary terms (no analysis), qtf=1

@@ -174,6 +174,63 @@ def test_dis_max_rank_identity(spark, pos_store, oracle):
             )
 
 
+# ----------------------------------------------------------- query_string
+
+def _qs_queries(oracle):
+    t = oracle.toks
+    big = " ".join(t[3][4:6])      # a real consecutive bigram
+    return [
+        (0, f'+{t[1][0]} {t[1][1]} "{big}"'),   # must + should + phrase
+        (1, f"{t[4][2]} -{t[4][0]}"),           # should + must_not
+        (2, f'"{big}" -zzzabsent'),             # phrase only
+        (3, "+zzzabsent spark"),                # unindexed must -> empty
+        (4, f"{t[2][0]} {t[2][3]}"),            # plain OR
+    ]
+
+
+def test_query_string_rank_identity(spark, pos_store, oracle):
+    qs = _qs_queries(oracle)
+    res = search.search_query_string(
+        spark, pos_store, pd.DataFrame(qs, columns=["qid", "query"]), k=10
+    ).toPandas()
+    n_nonempty = 0
+    for qid, q in qs:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.query_string_topk(q, k=10)
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, qid
+        )
+    assert n_nonempty >= 3
+
+
+def test_query_string_plain_equals_or_match(spark, pos_store, oracle):
+    q = f"{oracle.toks[0][0]} {oracle.toks[0][1]}"
+    qs = search.search_query_string(
+        spark, pos_store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=10,
+    ).toPandas()
+    plain = search.search(
+        spark, pos_store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=10,
+    ).toPandas()
+    got = list(zip(qs.sort_values("rank")["doc_id"], qs["score"]))
+    want = list(zip(plain.sort_values("rank")["doc_id"], plain["score"]))
+    _assert_rank_identical(got, want, "plain≡or")
+
+
+def test_query_string_parser():
+    from dynamo2es_lambda_spark.plans.search import parse_query_string
+
+    p = parse_query_string('+reqWord plain -noWay "a b c" other')
+    assert p["must"] == ["req", "word"]
+    assert p["should"] == ["plain", "other"]
+    assert p["must_not"] == ["no", "way"]
+    assert p["phrases"] == ["a b c"]
+    with pytest.raises(EngineError):
+        parse_query_string('-"bad phrase"')
+
+
 def test_dis_max_tie_breaker_zero_is_pure_max(spark, pos_store, oracle):
     """With one clause, dis_max must equal the plain OR query."""
     q = f"{oracle.toks[0][0]} {oracle.toks[0][1]}"
