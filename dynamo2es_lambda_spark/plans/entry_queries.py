@@ -770,6 +770,72 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------------- 4h. boosting query
+# ES boosting: positive matches, demoted (not excluded) by negative_boost
+# when the negative half also matches (plans/search.search_boosting).
+
+BOOSTING_QUERIES = [
+    (0, "spark merge", "window"),
+    (1, "customer", "absentzzz"),
+    (2, "absentzzz", "customer"),
+]
+BOOSTING_NB = 0.4
+
+
+def q_fts_boosting(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        BOOSTING_QUERIES, columns=["qid", "positive", "negative"]
+    )
+    res = search.search_boosting(
+        spark, store, qpdf, k=50, negative_boost=BOOSTING_NB
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _boosting_sql(
+    queries: list[tuple[int, str, str]], k: int, nb: float
+) -> str:
+    """Oracle for q_fts_boosting: positive OR BM25; a doc also matching any
+    negative term gets score × negative_boost."""
+    vals = []
+    for qid, pos, neg in queries:
+        for half, q in ((0, pos), (1, neg)):
+            toks = analysis.tokenize_series(pd.Series([q]))[0]
+            for t, qtf in sorted(Counter(toks).items()):
+                vals.append(f"({qid}, {half}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, half, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(CASE WHEN q.half = 0 THEN
+             q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         END) AS pos,
+         max(CASE WHEN q.half = 1 THEN 1 END) AS neg
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(CASE WHEN neg IS NOT NULL THEN pos * {nb} ELSE pos END, 6)
+           AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(CASE WHEN neg IS NOT NULL THEN pos * {nb}
+                               ELSE pos END, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+  WHERE pos IS NOT NULL
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------- 4g. simple_query_string
 # +must -not "phrase" should — parsed into the fused clause pipeline +
 # one composite-qid phrase kernel pass (plans/search.search_query_string).
@@ -2056,6 +2122,7 @@ SPARK_QUERIES = {
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
     "fts_query_string": q_fts_query_string,
+    "fts_boosting": q_fts_boosting,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2106,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_exists": _exists_sql(FT_K),
         "fts_query_string": _query_string_sql(QS_QUERIES, FT_K),
+        "fts_boosting": _boosting_sql(BOOSTING_QUERIES, FT_K, BOOSTING_NB),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

@@ -153,6 +153,7 @@ def search(
     algo: str = "exhaustive",
     index: str | None = None,
     field: str | None = None,
+    minimum_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k BM25. ``queries``: pandas (qid, query); ``k`` applies to every
     query. Returns (qid, rank, doc_id, score) — empty for queries with no
@@ -169,7 +170,11 @@ def search(
     ``field`` targets one field of a multi-field store (ES ``match`` on a
     named field); default = the store's first field. Terms are qualified
     and the length norm uses the field's avgdl — WAND bounds stay exact
-    because the per-posting dl is already field-local."""
+    because the per-posting dl is already field-local.
+
+    ``minimum_should_match`` (ES ``match`` parameter): in OR mode require
+    at least that many DISTINCT query terms to match (exhaustive scorer
+    only — WAND's bound does not model a match-count gate)."""
     n_docs = float(store.meta["n_docs"])
     prefix, avgdl = _field_of(store, field)
     qt = _query_terms(queries)
@@ -209,6 +214,8 @@ def search(
         agg = _drop_dead(spark, store, agg)
         if allowed is not None:
             agg = agg.join(allowed, "doc_int", "left_semi")
+        if minimum_should_match is not None and mode == "or":
+            agg = agg.filter(F.col("nt") >= int(minimum_should_match))
         if mode == "and":
             need = spark.createDataFrame(
                 pd.DataFrame(
@@ -222,6 +229,11 @@ def search(
     elif algo == "wand":
         if mode != "or":
             raise ValueError("wand algo implements mode='or'")
+        if minimum_should_match is not None:
+            raise ValueError(
+                "minimum_should_match needs algo='exhaustive' (WAND's "
+                "upper bound does not model a match-count gate)"
+            )
         constraints = None
         if index is not None or store.n_dead():
             constraints = _segment_constraints(
@@ -1171,6 +1183,77 @@ def _phrase_scores(
         .groupBy("qid", "seg")
         .applyInPandas(run, schema="qid long, doc_int long, score double")
     )
+
+
+def search_boosting(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    negative_boost: float = 0.5,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: candidates are the ``positive`` OR-match;
+    docs that ALSO match the ``negative`` query keep their rank position
+    but with their score multiplied by ``negative_boost`` (demotion, not
+    exclusion — ES semantics exactly).
+
+    ``queries``: pandas (qid, positive, negative). Both halves ride ONE
+    fused pipeline on the low bit of a composite qid — one term-stats
+    read, one pruned posting read, one scoring pass; the demotion is a
+    conditional multiply in the final per-(qid, doc) aggregation."""
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    rows = []
+    for qid, pos, neg in zip(
+        queries["qid"], queries["positive"], queries["negative"]
+    ):
+        for idx, q in ((0, pos), (1, neg)):
+            toks = analysis.tokenize_series(pd.Series([str(q or "")]))[0]
+            for t, c in sorted(Counter(toks).items()):
+                rows.append((int(qid) * 2 + idx, prefix + t, int(c)))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    half = F.col("qid").bitwiseAND(F.lit(1))
+    agg = (
+        cand.select(
+            F.shiftright("qid", 1).alias("qid"),
+            half.alias("half"),
+            "doc_int",
+            "score",
+        )
+        .groupBy("qid", "doc_int")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("score"))).alias("pos"),
+            F.max(F.when(F.col("half") == 1, 1)).alias("neg"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select(
+            "qid",
+            "doc_int",
+            F.when(
+                F.col("neg").isNotNull(),
+                F.col("pos") * F.lit(float(negative_boost)),
+            ).otherwise(F.col("pos")).alias("score"),
+        )
+    )
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
 
 
 _QS_PHRASE_STRIDE = 64  # composite phrase qid = qid * 64 + phrase_idx

@@ -168,6 +168,48 @@ def main() -> None:
         plan_of(search.search_prefix(spark, store, pf, k=5)),
     ))
 
+    # --- 2e. multi_match: one posting read serves every (query, field) ---
+    mf_path = "/tmp/d2es_plans_store_mf"
+    if not os.path.exists(os.path.join(mf_path, "meta.json")):
+        mf_corpus = docs.select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "lang", "text", "source",
+        )
+        build.build_index(
+            mf_corpus, cfg, mf_path, key_cols=("docid",),
+            num_buckets=32, fields=("text", "source"),
+        )
+    mf_store = search.load_store(mf_path)
+    mm = pd.DataFrame({"qid": [0], "query": ["spark merge src7"]})
+    sections.append((
+        "multi_match over a multi-field store (best_fields)",
+        "Fields pack into composite qids: the broadcast query-term table "
+        "carries each term's field-qualified form, boost-folded weight AND "
+        "its field's avgdl, so ONE pruned posting read + ONE scoring pass "
+        "serve every (query, field) pair; the best_fields combine (max + "
+        "tie_breaker × rest) is a single hash aggregation. Per-posting dl "
+        "is already field-local — no extra read for per-field norms.",
+        plan_of(search.multi_match(
+            spark, mf_store, mm, fields={"text": 1.0, "source": 2.5},
+            k=5, tie_breaker=0.2,
+        )),
+    ))
+
+    # --- 2f. query_string: fused clauses ⋈ composite-qid phrase kernel ---
+    qs = pd.DataFrame(
+        {"qid": [0], "query": ['+spark merge "part filter scan"']}
+    )
+    sections.append((
+        "simple_query_string (clauses full-outer-join phrase kernel)",
+        "Two posting reads total no matter how many clauses or phrases: "
+        "must/should/must_not ride the low bits of a composite qid through "
+        "one fused read+score pass, all phrases of all queries pack into "
+        "composite qids through one positional-kernel pass, and the gate "
+        "(all must, all phrases, no must_not, ≥1 should fallback) is a "
+        "broadcast-joined filter over the full-outer-joined aggregates.",
+        plan_of(search.search_query_string(spark, store, qs, k=5)),
+    ))
+
     # --- 3. TPC-H style join: broadcast dim + partial aggregation ---
     q = entry_queries.SPARK_QUERIES["tpch_revenue_by_nation"]
     sections.append((

@@ -31,7 +31,8 @@ class PyOracle:
                 self.postings.setdefault(t, []).append((d, c))
         self.df = {t: len(p) for t, p in self.postings.items()}
 
-    def topk(self, query: str, k: int = 10, mode: str = "or"):
+    def topk(self, query: str, k: int = 10, mode: str = "or",
+             minimum_should_match=None):
         """→ list[(doc_id, score)] ordered by (score desc, doc_id asc)."""
         qtoks = analysis.tokenize_series(pd.Series([query]))[0]
         qterms = sorted(Counter(qtoks).items())  # ascending term order
@@ -51,6 +52,11 @@ class PyOracle:
         if mode == "and":
             need = sum(1 for t, _ in qterms)
             scores = {d: s for d, s in scores.items() if matched[d] == need}
+        elif minimum_should_match is not None:
+            scores = {
+                d: s for d, s in scores.items()
+                if matched[d] >= minimum_should_match
+            }
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
@@ -234,6 +240,21 @@ class PyOracle:
         }
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
+    def boosting_topk(self, positive: str, negative: str, k: int = 10,
+                      negative_boost: float = 0.5):
+        """ES boosting query: positive OR-match; a doc also matching the
+        negative query keeps its position with score × negative_boost."""
+        pos = dict(self.topk(positive, k=10**9))
+        neg_docs = (
+            {d for d, _ in self.topk(negative, k=10**9)} if negative else set()
+        )
+        out = {
+            d: s * negative_boost if d in neg_docs else s
+            for d, s in pos.items()
+        }
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
 
     def query_string_topk(self, q: str, k: int = 10):
         """simple_query_string subset: +must -not "phrase" should. A doc

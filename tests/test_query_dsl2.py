@@ -4,6 +4,7 @@ full ES query DSL being available over the documents it indexes,
 /root/reference/lib/handler.js:100).
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -172,6 +173,75 @@ def test_dis_max_rank_identity(spark, pos_store, oracle):
             _assert_rank_identical(
                 list(zip(got["doc_id"], got["score"])), want, qid
             )
+
+
+# ------------------------------------------------------------- boosting
+
+def test_boosting_rank_identity(spark, pos_store, oracle):
+    t = oracle.toks
+    qs = [
+        (0, f"{t[1][0]} {t[1][1]}", t[2][0]),
+        (1, t[4][2], "zzzabsent"),       # negative matches nothing
+        (2, "zzzabsent", t[4][2]),       # positive matches nothing
+    ]
+    res = search.search_boosting(
+        spark, pos_store,
+        pd.DataFrame(qs, columns=["qid", "positive", "negative"]),
+        k=10, negative_boost=0.3,
+    ).toPandas()
+    n_nonempty = 0
+    for qid, pos, neg in qs:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.boosting_topk(pos, neg, k=10, negative_boost=0.3)
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, qid
+        )
+    assert n_nonempty >= 2
+
+
+def test_boosting_demotes_not_excludes(spark, pos_store, oracle):
+    """Docs matching the negative half must stay in the result set with a
+    scaled score, never disappear."""
+    t = oracle.toks
+    pos, neg = t[1][0], t[1][0]  # every positive match also matches neg
+    res = search.search_boosting(
+        spark, pos_store,
+        pd.DataFrame([(0, pos, neg)], columns=["qid", "positive", "negative"]),
+        k=10**6, negative_boost=0.5,
+    ).toPandas()
+    plain = search.search(
+        spark, pos_store, pd.DataFrame([(0, pos)], columns=["qid", "query"]),
+        k=10**6,
+    ).toPandas()
+    assert set(res["doc_id"]) == set(plain["doc_id"])
+    merged = res.merge(plain, on="doc_id", suffixes=("_b", "_p"))
+    assert np.allclose(
+        merged["score_b"], merged["score_p"] * 0.5, atol=1e-9
+    )
+
+
+# --------------------------------------------- match minimum_should_match
+
+def test_match_minimum_should_match(spark, pos_store, oracle):
+    q = " ".join(oracle.toks[6][:3])
+    for msm in (1, 2, 3):
+        res = search.search(
+            spark, pos_store,
+            pd.DataFrame([(0, q)], columns=["qid", "query"]),
+            k=10, minimum_should_match=msm,
+        ).toPandas()
+        want = oracle.topk(q, k=10, minimum_should_match=msm)
+        got = res.sort_values("rank")
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, f"msm={msm}"
+        )
+    with pytest.raises(ValueError):
+        search.search(
+            spark, pos_store,
+            pd.DataFrame([(0, q)], columns=["qid", "query"]),
+            algo="wand", minimum_should_match=2,
+        )
 
 
 # ----------------------------------------------------------- query_string
