@@ -770,6 +770,134 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------- 4i. sort / suggest / stats / histogram surface
+# ES response shaping: sort-by-field, term suggester, stats + histogram
+# aggregations over the match set (plans/search.search_sorted /
+# suggest_terms / search_stats_agg / search_histogram).
+
+SORTED_QUERIES = [(0, "spark merge"), (1, "customer window")]
+SUGGEST_PROBES = [(0, "spak"), (1, "mrge"), (2, "zzzzqqqqzz")]
+SUGGEST_K, SUGGEST_EDITS = 5, 2
+HIST_INTERVAL = 64.0
+
+
+def q_fts_sorted(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_sorted(
+        spark, store, qpdf, sort_col="dl", k=FT_K, ascending=True
+    )
+
+
+def q_fts_suggest(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(SUGGEST_PROBES, columns=["qid", "probe"])
+    return search.suggest_terms(
+        spark, store, ppdf, k=SUGGEST_K, max_edits=SUGGEST_EDITS
+    )
+
+
+def q_fts_stats_agg(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_stats_agg(spark, store, qpdf, value_col="dl")
+    return res.select(
+        "qid", "n_docs",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+def q_fts_histogram(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_histogram(
+        spark, store, qpdf, interval=HIST_INTERVAL, value_col="dl"
+    )
+
+
+def _match_m_cte(queries: list[tuple[int, str]]) -> str:
+    """Shared oracle CTE: DISTINCT (qid, doc_id) OR-match membership."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t in sorted(set(toks)):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+q(qid, term) AS (VALUES {", ".join(vals)}),
+m AS (
+  SELECT DISTINCT q.qid AS qid, p.doc_id AS doc_id
+  FROM q JOIN posting p ON p.term = q.term
+)"""
+
+
+def _sorted_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_sorted: match set ordered by dl asc, doc_id asc."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+ranked AS (
+  SELECT CAST(m.qid AS BIGINT) AS qid, m.doc_id AS doc_id,
+         CAST(dl.dl AS DOUBLE) AS sort_value,
+         CAST(row_number() OVER (
+           PARTITION BY m.qid ORDER BY dl.dl ASC, m.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+)
+SELECT qid, rank, doc_id, sort_value FROM ranked WHERE rank <= {k}
+"""
+
+
+def _suggest_sql(probes: list[tuple[int, str]], k: int, edits: int) -> str:
+    """Oracle for q_fts_suggest: dictionary terms within the edit budget
+    ranked (distance, df desc, term)."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in probes)
+    return f"""{_BM25_BODY},
+v(qid, probe) AS (VALUES {vals}),
+hit AS (
+  SELECT v.qid AS qid, d.term AS suggestion,
+         levenshtein(d.term, v.probe) AS dist, d.df AS df
+  FROM v JOIN dfreq d ON abs(len(d.term) - len(v.probe)) <= {edits}
+  WHERE levenshtein(d.term, v.probe) <= {edits}
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, suggestion,
+         CAST(dist AS INTEGER) AS dist, CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY dist ASC, df DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM hit
+)
+SELECT qid, rank, suggestion, dist, df FROM ranked WHERE rank <= {k}
+"""
+
+
+def _stats_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Oracle for q_fts_stats_agg: per-qid dl stats over the match set."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(min(dl.dl) AS DOUBLE), 6) AS min_v,
+       round(CAST(max(dl.dl) AS DOUBLE), 6) AS max_v,
+       round(CAST(sum(dl.dl) AS DOUBLE), 6) AS sum_v,
+       round(CAST(avg(dl.dl) AS DOUBLE), 6) AS avg_v
+FROM m JOIN dl ON dl.doc_id = m.doc_id
+GROUP BY m.qid
+"""
+
+
+def _histogram_sql(queries: list[tuple[int, str]], interval: float) -> str:
+    """Oracle for q_fts_histogram: per-(qid, bucket) counts with
+    bucket = floor(dl / interval) * interval."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       floor(dl.dl / {interval}) * {interval} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN dl ON dl.doc_id = m.doc_id
+GROUP BY m.qid, bucket
+"""
+
+
 # --------------------------------------------------- 4h. boosting query
 # ES boosting: positive matches, demoted (not excluded) by negative_boost
 # when the negative half also matches (plans/search.search_boosting).
@@ -2123,6 +2251,10 @@ SPARK_QUERIES = {
     "fts_exists": q_fts_exists,
     "fts_query_string": q_fts_query_string,
     "fts_boosting": q_fts_boosting,
+    "fts_sorted": q_fts_sorted,
+    "fts_suggest": q_fts_suggest,
+    "fts_stats_agg": q_fts_stats_agg,
+    "fts_histogram": q_fts_histogram,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2174,6 +2306,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_exists": _exists_sql(FT_K),
         "fts_query_string": _query_string_sql(QS_QUERIES, FT_K),
         "fts_boosting": _boosting_sql(BOOSTING_QUERIES, FT_K, BOOSTING_NB),
+        "fts_sorted": _sorted_sql(SORTED_QUERIES, FT_K),
+        "fts_suggest": _suggest_sql(SUGGEST_PROBES, SUGGEST_K, SUGGEST_EDITS),
+        "fts_stats_agg": _stats_agg_sql(SORTED_QUERIES),
+        "fts_histogram": _histogram_sql(SORTED_QUERIES, HIST_INTERVAL),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

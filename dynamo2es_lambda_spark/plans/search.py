@@ -154,6 +154,7 @@ def search(
     index: str | None = None,
     field: str | None = None,
     minimum_should_match: int | None = None,
+    search_after: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25. ``queries``: pandas (qid, query); ``k`` applies to every
     query. Returns (qid, rank, doc_id, score) — empty for queries with no
@@ -174,7 +175,12 @@ def search(
 
     ``minimum_should_match`` (ES ``match`` parameter): in OR mode require
     at least that many DISTINCT query terms to match (exhaustive scorer
-    only — WAND's bound does not model a match-count gate)."""
+    only — WAND's bound does not model a match-count gate).
+
+    ``search_after`` = (score, doc_id): ES keyset pagination — return the
+    next ``k`` results strictly after that cursor in (score desc, doc_id
+    asc) order. Deterministic deep paging without a growing offset; pass
+    the LAST row of the previous page. Exhaustive scorer only."""
     n_docs = float(store.meta["n_docs"])
     prefix, avgdl = _field_of(store, field)
     qt = _query_terms(queries)
@@ -225,6 +231,21 @@ def search(
             agg = agg.join(F.broadcast(need), "qid").filter(
                 F.col("nt") == F.col("need")
             )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), str(search_after[1])
+            stats = store.doc_stats(spark).select("doc_int", "doc_id")
+            named = agg.join(stats, "doc_int").filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+            )
+            w = Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            return (
+                named.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "rank", "doc_id", "score")
+            )
         topk = _cut_topk(agg, k)
     elif algo == "wand":
         if mode != "or":
@@ -233,6 +254,11 @@ def search(
             raise ValueError(
                 "minimum_should_match needs algo='exhaustive' (WAND's "
                 "upper bound does not model a match-count gate)"
+            )
+        if search_after is not None:
+            raise ValueError(
+                "search_after needs algo='exhaustive' (the WAND heap "
+                "bound does not model a page cursor)"
             )
         constraints = None
         if index is not None or store.n_dead():
@@ -1183,6 +1209,204 @@ def _phrase_scores(
         .groupBy("qid", "seg")
         .applyInPandas(run, schema="qid long, doc_int long, score double")
     )
+
+
+def search_sorted(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = True,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``sort`` on a document field: the match set (OR/AND, unscored)
+    ordered by a doc_stats column instead of relevance; ties break on
+    doc_id ascending (ES adds the same implicit tiebreak on _id). Returns
+    (qid, rank, doc_id, sort_value).
+
+    The sort key joins from the metadata-sized doc_stats AFTER the match
+    aggregation; only the match set is ranked — no posting re-read."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, sort_value double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(sort_col).cast("double").alias("sort_value"),
+    )
+    named = hits.join(stats, "doc_int")
+    order = (
+        F.col("sort_value").asc() if ascending else F.col("sort_value").desc()
+    )
+    w = Window.partitionBy("qid").orderBy(order, F.col("doc_id").asc())
+    return (
+        named.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "sort_value")
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    probes: pd.DataFrame,
+    k: int = 5,
+    max_edits: int = 2,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``term`` suggester: for each (possibly misspelled) input term,
+    the closest dictionary terms ranked (distance asc, df desc, term asc)
+    — i.e. prefer small edits, then popular terms. Returns
+    (qid, rank, suggestion, dist, df). One JVM-side dictionary scan for
+    all probes (length-banded before levenshtein), capped per probe by
+    ``k`` with a row_number window BEFORE any collect."""
+    fp, _ = _field_of(store, field)
+    pr = probes.copy()
+    pr["probe"] = pr["probe"].astype(str).str.lower()
+    pr = pr[["qid", "probe"]].drop_duplicates()
+    if pr.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, suggestion string, dist int, df long"
+        )
+    pdf = spark.createDataFrame(pr)
+    bare = (
+        F.expr(f"substring(term, {len(fp) + 1})") if fp else F.col("term")
+    )
+    ts = store.term_stats(spark)
+    if fp:
+        ts = ts.filter(F.col("term").startswith(fp))
+    hit = (
+        ts.withColumn("_bare", bare)
+        .join(
+            F.broadcast(pdf),
+            F.abs(F.length("_bare") - F.length("probe")) <= max_edits,
+        )
+        .withColumn("dist", F.levenshtein(F.col("_bare"), F.col("probe")))
+        .filter(F.col("dist") <= max_edits)
+    )
+    w = Window.partitionBy("qid", "probe").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("_bare").asc()
+    )
+    return (
+        hit.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "rank", F.col("_bare").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"), "df",
+        )
+    )
+
+
+def search_stats_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``stats`` aggregation over the match set: per qid
+    count/min/max/sum/avg of a numeric doc_stats column. Same pruned
+    posting read as scoring; the value joins from metadata."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, n_docs long, min_v double, max_v double, "
+            "sum_v double, avg_v double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.sum("_v").alias("sum_v"),
+            F.avg("_v").alias("avg_v"),
+        )
+    )
+
+
+def search_histogram(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``histogram`` aggregation over the match set: per (qid, bucket)
+    doc counts with bucket = floor(value / interval) * interval."""
+    if interval <= 0:
+        raise EngineError("histogram interval must be positive")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, bucket double, n_docs long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .withColumn(
+            "bucket",
+            F.floor(F.col("_v") / F.lit(float(interval)))
+            * F.lit(float(interval)),
+        )
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _match_set(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    mode: str,
+    field: str | None,
+) -> DataFrame | None:
+    """(qid, doc_int) match membership for an analyzed OR/AND query —
+    shared by the unscored aggregation paths. None when nothing can
+    match."""
+    prefix, _ = _field_of(store, field)
+    qt = _query_terms(queries)
+    if qt.empty:
+        return None
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    n_terms_by_qid = qt.groupby("qid").size().to_dict()
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return None
+    qt = qt.copy()
+    qt["w"] = 1.0
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, 1.0)
+    hits = cand.groupBy("qid", "doc_int").agg(F.count("*").alias("nt"))
+    hits = _drop_dead(spark, store, hits)
+    if mode == "and":
+        need = spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": list(n_terms_by_qid),
+                 "need": list(n_terms_by_qid.values())}
+            )
+        )
+        hits = hits.join(F.broadcast(need), "qid").filter(
+            F.col("nt") == F.col("need")
+        )
+    return hits.select("qid", "doc_int")
 
 
 def search_boosting(

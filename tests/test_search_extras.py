@@ -1,0 +1,141 @@
+"""Pagination (search_after), field sorting, term suggester, and
+stats/histogram aggregations vs the pure-Python oracle (SURVEY.md §2.2 —
+ES response-shaping features over the indexed documents).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.plans import build, search
+
+from .oracle import PyOracle
+
+CFG = IndexerConfig(index="code")
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exidx"))
+    build.build_index(corpus_df, CFG, path, segment_docs=64, num_buckets=8)
+    return search.load_store(path)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    ids = (
+        corpus_pdf["repo"] + "." + corpus_pdf["path"] + "." + corpus_pdf["commit"]
+    ).tolist()
+    return PyOracle(ids, corpus_pdf["content"].tolist())
+
+
+def test_search_after_pages_tile_the_full_ranking(spark, store, oracle):
+    q = " ".join(oracle.toks[0][:2])
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    full = search.search(spark, store, qpdf, k=10).toPandas().sort_values("rank")
+    page1 = search.search(spark, store, qpdf, k=5).toPandas().sort_values("rank")
+    last = page1.iloc[-1]
+    page2 = (
+        search.search(
+            spark, store, qpdf, k=5,
+            search_after=(last["score"], last["doc_id"]),
+        )
+        .toPandas()
+        .sort_values("rank")
+    )
+    tiled = list(page1["doc_id"]) + list(page2["doc_id"])
+    assert tiled == list(full["doc_id"])
+    assert np.allclose(
+        list(page1["score"]) + list(page2["score"]), full["score"], atol=0
+    )
+    with pytest.raises(ValueError):
+        search.search(
+            spark, store, qpdf, algo="wand", search_after=(1.0, "x")
+        )
+
+
+def test_search_sorted_by_doc_length(spark, store, oracle):
+    q = " ".join(oracle.toks[3][:2])
+    for ascending in (True, False):
+        res = search.search_sorted(
+            spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+            sort_col="dl", k=10, ascending=ascending,
+        ).toPandas().sort_values("rank")
+        match = [d for d, _ in oracle.topk(q, k=10**9)]
+        dl = {d: int(oracle.dl[oracle.doc_ids.index(d)]) for d in match}
+        want = sorted(
+            match, key=lambda d: (dl[d] if ascending else -dl[d], d)
+        )[:10]
+        assert list(res["doc_id"]) == want, f"ascending={ascending}"
+        assert list(res["sort_value"]) == [float(dl[d]) for d in want]
+
+
+def test_search_sorted_and_mode(spark, store, oracle):
+    q = " ".join(oracle.toks[3][:2])
+    res = search.search_sorted(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        sort_col="dl", k=10**6, mode="and",
+    ).toPandas()
+    want = {d for d, _ in oracle.topk(q, k=10**9, mode="and")}
+    assert set(res["doc_id"]) == want
+
+
+def test_suggest_terms(spark, store, oracle):
+    t = max(oracle.df, key=lambda x: (oracle.df[x], x))  # a popular term
+    probe = t[:-1] + ("x" if t[-1] != "x" else "y")      # one edit away
+    res = search.suggest_terms(
+        spark, store, pd.DataFrame([(0, probe)], columns=["qid", "probe"]),
+        k=5, max_edits=2,
+    ).toPandas().sort_values("rank")
+    cands = [
+        (PyOracle._levenshtein(term, probe), -df, term)
+        for term, df in oracle.df.items()
+        if abs(len(term) - len(probe)) <= 2
+    ]
+    want = sorted(c for c in cands if c[0] <= 2)[:5]
+    assert list(res["suggestion"]) == [c[2] for c in want]
+    assert list(res["dist"]) == [c[0] for c in want]
+    assert list(res["df"]) == [-c[1] for c in want]
+    assert t in set(res["suggestion"]), "the real term must be suggested"
+
+
+def test_stats_agg(spark, store, oracle):
+    q = " ".join(oracle.toks[2][:2])
+    res = search.search_stats_agg(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        value_col="dl",
+    ).toPandas()
+    match = [d for d, _ in oracle.topk(q, k=10**9)]
+    vals = np.array(
+        [int(oracle.dl[oracle.doc_ids.index(d)]) for d in match], dtype=float
+    )
+    row = res.iloc[0]
+    assert row["n_docs"] == len(vals)
+    assert row["min_v"] == vals.min() and row["max_v"] == vals.max()
+    assert row["sum_v"] == vals.sum()
+    assert row["avg_v"] == pytest.approx(vals.mean(), abs=1e-9)
+
+
+def test_histogram_agg(spark, store, oracle):
+    q = " ".join(oracle.toks[2][:2])
+    interval = 50.0
+    res = search.search_histogram(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        interval=interval, value_col="dl",
+    ).toPandas()
+    match = [d for d, _ in oracle.topk(q, k=10**9)]
+    want: dict[float, int] = {}
+    for d in match:
+        b = float(np.floor(oracle.dl[oracle.doc_ids.index(d)] / interval)
+                  * interval)
+        want[b] = want.get(b, 0) + 1
+    got = dict(zip(res["bucket"], res["n_docs"]))
+    assert got == want
+    assert sum(got.values()) == len(match)
+    with pytest.raises(EngineError):
+        search.search_histogram(
+            spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+            interval=0,
+        )
