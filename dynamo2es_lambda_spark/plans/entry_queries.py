@@ -770,6 +770,112 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------------- 4j. parent-child queries
+# ES has_parent / has_child over the parent routing column the field
+# mapping resolves (reference lib/handler.js:76-78). The entry corpus
+# derives a deterministic family: docs with id >= 50 are children of
+# doc id % 50; top-level docs point at the sentinel 'root' (not a doc).
+
+PC_QUERY = [(0, "spark merge window"), (1, "customer")]
+
+_PC_STORES: dict[str, str] = {}
+
+
+def _corpus_store_pc(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:pc1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_pc_{key}")
+    if key not in _PC_STORES or not os.path.exists(
+        os.path.join(path, "meta.json")
+    ):
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "lang",
+            F.col("text").alias("content"),
+            F.when(
+                F.col("doc_id") >= 50,
+                (F.col("doc_id") % 50).cast("string"),
+            ).otherwise(F.lit("root")).alias("parent_ref"),
+        )
+        cfg = IndexerConfig(
+            index="docs", id_field="docid", parent_field="parent_ref"
+        )
+        build.build_index(corpus, cfg, path, num_buckets=32, resume=True)
+        _PC_STORES[key] = path
+    return search.load_store(path)
+
+
+def q_fts_has_parent(spark, sf_dir):
+    store = _corpus_store_pc(spark, sf_dir)
+    qpdf = pd.DataFrame(PC_QUERY, columns=["qid", "query"])
+    res = search.search_has_parent(spark, store, qpdf, k=FT_K, score=False)
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def q_fts_has_child(spark, sf_dir):
+    store = _corpus_store_pc(spark, sf_dir)
+    qpdf = pd.DataFrame(PC_QUERY, columns=["qid", "query"])
+    res = search.search_has_child(
+        spark, store, qpdf, k=FT_K, score_mode="none"
+    )
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+_PC_FAM = """
+fam AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id >= 50 THEN CAST(doc_id % 50 AS VARCHAR)
+              ELSE 'root' END AS parent
+  FROM documents
+)"""
+
+
+def _has_parent_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_has_parent: children of OR-matched parents,
+    constant score, doc_id rank."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},{_PC_FAM},
+hits AS (
+  SELECT m.qid AS qid, f.doc_id AS doc_id
+  FROM fam f JOIN m ON f.parent = m.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, 1.0 AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM hits
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _has_child_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_has_child: parents with >= 1 OR-matched child,
+    score_mode none, doc_id rank. The parent must itself be a document."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},{_PC_FAM},
+hits AS (
+  SELECT DISTINCT m.qid AS qid, f.parent AS doc_id
+  FROM m JOIN fam f ON f.doc_id = m.doc_id
+  WHERE f.parent IN (SELECT doc_id FROM fam)
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, 1.0 AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM hits
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ----------------------- 4i. sort / suggest / stats / histogram surface
 # ES response shaping: sort-by-field, term suggester, stats + histogram
 # aggregations over the match set (plans/search.search_sorted /
@@ -2255,6 +2361,8 @@ SPARK_QUERIES = {
     "fts_suggest": q_fts_suggest,
     "fts_stats_agg": q_fts_stats_agg,
     "fts_histogram": q_fts_histogram,
+    "fts_has_parent": q_fts_has_parent,
+    "fts_has_child": q_fts_has_child,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2310,6 +2418,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_suggest": _suggest_sql(SUGGEST_PROBES, SUGGEST_K, SUGGEST_EDITS),
         "fts_stats_agg": _stats_agg_sql(SORTED_QUERIES),
         "fts_histogram": _histogram_sql(SORTED_QUERIES, HIST_INTERVAL),
+        "fts_has_parent": _has_parent_sql(PC_QUERY, FT_K),
+        "fts_has_child": _has_child_sql(PC_QUERY, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

@@ -1211,6 +1211,142 @@ def _phrase_scores(
     )
 
 
+def _scored_or_match(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    field: str | None,
+) -> DataFrame | None:
+    """(qid, doc_int, score) OR-BM25 aggregate for an analyzed query —
+    shared by the parent-child joins. None when nothing can match. Dead
+    docs are dropped (join semantics need live docs only)."""
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = _query_terms(queries)
+    if qt.empty:
+        return None
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return None
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    return _drop_dead(spark, store, agg)
+
+
+def search_has_parent(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    score: bool = False,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``has_parent``: return CHILD documents whose parent document
+    matches the inner (OR BM25) query. ``score=False`` (ES default) gives
+    every hit a constant 1.0 and ranks on doc_id; ``score=True`` carries
+    the parent's relevance score onto each of its children.
+
+    The parent linkage is the ``parent`` routing column the field mapping
+    resolves at index time (reference lib/handler.js:76-78) — a doc_id
+    string. The join is matched-parents (query-sized after top-k-free
+    aggregation, still distributed) against the metadata-sized doc_stats —
+    no posting re-read for the child side."""
+    matched = _scored_or_match(spark, store, queries, field)
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    pstats = store.doc_stats(spark).select(
+        "doc_int", F.col("doc_id").alias("_p_doc_id")
+    )
+    parents = matched.join(pstats, "doc_int").select(
+        "qid", "_p_doc_id", F.col("score").alias("_p_score")
+    )
+    children = (
+        store.doc_stats(spark)
+        .filter(F.col("parent").isNotNull())
+        .select("doc_int", "doc_id", "parent")
+    )
+    hits = children.join(
+        parents, children["parent"] == parents["_p_doc_id"]
+    ).select(
+        "qid", "doc_int", "doc_id",
+        (F.col("_p_score") if score else F.lit(1.0)).alias("score"),
+    )
+    hits = _drop_dead(spark, store, hits)
+    order = (
+        [F.col("score").desc(), F.col("doc_id").asc()]
+        if score
+        else [F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search_has_child(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    score_mode: str = "none",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``has_child``: return PARENT documents having at least one child
+    matching the inner (OR BM25) query. ``score_mode`` folds the matching
+    children's scores per parent: none (constant 1.0, doc_id rank) | min |
+    max | sum | avg (ES's modes)."""
+    if score_mode not in ("none", "min", "max", "sum", "avg"):
+        raise EngineError(f"unknown score_mode: {score_mode}")
+    matched = _scored_or_match(spark, store, queries, field)
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    child_meta = (
+        store.doc_stats(spark)
+        .filter(F.col("parent").isNotNull())
+        .select("doc_int", "parent")
+    )
+    j = matched.join(child_meta, "doc_int")
+    agg_fn = {
+        "none": F.lit(1.0),
+        "min": F.min("score"),
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+    }[score_mode]
+    per_parent = j.groupBy("qid", F.col("parent").alias("doc_id")).agg(
+        agg_fn.alias("score")
+    )
+    # the parent must itself be a live doc in the store
+    pstats = store.doc_stats(spark).select("doc_id", "doc_int")
+    per_parent = per_parent.join(pstats, "doc_id")
+    per_parent = _drop_dead(spark, store, per_parent)
+    order = (
+        [F.col("doc_id").asc()]
+        if score_mode == "none"
+        else [F.col("score").desc(), F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        per_parent.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
 def search_sorted(
     spark: SparkSession,
     store: IndexStore,
