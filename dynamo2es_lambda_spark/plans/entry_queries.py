@@ -2101,6 +2101,93 @@ FROM h
 """
 
 
+# ------------------------------- 11b. training-data pipeline composites
+# date_histogram over the event stream and the composed clean-corpus pass
+# (quality gate -> exact-dedup keep-canonical) a 100 TB training pipeline
+# runs before tokenization.
+
+CLEAN_MIN_QUALITY, CLEAN_MIN_TOK = 0.5, 20
+
+
+def q_events_date_histogram(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+            .alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value_r"),
+        )
+    )
+
+
+SQL_EVENTS_DATE_HIST = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM events
+GROUP BY day, event_type
+"""
+
+
+def q_documents_clean(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    x = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.n_tokens("text").alias("n_tok"),
+        F.round(T.quality_score("text"), 6).alias("quality_r"),
+        T.fingerprint_md5("text").alias("fp"),
+    ).filter(
+        (F.col("quality_r") >= CLEAN_MIN_QUALITY)
+        & (F.col("n_tok") >= CLEAN_MIN_TOK)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        x.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fp", "n_tok", "quality_r")
+    )
+
+
+def _sql_documents_clean() -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {DOC_TOKS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         len(regexp_extract_all(text, '{T.PUNCT_RE}'))
+           / greatest(length(text), 1) AS punct,
+         len(list_filter(toks,
+             t -> t IN ({", ".join(f"'{w}'" for w in T.STOPWORDS)})))
+           / greatest(len(toks), 1) AS stop
+  FROM x
+),
+q AS (
+  SELECT doc_id, fp, n_tok,
+         round(least(n_tok / 100.0, 1.0) * 0.4
+               + (1.0 - least(punct * 4.0, 1.0)) * 0.3
+               + least(stop * 5.0, 1.0) * 0.3, 6) AS quality_r
+  FROM m
+),
+f AS (
+  SELECT * FROM q
+  WHERE quality_r >= {CLEAN_MIN_QUALITY} AND n_tok >= {CLEAN_MIN_TOK}
+)
+SELECT doc_id, fp, n_tok, quality_r
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM f
+)
+WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------ 12. fingerprints
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -2374,6 +2461,8 @@ SPARK_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "events_date_histogram": q_events_date_histogram,
+    "documents_clean": q_documents_clean,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -2431,6 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "events_date_histogram": SQL_EVENTS_DATE_HIST,
+        "documents_clean": _sql_documents_clean(),
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,
