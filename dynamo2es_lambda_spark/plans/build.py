@@ -234,6 +234,13 @@ def build_index(
         mapped = fieldmap.apply_field_mapping(
             corpus, cfg, key_cols=key_cols, content_col=content_col
         )
+        if fields:
+            # multi-field: the north-rule sha covers EVERY indexed field
+            # (deterministic field order, unit-separator joined) — not just
+            # content_col, which may not even exist on a fields corpus
+            mapped = mapped.withColumn(
+                "content_sha256", _fields_sha(fields)
+            )
 
         # --- per-record error channel (lib/handler.js:41,127-133) ---
         bad = mapped.filter(F.col("error").isNotNull())
@@ -685,19 +692,41 @@ def _finalize_store(
         json.dump(meta, f)
 
 
+def _fields_sha(fields: tuple[str, ...]):
+    """sha256 over every indexed field of a multi-field doc, in field
+    order, unit-separator joined, nulls as empty strings."""
+    return F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(f_).cast("string"), F.lit(""))
+                for f_ in fields
+            ],
+        ),
+        256,
+    )
+
+
 def verify_sha256(corpus: DataFrame, cfg: IndexerConfig, store_path: str,
                   key_cols: tuple[str, ...] = fieldmap.DEFAULT_KEY_COLS,
-                  content_col: str = "content") -> int:
+                  content_col: str = "content",
+                  fields: tuple[str, ...] | None = None) -> int:
     """North-rule invariant: per-row content sha256 equality between ingested
     and indexed documents. Returns the number of mismatches (0 = pass).
 
     Recomputes sha256 from the source and inner-joins the committed doc_stats
     on doc_id; any hash inequality or missing doc counts as a mismatch.
+    ``fields=None`` reads a multi-field store's field list from meta.json so
+    the recomputation covers the same columns the build hashed.
     """
     spark = corpus.sparkSession
+    if fields is None:
+        fields = tuple(store_io.read_meta(store_path).get("fields") or ()) or None
     mapped = fieldmap.apply_field_mapping(
         corpus, cfg, key_cols=key_cols, content_col=content_col
     ).filter(F.col("error").isNull())
+    if fields:
+        mapped = mapped.withColumn("content_sha256", _fields_sha(fields))
     source = mapped.select(
         "doc_id", F.col("content_sha256").alias("src_sha")
     )

@@ -168,6 +168,13 @@ def apply_changes(
                 "pmod() layout would break term_bucket pruning — omit the "
                 "value to inherit"
             )
+        if mf_fields:
+            # the multi-field sha covers every indexed field (same rule as
+            # build_index) — override the content_col-only sha the CDC
+            # field mapping computed
+            corpus = corpus.withColumn(
+                "content_sha256", build._fields_sha(mf_fields)
+            )
         n_up = 0
         if not corpus.isEmpty():
             n_up, _ = build._build_batch(

