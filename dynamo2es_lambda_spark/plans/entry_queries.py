@@ -770,6 +770,94 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------------------- 4k. rescore (phrase)
+# ES rescore: phrase second pass over the top window of the BM25 first
+# pass (plans/search.search_rescore).
+
+RESCORE_QUERIES = [
+    (0, "spark merge"),
+    (1, "part filter scan"),
+    (2, "customer window"),
+]
+RESCORE_WINDOW, RESCORE_QW, RESCORE_RW = 50, 1.0, 2.0
+
+
+def q_fts_rescore(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(RESCORE_QUERIES, columns=["qid", "query"])
+    res = search.search_rescore(
+        spark, store, qpdf, k=FT_K, window_size=RESCORE_WINDOW,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _rescore_sql(
+    queries: list[tuple[int, str]], k: int,
+    window: int, qw: float, rw: float,
+) -> str:
+    """Oracle for q_fts_rescore: top-window of the OR BM25 pass
+    (score desc, doc_id), phrase-AND second score added with weights."""
+    vals, needs, pats = [], [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        terms = sorted(Counter(toks).items())
+        needs.append(f"({qid}, {len(terms)})")
+        pats.append(f"({qid}, ' {' '.join(toks)} ')")
+        for t, qtf in terms:
+            vals.append(f"({qid}, '{t}', {qtf})")
+    bm = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, need) AS (VALUES {", ".join(needs)}),
+ph(pqid, pat) AS (VALUES {", ".join(pats)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * {bm}) AS score, count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+win AS (
+  SELECT qid, doc_id, score, nt,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC
+         ) AS rn
+  FROM scored
+),
+resc AS (
+  SELECT w.qid AS qid, w.doc_id AS doc_id,
+         {qw} * w.score
+           + {rw} * CASE
+               WHEN n.need = w.nt AND contains(cs.s, ph.pat)
+               THEN w.score ELSE 0.0 END AS score
+  FROM win w
+  JOIN need n ON n.nqid = w.qid
+  JOIN ph ON ph.pqid = w.qid
+  JOIN cs ON cs.doc_id = w.doc_id
+  WHERE w.rn <= {window}
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM resc
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------- 4j. parent-child queries
 # ES has_parent / has_child over the parent routing column the field
 # mapping resolves (reference lib/handler.js:76-78). The entry corpus
@@ -2450,6 +2538,7 @@ SPARK_QUERIES = {
     "fts_histogram": q_fts_histogram,
     "fts_has_parent": q_fts_has_parent,
     "fts_has_child": q_fts_has_child,
+    "fts_rescore": q_fts_rescore,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2509,6 +2598,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_histogram": _histogram_sql(SORTED_QUERIES, HIST_INTERVAL),
         "fts_has_parent": _has_parent_sql(PC_QUERY, FT_K),
         "fts_has_child": _has_child_sql(PC_QUERY, FT_K),
+        "fts_rescore": _rescore_sql(
+            RESCORE_QUERIES, FT_K, RESCORE_WINDOW, RESCORE_QW, RESCORE_RW
+        ),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

@@ -1347,6 +1347,69 @@ def search_has_child(
     )
 
 
+def search_rescore(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``rescore`` with a match_phrase second pass: the top
+    ``window_size`` docs of the OR-BM25 first pass (deterministic window —
+    score desc, doc_id asc) are re-scored as ``query_weight × score +
+    rescore_weight × phrase_score`` where phrase_score is the full query's
+    exact-phrase AND score (0 when the doc does not contain the phrase),
+    then re-ranked and cut to ``k``. Requires ``k <= window_size`` (results
+    come from the re-sorted window, ES semantics).
+
+    Cost shape: first pass as usual; the phrase kernel runs over the SAME
+    pruned posting read family; the window cut keeps the join sides
+    query-sized × window-sized."""
+    if k > window_size:
+        raise EngineError(
+            f"k ({k}) must not exceed rescore window_size ({window_size})"
+        )
+    base = _scored_or_match(spark, store, queries, field)
+    if base is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    stats = store.doc_stats(spark).select("doc_int", "doc_id")
+    named = base.join(stats, "doc_int")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    window = named.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= window_size
+    )
+    ps = _phrase_scores(spark, store, queries, field)
+    if ps is not None:
+        ps = ps.select(
+            "qid", "doc_int", F.col("score").alias("_p_score")
+        )
+        window = window.join(ps, ["qid", "doc_int"], "left")
+    else:
+        window = window.withColumn("_p_score", F.lit(None).cast("double"))
+    rescored = window.select(
+        "qid",
+        "doc_id",
+        (
+            F.lit(float(query_weight)) * F.col("score")
+            + F.lit(float(rescore_weight))
+            * F.coalesce(F.col("_p_score"), F.lit(0.0))
+        ).alias("score"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
 def search_sorted(
     spark: SparkSession,
     store: IndexStore,

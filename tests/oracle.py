@@ -241,6 +241,21 @@ class PyOracle:
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def rescore_topk(self, query: str, k: int = 10, window_size: int = 50,
+                     query_weight: float = 1.0, rescore_weight: float = 1.0):
+        """ES rescore (phrase second pass): deterministic top-window by
+        (score desc, doc_id), final = qw*score + rw*phrase_AND_score for
+        docs containing the full query as a consecutive phrase."""
+        base = self.topk(query, k=10**9)
+        window = base[:window_size]
+        ph = dict(self.phrase_topk(query, k=10**9))
+        out = [
+            (d, query_weight * s + rescore_weight * ph.get(d, 0.0))
+            for d, s in window
+        ]
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     def boosting_topk(self, positive: str, negative: str, k: int = 10,
                       negative_boost: float = 0.5):
         """ES boosting query: positive OR-match; a doc also matching the

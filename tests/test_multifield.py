@@ -244,6 +244,62 @@ def test_fields_conflict_guard(spark, corpus_df, tmp_path, mf_store):
         )
 
 
+def test_delete_and_compact_multifield_store(spark, mf_store, corpus_pdf,
+                                             tmp_path):
+    """REMOVE + compact on a multi-field store: the tombstoned doc leaves
+    every field's results, meta keeps the field layout, and the per-field
+    avgdl is recomputed over live docs only."""
+    import shutil
+
+    path = str(tmp_path / "mfcompact")
+    shutil.copytree(mf_store.path, path)
+    row = corpus_pdf.iloc[11]
+    gone_id = f"{row['repo']}.{row['path']}.{row['commit']}"
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_name": ["REMOVE"],
+                "keys": [
+                    {"repo": row["repo"], "path": row["path"],
+                     "commit": row["commit"]}
+                ],
+                "new_image": [None],
+                "old_image": [
+                    {"repo": row["repo"], "path": row["path"],
+                     "commit": row["commit"], "lang": row["lang"],
+                     "content": row["content"], "version": 1}
+                ],
+            }
+        ),
+        schema=(
+            "event_name string, "
+            "keys struct<repo:string,path:string,commit:string>, "
+            "new_image struct<repo:string,path:string,commit:string,"
+            "lang:string,content:string,version:long>, "
+            "old_image struct<repo:string,path:string,commit:string,"
+            "lang:string,content:string,version:long>"
+        ),
+    )
+    cfg = IndexerConfig(index="code", version_field="version")
+    cdc.apply_changes(events, cfg, path)
+    st = search.load_store(path)
+    assert st.n_dead() == 1
+    cdc.compact_store(spark, path)
+    st = search.load_store(path)
+    assert st.n_dead() == 0
+    assert st.meta["fields"] == list(FIELDS)
+    assert st.meta["n_docs"] == 199
+    # querying the doc's own path tokens must not surface it, in either field
+    from dynamo2es_lambda_spark.functions import analysis
+
+    ptok = analysis.tokenize_series(pd.Series([row["path"]]))[0][0]
+    res = search.search(
+        spark, st, pd.DataFrame({"qid": [0], "query": [ptok]}),
+        k=10**6, field="path",
+    ).toPandas()
+    assert gone_id not in set(res["doc_id"])
+
+
 def test_verify_sha256_covers_all_fields(spark, corpus_df, tmp_path):
     """The north-rule sha invariant on a multi-field store hashes EVERY
     indexed field: verification passes against the true corpus and counts

@@ -19,7 +19,9 @@ CFG = IndexerConfig(index="code")
 @pytest.fixture(scope="module")
 def store(spark, corpus_df, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("exidx"))
-    build.build_index(corpus_df, CFG, path, segment_docs=64, num_buckets=8)
+    build.build_index(
+        corpus_df, CFG, path, segment_docs=64, num_buckets=8, positions=True
+    )
     return search.load_store(path)
 
 
@@ -99,6 +101,46 @@ def test_suggest_terms(spark, store, oracle):
     assert list(res["dist"]) == [c[0] for c in want]
     assert list(res["df"]) == [-c[1] for c in want]
     assert t in set(res["suggestion"]), "the real term must be suggested"
+
+
+def test_rescore_rank_identity(spark, store, oracle):
+    toks = oracle.toks[3]
+    q = " ".join(toks[4:6])  # a real consecutive bigram: phrase pass bites
+    res = search.search_rescore(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=10, window_size=20, query_weight=1.0, rescore_weight=2.0,
+    ).toPandas().sort_values("rank")
+    want = oracle.rescore_topk(
+        q, k=10, window_size=20, query_weight=1.0, rescore_weight=2.0
+    )
+    assert list(res["doc_id"]) == [d for d, _ in want]
+    assert np.allclose(res["score"], [s for _, s in want], atol=1e-9)
+    # the phrase pass must actually change something vs the base ranking
+    base = search.search(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]), k=10
+    ).toPandas().sort_values("rank")
+    assert not np.allclose(res["score"], base["score"])
+
+
+def test_rescore_absent_phrase_keeps_base_order(spark, store, oracle):
+    q = f"{oracle.toks[0][0]} zzzabsent"  # phrase can never match
+    res = search.search_rescore(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=10, window_size=20, query_weight=0.5,
+    ).toPandas().sort_values("rank")
+    base = search.search(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]), k=10
+    ).toPandas().sort_values("rank")
+    assert list(res["doc_id"]) == list(base["doc_id"])
+    assert np.allclose(res["score"], base["score"] * 0.5, atol=1e-9)
+
+
+def test_rescore_k_exceeds_window(spark, store):
+    with pytest.raises(EngineError):
+        search.search_rescore(
+            spark, store, pd.DataFrame([(0, "a")], columns=["qid", "query"]),
+            k=30, window_size=20,
+        )
 
 
 def test_stats_agg(spark, store, oracle):
