@@ -770,6 +770,99 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------- 4l. significant_terms + percolate (reverse)
+# ES significant_terms (JLH over-representation agg) and percolate
+# (match incoming docs against registered queries) —
+# plans/search.significant_terms / percolate.
+
+SIG_QUERIES = [(0, "spark merge"), (1, "customer")]
+SIG_K, SIG_MIN_DC = 10, 3
+PERC_QUERIES = [
+    (0, "spark merge"),
+    (1, "customer window"),
+    (2, "absentzzz fast"),
+]
+
+
+def q_fts_significant_terms(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SIG_QUERIES, columns=["qid", "query"])
+    corpus = _docs(spark, sf_dir)
+    return search.significant_terms(
+        spark, store, qpdf, corpus, text_col="text", id_col="doc_id",
+        k=SIG_K, min_doc_count=SIG_MIN_DC,
+    )
+
+
+def q_fts_percolate(spark, sf_dir):
+    reg = pd.DataFrame(PERC_QUERIES, columns=["query_id", "query"])
+    return search.percolate(
+        spark, reg, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        mode="and",
+    )
+
+
+def _significant_terms_sql(
+    queries: list[tuple[int, str]], k: int, min_dc: int
+) -> str:
+    """Oracle for q_fts_significant_terms: JLH scored over-represented
+    terms of the OR match set, min_doc_count gate, (score, term) rank."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+nm AS (SELECT qid, count(*) AS n_fg FROM m GROUP BY qid),
+fg AS (
+  SELECT m.qid AS qid, p.term AS term, count(*) AS fg
+  FROM m JOIN posting p ON p.doc_id = m.doc_id
+  GROUP BY m.qid, p.term
+  HAVING count(*) >= {min_dc}
+),
+sc AS (
+  SELECT fg.qid AS qid, fg.term AS term, fg.fg AS fg, d.df AS bg,
+         ((fg.fg * 1.0 / nm.n_fg) - (d.df * 1.0 / s.n))
+           * (fg.fg * 1.0 / nm.n_fg) / (d.df * 1.0 / s.n) AS score
+  FROM fg
+  JOIN dfreq d ON d.term = fg.term
+  JOIN nm ON nm.qid = fg.qid
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, term,
+         CAST(fg AS BIGINT) AS fg, CAST(bg AS BIGINT) AS bg,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 9) DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT qid, rank, term, fg, bg, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _percolate_sql(queries: list[tuple[int, str]]) -> str:
+    """Oracle for q_fts_percolate: docs containing ALL of a registered
+    query's distinct analyzed terms."""
+    vals = []
+    for query_id, q in queries:
+        toks = sorted(set(analysis.tokenize_series(pd.Series([q]))[0]))
+        for t in toks:
+            vals.append(f"({query_id}, '{t}', {len(toks)})")
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+p AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM x)
+),
+v(query_id, term, need) AS (VALUES {", ".join(vals)})
+SELECT p.doc_id AS doc_id, CAST(v.query_id AS BIGINT) AS query_id
+FROM p JOIN v ON v.term = p.term
+GROUP BY p.doc_id, v.query_id, v.need
+HAVING count(*) = v.need
+"""
+
+
 # ------------------------------------------------- 4k. rescore (phrase)
 # ES rescore: phrase second pass over the top window of the BM25 first
 # pass (plans/search.search_rescore).
@@ -2539,6 +2632,8 @@ SPARK_QUERIES = {
     "fts_has_parent": q_fts_has_parent,
     "fts_has_child": q_fts_has_child,
     "fts_rescore": q_fts_rescore,
+    "fts_significant_terms": q_fts_significant_terms,
+    "fts_percolate": q_fts_percolate,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2601,6 +2696,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_rescore": _rescore_sql(
             RESCORE_QUERIES, FT_K, RESCORE_WINDOW, RESCORE_QW, RESCORE_RW
         ),
+        "fts_significant_terms": _significant_terms_sql(
+            SIG_QUERIES, SIG_K, SIG_MIN_DC
+        ),
+        "fts_percolate": _percolate_sql(PERC_QUERIES),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

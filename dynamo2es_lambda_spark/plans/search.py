@@ -1347,6 +1347,127 @@ def search_has_child(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_doc_count: int = 3,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: terms over-represented in the
+    query's match set relative to the whole corpus, scored with ES's JLH
+    (``(fg_rate − bg_rate) × fg_rate / bg_rate``), ``min_doc_count``
+    noise gate, top ``k`` per query by (score desc, term asc).
+
+    Foreground counts re-tokenize ONLY the matched documents — the match
+    set is semi-joined into the corpus scan and tokenization is a pure
+    JVM expression (array_distinct over the pinned tokenizer's SQL form,
+    no Python). Background rates come from the store's term_stats / meta —
+    no second corpus pass. Returns (qid, rank, term, fg, bg, score_r)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank int, term string, fg long, bg long, "
+            "score_r double",
+        )
+    n_docs = float(store.meta["n_docs"])
+    ids = store.doc_stats(spark).select("doc_int", "doc_id")
+    matched = hits.join(ids, "doc_int").select("qid", "doc_id")
+    n_matched = matched.groupBy("qid").agg(
+        F.count("*").alias("_n_fg")
+    )
+    src = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.array_distinct(
+            F.expr(analysis.spark_tokens_expr(text_col))
+        ).alias("_toks"),
+    )
+    fg = (
+        matched.join(src, "doc_id")
+        .select("qid", F.explode("_toks").alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg"))
+        .filter(F.col("fg") >= int(min_doc_count))
+    )
+    bg = store.term_stats(spark).select(
+        "term", F.col("df").alias("bg")
+    )
+    joined = (
+        fg.join(bg, "term")
+        .join(F.broadcast(n_matched), "qid")
+        .withColumn("_fg_rate", F.col("fg") / F.col("_n_fg"))
+        .withColumn("_bg_rate", F.col("bg") / F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("_fg_rate") - F.col("_bg_rate"))
+            * F.col("_fg_rate") / F.col("_bg_rate"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "rank", "term", "fg", "bg",
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
+def percolate(
+    spark: SparkSession,
+    registered: pd.DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``percolate``: the REVERSE of search — match incoming documents
+    against a set of registered queries. ``registered``: pandas
+    (query_id, query), analyzed with the pinned tokenizer; a doc matches a
+    query when it contains ALL its distinct terms (``mode='and'``, the ES
+    match+operator=and percolation) or ANY (``mode='or'``). Returns
+    (doc_id, query_id) pairs.
+
+    Plan: the registered-query term table broadcasts into ONE pass over
+    the incoming docs (JVM-side distinct tokens, explode, join, count ==
+    need) — no index required, cost linear in the docs' tokens."""
+    if mode not in ("and", "or"):
+        raise EngineError(f"unknown percolate mode: {mode}")
+    rows = []
+    for query_id, q in zip(registered["query_id"], registered["query"]):
+        toks = sorted(set(analysis.tokenize_series(pd.Series([str(q)]))[0]))
+        for t in toks:
+            rows.append((int(query_id), t, len(toks)))
+    if not rows:
+        return spark.createDataFrame([], "doc_id string, query_id long")
+    qt = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "term", "need"])
+    )
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.expr(analysis.spark_tokens_expr(text_col)))
+        ).alias("term"),
+    )
+    j = toks.join(F.broadcast(qt), "term")
+    agg = j.groupBy("doc_id", "query_id").agg(
+        F.count("*").alias("nt"), F.first("need").alias("need")
+    )
+    cond = (
+        F.col("nt") == F.col("need") if mode == "and" else F.col("nt") >= 1
+    )
+    return agg.filter(cond).select("doc_id", "query_id")
+
+
 def search_rescore(
     spark: SparkSession,
     store: IndexStore,

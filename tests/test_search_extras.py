@@ -143,6 +143,67 @@ def test_rescore_k_exceeds_window(spark, store):
         )
 
 
+def test_significant_terms(spark, store, oracle, corpus_df):
+    q = " ".join(oracle.toks[1][:2])
+    # corpus ids in the store are repo.path.commit - rebuild a corpus frame
+    # keyed the same way for the foreground re-tokenize join
+    from pyspark.sql import functions as F
+
+    corpus = corpus_df.select(
+        F.concat_ws(".", "repo", "path", "commit").alias("cid"), "content"
+    )
+    res = search.significant_terms(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        corpus, text_col="content", id_col="cid", k=10, min_doc_count=3,
+    ).toPandas().sort_values("rank")
+    matched = [d for d, _ in oracle.topk(q, k=10**9)]
+    n_fg = len(matched)
+    fg: dict[str, int] = {}
+    for d in matched:
+        for t in set(oracle.toks[oracle.doc_ids.index(d)]):
+            fg[t] = fg.get(t, 0) + 1
+    cands = []
+    for t, c in fg.items():
+        if c < 3:
+            continue
+        fr, br = c / n_fg, oracle.df[t] / oracle.n_docs
+        cands.append((round((fr - br) * fr / br, 9), t, c))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    want = cands[:10]
+    assert list(res["term"]) == [t for _, t, _ in want]
+    assert list(res["fg"]) == [c for _, _, c in want]
+    for got_s, (s, _, _) in zip(res["score_r"], want):
+        assert got_s == pytest.approx(s, abs=1e-6)
+
+
+def test_percolate(spark, corpus_df, oracle):
+    regs = [
+        (0, " ".join(oracle.toks[0][:2])),
+        (1, oracle.toks[5][0]),
+        (2, "zzzabsent spark"),
+    ]
+    from pyspark.sql import functions as F
+
+    docs = corpus_df.select(
+        F.concat_ws(".", "repo", "path", "commit").alias("cid"), "content"
+    )
+    res = search.percolate(
+        spark, pd.DataFrame(regs, columns=["query_id", "query"]),
+        docs, text_col="content", id_col="cid", mode="and",
+    ).toPandas()
+    got = set(zip(res["doc_id"], res["query_id"]))
+    want = set()
+    for qid, q in regs:
+        from dynamo2es_lambda_spark.functions import analysis
+
+        terms = set(analysis.tokenize_series(pd.Series([q]))[0])
+        for i, d in enumerate(oracle.doc_ids):
+            if terms <= set(oracle.toks[i]):
+                want.add((d, qid))
+    assert got == want
+    assert not any(qid == 2 for _, qid in got)
+
+
 def test_stats_agg(spark, store, oracle):
     q = " ".join(oracle.toks[2][:2])
     res = search.search_stats_agg(
