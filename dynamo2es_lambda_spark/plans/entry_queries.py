@@ -770,6 +770,80 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------- 4m. collapse (field fold)
+# ES collapse: one best doc per field value (plans/search.search_collapse).
+
+COLLAPSE_QUERIES = [(0, "spark merge window"), (1, "customer")]
+
+
+def q_fts_collapse(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(COLLAPSE_QUERIES, columns=["qid", "query"])
+    res = search.search_collapse(
+        spark, store, qpdf, collapse_col="lang", k=FT_K
+    )
+    return res.select(
+        "qid", "rank", "doc_id", "group",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def _collapse_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_collapse: best OR-BM25 doc per (qid, lang), groups
+    ranked by (rounded score desc, doc_id)."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, {DOC_TOKS} AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+best AS (
+  SELECT * FROM (
+    SELECT sc.qid AS qid, sc.doc_id AS doc_id, c.lang AS grp, sc.score,
+           row_number() OVER (
+             PARTITION BY sc.qid, c.lang
+             ORDER BY sc.score DESC, sc.doc_id ASC
+           ) AS rn
+    FROM scored sc JOIN corpus c ON c.doc_id = sc.doc_id
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, grp AS "group",
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM best
+)
+SELECT qid, rank, doc_id, "group", score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------- 4l. significant_terms + percolate (reverse)
 # ES significant_terms (JLH over-representation agg) and percolate
 # (match incoming docs against registered queries) —
@@ -2634,6 +2708,7 @@ SPARK_QUERIES = {
     "fts_rescore": q_fts_rescore,
     "fts_significant_terms": q_fts_significant_terms,
     "fts_percolate": q_fts_percolate,
+    "fts_collapse": q_fts_collapse,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2700,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
             SIG_QUERIES, SIG_K, SIG_MIN_DC
         ),
         "fts_percolate": _percolate_sql(PERC_QUERIES),
+        "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

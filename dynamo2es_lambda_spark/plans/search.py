@@ -1347,6 +1347,46 @@ def search_has_child(
     )
 
 
+def search_collapse(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    collapse_col: str,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``collapse``: fold the ranked result down to ONE doc per value of
+    a doc field — the best-scoring doc represents its group (score desc,
+    doc_id asc within the group), groups then rank among themselves. The
+    classic one-result-per-repo / per-domain search shape. Returns
+    (qid, rank, doc_id, group, score)."""
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, group string, "
+                "score double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(collapse_col).cast("string").alias("group"),
+    )
+    named = agg.join(stats, "doc_int")
+    w_in = Window.partitionBy("qid", "group").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    best = named.withColumn("_rn", F.row_number().over(w_in)).filter(
+        F.col("_rn") == 1
+    )
+    w_out = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "group", "score")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     store: IndexStore,

@@ -143,6 +143,32 @@ def test_rescore_k_exceeds_window(spark, store):
         )
 
 
+def test_collapse_one_per_group(spark, store, oracle, corpus_pdf):
+    q = " ".join(oracle.toks[0][:2])
+    res = search.search_collapse(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        collapse_col="lang", k=10,
+    ).toPandas().sort_values("rank")
+    lang_of = dict(
+        zip(
+            corpus_pdf["repo"] + "." + corpus_pdf["path"] + "."
+            + corpus_pdf["commit"],
+            corpus_pdf["lang"],
+        )
+    )
+    matched = oracle.topk(q, k=10**9)
+    best: dict[str, tuple] = {}
+    for d, s in matched:  # already (score desc, doc_id asc) ordered
+        g = lang_of[d]
+        if g not in best:
+            best[g] = (d, s)
+    want = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))[:10]
+    assert list(res["doc_id"]) == [d for _, (d, _) in want]
+    assert list(res["group"]) == [g for g, _ in want]
+    assert np.allclose(res["score"], [s for _, (_, s) in want], atol=1e-9)
+    assert res["group"].is_unique
+
+
 def test_significant_terms(spark, store, oracle, corpus_df):
     q = " ".join(oracle.toks[1][:2])
     # corpus ids in the store are repo.path.commit - rebuild a corpus frame
