@@ -221,6 +221,30 @@ def main() -> None:
         lambda: search.search_phrase_prefix(spark, store, pp, k=10).collect(),
         repeat=2,
     )
+    qs = pd.DataFrame(entry_queries.QS_QUERIES, columns=["qid", "query"])
+    timed(
+        "bm25_query_string_set",
+        lambda: search.search_query_string(spark, store, qs, k=10).collect(),
+        repeat=2,
+    )
+    rs = pd.DataFrame(entry_queries.RESCORE_QUERIES, columns=["qid", "query"])
+    timed(
+        "bm25_rescore_set",
+        lambda: search.search_rescore(
+            spark, store, rs, k=10, window_size=50, rescore_weight=2.0
+        ).collect(),
+        repeat=2,
+    )
+    sig = pd.DataFrame(entry_queries.SIG_QUERIES, columns=["qid", "query"])
+    corpus_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed(
+        "significant_terms_set",
+        lambda: search.significant_terms(
+            spark, store, sig, corpus_docs, text_col="text", id_col="doc_id",
+            k=10,
+        ).collect(),
+        repeat=2,
+    )
 
     # --- entry-contract representatives ---
     for name in (
