@@ -770,6 +770,49 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------- 4n. sharded (federated) search
+# Two half-corpus stores (doc_id parity), searched with exact GLOBAL
+# stats (ES dfs_query_then_fetch): the oracle is the SAME full-corpus
+# BM25 SQL as fts_bm25_topk — shard-invariance is the checked property
+# (plans/search.search_sharded).
+
+_SHARD_STORES: dict[str, tuple[str, str]] = {}
+
+
+def _corpus_shards(spark: SparkSession, sf_dir: str):
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:sh1".encode()
+    ).hexdigest()[:12]
+    paths = tuple(
+        os.path.join(tempfile.gettempdir(), f"d2es_entry_sh{i}_{key}")
+        for i in (0, 1)
+    )
+    if key not in _SHARD_STORES or not all(
+        os.path.exists(os.path.join(p, "meta.json")) for p in paths
+    ):
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        for i, p in enumerate(paths):
+            half = _docs(spark, sf_dir).filter(
+                F.pmod(F.col("doc_id"), F.lit(2)) == i
+            ).select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang",
+                F.col("text").alias("content"),
+            )
+            build.build_index(half, cfg, p, num_buckets=32, resume=True)
+        _SHARD_STORES[key] = paths
+    return [search.load_store(p) for p in paths]
+
+
+def q_fts_sharded(spark, sf_dir):
+    shards = _corpus_shards(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search_sharded(spark, shards, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
 # --------------------------------------------- 4m. collapse (field fold)
 # ES collapse: one best doc per field value (plans/search.search_collapse).
 
@@ -2709,6 +2752,7 @@ SPARK_QUERIES = {
     "fts_significant_terms": q_fts_significant_terms,
     "fts_percolate": q_fts_percolate,
     "fts_collapse": q_fts_collapse,
+    "fts_sharded": q_fts_sharded,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2776,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_percolate": _percolate_sql(PERC_QUERIES),
         "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),
+        "fts_sharded": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

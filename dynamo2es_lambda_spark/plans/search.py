@@ -1347,6 +1347,111 @@ def search_has_child(
     )
 
 
+def search_sharded(
+    spark: SparkSession,
+    stores: list[IndexStore],
+    queries: pd.DataFrame,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Federated top-k BM25 over SEVERAL index stores (shards) with exact
+    GLOBAL statistics — ES ``dfs_query_then_fetch``: df(t) sums across
+    shards, N and avgdl are corpus-wide, so every posting scores exactly
+    as if one store held the whole corpus. The result is SHARD-INVARIANT:
+    rank- and score-identical to a single-store search over the union
+    corpus (asserted in tests/test_sharded.py).
+
+    Plan: one targeted term_stats read per shard (metadata-sized) builds
+    the global df; each shard then runs its own pruned block read +
+    exhaustive scorer with the GLOBAL weights; candidates union into one
+    aggregation; the doc_id join unions the shards' metadata. Shard doc
+    ids must be disjoint (a sharded corpus)."""
+    if not stores:
+        raise EngineError("search_sharded needs at least one store")
+    fields0 = stores[0].meta.get("fields")
+    for st in stores[1:]:
+        if st.meta.get("fields") != fields0:
+            raise EngineError("shards disagree on the field layout")
+    prefix = ""
+    if fields0:
+        f = field if field is not None else fields0[0]
+        if f not in fields0:
+            raise EngineError(f"unknown field {f!r}; shards have {fields0}")
+        prefix = f + ":"
+    elif field is not None:
+        raise EngineError("single-field shards have no named fields")
+
+    n_docs = float(sum(st.meta["n_docs"] for st in stores))
+    if fields0:
+        fkey = field if field is not None else fields0[0]
+        avgdl = sum(
+            st.meta["avgdl_fields"][fkey] * st.meta["n_docs"]
+            for st in stores
+        ) / max(n_docs, 1.0)
+    else:
+        avgdl = sum(
+            st.meta["avgdl"] * st.meta["n_docs"] for st in stores
+        ) / max(n_docs, 1.0)
+
+    qt0 = _query_terms(queries)
+    if qt0.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if prefix:
+        qt0["term"] = prefix + qt0["term"]
+    terms = sorted(qt0["term"].unique().tolist())
+
+    # global df: sum each shard's df for the query terms (metadata reads)
+    per_store_qt = []
+    df_global: dict[str, float] = {}
+    for st in stores:
+        qt_st = _join_term_stats(spark, st, qt0.copy(), terms)
+        per_store_qt.append(qt_st)
+        for t, d in zip(qt_st["term"], qt_st["df"]):
+            if pd.notna(d):
+                df_global[t] = df_global.get(t, 0.0) + float(d)
+    if not df_global:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    cands = []
+    for st, qt_st in zip(stores, per_store_qt):
+        qt_live = qt_st[qt_st["term"].isin(df_global)].copy()
+        qt_live = qt_live[qt_live["df"].notna()]  # shard holds the term
+        if qt_live.empty:
+            continue
+        qt_live["w"] = (
+            bm25.idf(
+                n_docs,
+                np.array([df_global[t] for t in qt_live["term"]]),
+            )
+            * (bm25.K1 + 1.0)
+            * qt_live["qtf"].to_numpy()
+        )
+        joined = _matched_blocks(spark, st, qt_live)
+        cand = _score_exhaustive(joined, avgdl)
+        cand = _drop_dead(spark, st, cand)
+        cands.append(cand)
+    if not cands:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    agg = allc.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    topk = _cut_topk(agg, k)
+
+    ids = stores[0].doc_stats(spark).select("doc_int", "doc_id")
+    for st in stores[1:]:
+        ids = ids.unionByName(st.doc_stats(spark).select("doc_int", "doc_id"))
+    named = ids.join(F.broadcast(topk), "doc_int")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        named.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
 def search_collapse(
     spark: SparkSession,
     store: IndexStore,
