@@ -210,6 +210,31 @@ def main() -> None:
         plan_of(search.search_query_string(spark, store, qs, k=5)),
     ))
 
+    # --- 2g. sharded search: global-stats federation ---
+    sh_paths = ["/tmp/d2es_plans_shard0", "/tmp/d2es_plans_shard1"]
+    for i, p in enumerate(sh_paths):
+        if not os.path.exists(os.path.join(p, "meta.json")):
+            half = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i).select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang",
+                F.col("text").alias("content"),
+            )
+            build.build_index(half, cfg, p, key_cols=("docid",),
+                              num_buckets=32)
+    shards = [search.load_store(p) for p in sh_paths]
+    sections.append((
+        "Sharded search (exact global statistics, dfs_query_then_fetch)",
+        "Each shard contributes ONE metadata-sized term_stats read (global "
+        "df) and ONE pruned block read scored with the GLOBAL weights; the "
+        "candidate union feeds a single aggregation, and the doc_id join "
+        "unions shard metadata. Scores are shard-invariant — identical to "
+        "a single store over the union corpus (tests/test_sharded.py).",
+        plan_of(search.search_sharded(
+            spark, shards,
+            pd.DataFrame({"qid": [0], "query": ["spark merge"]}), k=5,
+        )),
+    ))
+
     # --- 3. TPC-H style join: broadcast dim + partial aggregation ---
     q = entry_queries.SPARK_QUERIES["tpch_revenue_by_nation"]
     sections.append((
