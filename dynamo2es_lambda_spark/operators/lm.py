@@ -1,0 +1,82 @@
+"""Corpus-trained bigram language-model perplexity — the CCNet-style
+quality filter a training-data pipeline runs to drop gibberish and
+boilerplate before tokenization (perplexity against an in-domain LM).
+
+The LM is the corpus itself: unigram and bigram counts aggregated in one
+pass each (pure built-in expressions — the token stream comes from the
+pinned analyzer's Spark-SQL form, no Python), add-k smoothed
+``p(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V)`` with ``V`` = distinct
+unigram count. A document's score is the mean negative log2 probability
+over its bigrams (lower = more in-domain); docs with fewer than two
+tokens are excluded (no bigram evidence).
+
+Scale shape: counts are two groupBy aggregations whose shuffle volume is
+the distinct n-gram vocabulary (map-side partial combine); scoring is one
+explode + equi-join on the bigram string + per-doc aggregation — the same
+shape at any corpus size, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import spark_tokens_expr
+
+DEFAULT_K = 0.5
+
+
+def _bigrams_expr(text_col: str) -> str:
+    t = spark_tokens_expr(text_col)
+    return (
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"transform(sequence(2, size({t})), "
+        f"i -> concat(element_at({t}, i - 1), ' ', element_at({t}, i))) "
+        f"ELSE array() END"
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = DEFAULT_K,
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, nll_r): per-doc mean −log2 p under the
+    corpus-trained add-k bigram LM, rounded to 6 dp. Deterministic: exact
+    integer counts, the only float is the final mean."""
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+        F.expr(_bigrams_expr(text_col)).alias("_bigrams"),
+    )
+    uni = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = uni.count()  # vocabulary size (distinct unigrams) — one scalar
+    bi = (
+        base.select(F.explode("_bigrams").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c12"))
+    )
+    doc_bi = base.select(
+        "doc_id", F.explode("_bigrams").alias("b")
+    ).withColumn("w1", F.split(F.col("b"), " ")[0])
+    k = float(k_smooth)
+    scored = (
+        doc_bi.join(bi, "b")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .withColumn(
+            "_nll",
+            -F.log2(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.lit(float(v)))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("nll_r"),
+    )

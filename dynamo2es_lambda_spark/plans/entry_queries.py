@@ -2486,6 +2486,55 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------- 11c. bigram-LM perplexity filter
+
+LM_K = 0.5
+
+
+def q_text_perplexity(spark, sf_dir):
+    from ..operators import lm
+
+    return lm.bigram_perplexity(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k_smooth=LM_K
+    )
+
+
+def _sql_text_perplexity() -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(2, len(toks) + 1),
+                                    i -> toks[i - 1] || ' ' || toks[i])
+                ELSE [] END) AS b
+  FROM x
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM x)
+  GROUP BY w
+),
+v AS (SELECT count(*) AS v FROM uni),
+bic AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+scored AS (
+  SELECT bg.doc_id AS doc_id,
+         -log2((bic.c12 + {LM_K}) / (uni.c1 + {LM_K} * v.v)) AS nll
+  FROM bg
+  JOIN bic ON bic.b = bg.b
+  JOIN uni ON uni.w = split_part(bg.b, ' ', 1)
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 6) AS nll_r
+FROM scored
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------ 12. fingerprints
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -2766,6 +2815,7 @@ SPARK_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "events_date_histogram": q_events_date_histogram,
     "documents_clean": q_documents_clean,
+    "text_perplexity": q_text_perplexity,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -2834,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "events_date_histogram": SQL_EVENTS_DATE_HIST,
         "documents_clean": _sql_documents_clean(),
+        "text_perplexity": _sql_text_perplexity(),
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,

@@ -230,6 +230,39 @@ def test_percolate(spark, corpus_df, oracle):
     assert not any(qid == 2 for _, qid in got)
 
 
+def test_bigram_perplexity_properties(spark, corpus_pdf):
+    """In-domain repetition scores lower NLL than shuffled gibberish of the
+    same vocabulary; sub-2-token docs are excluded; exact counts match a
+    hand-computed tiny case."""
+    from dynamo2es_lambda_spark.operators import lm
+
+    pdf = corpus_pdf[["content"]].copy()
+    pdf["doc_id"] = [f"d{i}" for i in range(len(pdf))]
+    # append: a doc repeating a common corpus phrase, a gibberish doc over
+    # rare token combos, and a one-token doc
+    common = " ".join(pdf["content"].iloc[0].split()[:2])
+    extra = pd.DataFrame(
+        {
+            "content": [
+                (common + " ") * 20,
+                "zebra9 quux7 fizz3 blorp1 " * 10,
+                "single",
+            ],
+            "doc_id": ["rep", "gib", "one"],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+    res = lm.bigram_perplexity(df, id_col="doc_id", text_col="content")
+    got = res.toPandas().set_index("doc_id")
+    assert "one" not in got.index, "no bigram evidence -> excluded"
+    assert got.loc["rep", "nll_r"] < got.loc["gib", "nll_r"]
+    # bigram count = token count - 1 (whatever the analyzer splits into)
+    from dynamo2es_lambda_spark.functions import analysis
+
+    n_toks = len(analysis.tokenize_series(pd.Series([(common + " ") * 20]))[0])
+    assert got.loc["rep", "n_bigrams"] == n_toks - 1
+
+
 def test_stats_agg(spark, store, oracle):
     q = " ".join(oracle.toks[2][:2])
     res = search.search_stats_agg(
