@@ -414,3 +414,215 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cos")
     )
+
+
+# ----------------------------- product quantization (memory-compressed ANN)
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 10,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[np.ndarray]:
+    """Train product-quantization codebooks: the embedding dims split into
+    ``m`` contiguous subspaces, each with an ``n_codes``-word codebook —
+    vectors compress to ``m`` byte-sized codes (e.g. 256-dim float32
+    1 KB → 4 B at m=4). Training runs driver-side numpy Lloyd's over a
+    DETERMINISTIC hash-ordered sample (codebooks are broadcast-sized model
+    state, exactly like IVF centroids; maximin init, stable tie-breaks) —
+    the distributed parts are encode and query. L2-normalize upstream when
+    approximating cosine. Returns a list of (n_codes, sub_dim) arrays."""
+    pdf = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(int(sample))
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    dim = x.shape[1]
+    if m < 1 or dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    books: list[np.ndarray] = []
+    for j in range(m):
+        xs = x[:, j * sub: (j + 1) * sub]
+        # deterministic maximin init
+        cents = [xs[0]]
+        for _ in range(n_codes - 1):
+            d = np.min(
+                ((xs[:, None, :] - np.stack(cents)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            cents.append(xs[int(np.argmax(d))])
+        c = np.stack(cents)
+        for _ in range(iters):
+            d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(axis=1)
+            for ci in range(n_codes):
+                mask = a == ci
+                if mask.any():
+                    c[ci] = xs[mask].mean(axis=0)
+        books.append(c)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, codes array<int>): per-subspace nearest codeword of the
+    L2-NORMALIZED vector, vectorized per Arrow batch (one matmul per
+    subspace). Deterministic under any partitioning — a pure function of
+    the vector and the codebooks."""
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub: (j + 1) * sub]
+                c = codebooks[j]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over codes
+                d = (
+                    -2.0 * xs @ c.T
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"],
+                 "codes": [list(map(int, r)) for r in codes]}
+            )
+
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    return src.mapInPandas(run, schema="vec_id long, codes array<bigint>")
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebooks: list[np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: each query builds an m × n_codes
+    lookup table of subvector dot products against the codebooks (driver,
+    query-sized); the scan reads only (vec_id, codes) — the m-byte codes,
+    NOT the vectors — and scores via vectorized LUT gathers per Arrow
+    batch. → (qid, rank, vec_id, score) with score ≈ cosine of normalized
+    vectors. Pass ``encoded`` to reuse a persisted pq_encode table (the
+    production shape: encode once, query many).
+
+    ``rerank``: classic PQ+rerank — keep the top ``rerank`` ADC candidates
+    per query, fetch ONLY their true vectors (semi-join into the vector
+    table, candidates × queries rows) and exact-rerank by cosine; score
+    becomes the exact cosine. Recall approaches brute force while the
+    full scan still touches only the compressed codes."""
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebooks, id_col, vec_col)
+    qpdf = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .toPandas()
+    )
+    luts = {}
+    for qid, qv in zip(qpdf["qid"], qpdf["qv"]):
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        luts[int(qid)] = np.stack(
+            [
+                q[j * sub: (j + 1) * sub] @ codebooks[j].T
+                for j in range(m)
+            ]
+        )  # (m, n_codes)
+    qid_arr = np.array(sorted(luts), dtype=np.int64)
+    lut_arr = np.stack([luts[int(q)] for q in qid_arr])  # (Q, m, n_codes)
+    qset = set(int(q) for q in qid_arr)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = ~pdf["vec_id"].isin(qset)
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # (N, m)
+            outs = []
+            for qi, qid in enumerate(qid_arr):
+                # gather LUT[j, codes[:, j]] and sum over subspaces
+                s = np.zeros(len(codes), dtype=np.float64)
+                for j in range(m):
+                    s += lut_arr[qi, j][codes[:, j]]
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": int(qid), "vec_id": pdf["vec_id"].to_numpy(),
+                         "score": s}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = encoded.mapInPandas(
+        score, schema="qid long, vec_id long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "score")
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(rerank))
+        .select("qid", "vec_id")
+    )
+    tvecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
+    )
+    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    exact = (
+        shortlist.join(tvecs, "vec_id")
+        .join(F.broadcast(qvecs), "qid")
+        .withColumn("score", F.expr(cosine_expr("qvec", "tvec")))
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "score")
+    )

@@ -206,3 +206,55 @@ def test_search_legacy_term_stats_fallback(spark, tmp_path):
         before.sort_values(["qid", "rank"], ignore_index=True),
         after.sort_values(["qid", "rank"], ignore_index=True),
     )
+
+
+def test_pq_encode_deterministic_and_compressed(spark, emb):
+    """PQ codes are a pure function of vector + codebooks (identical under
+    any partitioning) and compress dim floats to m small ints."""
+    books = ann.pq_train_codebooks(emb, m=8, n_codes=16, sample=300)
+    assert len(books) == 8 and books[0].shape == (16, 8)  # 64-dim / 8
+    c1 = ann.pq_encode(emb, books).toPandas().set_index("vec_id")
+    c2 = (
+        ann.pq_encode(emb.repartition(7), books)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for vid in c1.index:
+        assert list(c1.loc[vid, "codes"]) == list(c2.loc[vid, "codes"])
+    assert all(0 <= c < 16 for cs in c1["codes"] for c in cs)
+
+
+def test_pq_topk_recall_vs_brute_force(spark, emb):
+    qids = [3, 57, 111]
+    books = ann.pq_train_codebooks(emb, m=8, n_codes=32, sample=500)
+    encoded = ann.pq_encode(emb, books)
+    pq = ann.ann_topk_pq(
+        emb, qids, books, k=10, encoded=encoded
+    ).toPandas()
+    bf = ann.brute_force_topk(emb, qids, k=10).toPandas()
+    recalls = []
+    for q in qids:
+        got = set(pq[pq.qid == q]["vec_id"])
+        want = set(bf[bf.qid == q]["vec_id"])
+        recalls.append(len(got & want) / len(want))
+    # pure-ADC over 8x32 codes (32x memory compression, 8 B vs 256 B):
+    # approximate by design, but must carry real signal
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    # the production shape: ADC shortlist of 80 + exact rerank — recall
+    # approaches brute force while the full scan reads only codes
+    rr = ann.ann_topk_pq(
+        emb, qids, books, k=10, encoded=encoded, rerank=80
+    ).toPandas()
+    rr_recalls = []
+    for q in qids:
+        got = set(rr[rr.qid == q]["vec_id"])
+        want = set(bf[bf.qid == q]["vec_id"])
+        rr_recalls.append(len(got & want) / len(want))
+    assert sum(rr_recalls) / len(rr_recalls) >= 0.8, rr_recalls
+    assert sum(rr_recalls) >= sum(recalls)
+
+
+def test_pq_rejects_nondivisible_subspaces(spark, emb):
+    with pytest.raises(ValueError):
+        ann.pq_train_codebooks(emb, m=7)
