@@ -1761,6 +1761,89 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------- 4d0. match_phrase slop
+# In-order span-near (ES match_phrase slop): tokens in order within a
+# len-1+slop window (plans/search.search_phrase slop=...).
+
+SLOP_QUERIES = [
+    (0, "part scan"),      # gap of 1 inside "part filter scan"
+    (1, "spark window"),   # gap of 1 inside "spark merge window"
+    (2, "scan part"),      # reversed: in-order requirement bites
+    (3, "absentzzz scan"),
+]
+SLOP = 1
+
+
+def q_fts_phrase_slop(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SLOP_QUERIES, columns=["qid", "query"])
+    res = search.search_phrase(spark, store, qpdf, k=50, slop=SLOP)
+    return _rerank_rounded(res, FT_K)
+
+
+def _phrase_slop_sql(
+    queries: list[tuple[int, str]], k: int, slop: int
+) -> str:
+    """Oracle for q_fts_phrase_slop (two-token spans): EXISTS an in-order
+    position pair within 1+slop, AND-scored BM25 of both terms."""
+    vals, needs, exist_cases = [], [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        assert len(toks) == 2, "slop oracle covers 2-token spans"
+        t0, t1 = toks
+        terms = sorted(Counter(toks).items())
+        needs.append(f"({qid}, {len(terms)})")
+        for t, qtf in terms:
+            vals.append(f"({qid}, '{t}', {qtf})")
+        exist_cases.append(
+            f"WHEN m.qid = {qid} THEN EXISTS (\n"
+            f"  SELECT 1\n"
+            f"  FROM unnest(list_filter(range(1, len(cs.toks) + 1),\n"
+            f"              i -> cs.toks[i] = '{t0}')) AS ta(a),\n"
+            f"       unnest(list_filter(range(1, len(cs.toks) + 1),\n"
+            f"              i -> cs.toks[i] = '{t1}')) AS tb(b)\n"
+            f"  WHERE b > a AND b - a <= {1 + slop})"
+        )
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, toks FROM corpus),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, need) AS (VALUES {", ".join(needs)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+m AS (
+  SELECT scored.qid AS qid, scored.doc_id AS doc_id, scored.score AS score
+  FROM scored
+  JOIN need ON need.nqid = scored.qid AND scored.nt = need.need
+),
+ok AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id, m.score AS score
+  FROM m JOIN cs ON cs.doc_id = m.doc_id
+  WHERE CASE {" ".join(exist_cases)} ELSE FALSE END
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM ok
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------- 4d. regexp / match_phrase_prefix / dis_max
 # ES regexp (anchored dictionary expansion), match_phrase_prefix (positional
 # chain + last-token prefix expansion) and dis_max (max + tie_breaker over
@@ -2779,6 +2862,7 @@ SPARK_QUERIES = {
     "fts_more_like_this": q_fts_more_like_this,
     "fts_highlight": q_fts_highlight,
     "fts_phrase": q_fts_phrase,
+    "fts_phrase_slop": q_fts_phrase_slop,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
     "fts_wildcard": q_fts_wildcard,
@@ -2838,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_more_like_this": _mlt_sql(MLT_QUERIES, FT_K, MLT_MAX_TERMS),
         "fts_highlight": _highlight_sql(FT_QUERIES, HL_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
+        "fts_phrase_slop": _phrase_slop_sql(SLOP_QUERIES, FT_K, SLOP),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
         "fts_wildcard": _wildcard_sql(WILDCARD_QUERIES, FT_K),

@@ -1064,16 +1064,72 @@ def _adjusted_pos_keys(
     return drep[ok] * stride + poss[ok]
 
 
+def _span_near_survivors(
+    by_term: dict[str, tuple],
+    phrase: list[str],
+    cand: np.ndarray,
+    stride: int,
+    slop: int,
+) -> np.ndarray:
+    """In-order span-near verification, vectorized across all candidate
+    docs and all start positions at once: a doc survives when its tokens
+    can be matched at strictly increasing positions with
+    ``span_end − span_start ≤ len(phrase) − 1 + slop`` (ES match_phrase
+    slop / Lucene span_near in_order semantics, greedy-minimal chain —
+    greedy is exact for in-order matching).
+
+    Encoding: every (candidate, position) pair becomes the int64 key
+    ``cand_index * stride + pos``; the greedy "next strictly-greater
+    position of token i in the same doc" is ONE searchsorted(side=right)
+    per token over that token's sorted key array, with a same-candidate
+    check via integer division — no per-document loop."""
+    n = len(phrase)
+    window = n - 1 + slop
+
+    def keys_of(tok: str) -> np.ndarray:
+        return np.sort(
+            _adjusted_pos_keys(
+                by_term[tok], cand, 0, stride, check_membership=True
+            )
+        )
+
+    cur = keys_of(phrase[0])
+    if cur.size == 0:
+        return np.empty(0, dtype=np.int64)
+    p0 = cur % stride  # chain start positions, parallel to cur
+    for tok in phrase[1:]:
+        k_i = keys_of(tok)
+        if k_i.size == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = np.searchsorted(k_i, cur, side="right")
+        ok = idx < k_i.size
+        nxt = k_i[np.minimum(idx, k_i.size - 1)]
+        ok &= (nxt // stride) == (cur // stride)
+        cur, p0 = nxt[ok], p0[ok]
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64)
+    good = (cur % stride) - p0 <= window
+    if not good.any():
+        return np.empty(0, dtype=np.int64)
+    return cand[np.unique(cur[good] // stride)]
+
+
 def search_phrase(
     spark: SparkSession,
     store: IndexStore,
     queries: pd.DataFrame,
     k: int = 10,
     field: str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact phrase top-k (ES ``match_phrase``): docs containing the query's
     token sequence consecutively, ranked by the summed BM25 score of the
     phrase terms (AND semantics over distinct terms).
+
+    ``slop`` relaxes the phrase to an IN-ORDER span (ES ``match_phrase``
+    slop / ``span_near(in_order=true)``): tokens at strictly increasing
+    positions whose total span fits ``len − 1 + slop``; slop=0 keeps the
+    exact consecutive kernel.
 
     Requires a store built with ``positions=True``: per-(term, doc) token
     positions are decoded from the block pos_bytes payload and the phrase is
@@ -1084,7 +1140,7 @@ def search_phrase(
     Everything runs per (qid, seg) — segments are disjoint doc ranges, so
     per-segment results merge exactly.
     """
-    scored = _phrase_scores(spark, store, queries, field)
+    scored = _phrase_scores(spark, store, queries, field, slop=slop)
     if scored is None:
         return spark.createDataFrame([], RESULT_SCHEMA)
     scored = _drop_dead(spark, store, scored)
@@ -1096,6 +1152,7 @@ def _phrase_scores(
     store: IndexStore,
     queries: pd.DataFrame,
     field: str | None = None,
+    slop: int = 0,
 ) -> DataFrame | None:
     """The phrase pipeline up to (qid, doc_int, score) rows — shared by
     search_phrase and the query_string phrase clauses (which pack phrases
@@ -1171,6 +1228,13 @@ def _phrase_scores(
         surv_l = []
         for c0 in range(0, cand.size, chunk):
             sub = cand[c0: c0 + chunk]
+            if slop > 0:
+                got = _span_near_survivors(
+                    by_term, phrase, sub, stride, slop
+                )
+                if got.size:
+                    surv_l.append(got)
+                continue
             valid = None
             for off, tok in enumerate(phrase):
                 key = _adjusted_pos_keys(by_term[tok], sub, off, stride)

@@ -69,9 +69,12 @@ class PyOracle:
             s += w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl))
         return s
 
-    def phrase_topk(self, query: str, k: int = 10):
-        """match_phrase: docs containing the consecutive token sequence,
+    def phrase_topk(self, query: str, k: int = 10, slop: int = 0):
+        """match_phrase: docs containing the consecutive token sequence
+        (slop=0) or an in-order span whose width fits len-1+slop,
         scored as the AND score of the phrase's distinct terms."""
+        import bisect
+
         ptoks = list(analysis.tokenize_series(pd.Series([query]))[0])
         if not ptoks or any(t not in self.postings for t in set(ptoks)):
             return []
@@ -79,9 +82,29 @@ class PyOracle:
         n = len(ptoks)
         hits = []
         for d, dt in enumerate(self.toks):
-            if any(
-                dt[i: i + n] == ptoks for i in range(len(dt) - n + 1)
-            ):
+            if slop == 0:
+                matched = any(
+                    dt[i: i + n] == ptoks for i in range(len(dt) - n + 1)
+                )
+            else:
+                pos = {
+                    t: [i for i, x in enumerate(dt) if x == t]
+                    for t in set(ptoks)
+                }
+                matched = False
+                for p0 in pos[ptoks[0]]:
+                    cur, ok = p0, True
+                    for t in ptoks[1:]:
+                        lst = pos[t]
+                        j = bisect.bisect_right(lst, cur)
+                        if j >= len(lst):
+                            ok = False
+                            break
+                        cur = lst[j]
+                    if ok and cur - p0 <= n - 1 + slop:
+                        matched = True
+                        break
+            if matched:
                 hits.append((d, self._score_and(d, qterms)))
         ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]

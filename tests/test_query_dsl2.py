@@ -175,6 +175,60 @@ def test_dis_max_rank_identity(spark, pos_store, oracle):
             )
 
 
+# ------------------------------------------------- match_phrase slop
+
+def test_phrase_slop_rank_identity(spark, pos_store, oracle):
+    toks = oracle.toks[3]
+    qs = [
+        (0, f"{toks[4]} {toks[6]}"),        # gap of 1 -> needs slop >= 1
+        (1, f"{toks[10]} {toks[12]}"),      # gap of 1 in a trigram window
+        (2, f"{toks[5]} {toks[4]}"),        # reversed: in-order must hold
+        (3, " ".join(toks[4:6])),           # true bigram
+    ]
+    for slop in (1, 2):
+        res = search.search_phrase(
+            spark, pos_store, pd.DataFrame(qs, columns=["qid", "query"]),
+            k=10, slop=slop,
+        ).toPandas()
+        n_nonempty = 0
+        for qid, q in qs:
+            got = res[res.qid == qid].sort_values("rank")
+            want = oracle.phrase_topk(q, k=10, slop=slop)
+            n_nonempty += bool(want)
+            _assert_rank_identical(
+                list(zip(got["doc_id"], got["score"])), want,
+                f"{qid}/slop={slop}",
+            )
+        assert n_nonempty >= 2
+
+
+def test_phrase_slop_zero_equals_exact(spark, pos_store, oracle):
+    toks = oracle.toks[3]
+    q = " ".join(toks[4:6])
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    a = search.search_phrase(spark, pos_store, qpdf, k=10).toPandas()
+    b = search.search_phrase(spark, pos_store, qpdf, k=10, slop=0).toPandas()
+    assert list(a.sort_values("rank")["doc_id"]) == list(
+        b.sort_values("rank")["doc_id"]
+    )
+
+
+def test_phrase_slop_widens_monotonically(spark, pos_store, oracle):
+    """More slop can only ADD matches; slop-0 hits survive any slop."""
+    toks = oracle.toks[3]
+    q = " ".join(toks[4:6])
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    exact = set(
+        search.search_phrase(spark, pos_store, qpdf, k=10**6)
+        .toPandas()["doc_id"]
+    )
+    wide = set(
+        search.search_phrase(spark, pos_store, qpdf, k=10**6, slop=3)
+        .toPandas()["doc_id"]
+    )
+    assert exact <= wide
+
+
 # ------------------------------------------------------------- boosting
 
 def test_boosting_rank_identity(spark, pos_store, oracle):
