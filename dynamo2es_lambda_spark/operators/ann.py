@@ -285,15 +285,15 @@ def kmeans_centroids(
                 "cid", F.posexplode("tvec").alias("pos", "val")
             )
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("val").alias("s"))
             .toPandas()
         )
         new = cents.copy()
         for cid, g in sums.groupby("cid"):
             v = g.sort_values("pos")["s"].to_numpy(np.float64)
-            norm = np.linalg.norm(v)
-            if norm > 0:
-                new[int(cid)] = v / norm
+            vlen = np.linalg.norm(v)
+            if vlen > 0:
+                new[int(cid)] = v / vlen
         cents = new
     return cents_df(cents)
 

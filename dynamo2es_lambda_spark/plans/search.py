@@ -475,6 +475,11 @@ def search_bool(
         int(cq) // 4: int(n)
         for cq, n in qt[qt["qid"] % 4 == 0].groupby("qid").size().items()
     }
+    # qids that DECLARED a should clause (pre-dropna): ES applies
+    # minimum_should_match only to those — a must-only query is untouched
+    has_should = {
+        int(cq) // 4 for cq in qt.loc[qt["qid"] % 4 == 1, "qid"].unique()
+    }
     qt = qt.dropna(subset=["df"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -505,15 +510,24 @@ def search_bool(
         )
     )
     agg = _drop_dead(spark, store, agg)
-    if n_must:
+    all_qids = sorted(set(n_must) | has_should)
+    if all_qids:
         need = spark.createDataFrame(
-            pd.DataFrame(
-                {"qid": list(n_must), "need": list(n_must.values())}
-            )
+            [
+                (
+                    int(q),
+                    int(n_must[q]) if q in n_must else None,
+                    1 if q in has_should else 0,
+                )
+                for q in all_qids
+            ],
+            schema="qid long, need long, hs int",
         )
         agg = agg.join(F.broadcast(need), "qid", "left")
     else:
-        agg = agg.withColumn("need", F.lit(None).cast("long"))
+        agg = agg.withColumn("need", F.lit(None).cast("long")).withColumn(
+            "hs", F.lit(None).cast("long")
+        )
     msm_with_must = minimum_should_match or 0
     msm_without = max(1, minimum_should_match or 1)
     base = agg.filter(
@@ -521,7 +535,10 @@ def search_bool(
         & F.when(
             F.col("need").isNotNull(),
             (F.col("nt_must") == F.col("need"))
-            & (F.col("nt_should") >= msm_with_must),
+            & (
+                (F.coalesce(F.col("hs"), F.lit(0)) == 0)
+                | (F.col("nt_should") >= msm_with_must)
+            ),
         ).otherwise(F.col("nt_should") >= msm_without)
     ).select("qid", "doc_int", "score")
     return _present(spark, store, _cut_topk(base, k), k)
@@ -874,15 +891,20 @@ def search_wildcard(
     for p in pats["pattern"]:
         if not all(c.isalnum() or c in "*?" for c in p):
             raise EngineError(f"wildcard pattern has invalid chars: {p!r}")
+    # the field qualifier is a LITERAL — escape LIKE metacharacters in it
+    # (a field named doc_type would otherwise match docXtype terms)
+    fp_esc = (
+        fp.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
     pats["lk"] = pats["pattern"].map(
-        lambda p: fp + p.replace("*", "%").replace("?", "_")
+        lambda p: fp_esc + p.replace("*", "%").replace("?", "_")
     )
     pats = pats[["qid", "pattern", "lk"]].drop_duplicates()
     if pats.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     pdf = spark.createDataFrame(pats)
     hit = store.term_stats(spark).join(
-        F.broadcast(pdf), F.expr("term LIKE lk")
+        F.broadcast(pdf), F.expr("term LIKE lk ESCAPE '\\\\'")
     )
     qt = _collect_expansion(
         hit, "pattern", [F.col("term").asc()], max_expansions
@@ -1585,6 +1607,7 @@ def significant_terms(
             "qid long, rank int, term string, fg long, bg long, "
             "score_r double",
         )
+    prefix, _ = _field_of(store, field)
     n_docs = float(store.meta["n_docs"])
     ids = store.doc_stats(spark).select("doc_int", "doc_id")
     matched = hits.join(ids, "doc_int").select("qid", "doc_id")
@@ -1597,9 +1620,14 @@ def significant_terms(
             F.expr(analysis.spark_tokens_expr(text_col))
         ).alias("_toks"),
     )
+    # multi-field stores hold QUALIFIED terms — the re-tokenized foreground
+    # must carry the queried field's qualifier or the bg join matches nothing
     fg = (
         matched.join(src, "doc_id")
-        .select("qid", F.explode("_toks").alias("term"))
+        .select("qid", F.explode("_toks").alias("_tok"))
+        .select(
+            "qid", F.concat(F.lit(prefix), F.col("_tok")).alias("term")
+        )
         .groupBy("qid", "term")
         .agg(F.count("*").alias("fg"))
         .filter(F.col("fg") >= int(min_doc_count))
@@ -1621,11 +1649,15 @@ def significant_terms(
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("term").asc()
     )
+    bare = (
+        F.expr(f"substring(term, {len(prefix) + 1})") if prefix
+        else F.col("term")
+    )
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "qid", "rank", "term", "fg", "bg",
+            "qid", "rank", bare.alias("term"), "fg", "bg",
             F.round("score", 6).alias("score_r"),
         )
     )
@@ -2153,7 +2185,7 @@ def search_query_string(
         if ps is not None:
             phrase_agg = (
                 ps.select(
-                    (F.col("qid") / _QS_PHRASE_STRIDE)
+                    F.floor(F.col("qid") / _QS_PHRASE_STRIDE)
                     .cast("long")
                     .alias("qid"),
                     "doc_int",
@@ -2438,7 +2470,8 @@ def search_dis_max(
     )
     combined = (
         per_clause.withColumn(
-            "_q", (F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long")
+            "_q",
+            F.floor(F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long")
         )
         .groupBy(F.col("_q").alias("qid"), F.col("doc_int"))
         .agg(

@@ -22,6 +22,9 @@ def iceberg_available(spark) -> bool:
         return False
 
 
+_FORMAT_CACHE: dict[int, str] = {}
+
+
 def storage_format(spark) -> str:
     """'iceberg' when an Iceberg catalog is configured AND the runtime jar
     is on the classpath; else 'parquet'. The big store tables (segment tree)
@@ -29,16 +32,27 @@ def storage_format(spark) -> str:
     term_stats via driver writes) stay plain parquet — they are footers-and-
     pages small and read whole. The sandbox image has no Iceberg jar, so the
     parquet branch is the tested one (SURVEY.md §4.2(c)); the directory
-    layout is Iceberg-compatible either way."""
+    layout is Iceberg-compatible either way.
+
+    Memoized per SparkSession: every store read/write routes through here
+    and the answer (a conf lookup + a py4j Class.forName round-trip) cannot
+    change within a session."""
+    key = id(spark)
+    got = _FORMAT_CACHE.get(key)
+    if got is not None:
+        return got
     if not iceberg_available(spark):
-        return "parquet"
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.source.IcebergSource"
-        )
-        return "iceberg"
-    except Exception:  # noqa: BLE001
-        return "parquet"
+        fmt = "parquet"
+    else:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource"
+            )
+            fmt = "iceberg"
+        except Exception:  # noqa: BLE001
+            fmt = "parquet"
+    _FORMAT_CACHE[key] = fmt
+    return fmt
 
 
 def write_parquet(

@@ -68,11 +68,19 @@ def _session_fn(gap_sec: int):
         outs = []
         for t in ts:
             t = int(t)
-            if last is not None and t - last > gap_us:
+            if start is None:
+                start, last, n = t, t, 1
+                continue
+            if t <= last:
+                # a LATE (within-watermark) event from a previous batch:
+                # it belongs to the open session — never move `last`
+                # backwards (that would fabricate a gap and split the
+                # session) and never split on out-of-order arrival
+                start, n = min(start, t), n + 1
+                continue
+            if t - last > gap_us:
                 outs.append(_emit(uid, start, last, n))
                 start, n = t, 0
-            if start is None:
-                start = t
             last, n = t, n + 1
         state.update((int(start), int(last), int(n)))
         # close the open session when the watermark passes last + gap

@@ -244,6 +244,51 @@ def test_fields_conflict_guard(spark, corpus_df, tmp_path, mf_store):
         )
 
 
+def test_significant_terms_on_multifield_field(spark, mf_store, oracles,
+                                               corpus_pdf):
+    """Foreground terms must be matched under the queried FIELD's qualifier
+    against the qualified dictionary (regression: the raw-token join
+    returned empty on multi-field stores), and presented bare."""
+    o = oracles["path"]
+    q = o.toks[7][0]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cid": [
+                    f"{r}.{p}.{c}"
+                    for r, p, c in zip(
+                        corpus_pdf["repo"], corpus_pdf["path"],
+                        corpus_pdf["commit"],
+                    )
+                ],
+                "ptext": corpus_pdf["path"],
+            }
+        )
+    )
+    res = search.significant_terms(
+        spark, mf_store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        corpus, text_col="ptext", id_col="cid", k=10, min_doc_count=2,
+        field="path",
+    ).toPandas().sort_values("rank")
+    assert len(res) > 0, "mf significant_terms must produce rows"
+    matched = [d for d, _ in o.topk(q, k=10**9)]
+    n_fg = len(matched)
+    fg: dict[str, int] = {}
+    for d in matched:
+        for t in set(o.toks[o.doc_ids.index(d)]):
+            fg[t] = fg.get(t, 0) + 1
+    cands = []
+    for t, c in fg.items():
+        if c < 2:
+            continue
+        fr, br = c / n_fg, o.df[t] / o.n_docs
+        cands.append((round((fr - br) * fr / br, 9), t, c))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    want = cands[:10]
+    assert list(res["term"]) == [t for _, t, _ in want]
+    assert list(res["fg"]) == [c for _, _, c in want]
+
+
 def test_delete_and_compact_multifield_store(spark, mf_store, corpus_pdf,
                                              tmp_path):
     """REMOVE + compact on a multi-field store: the tombstoned doc leaves

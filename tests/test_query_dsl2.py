@@ -175,6 +175,36 @@ def test_dis_max_rank_identity(spark, pos_store, oracle):
             )
 
 
+# ---------------------------------------------- bool msm scoping
+
+def test_bool_msm_leaves_should_less_queries_alone(spark, pos_store, oracle):
+    """minimum_should_match applies only to queries that DECLARED a should
+    clause (ES behavior) — a must-only query in the same batch must be
+    unaffected (regression: msm wiped its results)."""
+    t = oracle.toks
+    queries = pd.DataFrame(
+        [
+            (0, t[1][0], "", ""),               # must-only
+            (1, "", f"{t[2][0]} {t[2][3]}", ""),  # should-only
+        ],
+        columns=["qid", "must", "should", "must_not"],
+    )
+    with_msm = search.search_bool(
+        spark, pos_store, queries, k=10, minimum_should_match=2
+    ).toPandas()
+    no_msm = search.search_bool(spark, pos_store, queries, k=10).toPandas()
+    g0 = with_msm[with_msm.qid == 0].sort_values("rank")
+    w0 = no_msm[no_msm.qid == 0].sort_values("rank")
+    assert list(g0["doc_id"]) == list(w0["doc_id"]), "must-only unaffected"
+    assert len(g0) > 0
+    # the should-only query IS gated: every hit has both should terms
+    g1 = with_msm[with_msm.qid == 1]
+    want = {d for d, _ in oracle.topk(
+        f"{t[2][0]} {t[2][3]}", k=10**9, minimum_should_match=2
+    )}
+    assert set(g1["doc_id"]) <= want
+
+
 # ------------------------------------------------- match_phrase slop
 
 def test_phrase_slop_rank_identity(spark, pos_store, oracle):

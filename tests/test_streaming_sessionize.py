@@ -66,6 +66,36 @@ def test_streaming_sessions_match_batch_semantics(spark, tmp_path):
     assert len(u2) == 1 and u2.iloc[0]["n_events"] == 1
 
 
+def test_late_event_cannot_rewind_session(spark, tmp_path):
+    """A late (within-watermark) event from a later micro-batch must join
+    the open session without moving `last` backwards — regression: the
+    rewound `last` fabricated a gap and split the session."""
+    src = str(tmp_path / "events3")
+    ck = str(tmp_path / "ck3")
+    os.makedirs(src, exist_ok=True)
+    _write(spark, src, [
+        (1, 7, "2026-01-01 10:00:00"),
+        (2, 7, "2026-01-01 10:00:40"),
+    ], "f1.parquet")
+    # late event 20 s before the session's last (watermark = 40s - 60s gap
+    # still admits it), then a close-by follow-up, then far-future flush
+    _write(spark, src, [(3, 7, "2026-01-01 10:00:20")], "f2.parquet")
+    _write(spark, src, [(4, 7, "2026-01-01 10:01:30")], "f3.parquet")
+    _write(spark, src, [(5, 9, "2026-01-01 12:00:00")], "f4.parquet")
+    q = sessionize.start_session_stream(
+        spark, src, ck, SCHEMA, gap_sec=GAP, query_name="t_sessions3",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_sessions3").toPandas()
+    u7 = got[got.user_id == 7]
+    assert len(u7) == 1, got.to_string()
+    row = u7.iloc[0]
+    assert row["n_events"] == 4
+    assert str(row["session_start"]).startswith("2026-01-01 10:00:00")
+    assert str(row["session_end"]).startswith("2026-01-01 10:01:30")
+
+
 def test_streaming_restart_resumes_state(spark, tmp_path):
     """State (the open session) survives a query restart through the
     checkpoint: events for the same session split across two RUNS must
