@@ -770,6 +770,119 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------------- 4o. bool filter clause + completion suggester
+# ES bool filter context (required, unscored) and the completion
+# suggester (plans/search.search_bool filter= / suggest_completions).
+
+BOOL_FILTER_QUERIES = [
+    (0, "spark", "", "", "merge"),
+    (1, "", "customer window", "", "the"),
+    (2, "", "", "", "fast"),           # pure filter: score 0, doc_id rank
+    (3, "spark", "", "", "absentzzz"),  # unindexed filter -> empty
+]
+COMPLETION_PREFIXES = [(0, "sc"), (1, "qu"), (2, "zzzz")]
+COMPLETION_K = 5
+
+
+def q_fts_bool_filter(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        BOOL_FILTER_QUERIES,
+        columns=["qid", "must", "should", "must_not", "filter"],
+    )
+    res = search.search_bool(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_suggest_completion(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(COMPLETION_PREFIXES, columns=["qid", "prefix"])
+    return search.suggest_completions(spark, store, ppdf, k=COMPLETION_K)
+
+
+def _bool_filter_sql(
+    queries: list[tuple[int, str, str, str, str]], k: int
+) -> str:
+    """Oracle for q_fts_bool_filter: the engine's fused-clause gate with
+    the unscored filter clause (all filter terms required, no score)."""
+    vals, needs = [], []
+    for qid, must, should, mnot, filt in queries:
+        for cl, q in ((0, must), (1, should), (2, mnot), (3, filt)):
+            toks = analysis.tokenize_series(pd.Series([q]))[0]
+            for t, qtf in sorted(Counter(toks).items()):
+                vals.append(f"({qid}, {cl}, '{t}', {qtf})")
+        mtoks = set(analysis.tokenize_series(pd.Series([must]))[0])
+        stoks = set(analysis.tokenize_series(pd.Series([should]))[0])
+        ftoks = set(analysis.tokenize_series(pd.Series([filt]))[0])
+        needs.append(
+            f"({qid}, {len(mtoks)}, {1 if mtoks else 0}, "
+            f"{1 if stoks else 0}, {len(ftoks)})"
+        )
+    bm = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    return f"""{_BM25_BODY},
+q(qid, clause, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, nm, hm, hs, nf) AS (VALUES {", ".join(needs)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(CASE WHEN q.clause <= 1 THEN q.qtf * {bm} END) AS score,
+         count(CASE WHEN q.clause = 0 THEN 1 END) AS nt_must,
+         count(CASE WHEN q.clause = 1 THEN 1 END) AS nt_should,
+         max(CASE WHEN q.clause = 2 THEN 1 END) AS mnot,
+         count(CASE WHEN q.clause = 3 THEN 1 END) AS nt_filter
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+gated AS (
+  SELECT sc.qid AS qid, sc.doc_id AS doc_id,
+         COALESCE(sc.score, 0.0) AS score
+  FROM scored sc JOIN need n ON n.nqid = sc.qid
+  WHERE sc.mnot IS NULL
+    AND sc.nt_filter = n.nf
+    AND CASE WHEN n.hm = 1 THEN sc.nt_must = n.nm
+             WHEN n.hs = 1 THEN sc.nt_should >= 1
+             ELSE n.nf > 0 END
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _completion_sql(prefixes: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_suggest_completion: dictionary completions ranked
+    by (df desc, term asc)."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in prefixes)
+    return f"""{_BM25_BODY},
+v(qid, pfx) AS (VALUES {vals}),
+hit AS (
+  SELECT v.qid AS qid, d.term AS suggestion, d.df AS df
+  FROM v JOIN dfreq d ON d.term LIKE v.pfx || '%'
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, suggestion, CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY df DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM hit
+)
+SELECT qid, rank, suggestion, df FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------- 4n. sharded (federated) search
 # Two half-corpus stores (doc_id parity), searched with exact GLOBAL
 # stats (ES dfs_query_then_fetch): the oracle is the SAME full-corpus
@@ -2886,6 +2999,8 @@ SPARK_QUERIES = {
     "fts_percolate": q_fts_percolate,
     "fts_collapse": q_fts_collapse,
     "fts_sharded": q_fts_sharded,
+    "fts_bool_filter": q_fts_bool_filter,
+    "fts_suggest_completion": q_fts_suggest_completion,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2956,6 +3071,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_percolate": _percolate_sql(PERC_QUERIES),
         "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),
         "fts_sharded": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
+        "fts_bool_filter": _bool_filter_sql(BOOL_FILTER_QUERIES, FT_K),
+        "fts_suggest_completion": _completion_sql(
+            COMPLETION_PREFIXES, COMPLETION_K
+        ),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

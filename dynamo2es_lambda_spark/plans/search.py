@@ -433,14 +433,17 @@ def search_bool(
     scored), ``should`` terms add score when present (OR, optional), and
     docs containing ANY ``must_not`` term are excluded.
 
-    ``queries``: pandas (qid, must, should, must_not) — each a query string
-    (empty string = clause absent). With no must clause, candidates are the
-    should matches (ES behavior when bool has only should). Scores are the
-    summed BM25 of matched must + should terms; must_not contributes no
-    score (a pure filter, like ES filter-context exclusion). A qid WITH a
+    ``queries``: pandas (qid, must, should, must_not[, filter]) — each a
+    query string (empty string = clause absent). With no must clause,
+    candidates are the should matches (ES behavior when bool has only
+    should). Scores are the summed BM25 of matched must + should terms;
+    must_not contributes no score (a pure filter, like ES filter-context
+    exclusion), and the optional ``filter`` clause is ES filter context:
+    ALL its terms are required but contribute NO score (cacheable
+    yes/no match in ES; here it rides the same fused read). A qid WITH a
     must clause whose terms are all unindexed matches nothing (the ``need``
     table is built before unindexed terms are dropped, so nt_must can never
-    reach it).
+    reach it); same for an unindexed filter term.
 
     ``minimum_should_match`` (ES parameter of the same name): None keeps
     the ES default — should is optional when a must clause exists, and ≥1
@@ -455,7 +458,10 @@ def search_bool(
     """
     prefix, avgdl = _field_of(store, field)
     frames = []
-    for idx, col in ((0, "must"), (1, "should"), (2, "must_not")):
+    clause_cols = [(0, "must"), (1, "should"), (2, "must_not")]
+    if "filter" in queries.columns:
+        clause_cols.append((3, "filter"))
+    for idx, col in clause_cols:
         q = queries[["qid", col]].rename(columns={col: "query"})
         q = q[q["query"].astype(str).str.len() > 0]
         qt_i = _query_terms(q)
@@ -480,6 +486,10 @@ def search_bool(
     has_should = {
         int(cq) // 4 for cq in qt.loc[qt["qid"] % 4 == 1, "qid"].unique()
     }
+    n_filter = {
+        int(cq) // 4: int(n)
+        for cq, n in qt[qt["qid"] % 4 == 3].groupby("qid").size().items()
+    }
     qt = qt.dropna(subset=["df"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -502,15 +512,17 @@ def search_bool(
         )
         .groupBy("qid", "doc_int")
         .agg(
-            # must + should contributions; must_not is filter-context only
+            # must + should contributions; must_not and filter are
+            # filter-context only (no score)
             F.sum(F.when(F.col("clause") <= 1, F.col("score"))).alias("score"),
             F.count(F.when(F.col("clause") == 0, 1)).alias("nt_must"),
             F.count(F.when(F.col("clause") == 1, 1)).alias("nt_should"),
             F.max(F.when(F.col("clause") == 2, 1)).alias("mnot"),
+            F.count(F.when(F.col("clause") == 3, 1)).alias("nt_filter"),
         )
     )
     agg = _drop_dead(spark, store, agg)
-    all_qids = sorted(set(n_must) | has_should)
+    all_qids = sorted(set(n_must) | has_should | set(n_filter))
     if all_qids:
         need = spark.createDataFrame(
             [
@@ -518,20 +530,27 @@ def search_bool(
                     int(q),
                     int(n_must[q]) if q in n_must else None,
                     1 if q in has_should else 0,
+                    int(n_filter.get(q, 0)),
                 )
                 for q in all_qids
             ],
-            schema="qid long, need long, hs int",
+            schema="qid long, need long, hs int, need_f long",
         )
         agg = agg.join(F.broadcast(need), "qid", "left")
     else:
-        agg = agg.withColumn("need", F.lit(None).cast("long")).withColumn(
-            "hs", F.lit(None).cast("long")
+        agg = (
+            agg.withColumn("need", F.lit(None).cast("long"))
+            .withColumn("hs", F.lit(None).cast("long"))
+            .withColumn("need_f", F.lit(None).cast("long"))
         )
     msm_with_must = minimum_should_match or 0
     msm_without = max(1, minimum_should_match or 1)
     base = agg.filter(
         F.col("mnot").isNull()
+        & (
+            F.col("nt_filter")
+            == F.coalesce(F.col("need_f"), F.lit(0))
+        )
         & F.when(
             F.col("need").isNotNull(),
             (F.col("nt_must") == F.col("need"))
@@ -539,8 +558,19 @@ def search_bool(
                 (F.coalesce(F.col("hs"), F.lit(0)) == 0)
                 | (F.col("nt_should") >= msm_with_must)
             ),
-        ).otherwise(F.col("nt_should") >= msm_without)
-    ).select("qid", "doc_int", "score")
+        ).otherwise(
+            # no must: should-declared qids need >= msm matches; a
+            # pure-filter qid (ES bool with only filter) passes on the
+            # filter equality alone and scores 0
+            F.when(
+                F.coalesce(F.col("hs"), F.lit(0)) == 1,
+                F.col("nt_should") >= msm_without,
+            ).otherwise(F.coalesce(F.col("need_f"), F.lit(0)) > 0)
+        )
+    ).select(
+        "qid", "doc_int",
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+    )
     return _present(spark, store, _cut_topk(base, k), k)
 
 
@@ -1858,6 +1888,46 @@ def suggest_terms(
             "qid", "rank", F.col("_bare").alias("suggestion"),
             F.col("dist").cast("int").alias("dist"), "df",
         )
+    )
+
+
+def suggest_completions(
+    spark: SparkSession,
+    store: IndexStore,
+    prefixes: pd.DataFrame,
+    k: int = 5,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``completion`` suggester over the term dictionary: terms
+    completing each prefix, ranked by popularity (df desc, term asc) —
+    the search-box autocomplete shape. One metadata-sized term_stats scan
+    for all prefixes, capped JVM-side before any collect. Returns
+    (qid, rank, suggestion, df). Empty prefixes are rejected."""
+    fp, _ = _field_of(store, field)
+    pr = prefixes.copy()
+    pr["prefix"] = pr["prefix"].astype(str).str.lower()
+    if (pr["prefix"].str.len() == 0).any():
+        raise EngineError("empty completion prefix")
+    pr["prefix"] = fp + pr["prefix"]
+    pr = pr[["qid", "prefix"]].drop_duplicates()
+    if pr.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, suggestion string, df long"
+        )
+    pdf = spark.createDataFrame(pr)
+    bare = (
+        F.expr(f"substring(term, {len(fp) + 1})") if fp else F.col("term")
+    )
+    hit = store.term_stats(spark).join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("qid", "prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        hit.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", bare.alias("suggestion"), "df")
     )
 
 

@@ -141,16 +141,19 @@ class PyOracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
-    def bool_topk(self, must: str, should: str, must_not: str, k: int = 10):
+    def bool_topk(self, must: str, should: str, must_not: str, k: int = 10,
+                  filt: str = ""):
         """ES bool: must = AND (scored), should = optional score, must_not =
-        filter-out. Candidates = must-matchers, or should-matchers when no
-        must clause."""
+        filter-out, filt = AND required but UNSCORED (filter context).
+        Candidates = must-matchers, or should-matchers when no must clause,
+        or filter-matchers (score 0) when neither exists."""
         def qterms(q):
             return sorted(
                 Counter(analysis.tokenize_series(pd.Series([q]))[0]).items()
             ) if q else []
 
         mt, st, nt = qterms(must), qterms(should), qterms(must_not)
+        ft = qterms(filt)
 
         def or_scores(terms):
             out: dict[int, tuple[float, int]] = {}
@@ -174,8 +177,15 @@ class PyOracle:
                         for d, s in cand.items()}
         elif st:
             cand = {d: s for d, (s, _n) in or_scores(st).items()}
+        elif ft:
+            f = or_scores(ft)
+            cand = {d: 0.0 for d, (_s, n) in f.items() if n == len(ft)}
         else:
             return []
+        if ft and (mt or st):
+            f = or_scores(ft)
+            keep = {d for d, (_s, n) in f.items() if n == len(ft)}
+            cand = {d: s for d, s in cand.items() if d in keep}
         if nt:
             excl = set(or_scores(nt))
             cand = {d: s for d, s in cand.items() if d not in excl}

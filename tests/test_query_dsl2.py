@@ -175,6 +175,84 @@ def test_dis_max_rank_identity(spark, pos_store, oracle):
             )
 
 
+# ---------------------------------------------- bool filter clause
+
+def test_bool_filter_rank_identity(spark, pos_store, oracle):
+    t = oracle.toks
+    qs = [
+        (0, t[1][0], "", "", t[1][1]),          # must + filter
+        (1, "", f"{t[2][0]} {t[2][3]}", "", t[2][1]),  # should + filter
+        (2, "", "", "", t[4][0]),                # pure filter (score 0)
+        (3, t[1][0], "", "", "zzzabsent"),       # unindexed filter -> empty
+    ]
+    qpdf = pd.DataFrame(
+        qs, columns=["qid", "must", "should", "must_not", "filter"]
+    )
+    res = search.search_bool(spark, pos_store, qpdf, k=10).toPandas()
+    n_nonempty = 0
+    for qid, m, s, mn, f in qs:
+        got = res[res.qid == qid].sort_values("rank")
+        want = oracle.bool_topk(m, s, mn, k=10, filt=f)
+        n_nonempty += bool(want)
+        _assert_rank_identical(
+            list(zip(got["doc_id"], got["score"])), want, f"filter/{qid}"
+        )
+    assert n_nonempty >= 3
+    assert len(res[res.qid == 3]) == 0
+
+
+def test_bool_filter_never_scores(spark, pos_store, oracle):
+    """Adding a filter clause must not change the SCORES of surviving
+    docs — only restrict the candidate set."""
+    t = oracle.toks
+    base = search.search_bool(
+        spark, pos_store,
+        pd.DataFrame(
+            [(0, t[1][0], "", "")],
+            columns=["qid", "must", "should", "must_not"],
+        ),
+        k=10**6,
+    ).toPandas().set_index("doc_id")
+    filt = search.search_bool(
+        spark, pos_store,
+        pd.DataFrame(
+            [(0, t[1][0], "", "", t[1][1])],
+            columns=["qid", "must", "should", "must_not", "filter"],
+        ),
+        k=10**6,
+    ).toPandas().set_index("doc_id")
+    assert set(filt.index) <= set(base.index)
+    assert 0 < len(filt) < len(base)
+    for d in filt.index:
+        assert filt.loc[d, "score"] == pytest.approx(
+            base.loc[d, "score"], abs=1e-9
+        )
+
+
+# ------------------------------------------------- completion suggester
+
+def test_suggest_completions(spark, pos_store, oracle):
+    t = oracle.toks[7][0]
+    res = search.suggest_completions(
+        spark, pos_store,
+        pd.DataFrame([(0, t[:2]), (1, "zzzz")], columns=["qid", "prefix"]),
+        k=5,
+    ).toPandas().sort_values(["qid", "rank"])
+    cands = sorted(
+        ((-df, term) for term, df in oracle.df.items()
+         if term.startswith(t[:2])),
+    )[:5]
+    got = res[res.qid == 0]
+    assert list(got["suggestion"]) == [c[1] for c in cands]
+    assert list(got["df"]) == [-c[0] for c in cands]
+    assert len(res[res.qid == 1]) == 0
+    with pytest.raises(EngineError):
+        search.suggest_completions(
+            spark, pos_store,
+            pd.DataFrame([(0, "")], columns=["qid", "prefix"]),
+        )
+
+
 # ---------------------------------------------- bool msm scoping
 
 def test_bool_msm_leaves_should_less_queries_alone(spark, pos_store, oracle):
