@@ -549,6 +549,11 @@ def ann_topk_pq(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .toPandas()
     )
+    if qpdf.empty:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, rank int, vec_id long, score double"
+        )
     luts = {}
     for qid, qv in zip(qpdf["qid"], qpdf["qv"]):
         q = np.asarray(qv, dtype=np.float64)

@@ -26,14 +26,12 @@ from ..functions.analysis import spark_tokens_expr
 DEFAULT_K = 0.5
 
 
-def _bigrams_expr(text_col: str) -> str:
-    t = spark_tokens_expr(text_col)
-    return (
-        f"CASE WHEN size({t}) >= 2 THEN "
-        f"transform(sequence(2, size({t})), "
-        f"i -> concat(element_at({t}, i - 1), ' ', element_at({t}, i))) "
-        f"ELSE array() END"
-    )
+_BIGRAMS_FROM_TOKS = (
+    "CASE WHEN size(_toks) >= 2 THEN "
+    "transform(sequence(2, size(_toks)), "
+    "i -> concat(element_at(_toks, i - 1), ' ', element_at(_toks, i))) "
+    "ELSE array() END"
+)
 
 
 def bigram_perplexity(
@@ -44,12 +42,16 @@ def bigram_perplexity(
 ) -> DataFrame:
     """→ (doc_id, n_bigrams, nll_r): per-doc mean −log2 p under the
     corpus-trained add-k bigram LM, rounded to 6 dp. Deterministic: exact
-    integer counts, the only float is the final mean."""
+    integer counts, the only float is the final mean.
+
+    The tokenizer runs ONCE per row: bigrams derive from the already
+    computed ``_toks`` column, and the tokenized base is persisted across
+    the three downstream aggregations (the vocabulary count materializes
+    it; Spark evicts the cache LRU after the returned frame is consumed)."""
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
-        F.expr(_bigrams_expr(text_col)).alias("_bigrams"),
-    )
+    ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS)).persist()
     uni = (
         base.select(F.explode("_toks").alias("w"))
         .groupBy("w")

@@ -99,18 +99,35 @@ FT_QUERIES_AND = [
 ]
 FT_K = 10
 
-_STORES: dict[str, str] = {}
+_STORES: dict[str, tuple[str, ...]] = {}
+
+
+def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
+    """ONE content-keyed cache recipe for every entry-store family: the key
+    hashes the documents parquet's identity (path, mtime, size) plus the
+    family tag — bump the tag to invalidate one family. Returns
+    (paths, needs_build)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{tag}".encode()
+    ).hexdigest()[:12]
+    paths = tuple(
+        os.path.join(tempfile.gettempdir(), f"d2es_entry_{tag}{i}_{key}")
+        for i in range(count)
+    )
+    built = key in _STORES and all(
+        os.path.exists(os.path.join(p, "meta.json")) for p in paths
+    )
+    if not built:
+        _STORES[key] = paths
+    return paths, not built
 
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:v7".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_{key}")
-    if key not in _STORES or not os.path.exists(os.path.join(path, "meta.json")):
+    (path,), fresh = _cached_store_paths(sf_dir, "v7")
+    if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang",
@@ -121,7 +138,6 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             corpus, cfg, path,
             num_buckets=32, resume=True, positions=True,
         )
-        _STORES[key] = path
     return search.load_store(path)
 
 
@@ -889,22 +905,9 @@ SELECT qid, rank, suggestion, df FROM ranked WHERE rank <= {k}
 # BM25 SQL as fts_bm25_topk — shard-invariance is the checked property
 # (plans/search.search_sharded).
 
-_SHARD_STORES: dict[str, tuple[str, str]] = {}
-
-
 def _corpus_shards(spark: SparkSession, sf_dir: str):
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:sh1".encode()
-    ).hexdigest()[:12]
-    paths = tuple(
-        os.path.join(tempfile.gettempdir(), f"d2es_entry_sh{i}_{key}")
-        for i in (0, 1)
-    )
-    if key not in _SHARD_STORES or not all(
-        os.path.exists(os.path.join(p, "meta.json")) for p in paths
-    ):
+    paths, fresh = _cached_store_paths(sf_dir, "sh1", count=2)
+    if fresh:
         cfg = IndexerConfig(index="docs", id_field="docid")
         for i, p in enumerate(paths):
             half = _docs(spark, sf_dir).filter(
@@ -915,7 +918,6 @@ def _corpus_shards(spark: SparkSession, sf_dir: str):
                 F.col("text").alias("content"),
             )
             build.build_index(half, cfg, p, num_buckets=32, resume=True)
-        _SHARD_STORES[key] = paths
     return [search.load_store(p) for p in paths]
 
 
@@ -1189,19 +1191,9 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 
 PC_QUERY = [(0, "spark merge window"), (1, "customer")]
 
-_PC_STORES: dict[str, str] = {}
-
-
 def _corpus_store_pc(spark: SparkSession, sf_dir: str) -> search.IndexStore:
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:pc1".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_pc_{key}")
-    if key not in _PC_STORES or not os.path.exists(
-        os.path.join(path, "meta.json")
-    ):
+    (path,), fresh = _cached_store_paths(sf_dir, "pc1")
+    if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang",
@@ -1215,7 +1207,6 @@ def _corpus_store_pc(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             index="docs", id_field="docid", parent_field="parent_ref"
         )
         build.build_index(corpus, cfg, path, num_buckets=32, resume=True)
-        _PC_STORES[key] = path
     return search.load_store(path)
 
 
@@ -1753,20 +1744,10 @@ MM_QUERIES = [
 MM_BOOSTS = {"text": 1.0, "source": 2.5}
 MM_TIE = 0.2
 
-_MF_STORES: dict[str, str] = {}
-
-
 def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Multi-field engine index over documents (fields text + source)."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:mf1".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"d2es_entry_mf_{key}")
-    if key not in _MF_STORES or not os.path.exists(
-        os.path.join(path, "meta.json")
-    ):
+    (path,), fresh = _cached_store_paths(sf_dir, "mf1")
+    if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang", "text", "source",
@@ -1776,7 +1757,6 @@ def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             corpus, cfg, path,
             num_buckets=32, resume=True, fields=("text", "source"),
         )
-        _MF_STORES[key] = path
     return search.load_store(path)
 
 

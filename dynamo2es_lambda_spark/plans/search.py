@@ -1484,6 +1484,15 @@ def search_sharded(
     ids must be disjoint (a sharded corpus)."""
     if not stores:
         raise EngineError("search_sharded needs at least one store")
+    for st in stores:
+        if st.meta.get("id_mode", "hash") != "hash":
+            # dense ids are STORE-LOCAL ranks — two shards both number
+            # their docs 0..N-1, so the cross-shard aggregation would
+            # merge different documents' scores
+            raise EngineError(
+                "search_sharded needs id_mode='hash' shards (dense doc "
+                f"ids collide across stores; {st.path} is dense)"
+            )
     fields0 = stores[0].meta.get("fields")
     for st in stores[1:]:
         if st.meta.get("fields") != fields0:
@@ -1858,6 +1867,10 @@ def suggest_terms(
     pr = probes.copy()
     pr["probe"] = pr["probe"].astype(str).str.lower()
     pr = pr[["qid", "probe"]].drop_duplicates()
+    if pr["qid"].duplicated().any():
+        raise EngineError(
+            "one probe per qid (ranks are per input; use distinct qids)"
+        )
     if pr.empty:
         return spark.createDataFrame(
             [], "qid long, rank int, suggestion string, dist int, df long"
@@ -1910,6 +1923,10 @@ def suggest_completions(
         raise EngineError("empty completion prefix")
     pr["prefix"] = fp + pr["prefix"]
     pr = pr[["qid", "prefix"]].drop_duplicates()
+    if pr["qid"].duplicated().any():
+        raise EngineError(
+            "one prefix per qid (ranks are per input; use distinct qids)"
+        )
     if pr.empty:
         return spark.createDataFrame(
             [], "qid long, rank int, suggestion string, df long"

@@ -22,7 +22,7 @@ def iceberg_available(spark) -> bool:
         return False
 
 
-_FORMAT_CACHE: dict[int, str] = {}
+_FORMAT_CACHE: dict[object, str] = {}
 
 
 def storage_format(spark) -> str:
@@ -34,10 +34,15 @@ def storage_format(spark) -> str:
     parquet branch is the tested one (SURVEY.md §4.2(c)); the directory
     layout is Iceberg-compatible either way.
 
-    Memoized per SparkSession: every store read/write routes through here
-    and the answer (a conf lookup + a py4j Class.forName round-trip) cannot
-    change within a session."""
-    key = id(spark)
+    Memoized per SparkSession (keyed on applicationId — stable for the
+    session's lifetime, never reused the way a GC'd object's id() can be):
+    every store read/write routes through here and the answer (a conf
+    lookup + a py4j Class.forName round-trip) cannot change within a
+    session."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001
+        key = id(spark)
     got = _FORMAT_CACHE.get(key)
     if got is not None:
         return got

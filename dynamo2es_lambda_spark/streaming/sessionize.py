@@ -72,11 +72,18 @@ def _session_fn(gap_sec: int):
                 start, last, n = t, t, 1
                 continue
             if t <= last:
-                # a LATE (within-watermark) event from a previous batch:
-                # it belongs to the open session — never move `last`
+                # a LATE (within-watermark) event from a previous batch.
+                # It joins the open session ONLY when it chains to it
+                # (within gap of the session start) — never move `last`
                 # backwards (that would fabricate a gap and split the
-                # session) and never split on out-of-order arrival
-                start, n = min(start, t), n + 1
+                # session). An admitted event older than start − gap
+                # belongs to an already-closed time range: emit it as its
+                # own session immediately (bounded-lateness approximation;
+                # with the default watermark == gap this branch is rare).
+                if t >= start - gap_us:
+                    start, n = min(start, t), n + 1
+                else:
+                    outs.append(_emit(uid, t, t, 1))
                 continue
             if t - last > gap_us:
                 outs.append(_emit(uid, start, last, n))

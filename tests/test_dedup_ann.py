@@ -258,3 +258,9 @@ def test_pq_topk_recall_vs_brute_force(spark, emb):
 def test_pq_rejects_nondivisible_subspaces(spark, emb):
     with pytest.raises(ValueError):
         ann.pq_train_codebooks(emb, m=7)
+
+
+def test_pq_topk_empty_queries(spark, emb):
+    books = ann.pq_train_codebooks(emb, m=8, n_codes=16, sample=200)
+    res = ann.ann_topk_pq(emb, [999_999_999], books, k=5).toPandas()
+    assert len(res) == 0

@@ -98,3 +98,19 @@ def test_sharded_guards(spark, shards_and_full, corpus_df, tmp_path):
             spark, [a, mf],
             pd.DataFrame([(0, "x")], columns=["qid", "query"]),
         )
+
+
+def test_sharded_rejects_dense_id_shards(spark, corpus_df, tmp_path,
+                                         shards_and_full):
+    a, _b, _full = shards_and_full
+    dense_path = str(tmp_path / "dense")
+    build.build_index(
+        corpus_df, CFG, dense_path, segment_docs=64, num_buckets=8,
+        id_mode="dense",
+    )
+    dense = search.load_store(dense_path)
+    with pytest.raises(EngineError, match="dense"):
+        search.search_sharded(
+            spark, [a, dense],
+            pd.DataFrame([(0, "x")], columns=["qid", "query"]),
+        )

@@ -123,3 +123,40 @@ def test_streaming_restart_resumes_state(spark, tmp_path):
     assert len(u7) == 1, got.to_string()
     assert u7.iloc[0]["n_events"] == 2
     assert str(u7.iloc[0]["session_end"]).startswith("2026-01-01 10:00:30")
+
+
+def test_very_old_late_event_becomes_own_session(spark, tmp_path):
+    """With a watermark wider than the gap, an admitted late event older
+    than the open session's reach must NOT merge across the silence — it
+    emits as its own session (bounded-lateness approximation)."""
+    src = str(tmp_path / "events4")
+    ck = str(tmp_path / "ck4")
+    os.makedirs(src, exist_ok=True)
+    _write(spark, src, [(1, 7, "2026-01-01 10:10:00")], "f1.parquet")
+    # 10 minutes earlier — admitted by the 20-min watermark, far beyond
+    # the 60 s gap from the open session's start
+    _write(spark, src, [(2, 7, "2026-01-01 10:00:00")], "f2.parquet")
+    _write(spark, src, [(3, 9, "2026-01-01 12:00:00")], "f3.parquet")
+    from dynamo2es_lambda_spark.streaming.sessionize import sessionize_stream
+
+    events = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(events, gap_sec=GAP, watermark="20 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessions4")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_sessions4").toPandas()
+    u7 = got[got.user_id == 7].sort_values("session_start")
+    assert len(u7) == 2, got.to_string()
+    assert u7.iloc[0]["n_events"] == 1
+    assert str(u7.iloc[0]["session_start"]).startswith("2026-01-01 10:00:00")
+    assert str(u7.iloc[1]["session_start"]).startswith("2026-01-01 10:10:00")
