@@ -1854,6 +1854,57 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------------- 4d00. span_first
+# Lucene/ES span_first: the term within the first N token positions
+# (plans/search.search_span_first).
+
+SPAN_FIRST_TERMS = [(0, "spark"), (1, "customer"), (2, "absentzzz")]
+SPAN_FIRST_END = 12
+
+
+def q_fts_span_first(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    tpdf = pd.DataFrame(SPAN_FIRST_TERMS, columns=["qid", "term"])
+    res = search.search_span_first(
+        spark, store, tpdf, end=SPAN_FIRST_END, k=50
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_first_sql(terms: list[tuple[int, str]], k: int, end: int) -> str:
+    """Oracle for q_fts_span_first: term within the first `end` tokens
+    (DuckDB 1-based slice toks[1:end] ≡ 0-based positions < end),
+    qtf=1 BM25."""
+    vals = ", ".join(f"({qid}, '{t.lower()}')" for qid, t in terms)
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, toks FROM corpus),
+q(qid, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+           * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+           AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  JOIN cs ON cs.doc_id = p.doc_id
+         AND list_contains(cs.toks[1:{end}], q.term)
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------- 4d0. match_phrase slop
 # In-order span-near (ES match_phrase slop): tokens in order within a
 # len-1+slop window (plans/search.search_phrase slop=...).
@@ -2956,6 +3007,7 @@ SPARK_QUERIES = {
     "fts_highlight": q_fts_highlight,
     "fts_phrase": q_fts_phrase,
     "fts_phrase_slop": q_fts_phrase_slop,
+    "fts_span_first": q_fts_span_first,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
     "fts_wildcard": q_fts_wildcard,
@@ -3018,6 +3070,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_highlight": _highlight_sql(FT_QUERIES, HL_K),
         "fts_phrase": _phrase_sql(PHRASE_QUERIES, FT_K),
         "fts_phrase_slop": _phrase_slop_sql(SLOP_QUERIES, FT_K, SLOP),
+        "fts_span_first": _span_first_sql(
+            SPAN_FIRST_TERMS, FT_K, SPAN_FIRST_END
+        ),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
         "fts_wildcard": _wildcard_sql(WILDCARD_QUERIES, FT_K),

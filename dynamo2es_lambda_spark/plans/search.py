@@ -2343,6 +2343,94 @@ def search_query_string(
     return _present(spark, store, _cut_topk(gated, k), k)
 
 
+def search_span_first(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    end: int,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene/ES ``span_first``: docs where the (unanalyzed, exact) term
+    occurs within the FIRST ``end`` token positions — title-ish/header
+    matching without separate fields. Scored as the term's BM25.
+
+    ``queries``: pandas (qid, term). Needs ``positions=True``; the check
+    is a vectorized first-occurrence scan of the decoded per-(term, seg)
+    position payloads — per-posting minimum position < ``end``."""
+    if not store.meta.get("positions"):
+        raise EngineError(
+            "span_first needs a store built with positions=True"
+        )
+    if end <= 0:
+        raise EngineError("span_first end must be positive")
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = queries[["qid", "term"]].copy()
+    qt["term"] = prefix + qt["term"].astype(str).str.lower()
+    qt = qt.drop_duplicates()
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt["qtf"] = 1
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+    w_by = {
+        (int(q), t): float(v)
+        for q, t, v in zip(qt["qid"], qt["term"], qt["w"])
+    }
+    joined = _matched_blocks(spark, store, qt)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        by_term = _decode_positional_terms(pdf)
+        outs = []
+        for term, (ids, tfs, dls, flat, starts) in by_term.items():
+            if ids.size == 0:
+                continue
+            # per-posting minimum position: positions are ascending per
+            # doc, so the first element of each doc's slice is its min
+            first_pos = flat[starts]
+            hit = first_pos < end
+            if not hit.any():
+                continue
+            sel = np.nonzero(hit)[0]
+            score = w_by[(qid, term)] * bm25.tf_norm(
+                tfs[sel], dls[sel], avgdl
+            )
+            outs.append(
+                pd.DataFrame(
+                    {"qid": qid, "doc_int": ids[sel], "score": score}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "doc_int": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+            "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    # multiple query terms per qid OR-sum (parity with search_terms)
+    agg = scored.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score")
+    )
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def search_terms(
     spark: SparkSession,
     store: IndexStore,

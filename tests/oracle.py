@@ -274,6 +274,22 @@ class PyOracle:
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
         return [(self.doc_ids[d], s) for d, s in ranked[:k]]
 
+    def span_first_topk(self, term: str, end: int, k: int = 10):
+        """span_first: term occurs within the first `end` token positions
+        (0-based pos < end); scored as the term's qtf=1 BM25."""
+        t = term.lower()
+        if t not in self.postings:
+            return []
+        w = float(bm25.idf(self.n_docs, self.df[t])) * (bm25.K1 + 1.0)
+        hits = []
+        for d, tf in self.postings[t]:
+            if t in self.toks[d][:end]:
+                hits.append(
+                    (d, w * float(bm25.tf_norm(tf, self.dl[d], self.avgdl)))
+                )
+        ranked = sorted(hits, key=lambda kv: (-kv[1], self.doc_ids[kv[0]]))
+        return [(self.doc_ids[d], s) for d, s in ranked[:k]]
+
     def rescore_topk(self, query: str, k: int = 10, window_size: int = 50,
                      query_weight: float = 1.0, rescore_weight: float = 1.0):
         """ES rescore (phrase second pass): deterministic top-window by

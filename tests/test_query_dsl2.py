@@ -229,6 +229,53 @@ def test_bool_filter_never_scores(spark, pos_store, oracle):
         )
 
 
+# ------------------------------------------------------- span_first
+
+def test_span_first_rank_identity(spark, pos_store, oracle):
+    t_early = oracle.toks[0][0]   # appears at position 0 somewhere
+    t_other = oracle.toks[9][5]
+    for end in (1, 5, 20):
+        res = search.search_span_first(
+            spark, pos_store,
+            pd.DataFrame(
+                [(0, t_early), (1, t_other), (2, "zzzabsent")],
+                columns=["qid", "term"],
+            ),
+            end=end, k=10,
+        ).toPandas()
+        for qid, t in ((0, t_early), (1, t_other), (2, "zzzabsent")):
+            got = res[res.qid == qid].sort_values("rank")
+            want = oracle.span_first_topk(t, end=end, k=10)
+            _assert_rank_identical(
+                list(zip(got["doc_id"], got["score"])), want,
+                f"span_first/{qid}/end={end}",
+            )
+
+
+def test_span_first_narrower_end_shrinks_matches(spark, pos_store, oracle):
+    t = oracle.toks[0][0]
+    wide = set(
+        search.search_span_first(
+            spark, pos_store,
+            pd.DataFrame([(0, t)], columns=["qid", "term"]),
+            end=50, k=10**6,
+        ).toPandas()["doc_id"]
+    )
+    narrow = set(
+        search.search_span_first(
+            spark, pos_store,
+            pd.DataFrame([(0, t)], columns=["qid", "term"]),
+            end=1, k=10**6,
+        ).toPandas()["doc_id"]
+    )
+    assert narrow <= wide
+    with pytest.raises(EngineError):
+        search.search_span_first(
+            spark, pos_store,
+            pd.DataFrame([(0, t)], columns=["qid", "term"]), end=0,
+        )
+
+
 # ------------------------------------------------- completion suggester
 
 def test_suggest_completions(spark, pos_store, oracle):
