@@ -1278,6 +1278,107 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ----------------- 4i2. cardinality / percentiles / top_hits aggs
+
+PCTS = (0.25, 0.5, 0.75, 0.95)
+TOP_HITS_KPG = 3
+
+
+def q_fts_cardinality(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_cardinality_agg(
+        spark, store, qpdf, value_col="lang"
+    )
+
+
+def q_fts_percentiles(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_percentiles_agg(
+        spark, store, qpdf, value_col="dl", percentiles=PCTS
+    )
+
+
+def q_fts_top_hits(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_top_hits(
+        spark, store, qpdf, group_col="lang", k_per_group=TOP_HITS_KPG
+    )
+
+
+def _cardinality_sql(queries: list[tuple[int, str]]) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT c.lang) AS BIGINT) AS cardinality
+FROM m JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang
+             FROM documents) c ON c.doc_id = m.doc_id
+GROUP BY m.qid
+"""
+
+
+def _percentiles_sql(
+    queries: list[tuple[int, str]], pcts: tuple[float, ...]
+) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST(m.qid AS BIGINT) AS qid, {p} AS pct,\n"
+        f"       round(quantile_cont(dl.dl, {p}), 6) AS value_r\n"
+        f"FROM m JOIN dl ON dl.doc_id = m.doc_id GROUP BY m.qid"
+        for p in pcts
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+{unions}
+"""
+
+
+def _top_hits_sql(queries: list[tuple[int, str]], kpg: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, {DOC_TOKS} AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(sc.qid AS BIGINT) AS qid, c.lang AS "group", sc.doc_id,
+         round(sc.score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY sc.qid, c.lang
+           ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC
+         ) AS INTEGER) AS grank
+  FROM scored sc JOIN corpus c ON c.doc_id = sc.doc_id
+)
+SELECT qid, "group", grank, doc_id, score_r
+FROM ranked WHERE grank <= {kpg}
+"""
+
+
 # ----------------------- 4i. sort / suggest / stats / histogram surface
 # ES response shaping: sort-by-field, term suggester, stats + histogram
 # aggregations over the match set (plans/search.search_sorted /
@@ -3024,6 +3125,9 @@ SPARK_QUERIES = {
     "fts_suggest": q_fts_suggest,
     "fts_stats_agg": q_fts_stats_agg,
     "fts_histogram": q_fts_histogram,
+    "fts_cardinality": q_fts_cardinality,
+    "fts_percentiles": q_fts_percentiles,
+    "fts_top_hits": q_fts_top_hits,
     "fts_has_parent": q_fts_has_parent,
     "fts_has_child": q_fts_has_child,
     "fts_rescore": q_fts_rescore,
@@ -3095,6 +3199,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_suggest": _suggest_sql(SUGGEST_PROBES, SUGGEST_K, SUGGEST_EDITS),
         "fts_stats_agg": _stats_agg_sql(SORTED_QUERIES),
         "fts_histogram": _histogram_sql(SORTED_QUERIES, HIST_INTERVAL),
+        "fts_cardinality": _cardinality_sql(SORTED_QUERIES),
+        "fts_percentiles": _percentiles_sql(SORTED_QUERIES, PCTS),
+        "fts_top_hits": _top_hits_sql(SORTED_QUERIES, TOP_HITS_KPG),
         "fts_has_parent": _has_parent_sql(PC_QUERY, FT_K),
         "fts_has_child": _has_child_sql(PC_QUERY, FT_K),
         "fts_rescore": _rescore_sql(

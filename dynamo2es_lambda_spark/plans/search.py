@@ -1982,6 +1982,112 @@ def search_stats_agg(
     )
 
 
+def search_cardinality_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "lang",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation over the match set: per qid the
+    EXACT distinct count of a doc field (ES approximates with HLL; the
+    engine's count is exact — a strictly stronger answer with the same
+    shape). Metadata join, one aggregation."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, cardinality long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_v").alias("cardinality"),
+        )
+    )
+
+
+def search_percentiles_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over the match set: per (qid, pct)
+    the linearly-interpolated percentile of a numeric doc field (exact —
+    Spark's ``percentile``, the same definition as SQL quantile_cont; ES
+    approximates with t-digest). Returns (qid, pct, value_r)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, pct double, value_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    arr = ", ".join(repr(float(p)) for p in percentiles)
+    agg = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(F.expr(f"percentile(_v, array({arr}))").alias("_ps"))
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    return agg.select(
+        "qid",
+        F.explode(F.arrays_zip(pcts.alias("pct"), F.col("_ps").alias("v")))
+        .alias("_z"),
+    ).select(
+        "qid",
+        F.col("_z.pct").alias("pct"),
+        F.round(F.col("_z.v"), 6).alias("value_r"),
+    )
+
+
+def search_top_hits(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str = "lang",
+    k_per_group: int = 3,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the best ``k_per_group`` scored
+    docs WITHIN each value of a doc field, per query — collapse's sibling
+    that keeps several hits per group. Rank basis is the 6-dp-rounded
+    score with doc_id tiebreak (deterministic, dialect-portable). Returns
+    (qid, group, grank, doc_id, score_r); map-side WindowGroupLimit keeps
+    the per-(qid, group) window scale-safe."""
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, group string, grank int, doc_id string, "
+            "score_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id", F.col(group_col).cast("string").alias("group")
+    )
+    named = agg.join(stats, "doc_int").withColumn(
+        "score_r", F.round("score", 6)
+    )
+    w = Window.partitionBy("qid", "group").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        named.withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= int(k_per_group))
+        .select("qid", "group", "grank", "doc_id", "score_r")
+    )
+
+
 def search_histogram(
     spark: SparkSession,
     store: IndexStore,

@@ -280,6 +280,46 @@ def test_stats_agg(spark, store, oracle):
     assert row["avg_v"] == pytest.approx(vals.mean(), abs=1e-9)
 
 
+def test_cardinality_percentiles_top_hits(spark, store, oracle, corpus_pdf):
+    q = " ".join(oracle.toks[2][:2])
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    match = [d for d, _ in oracle.topk(q, k=10**9)]
+    lang_of = dict(
+        zip(
+            corpus_pdf["repo"] + "." + corpus_pdf["path"] + "."
+            + corpus_pdf["commit"],
+            corpus_pdf["lang"],
+        )
+    )
+    card = search.search_cardinality_agg(
+        spark, store, qpdf, value_col="lang"
+    ).toPandas().iloc[0]
+    assert card["n_docs"] == len(match)
+    assert card["cardinality"] == len({lang_of[d] for d in match})
+
+    vals = np.sort(
+        [float(oracle.dl[oracle.doc_ids.index(d)]) for d in match]
+    )
+    pct = search.search_percentiles_agg(
+        spark, store, qpdf, value_col="dl", percentiles=(0.5, 0.9)
+    ).toPandas().set_index("pct")
+    for p in (0.5, 0.9):
+        want = np.quantile(vals, p, method="linear")
+        assert pct.loc[p, "value_r"] == pytest.approx(want, abs=1e-6)
+
+    th = search.search_top_hits(
+        spark, store, qpdf, group_col="lang", k_per_group=2
+    ).toPandas()
+    scores = dict(oracle.topk(q, k=10**9))
+    for g, grp in th.groupby("group"):
+        want_g = sorted(
+            (d for d in match if lang_of[d] == g),
+            key=lambda d: (-round(scores[d], 6), d),
+        )[:2]
+        assert list(grp.sort_values("grank")["doc_id"]) == want_g
+    assert (th.groupby(["qid", "group"])["grank"].max() <= 2).all()
+
+
 def test_histogram_agg(spark, store, oracle):
     q = " ".join(oracle.toks[2][:2])
     interval = 50.0
