@@ -279,6 +279,83 @@ def search(
     return _present(spark, store, topk, k)
 
 
+EXPLAIN_SCHEMA = (
+    "term string, qtf long, df long, idf double, tf long, dl long, "
+    "norm double, contribution double"
+)
+
+
+def explain_score(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    doc_id: str,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``_explain`` analog: the per-term BM25 breakdown of ONE document
+    against ONE analyzed query — (term, qtf, df, idf, tf, dl, norm,
+    contribution), where contribution = qtf × idf × (k1+1) × norm and the
+    sum equals the doc's search() score exactly (asserted in tests).
+
+    A debugging call, sized accordingly: a metadata doc_id lookup plus the
+    handful of posting blocks whose [doc_first, doc_last] range covers the
+    doc (block metadata pruning), decoded driver-side."""
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = _query_terms(pd.DataFrame({"qid": [0], "query": [query]}))
+    if qt.empty:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    row = (
+        store.doc_stats(spark)
+        .filter(F.col("doc_id") == str(doc_id))
+        .select("doc_int")
+        .first()
+    )
+    if row is None:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    di = int(row["doc_int"])
+    qt = qt.copy()
+    qt["w"] = 1.0  # weights recomputed below; column required by the join
+    blocks = (
+        _matched_blocks(spark, store, qt)
+        .filter((F.col("doc_first") <= di) & (F.col("doc_last") >= di))
+        .select("term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes")
+        .toPandas()
+    )
+    out = []
+    dfs = dict(zip(qt["term"], qt["df"]))
+    qtfs = dict(zip(qt["term"], qt["qtf"]))
+    for r in blocks.itertuples(index=False):
+        ids, tfs, dls = codec.decode_block(
+            r.doc_first, r.doc_bytes, r.tf_bytes, r.dl_bytes
+        )
+        pos = np.searchsorted(ids, di)
+        if pos >= ids.size or ids[pos] != di:
+            continue
+        tf, dl = int(tfs[pos]), int(dls[pos])
+        df_t = float(dfs[r.term])
+        idf = float(bm25.idf(n_docs, df_t))
+        norm = float(bm25.tf_norm(np.array([tf]), np.array([dl]), avgdl)[0])
+        qtf = int(qtfs[r.term])
+        out.append(
+            (
+                r.term[len(prefix):] if prefix else r.term,
+                qtf, int(df_t), idf, tf, dl, norm,
+                qtf * idf * (bm25.K1 + 1.0) * norm,
+            )
+        )
+    out.sort(key=lambda x: x[0])
+    return spark.createDataFrame(out, EXPLAIN_SCHEMA)
+
+
 def multi_match(
     spark: SparkSession,
     store: IndexStore,

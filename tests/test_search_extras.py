@@ -320,6 +320,28 @@ def test_cardinality_percentiles_top_hits(spark, store, oracle, corpus_pdf):
     assert (th.groupby(["qid", "group"])["grank"].max() <= 2).all()
 
 
+def test_explain_score_sums_to_search_score(spark, store, oracle):
+    q = " ".join(oracle.toks[4][:3])
+    res = search.search(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]), k=3
+    ).toPandas().sort_values("rank")
+    top = res.iloc[0]
+    exp = search.explain_score(spark, store, q, top["doc_id"]).toPandas()
+    assert len(exp) > 0
+    assert exp["contribution"].sum() == pytest.approx(
+        top["score"], abs=1e-9
+    )
+    d = oracle.doc_ids.index(top["doc_id"])
+    for r in exp.itertuples(index=False):
+        assert r.df == oracle.df[r.term]
+        assert r.tf == sum(1 for x in oracle.toks[d] if x == r.term)
+        assert r.dl == oracle.dl[d]
+    assert search.explain_score(spark, store, q, "no-such-doc").count() == 0
+    assert search.explain_score(
+        spark, store, "zzzabsent", top["doc_id"]
+    ).count() == 0
+
+
 def test_histogram_agg(spark, store, oracle):
     q = " ".join(oracle.toks[2][:2])
     interval = 50.0
