@@ -259,9 +259,24 @@ def kmeans_centroids(
             )
         )
 
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids ({n_centroids}) must be >= 1")
+    n_vecs = vecs.count()  # column-pruned count, cheap next to k-1 maximin jobs
+    if n_centroids > n_vecs > 0:
+        raise ValueError(
+            f"n_centroids ({n_centroids}) exceeds the vector count "
+            f"({n_vecs}) — lower it to at most the corpus size"
+        )
     seed = (
         vecs.orderBy(F.xxhash64("vec_id"), F.col("vec_id")).limit(1).toPandas()
     )
+    if seed.empty:
+        # empty corpus (every id a query, or no vectors at all): an empty
+        # centroid table, so downstream probe/rerank returns empty instead
+        # of the seed gather crashing
+        return spark.createDataFrame(
+            [], "cid long, cvec array<double>"
+        )
     chosen = [norm(np.asarray(seed["tvec"].iloc[0], dtype=np.float64))]
     for _ in range(n_centroids - 1):
         far = (

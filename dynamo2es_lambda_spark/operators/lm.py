@@ -46,8 +46,11 @@ def bigram_perplexity(
 
     The tokenizer runs ONCE per row: bigrams derive from the already
     computed ``_toks`` column, and the tokenized base is persisted across
-    the three downstream aggregations (the vocabulary count materializes
-    it; Spark evicts the cache LRU after the returned frame is consumed)."""
+    the three downstream aggregations. The call is EAGER (it already runs
+    an action for the vocabulary size): the doc-sized result — three
+    narrow columns per doc — is materialized as a local checkpoint and the
+    corpus-sized token cache is unpersisted before returning, so no cached
+    frame outlives the call."""
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
@@ -78,7 +81,9 @@ def bigram_perplexity(
             ),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("nll_r"),
-    )
+    ).localCheckpoint(eager=True)
+    base.unpersist(blocking=False)
+    return out

@@ -76,21 +76,29 @@ def build_meta(df: DataFrame, action: str | None = None) -> DataFrame:
 
 
 def invoke_after_hook(hook, result, meta_df: DataFrame):
-    """Call after_hook with (result, meta) when it accepts a second
-    positional arg (reference afterHook signature, lib/handler.js:167);
-    single-arg hooks keep the result-only contract."""
+    """Call after_hook with (result, meta) when the hook OPTS IN to the
+    two-arg reference afterHook signature (lib/handler.js:167); single-arg
+    hooks keep the result-only contract.
+
+    Opt-in is explicit, not arity-counted: the hook receives meta when its
+    signature has a parameter NAMED ``meta`` (any kind, defaulted or not),
+    a REQUIRED second positional parameter (an unambiguous two-arg
+    signature), or ``*args``. A hook like ``def hook(result, log=None)``
+    — one real arg plus an unrelated optional — stays result-only instead
+    of silently receiving a DataFrame in its keyword slot."""
     import inspect
 
     try:
         params = list(inspect.signature(hook).parameters.values())
     except (TypeError, ValueError):
         return hook(result)
-    n_pos = len(
-        [p for p in params
-         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
-    )
+    if any(p.name == "meta" for p in params):
+        return hook(result, meta_df)
+    pos = [p for p in params
+           if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
     var_pos = any(p.kind == p.VAR_POSITIONAL for p in params)
-    if var_pos or n_pos >= 2:
+    required_second = len(pos) >= 2 and pos[1].default is inspect.Parameter.empty
+    if var_pos or required_second:
         return hook(result, meta_df)
     return hook(result)
 

@@ -299,7 +299,13 @@ def explain_score(
 
     A debugging call, sized accordingly: a metadata doc_id lookup plus the
     handful of posting blocks whose [doc_first, doc_last] range covers the
-    doc (block metadata pruning), decoded driver-side."""
+    doc (block metadata pruning), decoded driver-side.
+
+    The lookup resolves the LIVE doc_int: dead rows (superseded versions,
+    tombstones) are anti-joined away first, and among surviving marker rows
+    the highest doc_int wins (the latest indexed row) — so the explanation
+    always describes the doc search() would actually return, and a fully
+    dead doc_id explains to empty."""
     prefix, avgdl = _field_of(store, field)
     n_docs = float(store.meta["n_docs"])
     qt = _query_terms(pd.DataFrame({"qid": [0], "query": [query]}))
@@ -313,12 +319,14 @@ def explain_score(
     qt = qt.dropna(subset=["df"])
     if qt.empty:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
-    row = (
+    live = _drop_dead(
+        spark,
+        store,
         store.doc_stats(spark)
         .filter(F.col("doc_id") == str(doc_id))
-        .select("doc_int")
-        .first()
+        .select("doc_int"),
     )
+    row = live.orderBy(F.col("doc_int").desc()).first()
     if row is None:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
     di = int(row["doc_int"])
@@ -1203,9 +1211,10 @@ def _span_near_survivors(
     """In-order span-near verification, vectorized across all candidate
     docs and all start positions at once: a doc survives when its tokens
     can be matched at strictly increasing positions with
-    ``span_end − span_start ≤ len(phrase) − 1 + slop`` (ES match_phrase
-    slop / Lucene span_near in_order semantics, greedy-minimal chain —
-    greedy is exact for in-order matching).
+    ``span_end − span_start ≤ len(phrase) − 1 + slop`` (Lucene
+    ``span_near(in_order=true)`` semantics, greedy-minimal chain — greedy
+    is exact for in-order matching; see search_phrase's docstring for the
+    deliberate divergence from ES sloppy-phrase term reordering).
 
     Encoding: every (candidate, position) pair becomes the int64 key
     ``cand_index * stride + pos``; the greedy "next strictly-greater
@@ -1255,10 +1264,16 @@ def search_phrase(
     token sequence consecutively, ranked by the summed BM25 score of the
     phrase terms (AND semantics over distinct terms).
 
-    ``slop`` relaxes the phrase to an IN-ORDER span (ES ``match_phrase``
-    slop / ``span_near(in_order=true)``): tokens at strictly increasing
-    positions whose total span fits ``len − 1 + slop``; slop=0 keeps the
-    exact consecutive kernel.
+    ``slop`` relaxes the phrase to an IN-ORDER span (Lucene
+    ``span_near(in_order=true)``): tokens at strictly increasing positions
+    whose total span fits ``len − 1 + slop``; slop=0 keeps the exact
+    consecutive kernel. DELIBERATE DIVERGENCE from ES ``match_phrase``
+    slop: Lucene's sloppy phrase additionally matches REORDERED terms when
+    the slop budget covers the transposition cost (slop ≥ 2 matches "b a"
+    for query "a b"); this kernel never reorders — a sloppy query here is
+    exactly ``span_near(in_order=true, slop=slop)``. Out-of-order matches
+    are strictly additive, so every doc returned here is also an ES match
+    (no false positives, possible false negatives for transposed text).
 
     Requires a store built with ``positions=True``: per-(term, doc) token
     positions are decoded from the block pos_bytes payload and the phrase is
@@ -1554,11 +1569,12 @@ def search_sharded(
     rank- and score-identical to a single-store search over the union
     corpus (asserted in tests/test_sharded.py).
 
-    Plan: one targeted term_stats read per shard (metadata-sized) builds
-    the global df; each shard then runs its own pruned block read +
-    exhaustive scorer with the GLOBAL weights; candidates union into one
-    aggregation; the doc_id join unions the shards' metadata. Shard doc
-    ids must be disjoint (a sharded corpus)."""
+    Plan: ONE Spark job unions every shard's targeted term_stats read
+    (each metadata-sized) to build the global df — driver latency stays
+    constant in the shard count; each shard then runs its own pruned
+    block read + exhaustive scorer with the GLOBAL weights; candidates
+    union into one aggregation; the doc_id join unions the shards'
+    metadata. Shard doc ids must be disjoint (a sharded corpus)."""
     if not stores:
         raise EngineError("search_sharded needs at least one store")
     for st in stores:
@@ -1602,15 +1618,35 @@ def search_sharded(
         qt0["term"] = prefix + qt0["term"]
     terms = sorted(qt0["term"].unique().tolist())
 
-    # global df: sum each shard's df for the query terms (metadata reads)
+    # global df: ONE Spark job unions every shard's targeted term_stats
+    # read (each metadata-sized, tagged with its shard index) — constant
+    # driver latency in the shard count, vs one sequential job per shard
+    shard_ts = None
+    for i, st in enumerate(stores):
+        f = (
+            st.term_stats(spark)
+            .filter(F.col("term").isin(terms))
+            .withColumn("_shard", F.lit(i))
+        )
+        shard_ts = f if shard_ts is None else shard_ts.unionByName(
+            f, allowMissingColumns=True
+        )
+    ts_all = shard_ts.toPandas()
+    df_global: dict[str, float] = {
+        t: float(d)
+        for t, d in ts_all.groupby("term")["df"].sum().items()
+        if pd.notna(d)
+    }
     per_store_qt = []
-    df_global: dict[str, float] = {}
-    for st in stores:
-        qt_st = _join_term_stats(spark, st, qt0.copy(), terms)
+    for i in range(len(stores)):
+        ts_i = ts_all[ts_all["_shard"] == i].set_index("term")
+        qt_st = qt0.copy()
+        qt_st["df"] = (
+            qt_st["term"].map(ts_i["df"]) if len(ts_i) else float("nan")
+        )
+        if "term_bucket" in ts_i.columns and len(ts_i):
+            qt_st["bucket"] = qt_st["term"].map(ts_i["term_bucket"])
         per_store_qt.append(qt_st)
-        for t, d in zip(qt_st["term"], qt_st["df"]):
-            if pd.notna(d):
-                df_global[t] = df_global.get(t, 0.0) + float(d)
     if not df_global:
         return spark.createDataFrame([], RESULT_SCHEMA)
 

@@ -140,7 +140,16 @@ def read_doc_rows(spark, store_path: str, cols: tuple[str, ...] = ("doc_int", "s
     exactly the ``seg`` of every posting block holding the doc. Returned
     aliased as ``seg``: what plans/search._segment_constraints and
     plans/cdc.compact_store key their cogroups on. (The marker's raw
-    ``seg`` column is only a shuffle-spreading key — never use it.)"""
+    ``seg`` column is only a shuffle-spreading key — never use it.)
+
+    Stores written before the doc_seg column are UNSUPPORTED here by
+    design and raise EngineError (compaction and constraint-routed WAND
+    need the true per-batch posting segment, which cannot be recovered
+    from the markers alone — seg_shift varied per batch). Such stores
+    still serve every non-cogrouped query path; rebuilding the index
+    migrates them. A derive-from-doc_int fallback would silently mis-route
+    constraints on multi-batch stores, so failing loudly is the safe
+    floor."""
     from pyspark.sql import functions as F
 
     from ..errors import EngineError

@@ -1,0 +1,143 @@
+"""Round-3 fixes: after_hook meta opt-in is explicit, explain_score
+resolves the LIVE doc version, k-means guards empty/oversized inputs
+(ADVICE.md round-2 findings)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.functions import analysis
+from dynamo2es_lambda_spark.operators import ann
+from dynamo2es_lambda_spark.plans import build, cdc, search
+from dynamo2es_lambda_spark.sources import synthetic
+from dynamo2es_lambda_spark.streaming import apply_cdc
+
+CFG = IndexerConfig(index="code", version_field="version",
+                    record_error_hook=lambda df: None)
+
+
+# ------------------------------------------------ after_hook meta opt-in
+
+class _Sentinel:
+    pass
+
+
+META = _Sentinel()
+
+
+def _invoke(hook):
+    return build.invoke_after_hook(hook, "res", META)
+
+
+def test_after_hook_required_second_positional_gets_meta():
+    got = {}
+
+    def hook(result, meta_frame):
+        got["args"] = (result, meta_frame)
+
+    _invoke(hook)
+    assert got["args"] == ("res", META)
+
+
+def test_after_hook_named_meta_default_gets_meta():
+    got = {}
+
+    def hook(result, meta=None):
+        got["args"] = (result, meta)
+
+    _invoke(hook)
+    assert got["args"] == ("res", META)
+
+
+def test_after_hook_unrelated_optional_stays_result_only():
+    """def hook(result, log=None) must NOT silently receive the meta
+    DataFrame in its keyword slot (ADVICE round-2 #5)."""
+    got = {}
+
+    def hook(result, log=None):
+        got["args"] = (result, log)
+
+    _invoke(hook)
+    assert got["args"] == ("res", None)
+
+
+def test_after_hook_single_arg_and_varargs():
+    got = {}
+    _invoke(lambda result: got.setdefault("one", result))
+    assert got["one"] == "res"
+
+    def hook(*args):
+        got["var"] = args
+
+    _invoke(hook)
+    assert got["var"] == ("res", META)
+
+
+# ------------------------------------------------ k-means input guards
+
+def test_kmeans_empty_corpus_returns_empty_centroids(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ann.kmeans_centroids(emb, n_centroids=4, iters=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"cid", "cvec"}
+
+
+def test_kmeans_more_centroids_than_vectors_raises(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exceeds the vector count"):
+        ann.kmeans_centroids(emb, n_centroids=5, iters=1)
+
+
+# ----------------------------------- explain_score live-version resolve
+
+def _keys(row):
+    return {"repo": row["repo"], "path": row["path"], "commit": row["commit"]}
+
+
+def _img(row, version, content=None):
+    return {
+        "repo": row["repo"], "path": row["path"], "commit": row["commit"],
+        "lang": row["lang"],
+        "content": content if content is not None else row["content"],
+        "version": version,
+    }
+
+
+def test_explain_score_resolves_live_version(spark, tmp_path_factory):
+    """A superseded doc_id explains against its LIVE (post-MODIFY) content,
+    and a tombstoned doc_id explains to empty (ADVICE round-2 #2)."""
+    path = str(tmp_path_factory.mktemp("r3_explain"))
+    pdf = synthetic.corpus_pdf(np.arange(20))
+    pdf["version"] = 0
+    build.build_index(
+        spark.createDataFrame(pdf), CFG, path, segment_docs=8, num_buckets=4
+    )
+    mod, gone = pdf.iloc[3], pdf.iloc[5]
+    events = pd.DataFrame(
+        [
+            ("MODIFY", _keys(mod),
+             _img(mod, 1, "zebrazz zebrazz fresh live tokens"),
+             _img(mod, 0)),
+            ("REMOVE", _keys(gone), None, _img(gone, 0)),
+        ],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    cdc.apply_changes(
+        spark.createDataFrame(events, schema=apply_cdc.EVENT_SCHEMA),
+        CFG, path, segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    assert store.n_dead() > 0
+
+    mod_id = f"{mod['repo']}.{mod['path']}.{mod['commit']}"
+    exp = search.explain_score(spark, store, "zebrazz", mod_id).toPandas()
+    assert len(exp) == 1
+    assert exp["tf"].iloc[0] == 2  # the live version's tf, not the dead one
+
+    gone_id = f"{gone['repo']}.{gone['path']}.{gone['commit']}"
+    tok = analysis.tokenize_series(pd.Series([gone["content"]]))[0][0]
+    assert search.explain_score(spark, store, tok, gone_id).count() == 0
