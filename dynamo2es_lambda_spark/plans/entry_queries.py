@@ -899,6 +899,145 @@ SELECT qid, rank, suggestion, df FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------- 4m2. range / ids term-level
+# ES ``range`` (numeric metadata bounds, filter context) and ``ids``
+# (fetch by _id list) — the two most common real-user term-level queries
+# over the docs the reference ships whole to ES (lib/handler.js:100).
+
+RANGE_COL, RANGE_GTE, RANGE_LT, RANGE_K = "dl", 30, 60, 25
+IDS_QUERY = ["3", "42", "137", "317", "499", "999999"]  # last one unknown
+BOOL_RANGE = {"col": "dl", "gte": 20, "lt": 70}
+
+
+def q_fts_range(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    res = search.search_range(
+        spark, store, RANGE_COL, gte=RANGE_GTE, lt=RANGE_LT, k=RANGE_K
+    )
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def q_fts_ids(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    res = search.search_ids(spark, store, IDS_QUERY, k=RANGE_K)
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def q_fts_bool_range_filter(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        BOOL_QUERIES, columns=["qid", "must", "should", "must_not"]
+    )
+    res = search.search_bool(
+        spark, store, qpdf, k=50, range_filter=BOOL_RANGE
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _range_sql() -> str:
+    """Oracle for q_fts_range: dl bounds in filter context, constant
+    score, doc_id-ascending rank."""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, len({DOC_TOKS}) AS dl
+  FROM documents
+),
+hit AS (
+  SELECT doc_id FROM d WHERE dl >= {RANGE_GTE} AND dl < {RANGE_LT}
+),
+ranked AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id,
+         round(1.0, 6) AS score_r,
+         CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank
+  FROM hit
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {RANGE_K}
+"""
+
+
+def _ids_sql() -> str:
+    ids = ", ".join(f"'{i}'" for i in IDS_QUERY)
+    return f"""
+WITH hit AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+  WHERE CAST(doc_id AS VARCHAR) IN ({ids})
+),
+ranked AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id,
+         round(1.0, 6) AS score_r,
+         CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank
+  FROM hit
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {RANGE_K}
+"""
+
+
+def _bool_range_sql(
+    queries: list[tuple[int, str, str, str]], k: int, rng: dict
+) -> str:
+    """Oracle for q_fts_bool_range_filter: the fused bool gate (must /
+    should / must_not) with an additional unscored dl-range requirement —
+    a bool filter clause holding a range query."""
+    vals, needs = [], []
+    for qid, must, should, mnot in queries:
+        for cl, q in ((0, must), (1, should), (2, mnot)):
+            toks = analysis.tokenize_series(pd.Series([q]))[0]
+            for t, qtf in sorted(Counter(toks).items()):
+                vals.append(f"({qid}, {cl}, '{t}', {qtf})")
+        mtoks = set(analysis.tokenize_series(pd.Series([must]))[0])
+        stoks = set(analysis.tokenize_series(pd.Series([should]))[0])
+        needs.append(
+            f"({qid}, {len(mtoks)}, {1 if mtoks else 0}, "
+            f"{1 if stoks else 0})"
+        )
+    bm = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    return f"""{_BM25_BODY},
+q(qid, clause, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, nm, hm, hs) AS (VALUES {", ".join(needs)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(CASE WHEN q.clause <= 1 THEN q.qtf * {bm} END) AS score,
+         count(CASE WHEN q.clause = 0 THEN 1 END) AS nt_must,
+         count(CASE WHEN q.clause = 1 THEN 1 END) AS nt_should,
+         max(CASE WHEN q.clause = 2 THEN 1 END) AS mnot
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+gated AS (
+  SELECT sc.qid AS qid, sc.doc_id AS doc_id,
+         COALESCE(sc.score, 0.0) AS score
+  FROM scored sc
+  JOIN need n ON n.nqid = sc.qid
+  JOIN dl dr ON dr.doc_id = sc.doc_id
+   AND dr.dl >= {rng["gte"]} AND dr.dl < {rng["lt"]}
+  WHERE sc.mnot IS NULL
+    AND CASE WHEN n.hm = 1 THEN sc.nt_must = n.nm
+             ELSE sc.nt_should >= 1 END
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------- 4n. sharded (federated) search
 # Two half-corpus stores (doc_id parity), searched with exact GLOBAL
 # stats (ES dfs_query_then_fetch): the oracle is the SAME full-corpus
@@ -3137,6 +3276,9 @@ SPARK_QUERIES = {
     "fts_sharded": q_fts_sharded,
     "fts_bool_filter": q_fts_bool_filter,
     "fts_suggest_completion": q_fts_suggest_completion,
+    "fts_range": q_fts_range,
+    "fts_ids": q_fts_ids,
+    "fts_bool_range_filter": q_fts_bool_range_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3214,6 +3356,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),
         "fts_sharded": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
         "fts_bool_filter": _bool_filter_sql(BOOL_FILTER_QUERIES, FT_K),
+        "fts_range": _range_sql(),
+        "fts_ids": _ids_sql(),
+        "fts_bool_range_filter": _bool_range_sql(
+            BOOL_QUERIES, FT_K, BOOL_RANGE
+        ),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

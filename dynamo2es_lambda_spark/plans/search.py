@@ -513,6 +513,7 @@ def search_bool(
     k: int = 10,
     minimum_should_match: int | None = None,
     field: str | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """ES ``bool`` query: per qid, ``must`` terms are all required (AND,
     scored), ``should`` terms add score when present (OR, optional), and
@@ -534,6 +535,15 @@ def search_bool(
     the ES default — should is optional when a must clause exists, and ≥1
     should term must match otherwise; an explicit integer requires that
     many DISTINCT should terms to match in both cases.
+
+    ``range_filter`` adds an ES ``range`` clause to the filter context of
+    EVERY query in the batch (like ``field``, a batch-wide setting):
+    ``{"col": "dl", "gte": 10, "lt": 50}`` keeps only candidates whose
+    doc_stats column satisfies the bounds — required, unscored, exactly a
+    bool filter holding a range query. Implemented as a semi-join against
+    the metadata-sized doc_stats scan, applied AFTER the term gate and
+    BEFORE the top-k cut. Term-clause-free range queries go through
+    :func:`search_range` instead.
 
     ONE fused pipeline for all three clauses: the clause index rides the
     low 2 bits of a composite qid (qid<<2 | clause) through the shared
@@ -656,6 +666,18 @@ def search_bool(
         "qid", "doc_int",
         F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
     )
+    if range_filter is not None:
+        rf = dict(range_filter)
+        col = rf.pop("col")
+        bounds = {b: rf.pop(b, None) for b in ("gte", "gt", "lte", "lt")}
+        if rf:
+            raise EngineError(f"unknown range_filter keys: {sorted(rf)}")
+        allowed = (
+            store.doc_stats(spark)
+            .filter(_range_cond(col, **bounds))
+            .select("doc_int")
+        )
+        base = base.join(allowed, "doc_int", "left_semi")
     return _present(spark, store, _cut_topk(base, k), k)
 
 
@@ -2735,6 +2757,114 @@ def search_exists(
     # every hit scores the same constant → rank straight on doc_id here
     # (doc_id is already on the marker row); routing the full matching set
     # through _cut_topk would keep ALL score-ties and broadcast them
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def _range_cond(
+    col: str,
+    gte=None,
+    gt=None,
+    lte=None,
+    lt=None,
+):
+    """ES ``range`` bounds as one Spark predicate over a doc_stats column
+    (NULL never matches, like ES). At least one bound is required."""
+    if gte is None and gt is None and lte is None and lt is None:
+        raise EngineError("range needs at least one of gte/gt/lte/lt")
+    cond = F.col(col).isNotNull()
+    if gte is not None:
+        cond = cond & (F.col(col) >= F.lit(gte))
+    if gt is not None:
+        cond = cond & (F.col(col) > F.lit(gt))
+    if lte is not None:
+        cond = cond & (F.col(col) <= F.lit(lte))
+    if lt is not None:
+        cond = cond & (F.col(col) < F.lit(lt))
+    return cond
+
+
+def search_range(
+    spark: SparkSession,
+    store: IndexStore,
+    col: str,
+    gte=None,
+    gt=None,
+    lte=None,
+    lt=None,
+    qid: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES ``range`` query over a doc metadata column (``dl``, ``version``,
+    or any per-doc field the build stored on the marker rows — the
+    numeric/date fields of the documents the reference ships whole to ES,
+    lib/handler.js:100, which users then filter with ``range``). Filter
+    context: every matching doc scores the constant ``boost`` (ES
+    constant_score/filter semantics — range contributes no relevance),
+    ranked by doc_id ascending.
+
+    Pure METADATA — one doc_stats scan with the bounds pushed into the
+    parquet read (min/max row-group pruning applies), no posting read.
+    Bounds: gte/gt/lte/lt, any non-None subset, AND-combined."""
+    hits = (
+        store.doc_stats(spark)
+        .filter(_range_cond(col, gte, gt, lte, lt))
+        .select(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            "doc_int",
+            "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+    )
+    hits = _drop_dead(spark, store, hits)
+    # constant scores → every hit ties; rank straight on doc_id (same
+    # reasoning as search_exists: routing through _cut_topk would keep
+    # the whole tied set)
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search_ids(
+    spark: SparkSession,
+    store: IndexStore,
+    ids: list[str],
+    qid: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES ``ids`` query: fetch the docs whose ``_id`` is in the given list
+    (the reference's doc-ID resolution writes exactly these ids,
+    lib/handler.js:68-79). Filter context — constant ``boost`` score,
+    ranked by doc_id ascending; unknown ids simply don't match.
+
+    One metadata doc_stats scan with the id list pushed down as an IN
+    filter (broadcast-sized by construction: an ids query carries at most
+    a few thousand literals)."""
+    wanted = [str(i) for i in ids]
+    if not wanted:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, score double"
+        )
+    hits = (
+        store.doc_stats(spark)
+        .filter(F.col("doc_id").isin(wanted))
+        .select(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            "doc_int",
+            "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+    )
+    hits = _drop_dead(spark, store, hits)
     w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
     return (
         hits.withColumn("rank", F.row_number().over(w))

@@ -130,3 +130,61 @@ def test_exists_on_multifield(spark, corpus_df, corpus_pdf, tmp_path):
     assert list(res.sort_values("rank")["doc_id"]) == want
     with pytest.raises(EngineError):
         search.search_exists(spark, st, "nope")
+
+
+def test_range_query_bounds(spark, store, oracle):
+    """ES range in filter context over the dl metadata column: gte/lt and
+    gt/lte bound combinations, constant score, doc_id-ascending ranks."""
+    dls = sorted(oracle.dl)
+    lo, hi = dls[len(dls) // 4], dls[3 * len(dls) // 4]
+    dlmap = dict(zip(oracle.doc_ids, oracle.dl))
+    res = search.search_range(
+        spark, store, "dl", gte=lo, lt=hi, k=10**6
+    ).toPandas().sort_values("rank")
+    want = sorted(d for d in oracle.doc_ids if lo <= dlmap[d] < hi)
+    assert list(res["doc_id"]) == want
+    assert (res["score"] == 1.0).all()
+
+    res2 = search.search_range(
+        spark, store, "dl", gt=lo, lte=hi, k=10**6, boost=2.5
+    ).toPandas()
+    want2 = sorted(d for d in oracle.doc_ids if lo < dlmap[d] <= hi)
+    assert sorted(res2["doc_id"]) == want2
+    assert (res2["score"] == 2.5).all()
+
+    with pytest.raises(EngineError, match="at least one"):
+        search.search_range(spark, store, "dl")
+
+
+def test_ids_query(spark, store, oracle):
+    pick = [oracle.doc_ids[3], oracle.doc_ids[7], "no-such-id"]
+    res = search.search_ids(spark, store, pick, k=10).toPandas()
+    assert sorted(res["doc_id"]) == sorted(pick[:2])
+    assert (res["score"] == 1.0).all()
+    assert search.search_ids(spark, store, [], k=5).count() == 0
+
+
+def test_bool_range_filter_restricts_without_rescoring(spark, store, oracle):
+    """bool + range filter: the range clause drops candidates outside the
+    dl window but never changes surviving docs' scores (filter context)."""
+    q = oracle.toks[0][0]
+    qpdf = pd.DataFrame(
+        [(0, q, "", "")], columns=["qid", "must", "should", "must_not"]
+    )
+    dls = sorted(oracle.dl)
+    lo, hi = dls[len(dls) // 4], dls[3 * len(dls) // 4]
+    base = search.search_bool(spark, store, qpdf, k=10**6).toPandas()
+    rng = search.search_bool(
+        spark, store, qpdf, k=10**6,
+        range_filter={"col": "dl", "gte": lo, "lt": hi},
+    ).toPandas()
+    dlmap = dict(zip(oracle.doc_ids, oracle.dl))
+    want = {d for d in base["doc_id"] if lo <= dlmap[d] < hi}
+    assert set(rng["doc_id"]) == want and len(want) > 0
+    scores = dict(zip(base["doc_id"], base["score"]))
+    for d, s in zip(rng["doc_id"], rng["score"]):
+        assert s == pytest.approx(scores[d], abs=1e-9)
+    with pytest.raises(EngineError, match="unknown range_filter"):
+        search.search_bool(
+            spark, store, qpdf, range_filter={"col": "dl", "ge": 1},
+        )
