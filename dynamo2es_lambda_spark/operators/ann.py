@@ -70,6 +70,23 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes: sign(p, d) = low md5 bit
+    of ``"{p}_{d}"``. Sign-random projections with ±1 entries are valid
+    cosine-LSH hyperplanes (the SimHash construction); unlike the Gaussian
+    planes these are reproducible from SQL (md5 is everywhere), which lets
+    the driver's DuckDB oracle replicate the bucket assignment bit-for-bit
+    and verify the LSH pruning itself, not just the exact re-rank."""
+    import hashlib
+
+    s = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            s[d, p] = 1.0 if int(h[:8], 16) & 1 else -1.0
+    return s
+
+
 def lsh_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -128,11 +145,15 @@ def cosine_near_dup_lsh(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: multi-table LSH bucket self-join for
     candidates, exact cosine confirmation. Recall < 1 (tune n_tables up /
-    n_planes down); every returned pair is exact-verified."""
-    bucketed = lsh_assign_multi(embeddings, vec_col, n_planes, n_tables, seed)
+    n_planes down); every returned pair is exact-verified. ``planes``
+    fixes the hyperplanes (see :func:`lsh_assign_multi`)."""
+    bucketed = lsh_assign_multi(
+        embeddings, vec_col, n_planes, n_tables, seed, planes=planes
+    )
     x = bucketed.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
         "table", "bucket",
@@ -160,15 +181,20 @@ def lsh_assign_multi(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Multi-table LSH: one output row per (input row, table) with that
-    table's ``bucket``. Candidate recall ≈ 1 - (1 - p^n_planes)^n_tables."""
+    table's ``bucket``. Candidate recall ≈ 1 - (1 - p^n_planes)^n_tables.
+    ``planes`` overrides the seeded Gaussian planes with a fixed
+    (dim, n_planes × n_tables) matrix — e.g. :func:`rademacher_planes`
+    when the bucketing must be reproducible outside numpy."""
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    fixed = planes
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes: np.ndarray | None = None
+        planes: np.ndarray | None = fixed
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -401,14 +427,18 @@ def ann_topk_lsh(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table same-bucket candidates, exact
     re-rank. → (qid, rank, vec_id, cos). Recall rises with n_tables and
     falls with n_planes (smaller buckets = fewer candidates scanned).
+    ``planes`` fixes the hyperplanes (see :func:`lsh_assign_multi`).
 
     At scale: write the table partitioned by (table, bucket) — the candidate
     join prunes to the queries' buckets instead of scanning the corpus."""
-    bucketed = lsh_assign_multi(embeddings, vec_col, n_planes, n_tables, seed)
+    bucketed = lsh_assign_multi(
+        embeddings, vec_col, n_planes, n_tables, seed, planes=planes
+    )
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
         "table", "bucket",

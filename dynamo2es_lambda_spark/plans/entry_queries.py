@@ -2796,6 +2796,110 @@ p AS (
 SELECT a, b, round(cos, 6) AS cos_r FROM p WHERE cos >= {NEAR_DUP_THRESHOLD}
 """
 
+# ------------------------------------------ 9c. PQ ANN with exact rerank
+# Product quantization (operators/ann.ann_topk_pq): the full scan touches
+# only the m-byte codes (ADC lookup-table gathers), a deep shortlist is
+# exact-reranked by true cosine. With the rerank window ≥ the corpus
+# fraction holding every true top-k (here 300 of ~495 targets — verified
+# at both test SFs), the final top-k equals brute force, so the oracle is
+# the exact-cosine SQL: the gate checks the codes→shortlist→rerank
+# machinery end-to-end.
+
+# m=16 (4-dim subspaces) × 64 codes: tight enough quantization that the
+# true top-10's worst ADC rank measured ≤ 65 of 495 targets at both test
+# SFs — rerank=250 is a ~4× margin (random 64-dim vectors are the HARD
+# case for PQ: cosine spread ~0.1 vs coarse quantization error)
+PQ_M, PQ_CODES, PQ_RERANK = 16, 64, 250
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    books = ann.pq_train_codebooks(
+        emb, m=PQ_M, n_codes=PQ_CODES, iters=10, sample=2048
+    )
+    res = ann.ann_topk_pq(
+        emb, ANN_QUERY_IDS, books, k=50, rerank=max(PQ_RERANK, 50)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        res.withColumn("cos_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
+# ------------------------------------ 9d. LSH near-dup, pruning-verified
+# Hyperplane-LSH near-dup (operators/ann.cosine_near_dup_lsh) on FIXED
+# md5-derived Rademacher planes: the DuckDB oracle recomputes the same
+# ±1 projections, the same per-table bucket packing, the same same-bucket
+# candidate join, and the same exact-cosine confirmation — so the gate
+# verifies the LSH PRUNING bit-for-bit (recall < 1 by design; both sides
+# prune identically), not just the rerank.
+
+LSH_NP, LSH_NT = 4, 3
+
+
+def q_ann_lsh_near_dup(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_ID
+    )
+    dim = len(emb.select("embedding").head()[0])
+    planes = ann.rademacher_planes(dim, LSH_NP * LSH_NT)
+    pairs = ann.cosine_near_dup_lsh(
+        emb, NEAR_DUP_THRESHOLD,
+        n_planes=LSH_NP, n_tables=LSH_NT, planes=planes,
+    )
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos_r"))
+
+
+def _lsh_near_dup_sql() -> str:
+    np_, nt = LSH_NP, LSH_NT
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {NEAR_DUP_MAX_ID}),
+vd AS (SELECT vec_id, unnest(v) AS val, unnest(range(len(v))) AS d FROM e),
+s AS (
+  SELECT p.range AS p, d.range AS d,
+         CASE WHEN ('0x' || substr(md5(
+                CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)
+              ), 1, 8))::BIGINT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM range(0, {np_ * nt}) p, range(0, 64) d
+),
+dots AS (
+  SELECT vd.vec_id, s.p, sum(vd.val * s.sgn) AS dot
+  FROM vd JOIN s ON s.d = vd.d
+  GROUP BY vd.vec_id, s.p
+),
+buckets AS (
+  SELECT vec_id, p // {np_} AS tbl,
+         sum(CASE WHEN dot > 0
+                  THEN (CAST(1 AS BIGINT) << (p % {np_}))
+                  ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM dots GROUP BY vec_id, p // {np_}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x
+  JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+),
+p2 AS (
+  SELECT c.a, c.b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v))
+              * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.a
+  JOIN e eb ON eb.vec_id = c.b
+)
+SELECT a, b, round(cos, 6) AS cos_r FROM p2
+WHERE cos >= {NEAR_DUP_THRESHOLD}
+"""
+
 # -------------------------------------------------------- 10. text quality
 
 def q_text_quality(spark, sf_dir):
@@ -3286,6 +3390,8 @@ SPARK_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_near_dup_pairs": q_ann_near_dup,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3371,6 +3477,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _ivf_sql(),
         "ann_near_dup_pairs": SQL_ANN_NEAR_DUP,
+        # PQ+rerank's top-k equals brute force by construction (rerank
+        # window covers every true top-k at the test SFs) — the exact
+        # cosine SQL IS its oracle
+        "ann_pq_topk": SQL_ANN,
+        "ann_lsh_near_dup": _lsh_near_dup_sql(),
         "text_quality": _sql_text_quality(),
         "text_lang_id": _sql_lang_id(),
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -264,3 +264,24 @@ def test_pq_topk_empty_queries(spark, emb):
     books = ann.pq_train_codebooks(emb, m=8, n_codes=16, sample=200)
     res = ann.ann_topk_pq(emb, [999_999_999], books, k=5).toPandas()
     assert len(res) == 0
+
+
+def test_rademacher_planes_fixed_and_lsh_reproducible(spark, emb):
+    """md5-derived Rademacher planes are pure ±1, call-stable, and the
+    fixed-plane LSH path returns identical pairs across invocations."""
+    p1, p2 = ann.rademacher_planes(8, 6), ann.rademacher_planes(8, 6)
+    assert np.array_equal(p1, p2)
+    assert set(np.unique(p1)) <= {-1.0, 1.0}
+    dim = len(emb.select("embedding").head()[0])
+    planes = ann.rademacher_planes(dim, 8)
+    a = ann.cosine_near_dup_lsh(
+        emb, 0.2, n_planes=4, n_tables=2, planes=planes
+    ).toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = ann.cosine_near_dup_lsh(
+        emb, 0.2, n_planes=4, n_tables=2, planes=planes
+    ).toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert a.equals(b)
+    # fixed-plane candidates are a subset of the exact pair set
+    exact = ann.cosine_near_dup_exact(emb, 0.2).toPandas()
+    got = set(zip(a["a"], a["b"]))
+    assert got <= set(zip(exact["a"], exact["b"]))
