@@ -85,14 +85,25 @@ class IndexerConfig:
 
     @classmethod
     def from_dict(cls, options: dict[str, Any]) -> "IndexerConfig":
-        """Build from a plain dict, rejecting unknown keys (joi default)."""
+        """Build from a plain dict, rejecting unknown keys (joi default).
+
+        Collect-all like the reference (test/handler-tests.js:31-56 asserts
+        unknown-key AND peer-conflict messages in ONE error): unknown-key
+        violations merge with the constraint violations of the remaining
+        options instead of aborting early. Ordering is the engine's
+        deterministic one — unknown keys first (sorted), then type checks,
+        then peer constraints — not joi's schema order."""
         known = {f.name for f in fields(cls)}
-        unknown = sorted(set(options) - known)
-        if unknown:
-            raise ValidationError(
-                [f'"{k}" is not allowed' for k in unknown]
-            )
-        return cls(**options)
+        unk_errs = [
+            f'"{k}" is not allowed' for k in sorted(set(options) - known)
+        ]
+        try:
+            cfg = cls(**{k: v for k, v in options.items() if k in known})
+        except ValidationError as e:
+            raise ValidationError(unk_errs + e.details) from None
+        if unk_errs:
+            raise ValidationError(unk_errs)
+        return cfg
 
 
 def validate_options(cfg: IndexerConfig) -> None:

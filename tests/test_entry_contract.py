@@ -1,6 +1,8 @@
-"""Driver-contract smoke: queries()/oracle_sql() keys align and a sample of
-pairs hash-match on sf0.001 (the full 18-pair sweep lives in
-scripts/check_entry.py and runs at sf0.01 in the driver)."""
+"""Driver-contract enforcement: EVERY queries() entry has an oracle_sql()
+twin and EVERY pair hash-matches on sf0.001 — the same comparison the
+driver's CORRECTNESS gate runs at sf0.01 (scripts/check_entry.py is the
+manual sf0.01 replica). Parametrized over all keys so a new query cannot
+land without its oracle passing."""
 
 import os
 import sys
@@ -14,20 +16,17 @@ import __spark_entry__ as mod  # noqa: E402
 from scripts.check_entry import TABLES, normalize  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-SAMPLE = [
-    "doc_stats",
-    "term_df",
-    "dedup_exact",
-    "text_quality",
-    "events_version_lww",
-    "tpch_revenue_by_nation",
-]
+
+ALL_QUERIES = sorted(mod.queries())
 
 
 def test_keys_align():
     q, o = mod.queries(), mod.oracle_sql()
-    assert set(o) <= set(q)
-    assert len(q) >= 15
+    assert set(o) == set(q), (
+        "every query needs an oracle twin (or an explicit rows-only "
+        f"waiver documented here): {sorted(set(q) ^ set(o))}"
+    )
+    assert len(q) >= 60
 
 
 def test_entry_returns_rows(spark):
@@ -46,8 +45,8 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize("name", SAMPLE)
-def test_sample_queries_match_oracle(spark, duck, name):
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
     got = normalize(mod.queries()[name](spark, SF_DIR).toPandas())
     want = normalize(duck.execute(mod.oracle_sql()[name]).fetchdf())
     assert list(got.columns) == list(want.columns)
