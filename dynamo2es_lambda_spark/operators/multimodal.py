@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow binary-column transfer,
-mapInPandas batch shapes, explode patterns — while the codec step is a
-DETERMINISTIC FAKE (this container ships no image/audio libraries): "decode"
-derives statistics from the raw payload bytes via numpy. Swap
-``_decode_pixels`` / ``_decode_samples`` for PIL/libav calls in a real
-deployment; every other line stays.
+mapInPandas batch shapes, explode patterns. The codec step uses the REAL
+libraries when they are importable (PIL for images, soundfile for audio —
+optional imports below) and otherwise a DETERMINISTIC FAKE that derives
+statistics from the raw payload bytes via numpy; payloads the real codec
+cannot parse also fall back to the fake, so synthetic byte-buffer tests
+stay deterministic alongside real media.
 
 Table convention:
   media(media_id long, kind string in {image,audio,video},
@@ -15,6 +16,7 @@ Table convention:
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,31 +24,69 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # optional real image codec
+    from PIL import Image as _PIL_Image
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PIL_Image = None
+    _HAS_PIL = False
+
+try:  # optional real audio codec
+    import soundfile as _soundfile
+
+    _HAS_SOUNDFILE = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _soundfile = None
+    _HAS_SOUNDFILE = False
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, "
     "sample_rate int, n_frames int, fmt string"
 )
 
-_REAL_CODECS = False  # flip when PIL/soundfile are present
+# derived from the imports, not hand-flipped: True means at least one
+# real decoder is active (per-payload fallback to the fake still applies)
+_REAL_CODECS = _HAS_PIL or _HAS_SOUNDFILE
 
 
-def _decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB DECODE (deterministic fake): interpret payload bytes as a
-    repeated pixel buffer. A real build calls PIL.Image.open here."""
-    if _REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open(payload) here")
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = max(width * height, 1)
     reps = -(-need // max(raw.size, 1))
     return np.tile(raw, reps)[:need].reshape(max(height, 1), -1)
 
 
-def _decode_samples(payload: bytes) -> np.ndarray:
-    """STUB DECODE: payload bytes → centered float samples in [-1, 1]."""
-    if _REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire soundfile.read(payload) here")
+def _decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an image payload to a grayscale uint8 matrix: PIL when
+    importable AND the payload parses as an encoded image; else the
+    deterministic byte-buffer fake (repeat payload bytes to width ×
+    height)."""
+    if _HAS_PIL:
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:  # noqa: BLE001 - unparseable → deterministic fake
+            pass
+    return _fake_pixels(payload, width, height)
+
+
+def _fake_samples(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     return (raw - 127.5) / 127.5
+
+
+def _decode_samples(payload: bytes) -> np.ndarray:
+    """Decode an audio payload to centered float samples in [-1, 1]:
+    soundfile when importable AND the payload parses; else the
+    deterministic byte-centering fake."""
+    if _HAS_SOUNDFILE:
+        try:
+            data, _sr = _soundfile.read(io.BytesIO(payload), dtype="float64")
+            return np.asarray(data, dtype=np.float64).reshape(-1)
+        except Exception:  # noqa: BLE001 - unparseable → deterministic fake
+            pass
+    return _fake_samples(payload)
 
 
 def image_stats(media: DataFrame) -> DataFrame:

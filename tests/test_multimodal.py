@@ -51,3 +51,47 @@ def test_deterministic_under_partitioning(spark):
     a = a.sort_values("media_id", ignore_index=True)
     b = b.sort_values("media_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_real_codecs_flag_derived_from_imports():
+    """_REAL_CODECS reflects what actually imported, never a hand flag."""
+    from dynamo2es_lambda_spark.operators import multimodal as mm
+
+    assert mm._REAL_CODECS == (mm._HAS_PIL or mm._HAS_SOUNDFILE)
+
+
+def test_real_png_roundtrip_when_pil_present(spark):
+    """Whichever codec path exists is exercised: with PIL, a real 3x2 PNG
+    decodes to its true dimensions; without, the deterministic fake covers
+    the same call (the other tests in this module)."""
+    from dynamo2es_lambda_spark.operators import multimodal as mm
+
+    if not mm._HAS_PIL:
+        import pytest
+
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    arr = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    mm._PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    px = mm._decode_pixels(buf.getvalue(), 3, 2)
+    assert px.shape == (2, 3)
+    assert np.array_equal(px, arr)
+
+
+def test_unparseable_payload_falls_back_to_fake():
+    """Bytes that are not an encoded image/audio stream decode via the
+    deterministic fake on BOTH codec paths — synthetic tests stay stable
+    whether or not the real libraries are installed."""
+    import numpy as np
+
+    from dynamo2es_lambda_spark.operators import multimodal as mm
+
+    payload = bytes(range(10))
+    px = mm._decode_pixels(payload, 5, 2)
+    assert np.array_equal(px, mm._fake_pixels(payload, 5, 2))
+    sm = mm._decode_samples(payload)
+    assert np.array_equal(sm, mm._fake_samples(payload))
