@@ -1,0 +1,53 @@
+"""Deterministic stratified sampling — the corpus-mixing step of a
+training-data pipeline: keep each stratum (source, language, quality
+bucket, …) at its own target rate, reproducibly.
+
+The keep decision is a pure function of the ROW KEY, not of partitioning,
+ordering, or cluster size: ``u(key) = int(md5(key)[:8], 16) / 2^32`` and a
+row survives iff ``u < rate[stratum]``. That makes the sample (a) exactly
+re-computable on any cluster (re-runs and incremental jobs agree), (b) a
+map-side FILTER — no shuffle, no sort, no sampling state — and (c)
+cross-engine checkable (md5 exists in every SQL engine, so a DuckDB
+oracle reproduces the exact row set; Spark's xxhash64 does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import EngineError
+
+
+def hash_uniform(col: str) -> F.Column:
+    """u in [0, 1): first 8 md5 hex chars of the key as an integer / 2^32.
+    Deterministic and engine-portable (DuckDB twin:
+    ``('0x' || substr(md5(key), 1, 8))::BIGINT / 4294967296.0``)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``
+    (``default_rate`` for unlisted strata), decided by the row's key hash.
+    Same columns as the input. Rates outside [0, 1] are rejected."""
+    for s, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise EngineError(f"rate for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= float(default_rate) <= 1.0:
+        raise EngineError("default_rate must be in [0, 1]")
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col).cast("string") == str(s), F.lit(float(r))
+        ).otherwise(rate)
+    return df.filter(hash_uniform(key_col) < rate)

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import IndexerConfig
 from ..functions import analysis, text as T
 from ..functions.bm25 import B, K1
-from ..operators import ann, dedup
+from ..operators import ann, decontam, dedup, sampling
 from . import build, search
 
 # ---------------------------------------------------------------- helpers
@@ -2900,6 +2900,82 @@ SELECT a, b, round(cos, 6) AS cos_r FROM p2
 WHERE cos >= {NEAR_DUP_THRESHOLD}
 """
 
+# ----------------------------------- 9e. n-gram decontamination
+# LLM-pipeline decontamination: corpus docs sharing any word n-gram with
+# the benchmark/eval set (operators/decontam.py) — benchmark n-grams
+# broadcast, corpus never shuffles for the join.
+
+DECONTAM_N = 5
+DECONTAM_BENCH_MAX = 20  # doc_id < 20 plays the eval set
+
+
+def q_decontam_ngram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < DECONTAM_BENCH_MAX)
+    corpus = d.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
+    return decontam.ngram_contamination(corpus, bench, n=DECONTAM_N)
+
+
+def _decontam_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH d AS (SELECT doc_id, {DOC_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range({n}, len(t) + 1),
+           i -> array_to_string(t[i - {n} + 1 : i], ' ')
+         ))) AS gram
+  FROM d
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < {DECONTAM_BENCH_MAX}),
+hits AS (
+  SELECT CAST(g.doc_id AS VARCHAR) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id >= {DECONTAM_BENCH_MAX}
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_hits FROM hits
+"""
+
+
+# ----------------------------------- 9f. deterministic stratified sample
+# Corpus mixing (operators/sampling.py): per-stratum keep rates decided by
+# an md5 key hash — a pure map-side filter, identical row set on any
+# cluster, and exactly reproducible from SQL.
+
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_corpus_sample_mix(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return sampling.stratified_sample(
+        d, "source", SAMPLE_RATES, key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT,
+    )
+
+
+def _sample_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         CASE {cases} ELSE {SAMPLE_DEFAULT} END AS rate
+  FROM documents
+)
+SELECT doc_id, source FROM d WHERE u < rate
+"""
+
+
 # -------------------------------------------------------- 10. text quality
 
 def q_text_quality(spark, sf_dir):
@@ -3394,6 +3470,8 @@ SPARK_QUERIES = {
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "decontam_ngram": q_decontam_ngram,
+    "corpus_sample_mix": q_corpus_sample_mix,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_date_histogram": q_events_date_histogram,
@@ -3484,6 +3562,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_near_dup": _lsh_near_dup_sql(),
         "text_quality": _sql_text_quality(),
         "text_lang_id": _sql_lang_id(),
+        "decontam_ngram": _decontam_sql(),
+        "corpus_sample_mix": _sample_mix_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "events_date_histogram": SQL_EVENTS_DATE_HIST,
