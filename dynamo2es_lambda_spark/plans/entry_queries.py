@@ -1038,6 +1038,121 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------- 4m3. match_all / range agg / decay scoring
+
+MATCH_ALL_K = 15
+RANGE_AGG_BUCKETS = [("short", None, 40.0), ("mid", 40.0, 70.0),
+                     ("long", 70.0, None)]
+DECAY_ORIGIN, DECAY_SCALE, DECAY_OFFSET, DECAY_D = 50.0, 25.0, 5.0, 0.5
+
+
+def q_fts_match_all(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    res = search.search_match_all(spark, store, k=MATCH_ALL_K)
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def q_fts_range_agg(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_range_agg(
+        spark, store, qpdf, RANGE_AGG_BUCKETS, value_col="dl"
+    )
+
+
+def q_fts_decay(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_function_score_decay(
+        spark, store, qpdf, origin=DECAY_ORIGIN, scale=DECAY_SCALE,
+        offset=DECAY_OFFSET, decay=DECAY_D, k=50, decay_fn="gauss",
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _match_all_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST(0 AS BIGINT) AS qid, CAST(doc_id AS VARCHAR) AS doc_id,
+         round(1.0, 6) AS score_r,
+         CAST(row_number() OVER (
+           ORDER BY CAST(doc_id AS VARCHAR) ASC
+         ) AS INTEGER) AS rank
+  FROM documents
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {MATCH_ALL_K}
+"""
+
+
+def _range_agg_sql(queries: list[tuple[int, str]]) -> str:
+    rows = ", ".join(
+        f"('{k}', {lo if lo is not None else 'NULL'}, "
+        f"{hi if hi is not None else 'NULL'})"
+        for k, lo, hi in RANGE_AGG_BUCKETS
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+r(rkey, lo, hi) AS (VALUES {rows}),
+counted AS (
+  SELECT m.qid AS qid, r.rkey AS rkey, count(*) AS n_docs
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN r ON (r.lo IS NULL OR dl.dl >= r.lo)
+        AND (r.hi IS NULL OR dl.dl < r.hi)
+  GROUP BY m.qid, r.rkey
+),
+shells AS (SELECT DISTINCT m.qid, r.rkey FROM m CROSS JOIN r)
+SELECT CAST(s.qid AS BIGINT) AS qid, s.rkey AS rkey,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM shells s
+LEFT JOIN counted c ON c.qid = s.qid AND c.rkey = s.rkey
+"""
+
+
+def _decay_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_decay: OR BM25 × gauss(dl) with the ES
+    parameterization (decay reached exactly at dist = scale)."""
+    import math
+
+    sigma2 = -(DECAY_SCALE**2) / (2.0 * math.log(DECAY_D))
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    gauss = (
+        f"exp(-(greatest(abs(dl.dl - {DECAY_ORIGIN}) - {DECAY_OFFSET}, 0.0)"
+        f" * greatest(abs(dl.dl - {DECAY_ORIGIN}) - {DECAY_OFFSET}, 0.0))"
+        f" / (2.0 * {sigma2!r}))"
+    )
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) * max({gauss}) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------- 4n. sharded (federated) search
 # Two half-corpus stores (doc_id parity), searched with exact GLOBAL
 # stats (ES dfs_query_then_fetch): the oracle is the SAME full-corpus
@@ -3459,6 +3574,9 @@ SPARK_QUERIES = {
     "fts_range": q_fts_range,
     "fts_ids": q_fts_ids,
     "fts_bool_range_filter": q_fts_bool_range_filter,
+    "fts_match_all": q_fts_match_all,
+    "fts_range_agg": q_fts_range_agg,
+    "fts_decay": q_fts_decay,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3545,6 +3663,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_bool_range_filter": _bool_range_sql(
             BOOL_QUERIES, FT_K, BOOL_RANGE
         ),
+        "fts_match_all": _match_all_sql(),
+        "fts_range_agg": _range_agg_sql(SORTED_QUERIES),
+        "fts_decay": _decay_sql(SORTED_QUERIES, FT_K),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

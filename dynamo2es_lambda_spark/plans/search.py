@@ -2256,6 +2256,151 @@ def search_histogram(
     )
 
 
+def search_range_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    ranges: list[tuple[str, float | None, float | None]],
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``range`` aggregation over the match set: per (qid, bucket) doc
+    counts for EXPLICIT ``(key, from, to)`` buckets — half-open
+    ``from ≤ v < to`` like ES, ``None`` = unbounded end, and buckets may
+    overlap (a doc counts in every bucket containing its value). Every
+    declared bucket appears for every matching qid, zero counts included
+    (ES returns empty buckets). Returns (qid, rkey, n_docs).
+
+    The bucket table is query-sized and broadcast; the only corpus-sized
+    work is the match set's metadata join — the same shape as
+    :func:`search_histogram`."""
+    if not ranges:
+        raise EngineError("range aggregation needs at least one bucket")
+    hits = _match_set(spark, store, queries, mode, field)
+    empty_schema = "qid long, rkey string, n_docs long"
+    if hits is None:
+        return spark.createDataFrame([], empty_schema)
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    rdf = spark.createDataFrame(
+        [(str(k), None if lo is None else float(lo),
+          None if hi is None else float(hi))
+         for k, lo, hi in ranges],
+        "rkey string, lo double, hi double",
+    )
+    vals = hits.join(stats, "doc_int")
+    counted = (
+        vals.join(
+            F.broadcast(rdf),
+            (F.col("lo").isNull() | (F.col("_v") >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("_v") < F.col("hi"))),
+        )
+        .groupBy("qid", "rkey")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    # zero-count buckets: every (matching qid) × (declared bucket)
+    shells = hits.select("qid").distinct().crossJoin(
+        F.broadcast(rdf.select("rkey"))
+    )
+    return shells.join(counted, ["qid", "rkey"], "left").select(
+        "qid", "rkey",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def search_match_all(
+    spark: SparkSession,
+    store: IndexStore,
+    qid: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES ``match_all``: every live doc at the constant ``boost`` score,
+    ranked by doc_id ascending — pure doc_stats metadata, no posting
+    read."""
+    hits = store.doc_stats(spark).select(
+        F.lit(int(qid)).cast("long").alias("qid"),
+        "doc_int",
+        "doc_id",
+        F.lit(float(boost)).alias("score"),
+    )
+    hits = _drop_dead(spark, store, hits)
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search_function_score_decay(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    origin: float,
+    scale: float,
+    k: int = 10,
+    decay_fn: str = "gauss",
+    offset: float = 0.0,
+    decay: float = 0.5,
+    value_col: str = "dl",
+    boost_mode: str = "multiply",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a DECAY function over a numeric doc
+    field: the OR-BM25 score combines with ``decay_fn(dist)`` where
+    ``dist = max(0, |v − origin| − offset)`` and the function reaches
+    ``decay`` exactly at ``dist = scale`` (ES parameterization):
+
+    - ``gauss``:  exp(−dist² / 2σ²), σ² = −scale² / (2 ln decay)
+    - ``exp``:    exp(dist · ln(decay) / scale)
+    - ``linear``: max(0, (s − dist) / s), s = scale / (1 − decay)
+
+    Factor joins from metadata-sized doc_stats AFTER aggregation, BEFORE
+    the top-k cut — identical plan shape to field_value_factor."""
+    if decay_fn not in ("gauss", "exp", "linear"):
+        raise EngineError(f"unknown decay function: {decay_fn}")
+    if boost_mode not in ("multiply", "sum"):
+        raise EngineError(f"unknown boost_mode: {boost_mode}")
+    if not 0.0 < decay < 1.0:
+        raise EngineError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise EngineError("scale must be positive")
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    import math
+
+    v = F.col(value_col).cast("double")
+    dist = F.greatest(
+        F.abs(v - F.lit(float(origin))) - F.lit(float(offset)), F.lit(0.0)
+    )
+    if decay_fn == "gauss":
+        sigma2 = -(scale**2) / (2.0 * math.log(decay))
+        factor = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif decay_fn == "exp":
+        lam = math.log(decay) / scale
+        factor = F.exp(dist * F.lit(lam))
+    else:
+        s = scale / (1.0 - decay)
+        factor = F.greatest(
+            (F.lit(s) - dist) / F.lit(s), F.lit(0.0)
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", factor.alias("_factor")
+    )
+    agg = agg.join(stats, "doc_int")
+    combined = (
+        F.col("score") * F.col("_factor")
+        if boost_mode == "multiply"
+        else F.col("score") + F.col("_factor")
+    )
+    agg = agg.withColumn("score", combined).drop("_factor")
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def _match_set(
     spark: SparkSession,
     store: IndexStore,

@@ -188,3 +188,64 @@ def test_bool_range_filter_restricts_without_rescoring(spark, store, oracle):
         search.search_bool(
             spark, store, qpdf, range_filter={"col": "dl", "ge": 1},
         )
+
+
+def test_match_all_returns_all_live(spark, store, oracle):
+    res = search.search_match_all(spark, store, k=10**6).toPandas()
+    assert sorted(res["doc_id"]) == sorted(oracle.doc_ids)
+    assert (res["score"] == 1.0).all()
+    assert list(res.sort_values("rank")["doc_id"]) == sorted(oracle.doc_ids)
+
+
+def test_range_agg_buckets_and_zero_counts(spark, store, oracle):
+    q = oracle.toks[0][0]
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    dlmap = dict(zip(oracle.doc_ids, oracle.dl))
+    match = {d for d, toks in zip(oracle.doc_ids, oracle.toks) if q in toks}
+    buckets = [("lo", None, 40.0), ("hi", 40.0, None),
+               ("none", 10**6, None)]
+    res = search.search_range_agg(
+        spark, store, qpdf, buckets, value_col="dl"
+    ).toPandas().set_index("rkey")
+    assert res.loc["lo", "n_docs"] == sum(1 for d in match if dlmap[d] < 40)
+    assert res.loc["hi", "n_docs"] == sum(1 for d in match if dlmap[d] >= 40)
+    assert res.loc["none", "n_docs"] == 0  # empty buckets still appear
+    with pytest.raises(EngineError, match="at least one bucket"):
+        search.search_range_agg(spark, store, qpdf, [])
+
+
+def test_decay_param_validation(spark, store):
+    qpdf = pd.DataFrame([(0, "a")], columns=["qid", "query"])
+    with pytest.raises(EngineError, match="unknown decay"):
+        search.search_function_score_decay(
+            spark, store, qpdf, origin=0, scale=1, decay_fn="cosine")
+    with pytest.raises(EngineError, match="decay must be in"):
+        search.search_function_score_decay(
+            spark, store, qpdf, origin=0, scale=1, decay=1.0)
+    with pytest.raises(EngineError, match="scale must be"):
+        search.search_function_score_decay(
+            spark, store, qpdf, origin=0, scale=0)
+
+
+def test_decay_gauss_hits_decay_at_scale(spark, store, oracle):
+    """ES parameterization: a doc at dist == scale scores exactly
+    base * decay (multiply mode)."""
+    import math
+
+    q = oracle.toks[0][0]
+    qpdf = pd.DataFrame([(0, q)], columns=["qid", "query"])
+    base = search.search(
+        spark, store, qpdf, k=10**6, algo="exhaustive"
+    ).toPandas()
+    dlmap = dict(zip(oracle.doc_ids, oracle.dl))
+    origin, scale, decay = 30.0, 20.0, 0.5
+    res = search.search_function_score_decay(
+        spark, store, qpdf, origin=origin, scale=scale, decay=decay,
+        k=10**6, decay_fn="gauss",
+    ).toPandas()
+    scores = dict(zip(base["doc_id"], base["score"]))
+    sigma2 = -(scale**2) / (2.0 * math.log(decay))
+    for d, s in zip(res["doc_id"], res["score"]):
+        dist = abs(dlmap[d] - origin)
+        want = scores[d] * math.exp(-(dist**2) / (2 * sigma2))
+        assert s == pytest.approx(want, rel=1e-9)
