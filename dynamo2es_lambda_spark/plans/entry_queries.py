@@ -2343,6 +2343,91 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------- 4c2. unordered span_near
+# Lucene span_near(in_order=false): tokens co-occur within the slop
+# window in ANY order — covers the reordered matches ES sloppy phrases
+# allow (plans/search.search_span_near, unordered-window kernel).
+
+SPAN_NEAR_QUERIES = [
+    (0, "merge spark"),     # reversed text order still matches
+    (1, "window customer"),
+    (2, "data fast"),
+]
+SPAN_NEAR_SLOP = 2
+
+
+def q_fts_span_near(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SPAN_NEAR_QUERIES, columns=["qid", "query"])
+    res = search.search_span_near(
+        spark, store, qpdf, slop=SPAN_NEAR_SLOP, in_order=False, k=50
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_near_sql(
+    queries: list[tuple[int, str]], k: int, slop: int
+) -> str:
+    """Oracle for q_fts_span_near (two-token unordered spans): EXISTS a
+    position pair within 1+slop in either order, AND-scored BM25."""
+    vals, needs, exist_cases = [], [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        assert len(toks) == 2, "span_near oracle covers 2-token spans"
+        t0, t1 = toks
+        terms = sorted(Counter(toks).items())
+        needs.append(f"({qid}, {len(terms)})")
+        for t, qtf in terms:
+            vals.append(f"({qid}, '{t}', {qtf})")
+        exist_cases.append(
+            f"WHEN m.qid = {qid} THEN EXISTS (\n"
+            f"  SELECT 1\n"
+            f"  FROM unnest(list_filter(range(1, len(cs.toks) + 1),\n"
+            f"              i -> cs.toks[i] = '{t0}')) AS ta(a),\n"
+            f"       unnest(list_filter(range(1, len(cs.toks) + 1),\n"
+            f"              i -> cs.toks[i] = '{t1}')) AS tb(b)\n"
+            f"  WHERE b != a AND abs(b - a) <= {1 + slop})"
+        )
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, toks FROM corpus),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+need(nqid, need) AS (VALUES {", ".join(needs)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+m AS (
+  SELECT scored.qid AS qid, scored.doc_id AS doc_id, scored.score AS score
+  FROM scored
+  JOIN need ON need.nqid = scored.qid AND scored.nt = need.need
+),
+ok AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id, m.score AS score
+  FROM m JOIN cs ON cs.doc_id = m.doc_id
+  WHERE CASE {" ".join(exist_cases)} ELSE FALSE END
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM ok
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------- 4d. regexp / match_phrase_prefix / dis_max
 # ES regexp (anchored dictionary expansion), match_phrase_prefix (positional
 # chain + last-token prefix expansion) and dis_max (max + tie_breaker over
@@ -3577,6 +3662,7 @@ SPARK_QUERIES = {
     "fts_match_all": q_fts_match_all,
     "fts_range_agg": q_fts_range_agg,
     "fts_decay": q_fts_decay,
+    "fts_span_near": q_fts_span_near,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3666,6 +3752,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_match_all": _match_all_sql(),
         "fts_range_agg": _range_agg_sql(SORTED_QUERIES),
         "fts_decay": _decay_sql(SORTED_QUERIES, FT_K),
+        "fts_span_near": _span_near_sql(
+            SPAN_NEAR_QUERIES, FT_K, SPAN_NEAR_SLOP
+        ),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

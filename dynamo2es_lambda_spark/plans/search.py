@@ -1274,6 +1274,87 @@ def _span_near_survivors(
     return cand[np.unique(cur[good] // stride)]
 
 
+def _span_unordered_survivors(
+    by_term: dict[str, tuple],
+    terms: list[str],
+    cand: np.ndarray,
+    stride: int,
+    slop: int,
+) -> np.ndarray:
+    """UNORDERED span-near verification (Lucene ``span_near(in_order=
+    false)``): a doc survives when some window of ``len(terms) − 1 +
+    slop`` positions contains ≥1 position of EVERY term, in any order.
+
+    Exact and fully vectorized: the minimal covering window necessarily
+    starts at one of the terms' positions, so every (candidate, position)
+    key across all terms is tried as a window START — for each term, ONE
+    searchsorted finds its first position ≥ the anchor, and the anchor
+    survives when every term's next position lands inside the window in
+    the same candidate. Same O(total positions × n_terms) shape as the
+    ordered chain."""
+    window = len(terms) - 1 + slop
+    keys = []
+    for tok in terms:
+        k = np.sort(
+            _adjusted_pos_keys(
+                by_term[tok], cand, 0, stride, check_membership=True
+            )
+        )
+        if k.size == 0:
+            return np.empty(0, dtype=np.int64)
+        keys.append(k)
+    anchors = np.sort(np.concatenate(keys))
+    ok = np.ones(anchors.size, dtype=bool)
+    for k_i in keys:
+        idx = np.searchsorted(k_i, anchors, side="left")
+        has = idx < k_i.size
+        nxt = k_i[np.minimum(idx, k_i.size - 1)]
+        ok &= (
+            has
+            & ((nxt // stride) == (anchors // stride))
+            & (nxt - anchors <= window)
+        )
+    if not ok.any():
+        return np.empty(0, dtype=np.int64)
+    return cand[np.unique(anchors[ok] // stride)]
+
+
+def search_span_near(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene ``span_near`` as a standalone query: the analyzed tokens of
+    each query must co-occur within a span of ``len − 1 + slop``
+    positions — strictly increasing when ``in_order`` (≡ ``search_phrase``
+    slop), in ANY order when ``in_order=False``. The unordered form covers
+    the reordered matches ES sloppy phrases allow (e.g. "b a" for query
+    "a b" once the budget admits it), closing the in-order-only divergence
+    for callers that need it. Scoring: summed BM25 of the span terms,
+    like search_phrase. Unordered queries require DISTINCT tokens (the
+    window check cannot tell two occurrences of one term apart)."""
+    if in_order:
+        return search_phrase(spark, store, queries, k=k, field=field,
+                             slop=slop)
+    for q in queries["query"]:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        if len(toks) != len(set(toks)):
+            raise EngineError(
+                "unordered span_near needs distinct tokens per query"
+            )
+    scored = _phrase_scores(
+        spark, store, queries, field, slop=slop, ordered=False
+    )
+    if scored is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
 def search_phrase(
     spark: SparkSession,
     store: IndexStore,
@@ -1295,7 +1376,9 @@ def search_phrase(
     for query "a b"); this kernel never reorders — a sloppy query here is
     exactly ``span_near(in_order=true, slop=slop)``. Out-of-order matches
     are strictly additive, so every doc returned here is also an ES match
-    (no false positives, possible false negatives for transposed text).
+    (no false positives, possible false negatives for transposed text) —
+    callers that need reordered matches use :func:`search_span_near`
+    with ``in_order=False``.
 
     Requires a store built with ``positions=True``: per-(term, doc) token
     positions are decoded from the block pos_bytes payload and the phrase is
@@ -1319,11 +1402,14 @@ def _phrase_scores(
     queries: pd.DataFrame,
     field: str | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> DataFrame | None:
     """The phrase pipeline up to (qid, doc_int, score) rows — shared by
-    search_phrase and the query_string phrase clauses (which pack phrases
-    into composite qids). Returns None when no query has indexable terms.
-    Dead docs are NOT dropped here (callers aggregate first)."""
+    search_phrase, search_span_near (``ordered=False`` routes the span
+    check through the unordered-window kernel) and the query_string
+    phrase clauses (which pack phrases into composite qids). Returns None
+    when no query has indexable terms. Dead docs are NOT dropped here
+    (callers aggregate first)."""
     if not store.meta.get("positions"):
         raise EngineError(
             "phrase search needs a store built with positions=True"
@@ -1394,10 +1480,12 @@ def _phrase_scores(
         surv_l = []
         for c0 in range(0, cand.size, chunk):
             sub = cand[c0: c0 + chunk]
-            if slop > 0:
-                got = _span_near_survivors(
-                    by_term, phrase, sub, stride, slop
+            if slop > 0 or not ordered:
+                kernel_fn = (
+                    _span_near_survivors if ordered
+                    else _span_unordered_survivors
                 )
+                got = kernel_fn(by_term, phrase, sub, stride, slop)
                 if got.size:
                     surv_l.append(got)
                 continue

@@ -141,3 +141,51 @@ def test_explain_score_resolves_live_version(spark, tmp_path_factory):
     gone_id = f"{gone['repo']}.{gone['path']}.{gone['commit']}"
     tok = analysis.tokenize_series(pd.Series([gone["content"]]))[0][0]
     assert search.explain_score(spark, store, tok, gone_id).count() == 0
+
+
+# --------------------------------------- unordered span_near kernel
+
+def test_span_near_unordered_matches_reversed(spark, tmp_path_factory):
+    """span_near(in_order=False) finds transposed/reordered tokens that
+    the in-order chain cannot; in-order matches stay a strict subset."""
+    path = str(tmp_path_factory.mktemp("r3_span"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["fwd", "rev", "gap", "far", "half"],
+            "text": [
+                "alpha beta filler filler filler",        # in order, adjacent
+                "beta alpha filler filler filler",        # reversed, adjacent
+                "alpha filler beta filler filler",        # in order, gap 1
+                "alpha filler filler filler filler beta", # spread 5 — too far
+                "alpha filler filler filler filler",      # missing beta
+            ],
+        }
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        spark.createDataFrame(rows).withColumnRenamed("text", "content"),
+        cfg, path, segment_docs=8, num_buckets=4, positions=True,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha beta")], columns=["qid", "query"])
+
+    ordered = search.search_span_near(
+        spark, store, q, slop=2, in_order=True, k=10
+    ).toPandas()
+    unordered = search.search_span_near(
+        spark, store, q, slop=2, in_order=False, k=10
+    ).toPandas()
+    assert set(ordered["doc_id"]) == {"fwd", "gap"}
+    assert set(unordered["doc_id"]) == {"fwd", "rev", "gap"}
+    # scores are the summed BM25 of the span terms on both paths
+    so = dict(zip(ordered["doc_id"], ordered["score"]))
+    su = dict(zip(unordered["doc_id"], unordered["score"]))
+    for d in ("fwd", "gap"):
+        assert su[d] == pytest.approx(so[d], abs=1e-12)
+
+    with pytest.raises(Exception, match="distinct tokens"):
+        search.search_span_near(
+            spark, store,
+            pd.DataFrame([(0, "alpha alpha")], columns=["qid", "query"]),
+            slop=1, in_order=False,
+        )
