@@ -1,0 +1,94 @@
+"""Repetition-based quality filtering — the Gopher-style "repetitious
+document" signals (Rae et al. 2021, published filter set) a training-data
+pipeline applies before tokenization, adapted to token streams:
+
+- ``uniq_ratio``     distinct tokens / total tokens (low → boilerplate)
+- ``top_bigram_frac``  tokens covered by the single most frequent bigram
+  (count × 2 / n_tok) — catches "foo bar foo bar foo bar" loops
+- ``dup_trigram_frac`` fraction of trigram OCCURRENCES whose trigram
+  appears more than once — catches longer-period repetition
+
+Scale shape: n-gram counting is explode → two-level groupBy keyed by
+(doc_id, gram) then doc_id — partial aggregation map-side, shuffle volume
+bounded by per-doc distinct grams, never a per-row O(len × distinct)
+higher-order-function scan. All exact integer counts; the only floats are
+the final rounded ratios, so results are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import spark_tokens_expr
+
+
+def _gram_expr(n: int) -> str:
+    return (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence({n}, size(_toks)), "
+        f"i -> array_join(slice(_toks, i - {n} + 1, {n}), ' ')) "
+        "ELSE array() END"
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_tok, uniq_ratio_r, top_bigram_frac_r,
+    dup_trigram_frac_r), ratios rounded to 6 dp; the repetition fractions
+    are 0 for docs too short to form the n-gram."""
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+    )
+    counts = base.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tok"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_uniq"),
+    )
+
+    def gram_agg(n: int, agg_cols: list) -> DataFrame:
+        return (
+            base.select(
+                "doc_id", F.explode(F.expr(_gram_expr(n))).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(*agg_cols)
+        )
+
+    bi = gram_agg(2, [F.max("c").alias("bi_max")])
+    tri = gram_agg(
+        3,
+        [
+            F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("tri_dup"),
+            F.sum("c").alias("tri_tot"),
+        ],
+    )
+    out = (
+        counts.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(
+                F.col("n_uniq") / F.greatest(F.col("n_tok"), F.lit(1)), 6
+            ).alias("uniq_ratio_r"),
+            F.round(
+                F.coalesce(F.col("bi_max"), F.lit(0)) * 2.0
+                / F.greatest(F.col("n_tok"), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac_r"),
+            F.round(
+                F.coalesce(F.col("tri_dup"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("tri_tot"), F.lit(0)),
+                             F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac_r"),
+        )
+    )
+    return out

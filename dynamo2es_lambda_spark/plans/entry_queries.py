@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import IndexerConfig
 from ..functions import analysis, text as T
 from ..functions.bm25 import B, K1
-from ..operators import ann, decontam, dedup, sampling
+from ..operators import ann, decontam, dedup, quality, sampling
 from . import build, search
 
 # ---------------------------------------------------------------- helpers
@@ -3176,6 +3176,53 @@ SELECT doc_id, source FROM d WHERE u < rate
 """
 
 
+# ----------------------------------- 9g. repetition quality (Gopher-style)
+
+def q_text_repetition(spark, sf_dir):
+    return quality.repetition_stats(_docs(spark, sf_dir))
+
+
+def _repetition_sql() -> str:
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS t
+           FROM documents),
+counts AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq
+  FROM d
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(t) + 1),
+                i -> array_to_string(t[i - 1 : i], ' '))) AS g
+  FROM d
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bi AS (SELECT doc_id, max(c) AS bi_max FROM bc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(3, len(t) + 1),
+                i -> array_to_string(t[i - 2 : i], ' '))) AS g
+  FROM d
+),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tri AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c END) AS tri_dup,
+         sum(c) AS tri_tot
+  FROM tc GROUP BY doc_id
+)
+SELECT counts.doc_id AS doc_id, n_tok,
+       round(n_uniq / greatest(n_tok, 1), 6) AS uniq_ratio_r,
+       round(COALESCE(bi_max, 0) * 2.0 / greatest(n_tok, 1), 6)
+         AS top_bigram_frac_r,
+       round(COALESCE(tri_dup, 0) / greatest(COALESCE(tri_tot, 0), 1), 6)
+         AS dup_trigram_frac_r
+FROM counts
+LEFT JOIN bi USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+"""
+
+
 # -------------------------------------------------------- 10. text quality
 
 def q_text_quality(spark, sf_dir):
@@ -3676,6 +3723,7 @@ SPARK_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "decontam_ngram": q_decontam_ngram,
     "corpus_sample_mix": q_corpus_sample_mix,
+    "text_repetition": q_text_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_date_histogram": q_events_date_histogram,
@@ -3774,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(),
         "decontam_ngram": _decontam_sql(),
         "corpus_sample_mix": _sample_mix_sql(),
+        "text_repetition": _repetition_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "events_date_histogram": SQL_EVENTS_DATE_HIST,

@@ -91,3 +91,28 @@ def test_stratified_sample_rejects_bad_rates(spark, strata_df):
         sampling.stratified_sample(
             strata_df, "src", {}, key_col="id", default_rate=-0.1
         )
+
+
+def test_repetition_stats_hand_case(spark):
+    """Gopher-style repetition metrics on a hand-computable fixture."""
+    from dynamo2es_lambda_spark.operators import quality
+
+    rows = [
+        (0, "foo bar foo bar foo bar"),   # 6 tok, 2 uniq; "foo bar" x3
+        (1, "one two three four five"),   # all unique, no repeats
+        (2, "x"),                          # too short for any n-gram
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = quality.repetition_stats(df).toPandas().set_index("doc_id")
+    r0 = got.loc["0"]
+    assert r0["n_tok"] == 6
+    assert r0["uniq_ratio_r"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r0["top_bigram_frac_r"] == pytest.approx(1.0, abs=1e-6)
+    # trigrams of doc 0: "foo bar foo" x2, "bar foo bar" x2 -> all 4 dup
+    assert r0["dup_trigram_frac_r"] == pytest.approx(1.0, abs=1e-6)
+    r1 = got.loc["1"]
+    assert r1["uniq_ratio_r"] == 1.0
+    assert r1["top_bigram_frac_r"] == pytest.approx(2 / 5, abs=1e-6)
+    assert r1["dup_trigram_frac_r"] == 0.0
+    r2 = got.loc["2"]
+    assert (r2["top_bigram_frac_r"], r2["dup_trigram_frac_r"]) == (0.0, 0.0)
