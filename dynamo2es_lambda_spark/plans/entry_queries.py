@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import IndexerConfig
 from ..functions import analysis, text as T
 from ..functions.bm25 import B, K1
-from ..operators import ann, decontam, dedup, quality, sampling
+from ..operators import ann, decontam, dedup, packing, quality, sampling
 from . import build, search
 
 # ---------------------------------------------------------------- helpers
@@ -3176,6 +3176,69 @@ SELECT doc_id, source FROM d WHERE u < rate
 """
 
 
+# ----------------------------------- 9f2. sequence packing
+# Token-budget next-fit packing into training sequences
+# (operators/packing.py): md5 pack groups, doc_id order, one shuffle.
+# The oracle replicates the sequential next-fit state machine with a
+# recursive CTE — exact packing parity, not just row counts.
+
+PACK_BUDGET, PACK_GROUPS = 150, 8
+
+
+def q_corpus_pack_sequences(spark, sf_dir):
+    return packing.pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    )
+
+
+def _pack_sql() -> str:
+    b, g = PACK_BUDGET, PACK_GROUPS
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len({DOC_TOKS}) AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {g} AS grp
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM d
+),
+pack AS (
+  SELECT grp, rn, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS seq_assigned,
+         n_tok > {b} AS oversize,
+         CASE WHEN n_tok > {b} THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS next_seq,
+         CASE WHEN n_tok > {b} THEN CAST(0 AS BIGINT)
+              ELSE n_tok END AS next_acc
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT x.grp, x.rn, x.doc_id, x.n_tok,
+         CASE WHEN x.n_tok > {b} THEN
+                CASE WHEN p.next_acc > 0 THEN p.next_seq + 1
+                     ELSE p.next_seq END
+              WHEN p.next_acc + x.n_tok > {b} THEN p.next_seq + 1
+              ELSE p.next_seq END AS seq_assigned,
+         x.n_tok > {b} AS oversize,
+         CASE WHEN x.n_tok > {b} THEN
+                (CASE WHEN p.next_acc > 0 THEN p.next_seq + 1
+                      ELSE p.next_seq END) + 1
+              WHEN p.next_acc + x.n_tok > {b} THEN p.next_seq + 1
+              ELSE p.next_seq END AS next_seq,
+         CASE WHEN x.n_tok > {b} THEN CAST(0 AS BIGINT)
+              WHEN p.next_acc + x.n_tok > {b} THEN x.n_tok
+              ELSE p.next_acc + x.n_tok END AS next_acc
+  FROM pack p JOIN r x ON x.grp = p.grp AND x.rn = p.rn + 1
+)
+SELECT doc_id, n_tok, CAST(grp AS BIGINT) AS "group",
+       CAST(grp * 1099511627776 + seq_assigned AS BIGINT) AS seq_id,
+       oversize
+FROM pack
+"""
+
+
 # ----------------------------------- 9g. repetition quality (Gopher-style)
 
 def q_text_repetition(spark, sf_dir):
@@ -3724,6 +3787,7 @@ SPARK_QUERIES = {
     "decontam_ngram": q_decontam_ngram,
     "corpus_sample_mix": q_corpus_sample_mix,
     "text_repetition": q_text_repetition,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_date_histogram": q_events_date_histogram,
@@ -3823,6 +3887,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngram": _decontam_sql(),
         "corpus_sample_mix": _sample_mix_sql(),
         "text_repetition": _repetition_sql(),
+        "corpus_pack_sequences": _pack_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "events_date_histogram": SQL_EVENTS_DATE_HIST,

@@ -116,3 +116,33 @@ def test_repetition_stats_hand_case(spark):
     assert r1["dup_trigram_frac_r"] == 0.0
     r2 = got.loc["2"]
     assert (r2["top_bigram_frac_r"], r2["dup_trigram_frac_r"]) == (0.0, 0.0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Next-fit packing: per-sequence token sums stay within budget
+    (except single oversize docs), every doc is assigned exactly once,
+    and the packing is partitioning-independent."""
+    from dynamo2es_lambda_spark.operators import packing
+
+    rows = [(i, "tok " * (5 + (i * 7) % 30)) for i in range(80)]
+    rows.append((999, "big " * 50))  # oversize vs budget 40
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = packing.pack_sequences(df, budget=40, n_groups=4).toPandas()
+    assert len(out) == 81
+    assert out["doc_id"].is_unique
+    sums = out[~out["oversize"]].groupby("seq_id")["n_tok"].sum()
+    assert (sums <= 40).all()
+    over = out[out["oversize"]]
+    assert list(over["doc_id"]) == ["999"]
+    # an oversize doc never shares its sequence
+    assert (out["seq_id"] == over["seq_id"].iloc[0]).sum() == 1
+    # deterministic under repartitioning
+    out2 = packing.pack_sequences(
+        df.repartition(13), budget=40, n_groups=4
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    with pytest.raises(EngineError, match="budget"):
+        packing.pack_sequences(df, budget=0)
