@@ -271,6 +271,60 @@ def main() -> None:
         plan_of(pairs),
     ))
 
+    # --- 6. range query: bounds pushed into the metadata scan ---
+    sections.append((
+        "Range query (metadata-only, pushed bounds)",
+        "ES range in filter context never touches postings: the gte/lt "
+        "bounds reach the doc-marker parquet scan as PushedFilters, so "
+        "row groups outside the bounds are skipped by min/max statistics "
+        "before any decode. The constant-score rank is one window over "
+        "the surviving metadata rows.",
+        plan_of(search.search_range(spark, store, "dl", gte=30, lt=60, k=5)),
+    ))
+
+    # --- 7. unordered span_near: same pruned read as ordered phrase ---
+    sn = pd.DataFrame({"qid": [0], "query": ["merge spark"]})
+    sections.append((
+        "Unordered span_near (any-order window kernel)",
+        "in_order=false rides the identical physical plan as the ordered "
+        "phrase: pruned positional block read, per-(qid, seg) "
+        "applyInPandas verification — only the in-kernel window check "
+        "differs (one searchsorted per term over anchor keys). No extra "
+        "exchange, no extra scan.",
+        plan_of(search.search_span_near(
+            spark, store, sn, slop=2, in_order=False, k=5
+        )),
+    ))
+
+    # --- 8. decontamination: broadcast eval-set grams ---
+    from dynamo2es_lambda_spark.operators import decontam as _dc
+
+    d_all = entry_queries._docs(spark, SF_DIR)
+    sections.append((
+        "Benchmark decontamination (broadcast n-gram join)",
+        "The eval set's distinct n-grams broadcast; the corpus-side gram "
+        "stream is a native explode over the tokenizer expression and "
+        "joins map-side — the corpus NEVER shuffles for the join; the "
+        "only exchange is the per-doc hit count keyed by doc_id.",
+        plan_of(_dc.ngram_contamination(
+            d_all.filter(F.col("doc_id") >= 20),
+            d_all.filter(F.col("doc_id") < 20), n=5,
+        )),
+    ))
+
+    # --- 9. sequence packing: one shuffle keyed by pack group ---
+    from dynamo2es_lambda_spark.operators import packing as _pk
+
+    sections.append((
+        "Sequence packing (next-fit per md5 pack group)",
+        "One exchange keyed by the md5 pack group; the sequential "
+        "next-fit state machine runs inside applyInPandas per group with "
+        "a running counter — no global sort, no driver state, packing "
+        "reproducible on any cluster because group and order derive from "
+        "the data alone.",
+        plan_of(_pk.pack_sequences(d_all, budget=150, n_groups=8)),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (`explain('formatted')`)\n\n"
