@@ -108,3 +108,43 @@ def fingerprint_rolling(col: str) -> Column:
         f"element_at({vals}, 1), "
         f"(a, b) -> pmod(a * {ROLL_MULT} + b, {ROLL_P2}))"
     )
+
+
+# PII scrubbing — the redaction pass a training pipeline runs before text
+# reaches tokenization. Patterns restricted to syntax that means the SAME
+# thing in Java regex (Spark regexp_replace) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries, non-capturing groups.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4",
+     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone",
+     "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+     "<PHONE>"),
+]
+
+
+def scrub_pii(col: str) -> Column:
+    """Redact emails, IPv4 addresses, and simple phone numbers with typed
+    placeholders — patterns applied in PII_PATTERNS order (email first, so
+    an address is never half-eaten by the IP rule's digit runs)."""
+    out = F.col(col)
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col: str, kind: str) -> Column:
+    """Occurrences of one PII pattern (``email``/``ipv4``/``phone``) —
+    counted on the RAW text, pre-redaction. The pattern's backslashes are
+    doubled for the SQL literal layer (Spark unescapes ``'\\b'`` in a SQL
+    string to a backspace character; the Column-API ``regexp_replace`` in
+    :func:`scrub_pii` takes the raw pattern and needs no doubling)."""
+    pat = {n: p for n, p, _ in PII_PATTERNS}[kind]
+    sql_pat = pat.replace("\\", "\\\\")
+    return F.expr(
+        f"cast(size(regexp_extract_all({col}, '{sql_pat}', 0)) as bigint)"
+    )

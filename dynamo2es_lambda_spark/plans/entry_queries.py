@@ -3239,6 +3239,56 @@ FROM pack
 """
 
 
+# ----------------------------------- 9f3. PII scrubbing
+# Redaction pass (functions/text.scrub_pii): emails / IPv4 / phone →
+# typed placeholders. The driver table carries no PII, so the gate PLANTS
+# a deterministic per-doc PII suffix on BOTH sides (same concat in Spark
+# and SQL) and verifies the redacted text and per-kind counts match.
+
+def q_text_scrub_pii(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".255 call 555-123-4567"),
+        ).alias("raw"),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_count("raw", "email").alias("n_email"),
+        T.pii_count("raw", "ipv4").alias("n_ip"),
+        T.pii_count("raw", "phone").alias("n_phone"),
+        F.md5(T.scrub_pii("raw")).alias("scrubbed_md5"),
+    )
+
+
+def _scrub_pii_sql() -> str:
+    email, ipv4, phone = (p for _n, p, _r in T.PII_PATTERNS)
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.255 call 555-123-4567' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{ipv4}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(raw, '{phone}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             '{email}', '<EMAIL>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM d
+"""
+
+
 # ----------------------------------- 9g. repetition quality (Gopher-style)
 
 def q_text_repetition(spark, sf_dir):
@@ -3788,6 +3838,7 @@ SPARK_QUERIES = {
     "corpus_sample_mix": q_corpus_sample_mix,
     "text_repetition": q_text_repetition,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "text_scrub_pii": q_text_scrub_pii,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_date_histogram": q_events_date_histogram,
@@ -3888,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_mix": _sample_mix_sql(),
         "text_repetition": _repetition_sql(),
         "corpus_pack_sequences": _pack_sql(),
+        "text_scrub_pii": _scrub_pii_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "events_date_histogram": SQL_EVENTS_DATE_HIST,

@@ -146,3 +146,29 @@ def test_pack_sequences_invariants(spark):
 
     with pytest.raises(EngineError, match="budget"):
         packing.pack_sequences(df, budget=0)
+
+
+def test_scrub_pii_planted_cases(spark):
+    """Planted PII redacts to typed placeholders; counts match; clean
+    text passes through untouched."""
+    from dynamo2es_lambda_spark.functions import text as T
+
+    rows = [
+        (0, "mail a.b+c@test.org and 10.1.2.3 then dial 555-123-4567 ok"),
+        (1, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = df.select(
+        "doc_id",
+        T.scrub_pii("text").alias("clean"),
+        T.pii_count("text", "email").alias("ne"),
+        T.pii_count("text", "ipv4").alias("ni"),
+        T.pii_count("text", "phone").alias("np"),
+    ).toPandas().set_index("doc_id")
+    assert got.loc[0, "clean"] == "mail <EMAIL> and <IP> then dial <PHONE> ok"
+    assert tuple(got.loc[0, ["ne", "ni", "np"]]) == (1, 1, 1)
+    assert got.loc[1, "clean"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert tuple(got.loc[1, ["ne", "ni", "np"]]) == (2, 1, 0)
+    assert got.loc[2, "clean"] == "nothing sensitive here"
+    assert tuple(got.loc[2, ["ne", "ni", "np"]]) == (0, 0, 0)
