@@ -92,14 +92,18 @@ def lsh_assign(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
-    """Adds ``bucket`` = sign-bit hash against fixed random hyperplanes."""
+    """Adds ``bucket`` = sign-bit hash against fixed random hyperplanes
+    (``planes`` overrides the seeded Gaussian matrix, e.g.
+    :func:`rademacher_planes`)."""
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    fixed = planes
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes: np.ndarray | None = None
+        planes: np.ndarray | None = fixed
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -305,7 +305,9 @@ def main() -> None:
         "The eval set's distinct n-grams broadcast; the corpus-side gram "
         "stream is a native explode over the tokenizer expression and "
         "joins map-side — the corpus NEVER shuffles for the join; the "
-        "only exchange is the per-doc hit count keyed by doc_id.",
+        "only corpus-sized exchange is the per-doc hit count keyed by "
+        "doc_id (the second exchange is the eval-set-sized gram distinct "
+        "feeding the broadcast).",
         plan_of(_dc.ngram_contamination(
             d_all.filter(F.col("doc_id") >= 20),
             d_all.filter(F.col("doc_id") < 20), n=5,
