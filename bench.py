@@ -167,8 +167,68 @@ def main() -> None:
     sig = pd.DataFrame(entry_queries.SIG_QUERIES, columns=["qid", "query"])
     corpus_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
+    # --- CDC apply+compact: base store built ONCE untimed over a corpus
+    # slice; each pass copies it (tiny vs the timed work) and applies a
+    # deterministic event batch (10% MODIFY, 5% REMOVE, 5% INSERT) with
+    # compaction — the index-maintenance cost the bench previously skipped
+    import numpy as np
+
+    from dynamo2es_lambda_spark.plans import cdc as cdc_plans
+    from dynamo2es_lambda_spark.streaming import apply_cdc as acdc
+
+    cfg_cdc = IndexerConfig(index="code", version_field="version",
+                            record_error_hook=lambda df: None)
+    n_cdc = min(max(n_synth // 5, 2000), 20000)
+    cdc_base = tempfile.mkdtemp(prefix="d2es_bench_cdc_base_")
+    cdc_pdf = synthetic.corpus_pdf(np.arange(n_cdc))
+    cdc_pdf["version"] = 0
+    build.build_index(
+        spark.createDataFrame(cdc_pdf), cfg_cdc, cdc_base,
+        num_buckets=32, resume=False,
+    )
+
+    def _img(row, version, content=None):
+        return {
+            "repo": row["repo"], "path": row["path"],
+            "commit": row["commit"], "lang": row["lang"],
+            "content": content if content is not None else row["content"],
+            "version": version,
+        }
+
+    ev_rows = []
+    for i in range(0, n_cdc // 10):
+        r = cdc_pdf.iloc[i]
+        ev_rows.append(("MODIFY",
+                        {"repo": r["repo"], "path": r["path"],
+                         "commit": r["commit"]},
+                        _img(r, 1, r["content"] + " modified token"),
+                        _img(r, 0)))
+    for i in range(n_cdc // 10, n_cdc // 10 + n_cdc // 20):
+        r = cdc_pdf.iloc[i]
+        ev_rows.append(("REMOVE",
+                        {"repo": r["repo"], "path": r["path"],
+                         "commit": r["commit"]}, None, _img(r, 0)))
+    ins = synthetic.corpus_pdf(np.arange(n_cdc, n_cdc + n_cdc // 20))
+    for _, r in ins.iterrows():
+        ev_rows.append(("INSERT",
+                        {"repo": r["repo"], "path": r["path"],
+                         "commit": r["commit"]}, _img(r, 1), None))
+    cdc_events = spark.createDataFrame(
+        pd.DataFrame(ev_rows, columns=["event_name", "keys", "new_image",
+                                       "old_image"]),
+        schema=acdc.EVENT_SCHEMA,
+    ).localCheckpoint(eager=True)  # materialize: the batch, not its build
+
+    def cdc_apply_compact():
+        dst = tempfile.mkdtemp(prefix="d2es_bench_cdc_run_")
+        shutil.rmtree(dst)
+        shutil.copytree(cdc_base, dst)
+        cdc_plans.apply_changes(cdc_events, cfg_cdc, dst, compact=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
     tasks: list[tuple[str, object]] = [
         ("index_build_synth", build_synth),
+        ("cdc_apply_compact", cdc_apply_compact),
         ("index_build_docs", build_docs),
         ("index_build_docs_multifield", build_mf),
         ("bm25_query_set_wand",
@@ -253,9 +313,11 @@ def main() -> None:
     )
     extra["bench_passes"] = N_PASSES
 
+    extra["cdc_events"] = len(ev_rows)
     shutil.rmtree(synth_store, ignore_errors=True)
     shutil.rmtree(docs_store, ignore_errors=True)
     shutil.rmtree(mf_store_path, ignore_errors=True)
+    shutil.rmtree(cdc_base, ignore_errors=True)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

@@ -100,6 +100,7 @@ def apply_changes(
 
     if cfg.before_hook:
         cfg.before_hook(events)
+    _cached = []
     try:
         # reference validates the event shape before touching any record
         # (lib/handler.js:36); errorHook still catches the ValidationError
@@ -107,7 +108,14 @@ def apply_changes(
         mapped = fieldmap.apply_field_mapping(
             events, cfg, content_col=content_col
         )
-        routed = actions.dispatch(mapped)
+        # the routed batch feeds FIVE downstream actions (quarantine count
+        # + write, upsert emptiness probe + build, delete count + write):
+        # without a cache each one re-runs the struct mapping, dispatch,
+        # and LWW window from the source. Both frames are CDC-batch-sized
+        # (a stream micro-batch), so caching them is bounded; released in
+        # the finally below.
+        routed = actions.dispatch(mapped).persist()
+        _cached.append(routed)
 
         bad = routed.filter(F.col("error").isNotNull())
         good = routed.filter(F.col("error").isNull())
@@ -126,7 +134,8 @@ def apply_changes(
             if first is not None:
                 raise EngineError(first["error"])
 
-        good = actions.last_writer_wins(good)
+        good = actions.last_writer_wins(good).persist()
+        _cached.append(good)
         # per-record meta for after_hook (lib/handler.js:115-125,167):
         # the action column from dispatch rides along
         meta_df = build.build_meta(good)
@@ -175,8 +184,17 @@ def apply_changes(
             corpus = corpus.withColumn(
                 "content_sha256", build._fields_sha(mf_fields)
             )
+        # ONE aggregation answers both control questions (any upserts?
+        # how many deletes?) instead of an isEmpty probe plus a separate
+        # count — two fewer jobs per batch on the cached LWW frame
+        action_counts = {
+            r["action"]: int(r["cnt"])
+            for r in good.groupBy("action")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
         n_up = 0
-        if not corpus.isEmpty():
+        if action_counts.get(actions.ACTION_INDEX, 0):
             n_up, _ = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
                 content_col=content_col,
@@ -193,7 +211,7 @@ def apply_changes(
         deletes = good.filter(F.col("action") == actions.ACTION_DELETE).select(
             "doc_id", "version"
         )
-        n_del = deletes.count()
+        n_del = action_counts.get(actions.ACTION_DELETE, 0)
         if n_del:
             store_io.write_parquet(
                 deletes,
@@ -237,6 +255,9 @@ def apply_changes(
         if cfg.error_hook is not None:
             return cfg.error_hook(err)
         raise
+    finally:
+        for df in _cached:
+            df.unpersist(blocking=False)
 
 
 def compact_store(

@@ -1652,6 +1652,37 @@ def q_fts_sorted(spark, sf_dir):
     )
 
 
+SORT_AFTER = (55.0, "250")  # keyset cursor: page past (dl, doc_id)
+
+
+def q_fts_sorted_after(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_sorted(
+        spark, store, qpdf, sort_col="dl", k=FT_K, ascending=True,
+        search_after=SORT_AFTER,
+    )
+
+
+def _sorted_after_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_sorted_after: the dl-ascending match set strictly
+    after the (sort_value, doc_id) keyset cursor."""
+    sv, did = SORT_AFTER
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+ranked AS (
+  SELECT CAST(m.qid AS BIGINT) AS qid, m.doc_id AS doc_id,
+         CAST(dl.dl AS DOUBLE) AS sort_value,
+         CAST(row_number() OVER (
+           PARTITION BY m.qid ORDER BY dl.dl ASC, m.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+  WHERE dl.dl > {sv}
+     OR (dl.dl = {sv} AND m.doc_id > '{did}')
+)
+SELECT qid, rank, doc_id, sort_value FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_fts_suggest(spark, sf_dir):
     store = _corpus_store(spark, sf_dir)
     ppdf = pd.DataFrame(SUGGEST_PROBES, columns=["qid", "probe"])
@@ -3823,6 +3854,7 @@ SPARK_QUERIES = {
     "fts_range_agg": q_fts_range_agg,
     "fts_decay": q_fts_decay,
     "fts_span_near": q_fts_span_near,
+    "fts_sorted_after": q_fts_sorted_after,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3918,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_span_near": _span_near_sql(
             SPAN_NEAR_QUERIES, FT_K, SPAN_NEAR_SLOP
         ),
+        "fts_sorted_after": _sorted_after_sql(SORTED_QUERIES, FT_K),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -2043,11 +2043,18 @@ def search_sorted(
     ascending: bool = True,
     mode: str = "or",
     field: str | None = None,
+    search_after: tuple | None = None,
 ) -> DataFrame:
     """ES ``sort`` on a document field: the match set (OR/AND, unscored)
     ordered by a doc_stats column instead of relevance; ties break on
     doc_id ascending (ES adds the same implicit tiebreak on _id). Returns
     (qid, rank, doc_id, sort_value).
+
+    ``search_after=(sort_value, doc_id)`` pages past the given keyset
+    cursor (ES search_after on a field sort): only rows strictly after
+    the cursor in (sort_value, doc_id) order survive, applied BEFORE the
+    rank window — deep pages never rank the skipped prefix. Ranks restart
+    at 1 per page, like ES hit positions.
 
     The sort key joins from the metadata-sized doc_stats AFTER the match
     aggregation; only the match set is ranked — no posting re-read."""
@@ -2061,6 +2068,16 @@ def search_sorted(
         F.col(sort_col).cast("double").alias("sort_value"),
     )
     named = hits.join(stats, "doc_int")
+    if search_after is not None:
+        sv, did = float(search_after[0]), str(search_after[1])
+        strictly = (
+            F.col("sort_value") > sv if ascending
+            else F.col("sort_value") < sv
+        )
+        named = named.filter(
+            strictly
+            | ((F.col("sort_value") == sv) & (F.col("doc_id") > did))
+        )
     order = (
         F.col("sort_value").asc() if ascending else F.col("sort_value").desc()
     )
