@@ -1072,6 +1072,28 @@ def q_fts_decay(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+def q_fts_terms_agg(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_terms_agg(
+        spark, store, qpdf, group_col="lang", value_col="dl"
+    )
+
+
+def _terms_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Oracle for q_fts_terms_agg: per (qid, lang) match-set count + mean
+    dl."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid, doc.lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dl.dl), 6) AS avg_value_r
+FROM m
+JOIN dl ON dl.doc_id = m.doc_id
+JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+GROUP BY m.qid, doc.lang
+"""
+
+
 def _match_all_sql() -> str:
     return f"""
 WITH ranked AS (
@@ -3855,6 +3877,7 @@ SPARK_QUERIES = {
     "fts_decay": q_fts_decay,
     "fts_span_near": q_fts_span_near,
     "fts_sorted_after": q_fts_sorted_after,
+    "fts_terms_agg_avg": q_fts_terms_agg,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3951,6 +3974,7 @@ def oracle_sql() -> dict[str, str]:
             SPAN_NEAR_QUERIES, FT_K, SPAN_NEAR_SLOP
         ),
         "fts_sorted_after": _sorted_after_sql(SORTED_QUERIES, FT_K),
+        "fts_terms_agg_avg": _terms_agg_sql(SORTED_QUERIES),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

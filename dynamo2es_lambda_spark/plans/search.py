@@ -2361,6 +2361,43 @@ def search_histogram(
     )
 
 
+def search_terms_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``terms`` aggregation WITH a metric sub-aggregation — the most
+    common agg combo (`terms` bucket + `avg`): per (qid, doc-field value)
+    bucket, the match-set doc count and the mean of a numeric doc_stats
+    column, 6-dp rounded. Returns (qid, group, n_docs, avg_value_r).
+
+    Same plan family as the histogram: the match set joins the
+    metadata-sized doc_stats once; both metrics come out of ONE hash
+    aggregation (partial map-side)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, group string, n_docs long, avg_value_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "group")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_v"), 6).alias("avg_value_r"),
+        )
+    )
+
+
 def search_range_agg(
     spark: SparkSession,
     store: IndexStore,
