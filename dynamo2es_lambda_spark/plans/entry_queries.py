@@ -2178,6 +2178,91 @@ def q_fts_multi_match(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+CF_WEIGHTS = {"text": 1.0, "source": 2.0}
+
+
+def q_fts_combined_fields(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(MM_QUERIES, columns=["qid", "query"])
+    res = search.search_combined_fields(
+        spark, store, qpdf, fields=CF_WEIGHTS, k=50
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _combined_fields_sql(
+    queries: list[tuple[int, str]], k: int, weights: dict
+) -> str:
+    """Oracle for q_fts_combined_fields: BM25F pseudo-field — weighted tf
+    and dl sums across fields, df = docs holding the term in ANY field,
+    one combined BM25 per term."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    wt, ws = weights["text"], weights["source"]
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt,
+         {SRC_TOKS} AS ts
+  FROM documents
+),
+dlc AS (
+  SELECT doc_id, {wt} * len(tt) + {ws} * len(ts) AS dl_comb FROM corpus
+),
+stats AS (
+  SELECT count(*) AS n,
+         {wt} * (SELECT avg(len(tt)) FROM corpus)
+           + {ws} * (SELECT avg(len(ts)) FROM corpus) AS avg_comb
+  FROM corpus
+),
+post_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+post_s AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+comb AS (
+  SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+         COALESCE(t.term, s.term) AS term,
+         {wt} * COALESCE(t.tf, 0) + {ws} * COALESCE(s.tf, 0) AS tf_comb
+  FROM post_t t
+  FULL OUTER JOIN post_s s ON s.doc_id = t.doc_id AND s.term = t.term
+),
+dfc AS (SELECT term, count(*) AS df FROM comb GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, c.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+             * ({K1} + 1.0) * c.tf_comb
+             / (c.tf_comb + {K1} * (1.0 - {B}
+                + {B} * dlc.dl_comb / st.avg_comb))
+         ) AS score
+  FROM q
+  JOIN comb c ON c.term = q.term
+  JOIN dfc d ON d.term = q.term
+  JOIN dlc ON dlc.doc_id = c.doc_id
+  CROSS JOIN stats st
+  GROUP BY q.qid, c.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _multi_match_sql(
     queries: list[tuple[int, str]], k: int, boosts: dict, tie: float
 ) -> str:
@@ -3878,6 +3963,7 @@ SPARK_QUERIES = {
     "fts_span_near": q_fts_span_near,
     "fts_sorted_after": q_fts_sorted_after,
     "fts_terms_agg_avg": q_fts_terms_agg,
+    "fts_combined_fields": q_fts_combined_fields,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3975,6 +4061,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_sorted_after": _sorted_after_sql(SORTED_QUERIES, FT_K),
         "fts_terms_agg_avg": _terms_agg_sql(SORTED_QUERIES),
+        "fts_combined_fields": _combined_fields_sql(
+            MM_QUERIES, FT_K, CF_WEIGHTS
+        ),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -442,6 +442,141 @@ def multi_match(
     return _present(spark, store, _cut_topk(combined, k), k)
 
 
+def _decode_tfs(joined: DataFrame) -> DataFrame:
+    """Decode matched blocks to RAW (qid, term, doc_int, tf) rows — no
+    scoring. combined_fields needs per-field term freqs before any length
+    norm (the norm applies to the cross-field combined tf)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, _dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": row.qid, "term": row.term,
+                         "doc_int": ids, "tf": tfs}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return joined.select(
+        "qid", "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInPandas(run, schema="qid long, term string, doc_int long, tf long")
+
+
+def search_combined_fields(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    fields: dict[str, float] | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``combined_fields`` (the principled BM25F-style alternative to
+    multi_match): the listed fields merge into ONE pseudo-field BEFORE
+    scoring — per (term, doc) ``tf_comb = Σ_f w_f · tf_f``, per doc
+    ``dl_comb = Σ_f w_f · dl_f`` (from the marker ``field_dls``),
+    ``avgdl_comb = Σ_f w_f · avgdl_f``, and df = docs containing the term
+    in ANY listed field — then ONE BM25 per term. Weights are the ES
+    per-field boosts and must be ≥ 1 (ES constraint); all fields share
+    the store's single analyzer (ES requires compatible analysis).
+
+    Plan: one pruned posting read covers every (term, field) variant; the
+    raw tfs decode once, combine in a single (qid, term, doc) hash
+    aggregation, and the pseudo-field df comes from a window count over
+    that aggregate — EXACT (the candidate rows hold every doc containing
+    the term in any field) with no second posting pass and no driver
+    materialization. Like ES, df counts not-yet-merged deleted docs (the
+    dead list filters candidates after scoring, exactly as the other
+    additive paths do)."""
+    flds = store.meta.get("fields")
+    if not flds:
+        raise EngineError("combined_fields needs a multi-field store")
+    if isinstance(fields, dict):
+        fmap = {str(f): float(w) for f, w in fields.items()}
+    else:
+        fmap = {str(f): 1.0 for f in fields}
+    if not fmap:
+        raise EngineError("combined_fields needs at least one field")
+    for f, w in fmap.items():
+        if f not in flds:
+            raise EngineError(f"unknown field {f!r}; store fields: {flds}")
+        if w < 1.0:
+            raise EngineError(
+                f"combined_fields weight for {f!r} must be >= 1 (ES rule)"
+            )
+    n_docs = float(store.meta["n_docs"])
+    avgdl_comb = sum(
+        w * float(store.meta["avgdl_fields"][f]) for f, w in fmap.items()
+    )
+
+    qt0 = _query_terms(queries)
+    if qt0.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    parts = []
+    for f, w in sorted(fmap.items()):
+        p = qt0.copy()
+        p["base"] = p["term"]
+        p["term"] = f + ":" + p["term"]
+        p["fw"] = w
+        parts.append(p)
+    qt = pd.concat(parts, ignore_index=True)
+    qt["w"] = 1.0  # required by the block join; weights apply post-decode
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    raw = _decode_tfs(_matched_blocks(spark, store, qt))
+    tmap = spark.createDataFrame(
+        qt[["qid", "term", "base", "qtf", "fw"]].drop_duplicates()
+    )
+    rows = raw.join(F.broadcast(tmap), ["qid", "term"])
+    per = (
+        rows.groupBy("qid", "base", "qtf", "doc_int")
+        .agg(F.sum(F.col("fw") * F.col("tf")).alias("tf_comb"))
+    )
+    w_df = Window.partitionBy("qid", "base")
+    idx = {f: flds.index(f) for f in fmap}
+    dl_expr = None
+    for f, w in sorted(fmap.items()):
+        term_dl = F.col("field_dls")[idx[f]].cast("double") * F.lit(float(w))
+        dl_expr = term_dl if dl_expr is None else dl_expr + term_dl
+    stats = store.doc_stats(spark).select(
+        "doc_int", dl_expr.alias("_dlc")
+    )
+    dfc = F.count("*").over(w_df).cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+    )
+    tf_c = F.col("tf_comb")
+    norm = tf_c / (
+        tf_c
+        + F.lit(bm25.K1)
+        * (
+            F.lit(1.0 - bm25.B)
+            + F.lit(bm25.B) * F.col("_dlc") / F.lit(avgdl_comb)
+        )
+    )
+    scored = (
+        per.withColumn("_idf", idf)
+        .join(stats, "doc_int")
+        .withColumn(
+            "score",
+            F.col("qtf") * F.col("_idf") * F.lit(bm25.K1 + 1.0) * norm,
+        )
+    )
+    agg = scored.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def _segment_constraints(
     spark: SparkSession,
     store: IndexStore,

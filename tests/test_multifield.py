@@ -411,3 +411,34 @@ def test_cdc_on_multifield_store(spark, mf_store, corpus_pdf, tmp_path):
     ).toPandas()  # content field: the new body contains zzqq too
     assert len(res2) == 1
     assert res.iloc[0]["doc_id"] == res2.iloc[0]["doc_id"]
+
+
+def test_combined_fields_validation_and_shape(spark, mf_store):
+    qpdf = pd.DataFrame([(0, "spark merge")], columns=["qid", "query"])
+    with pytest.raises(EngineError, match=">= 1"):
+        search.search_combined_fields(
+            spark, mf_store, qpdf, fields={"content": 0.5}
+        )
+    with pytest.raises(EngineError, match="unknown field"):
+        search.search_combined_fields(
+            spark, mf_store, qpdf, fields={"nope": 1.0}
+        )
+    res = search.search_combined_fields(
+        spark, mf_store, qpdf, fields=list(mf_store.meta["fields"]), k=5
+    ).toPandas()
+    assert {"qid", "rank", "doc_id", "score"} == set(res.columns)
+    assert len(res) > 0
+    # equal unit weights over one field == that field's plain BM25 with
+    # combined df/dl degenerating to the field's own
+    one = search.search_combined_fields(
+        spark, mf_store, qpdf, fields={mf_store.meta["fields"][0]: 1.0},
+        k=5,
+    ).toPandas()
+    plain = search.search(
+        spark, mf_store, qpdf, k=5, field=mf_store.meta["fields"][0]
+    ).toPandas()
+    a = dict(zip(one["doc_id"], one["score"]))
+    b = dict(zip(plain["doc_id"], plain["score"]))
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], rel=1e-9)
