@@ -85,11 +85,15 @@ def apply_changes(
     content_col: str = "content",
     segment_docs: int | None = None,
     num_buckets: int | None = None,
-    compact: bool = False,
+    compact: bool | str = False,
 ) -> dict:
     """Apply one CDC batch (event_name/keys/new_image/old_image rows).
 
     Returns a summary dict (upserts, deletes, quarantined).
+
+    ``compact``: False (never), True (always after the batch), or
+    ``"auto"`` — run :func:`maybe_compact`'s merge policy (batch-count /
+    dead-fraction triggers, metadata-only checks).
 
     ``num_buckets`` defaults to the STORE's bucket count (meta.json): a
     batch written under a different bucket layout than the base build would
@@ -231,7 +235,9 @@ def apply_changes(
         build._finalize_store(
             spark, store_path, segment_docs or 0, num_buckets
         )
-        if compact:
+        if compact == "auto":
+            maybe_compact(spark, store_path, num_buckets=num_buckets)
+        elif compact:
             compact_store(spark, store_path, num_buckets=num_buckets)
         result = {
             "upserts": n_up,
@@ -258,6 +264,41 @@ def apply_changes(
     finally:
         for df in _cached:
             df.unpersist(blocking=False)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    store_path: str,
+    max_batches: int = 8,
+    max_dead_frac: float = 0.2,
+    num_buckets: int | None = None,
+) -> bool:
+    """ES/Lucene merge-policy analog: compact the store when EITHER
+    trigger fires — the segment tree has accumulated ≥ ``max_batches``
+    CDC batch directories (read amplification: every query unions every
+    batch's blocks for a term), or the dead list exceeds
+    ``max_dead_frac`` of the marker rows (wasted decode + anti-join work
+    per query). Both triggers are DRIVER METADATA reads (directory
+    listing + parquet footers — no Spark job); returns whether a
+    compaction ran. The CDC wrapper calls this when
+    ``apply_changes(compact="auto")``."""
+    seg_root = store_io.segments_path(store_path)
+    n_batches = (
+        len([d for d in os.listdir(seg_root) if d.startswith("batch=")])
+        if os.path.isdir(seg_root)
+        else 0
+    )
+    n_dead = store_io.parquet_num_rows(os.path.join(store_path, "dead"))
+    n_docs = int(store_io.read_meta(store_path).get("n_docs", 0))
+    dead_frac = n_dead / n_docs if n_docs else 0.0
+    if n_batches < max_batches and dead_frac <= max_dead_frac:
+        return False
+    compact_store(spark, store_path, num_buckets=num_buckets)
+    log_event(
+        LOG, "cdc.auto_compact", store=store_path,
+        batches=n_batches, dead_frac=round(dead_frac, 4),
+    )
+    return True
 
 
 def compact_store(

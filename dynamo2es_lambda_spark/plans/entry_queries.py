@@ -1094,6 +1094,53 @@ GROUP BY m.qid, doc.lang
 """
 
 
+RF_PIVOT, RF_BOOST = 50.0, 3.0
+
+
+def q_fts_rank_feature(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_rank_feature(
+        spark, store, qpdf, feature_col="dl", k=50,
+        function="saturation", pivot=RF_PIVOT, boost=RF_BOOST,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _rank_feature_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_rank_feature: OR BM25 + boost · dl/(dl+pivot)."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) + max({RF_BOOST} * dl.dl / (dl.dl + {RF_PIVOT})) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _match_all_sql() -> str:
     return f"""
 WITH ranked AS (
@@ -3964,6 +4011,7 @@ SPARK_QUERIES = {
     "fts_sorted_after": q_fts_sorted_after,
     "fts_terms_agg_avg": q_fts_terms_agg,
     "fts_combined_fields": q_fts_combined_fields,
+    "fts_rank_feature": q_fts_rank_feature,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -4064,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_combined_fields": _combined_fields_sql(
             MM_QUERIES, FT_K, CF_WEIGHTS
         ),
+        "fts_rank_feature": _rank_feature_sql(SORTED_QUERIES, FT_K),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

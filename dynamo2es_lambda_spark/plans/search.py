@@ -2612,6 +2612,62 @@ def search_match_all(
     )
 
 
+def search_rank_feature(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    feature_col: str,
+    k: int = 10,
+    function: str = "saturation",
+    pivot: float | None = None,
+    exponent: float = 0.6,
+    boost: float = 1.0,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query combined with a text match (the standard
+    "relevance + static signal" shape — pagerank, freshness, stars): the
+    OR-BM25 score plus a bounded contribution from a numeric doc column,
+
+    - ``saturation``: boost · v / (v + pivot)  (pivot defaults to the
+      feature's mean like ES's approximate default),
+    - ``log``:        boost · ln(1 + v)  (scaling_factor folded into v
+      by the caller),
+    - ``sigmoid``:    boost · v^exp / (v^exp + pivot^exp).
+
+    The feature joins from metadata-sized doc_stats AFTER aggregation and
+    BEFORE the cut, like every scoring wrapper here. Negative feature
+    values are clamped to 0 (ES requires positive features)."""
+    if function not in ("saturation", "log", "sigmoid"):
+        raise EngineError(f"unknown rank_feature function: {function}")
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    v = F.greatest(F.col(feature_col).cast("double"), F.lit(0.0))
+    if pivot is None and function in ("saturation", "sigmoid"):
+        row = (
+            store.doc_stats(spark)
+            .agg(F.avg(F.col(feature_col).cast("double")))
+            .first()
+        )
+        pivot = float(row[0] or 1.0)
+    if function == "saturation":
+        contrib = v / (v + F.lit(float(pivot)))
+    elif function == "log":
+        contrib = F.log1p(v)
+    else:
+        ve = F.pow(v, F.lit(float(exponent)))
+        contrib = ve / (ve + F.lit(float(pivot) ** float(exponent)))
+    stats = store.doc_stats(spark).select(
+        "doc_int", (F.lit(float(boost)) * contrib).alias("_rf")
+    )
+    agg = (
+        agg.join(stats, "doc_int")
+        .withColumn("score", F.col("score") + F.col("_rf"))
+        .drop("_rf")
+    )
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def search_function_score_decay(
     spark: SparkSession,
     store: IndexStore,

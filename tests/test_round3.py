@@ -189,3 +189,42 @@ def test_span_near_unordered_matches_reversed(spark, tmp_path_factory):
             pd.DataFrame([(0, "alpha alpha")], columns=["qid", "query"]),
             slop=1, in_order=False,
         )
+
+
+# ------------------------------------------- auto-compact merge policy
+
+def test_maybe_compact_triggers(spark, tmp_path_factory):
+    """maybe_compact fires on the dead-fraction trigger and is a no-op on
+    a fresh small store; compacted results stay query-identical."""
+    path = str(tmp_path_factory.mktemp("r3_autocompact"))
+    pdf = synthetic.corpus_pdf(np.arange(30))
+    pdf["version"] = 0
+    build.build_index(
+        spark.createDataFrame(pdf), CFG, path, segment_docs=8, num_buckets=4
+    )
+    assert cdc.maybe_compact(spark, path) is False  # fresh store: no-op
+
+    # kill 40% of docs -> dead fraction blows past the 0.2 default
+    events = pd.DataFrame(
+        [("REMOVE", _keys(pdf.iloc[i]), None, _img(pdf.iloc[i], 0))
+         for i in range(12)],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    cdc.apply_changes(
+        spark.createDataFrame(events, schema=apply_cdc.EVENT_SCHEMA),
+        CFG, path, segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    tok = analysis.tokenize_series(pd.Series([pdf.iloc[20]["content"]]))[0][0]
+    q = pd.DataFrame([(0, tok)], columns=["qid", "query"])
+    before = search.search(spark, store, q, k=50).toPandas()
+
+    assert cdc.maybe_compact(spark, path) is True
+    store2 = search.load_store(path)
+    assert store2.n_dead() == 0  # dead rows rewritten away
+    after = search.search(spark, store2, q, k=50).toPandas()
+    # the LIVE match set is preserved; scores legitimately change because
+    # compaction recomputes df/N/avgdl over live docs only (docstring)
+    assert set(before["doc_id"]) == set(after["doc_id"])
+    # back below both triggers -> no-op again
+    assert cdc.maybe_compact(spark, path) is False
