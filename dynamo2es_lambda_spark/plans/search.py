@@ -1234,6 +1234,7 @@ def search_fuzzy(
     max_edits: int = 1,
     max_expansions: int | None = 50,
     field: str | None = None,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """ES ``fuzzy``-style query: expand each query term to dictionary terms
     within ``max_edits`` Levenshtein distance (term_stats scan — JVM-side
@@ -1246,13 +1247,24 @@ def search_fuzzy(
     deterministically (distance asc, then term asc) JVM-side, like ES.
     ``field`` targets one field of a multi-field store: the edit distance is
     measured on the unqualified token after the field's qualifier.
-    """
+
+    ``prefix_length`` (the ES parameter): candidates must share the
+    probe's first N characters exactly — edits never touch the prefix.
+    Beyond the semantic restriction it is THE scale lever: the dictionary
+    join becomes a startswith band (sortable/indexable; with one shared
+    prefix it reaches the parquet scan as a pushed filter) instead of an
+    all-terms levenshtein sweep."""
     fp, avgdl = _field_of(store, field)
     fz = queries.copy()
     fz["probe"] = fz["term"].astype(str).str.lower()
     probes = fz[["qid", "probe"]].drop_duplicates()
     if probes.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    pl = int(prefix_length)
+    if pl < 0:
+        raise EngineError("prefix_length must be >= 0")
+    if pl:
+        probes = probes.assign(_pfx=probes["probe"].str[:pl])
     pdf = spark.createDataFrame(probes)
     # broadcast-NLJ of the tiny probe table into ONE dictionary scan; the
     # |len(t) - len(p)| <= max_edits band prunes before the levenshtein;
@@ -1263,12 +1275,12 @@ def search_fuzzy(
     ts = store.term_stats(spark)
     if fp:
         ts = ts.filter(F.col("term").startswith(fp))
+    band = F.abs(F.length("_bare") - F.length("probe")) <= max_edits
+    if pl:
+        band = band & F.col("_bare").startswith(F.col("_pfx"))
     hit = (
         ts.withColumn("_bare", bare)
-        .join(
-            F.broadcast(pdf),
-            F.abs(F.length("_bare") - F.length("probe")) <= max_edits,
-        )
+        .join(F.broadcast(pdf), band)
         .withColumn("_dist", F.levenshtein(F.col("_bare"), F.col("probe")))
         .filter(F.col("_dist") <= max_edits)
     )

@@ -228,3 +228,39 @@ def test_maybe_compact_triggers(spark, tmp_path_factory):
     assert set(before["doc_id"]) == set(after["doc_id"])
     # back below both triggers -> no-op again
     assert cdc.maybe_compact(spark, path) is False
+
+
+# ------------------------------------------- fuzzy prefix_length
+
+def test_fuzzy_prefix_length_restricts(spark, tmp_path_factory):
+    """prefix_length pins the probe's first N chars: candidates whose
+    edit touches the prefix disappear; the rest score identically."""
+    path = str(tmp_path_factory.mktemp("r3_fuzzpl"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "merge words here",    # 'merge'
+                "marge words here",    # 'marge' (edit in position 2)
+                "mergq words here",    # 'mergq' (edit at the tail)
+            ],
+        }
+    )
+    build.build_index(
+        spark.createDataFrame(rows).withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "merge")], columns=["qid", "term"])
+    free = search.search_fuzzy(spark, store, q, max_edits=1, k=10).toPandas()
+    assert set(free["doc_id"]) == {"a", "b", "c"}
+    pinned = search.search_fuzzy(
+        spark, store, q, max_edits=1, k=10, prefix_length=3
+    ).toPandas()
+    assert set(pinned["doc_id"]) == {"a", "c"}  # 'marge' breaks the prefix
+    sf = dict(zip(free["doc_id"], free["score"]))
+    for d, s in zip(pinned["doc_id"], pinned["score"]):
+        assert s == pytest.approx(sf[d], abs=1e-12)
+    with pytest.raises(Exception, match="prefix_length"):
+        search.search_fuzzy(spark, store, q, prefix_length=-1)
