@@ -1094,6 +1094,105 @@ GROUP BY m.qid, doc.lang
 """
 
 
+PHRASE_SUGGEST_PROBES = [(0, "ag sow"), (1, "custmer windw")]
+PS_K, PS_EDITS, PS_CANDS, PS_SMOOTH = 3, 1, 3, 0.5
+
+
+def q_fts_suggest_phrase(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(PHRASE_SUGGEST_PROBES, columns=["qid", "text"])
+    return search.suggest_phrase(
+        spark, store, _docs(spark, sf_dir), ppdf,
+        k=PS_K, max_edits=PS_EDITS, max_candidates=PS_CANDS,
+        k_smooth=PS_SMOOTH,
+    )
+
+
+def _suggest_phrase_sql() -> str:
+    """Oracle for q_fts_suggest_phrase (two-token probes): per-position
+    levenshtein candidates (distance asc, df desc, term asc, cap 3),
+    cross-position combinations scored by the same add-k bigram LM."""
+    probe_vals = []
+    for qid, text in PHRASE_SUGGEST_PROBES:
+        toks = analysis.tokenize_series(pd.Series([text]))[0]
+        assert len(toks) == 2, "phrase-suggest oracle covers 2-token probes"
+        for pos, t in enumerate(toks):
+            probe_vals.append(f"({qid}, {pos}, '{t}')")
+    ks = PS_SMOOTH
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+uni AS (
+  SELECT t, count(*) AS c1
+  FROM (SELECT unnest(toks) AS t FROM corpus) GROUP BY t
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM corpus)
+  GROUP BY term
+),
+consts AS (
+  SELECT (SELECT count(*) FROM dict) AS v,
+         (SELECT sum(len(toks)) FROM corpus) AS t
+),
+probe(qid, pos, p) AS (VALUES {", ".join(probe_vals)}),
+cand AS (
+  SELECT qid, pos, term,
+         row_number() OVER (
+           PARTITION BY qid, pos
+           ORDER BY levenshtein(term, p) ASC, df DESC, term ASC
+         ) AS rn
+  FROM probe
+  JOIN dict ON abs(length(term) - length(p)) <= {PS_EDITS}
+           AND levenshtein(term, p) <= {PS_EDITS}
+),
+c3 AS (SELECT qid, pos, term FROM cand WHERE rn <= {PS_CANDS}),
+-- keep-source fallback: a position with zero in-budget candidates
+-- contributes the probe token itself (mirrors the engine/ES behavior)
+c3u AS (
+  SELECT qid, pos, term FROM c3
+  UNION ALL
+  SELECT probe.qid, probe.pos, probe.p FROM probe
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c3
+    WHERE c3.qid = probe.qid AND c3.pos = probe.pos
+  )
+),
+combos AS (
+  SELECT a.qid AS qid, a.term AS t1, b.term AS t2
+  FROM c3u a JOIN c3u b ON b.qid = a.qid AND a.pos = 0 AND b.pos = 1
+),
+bg AS (
+  SELECT b, count(*) AS c12
+  FROM (SELECT unnest(list_transform(range(2, len(toks) + 1),
+               i -> toks[i - 1] || ' ' || toks[i])) AS b FROM corpus)
+  GROUP BY b
+),
+scored AS (
+  SELECT combos.qid AS qid, t1 || ' ' || t2 AS suggestion,
+         round(
+           ln((COALESCE(u1.c1, 0) + {ks}) / (consts.t + {ks} * consts.v))
+           + ln((COALESCE(bg.c12, 0) + {ks})
+                / (COALESCE(u1.c1, 0) + {ks} * consts.v)), 6
+         ) AS logp_r
+  FROM combos
+  LEFT JOIN uni u1 ON u1.t = combos.t1
+  LEFT JOIN bg ON bg.b = combos.t1 || ' ' || combos.t2
+  CROSS JOIN consts
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, suggestion, logp_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY logp_r DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, suggestion, logp_r FROM ranked WHERE rank <= {PS_K}
+"""
+
+
 RF_PIVOT, RF_BOOST = 50.0, 3.0
 
 
@@ -4012,6 +4111,7 @@ SPARK_QUERIES = {
     "fts_terms_agg_avg": q_fts_terms_agg,
     "fts_combined_fields": q_fts_combined_fields,
     "fts_rank_feature": q_fts_rank_feature,
+    "fts_suggest_phrase": q_fts_suggest_phrase,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -4113,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
             MM_QUERIES, FT_K, CF_WEIGHTS
         ),
         "fts_rank_feature": _rank_feature_sql(SORTED_QUERIES, FT_K),
+        "fts_suggest_phrase": _suggest_phrase_sql(),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -2291,6 +2291,177 @@ def suggest_terms(
     )
 
 
+def suggest_phrase(
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    probes: pd.DataFrame,
+    k: int = 3,
+    max_edits: int = 1,
+    max_candidates: int = 3,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``phrase`` suggester (did-you-mean): whole-phrase corrections
+    for a multi-term input, ranked by a corpus bigram language model —
+    the real ES shape (per-term candidate generation + word-LM scoring),
+    not per-term suggestions glued together.
+
+    Per probe token: dictionary candidates within ``max_edits``
+    (distance asc, df desc, term asc; capped ``max_candidates``; the
+    token itself included at distance 0) from ONE JVM term_stats scan
+    for all (probe, position) pairs. Candidate COMBINATIONS (≤
+    ``max_candidates^n_tokens`` — probes are capped at 5 tokens) are
+    enumerated driver-side (query-sized) and scored with an add-k
+    bigram LM over ``docs``:
+
+        log p = ln p(w₁) + Σ ln p(wᵢ | wᵢ₋₁),
+        p(w₁) = (c₁ + k) / (T + kV),
+        p(w₂|w₁) = (c₁₂ + k) / (c₁ + kV),
+
+    with V = dictionary size (term_stats row count — a parquet-footer
+    read), T = total corpus tokens (Σ dl from doc_stats), and c₁ / c₁₂
+    counted by TWO corpus passes filtered to the candidate terms /
+    bigrams (query-sized results — the corpus never shuffles wide).
+    Returns (qid, rank, suggestion, logp_r) with logp rounded to 6 dp;
+    rank ties break on the suggestion string."""
+    import math
+
+    fp, _ = _field_of(store, field)
+    rows = []
+    for qid, text in zip(probes["qid"], probes["text"]):
+        toks = analysis.tokenize_series(pd.Series([text]))[0]
+        if not toks:
+            continue
+        if len(toks) > 5:
+            raise EngineError(
+                "phrase suggester probes are capped at 5 tokens "
+                "(combination enumeration)"
+            )
+        for pos, t in enumerate(toks):
+            rows.append((int(qid), pos, t))
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, suggestion string, logp_r double"
+        )
+    ppdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "pos", "probe"])
+    )
+    bare = (
+        F.expr(f"substring(term, {len(fp) + 1})") if fp else F.col("term")
+    )
+    ts = store.term_stats(spark)
+    if fp:
+        ts = ts.filter(F.col("term").startswith(fp))
+    hit = (
+        ts.withColumn("_bare", bare)
+        .join(
+            F.broadcast(ppdf),
+            F.abs(F.length("_bare") - F.length("probe")) <= max_edits,
+        )
+        .withColumn("_dist", F.levenshtein(F.col("_bare"), F.col("probe")))
+        .filter(F.col("_dist") <= max_edits)
+    )
+    w = Window.partitionBy("qid", "pos").orderBy(
+        F.col("_dist").asc(), F.col("df").desc(), F.col("_bare").asc()
+    )
+    cand = (
+        hit.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_candidates))
+        .select("qid", "pos", F.col("_bare").alias("cand"))
+        .toPandas()  # query-sized: probes × positions × max_candidates
+    )
+    # keep-source fallback (ES keeps the original term when nothing in the
+    # dictionary is within the edit budget): a position with zero
+    # candidates contributes the probe token itself — the LM then scores
+    # it with the smoothed-zero probability
+    have = set(zip(cand["qid"], cand["pos"])) if len(cand) else set()
+    fallback = [
+        (q, p, t) for q, p, t in rows if (q, p) not in have
+    ]
+    if fallback:
+        cand = pd.concat(
+            [cand, pd.DataFrame(fallback, columns=["qid", "pos", "cand"])],
+            ignore_index=True,
+        )
+
+    # model constants: V from the dictionary footer, T from doc lengths
+    from ..sources import store_io
+
+    V = float(
+        store_io.parquet_num_rows(os.path.join(store.path, "term_stats"))
+    )
+    T = float(
+        store.doc_stats(spark).agg(F.sum("dl")).first()[0] or 0.0
+    )
+
+    # enumerate combinations per qid (driver, query-sized)
+    import itertools
+
+    combos: list[tuple[int, tuple[str, ...]]] = []
+    for qid, g in cand.groupby("qid"):
+        per_pos = [
+            list(g.loc[g["pos"] == p, "cand"])
+            for p in sorted(g["pos"].unique())
+        ]
+        for combo in itertools.product(*per_pos):
+            combos.append((int(qid), combo))
+    need_terms = sorted({t for _, c in combos for t in c})
+    need_bigrams = sorted(
+        {f"{c[i]} {c[i + 1]}" for _, c in combos for i in range(len(c) - 1)}
+    )
+
+    toks_expr = analysis.spark_tokens_expr(text_col)
+    base = docs.select(F.expr(toks_expr).alias("_toks"))
+    c1_pdf = (
+        base.select(F.explode("_toks").alias("t"))
+        .filter(F.col("t").isin(need_terms))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .toPandas()
+    )
+    c1 = dict(zip(c1_pdf["t"], c1_pdf["c"]))
+    big_expr = (
+        "CASE WHEN size(_toks) >= 2 THEN transform(sequence(2, size(_toks)),"
+        " i -> concat(element_at(_toks, i - 1), ' ', element_at(_toks, i)))"
+        " ELSE array() END"
+    )
+    c12 = {}
+    if need_bigrams:
+        c12_pdf = (
+            base.select(F.explode(F.expr(big_expr)).alias("b"))
+            .filter(F.col("b").isin(need_bigrams))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .toPandas()
+        )
+        c12 = dict(zip(c12_pdf["b"], c12_pdf["c"]))
+
+    ks = float(k_smooth)
+    out = []
+    for qid, combo in combos:
+        lp = math.log(
+            (c1.get(combo[0], 0) + ks) / (T + ks * V)
+        )
+        for i in range(len(combo) - 1):
+            lp += math.log(
+                (c12.get(f"{combo[i]} {combo[i + 1]}", 0) + ks)
+                / (c1.get(combo[i], 0) + ks * V)
+            )
+        out.append((qid, " ".join(combo), round(lp, 6)))
+    opdf = pd.DataFrame(out, columns=["qid", "suggestion", "logp_r"])
+    opdf = opdf.sort_values(
+        ["qid", "logp_r", "suggestion"], ascending=[True, False, True]
+    )
+    opdf["rank"] = opdf.groupby("qid").cumcount() + 1
+    opdf = opdf[opdf["rank"] <= int(k)]
+    return spark.createDataFrame(
+        opdf[["qid", "rank", "suggestion", "logp_r"]],
+        schema="qid long, rank int, suggestion string, logp_r double",
+    )
+
+
 def suggest_completions(
     spark: SparkSession,
     store: IndexStore,

@@ -264,3 +264,51 @@ def test_fuzzy_prefix_length_restricts(spark, tmp_path_factory):
         assert s == pytest.approx(sf[d], abs=1e-12)
     with pytest.raises(Exception, match="prefix_length"):
         search.search_fuzzy(spark, store, q, prefix_length=-1)
+
+
+# ------------------------------------------- phrase suggester
+
+def test_suggest_phrase_corrects_and_keeps_source(spark, tmp_path_factory):
+    """The bigram LM prefers the corpus-attested correction over
+    per-term-popularity gluing, and a position with no in-budget
+    candidate keeps the source token."""
+    path = str(tmp_path_factory.mktemp("r3_psuggest"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(8)],
+            "text": (
+                ["stream data pipeline runs"] * 5   # 'stream data' dominant
+                + ["steam vents data here", "steam engine data room",
+                   "steam cleaning data set"]       # 'steam' frequent alone
+            ),
+        }
+    )
+    docs = spark.createDataFrame(rows)
+    build.build_index(
+        docs.withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    got = search.suggest_phrase(
+        spark, store, docs,
+        pd.DataFrame([(0, "strem data")], columns=["qid", "text"]),
+        k=2, max_edits=1, max_candidates=3,
+    ).toPandas().sort_values("rank")
+    # 'strem' -> {stream, steam}; the BIGRAM 'stream data' is attested 5x
+    # while 'steam data' never occurs -> LM ranks 'stream data' first
+    assert got.iloc[0]["suggestion"] == "stream data"
+
+    # unknown token with nothing in budget keeps the source
+    keep = search.suggest_phrase(
+        spark, store, docs,
+        pd.DataFrame([(0, "qqqqzz data")], columns=["qid", "text"]),
+        k=1, max_edits=1,
+    ).toPandas()
+    assert keep.iloc[0]["suggestion"].startswith("qqqqzz ")
+
+    with pytest.raises(Exception, match="capped at 5"):
+        search.suggest_phrase(
+            spark, store, docs,
+            pd.DataFrame([(0, "a b c d e f")], columns=["qid", "text"]),
+        )
