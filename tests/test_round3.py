@@ -312,3 +312,55 @@ def test_suggest_phrase_corrects_and_keeps_source(spark, tmp_path_factory):
             spark, store, docs,
             pd.DataFrame([(0, "a b c d e f")], columns=["qid", "text"]),
         )
+
+
+# ------------------------- dead-doc exclusion in the metadata-scan queries
+
+def test_metadata_queries_exclude_dead_docs(spark, tmp_path_factory):
+    """range / ids / match_all / terms-agg answer from doc_stats markers —
+    superseded and tombstoned rows must never surface."""
+    path = str(tmp_path_factory.mktemp("r3_deadmeta"))
+    pdf = synthetic.corpus_pdf(np.arange(12))
+    pdf["version"] = 0
+    build.build_index(
+        spark.createDataFrame(pdf), CFG, path, segment_docs=8, num_buckets=4
+    )
+    gone, mod = pdf.iloc[2], pdf.iloc[5]
+    events = pd.DataFrame(
+        [
+            ("REMOVE", _keys(gone), None, _img(gone, 0)),
+            ("MODIFY", _keys(mod), _img(mod, 1, "tiny doc"), _img(mod, 0)),
+        ],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    cdc.apply_changes(
+        spark.createDataFrame(events, schema=apply_cdc.EVENT_SCHEMA),
+        CFG, path, segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    assert store.n_dead() >= 2
+    gone_id = f"{gone['repo']}.{gone['path']}.{gone['commit']}"
+    mod_id = f"{mod['repo']}.{mod['path']}.{mod['commit']}"
+
+    ma = search.search_match_all(spark, store, k=10**6).toPandas()
+    assert len(ma) == 11                      # 12 - 1 removed
+    assert gone_id not in set(ma["doc_id"])
+    assert (ma["doc_id"] == mod_id).sum() == 1  # live version only
+
+    ids_res = search.search_ids(
+        spark, store, [gone_id, mod_id], k=10
+    ).toPandas()
+    assert list(ids_res["doc_id"]) == [mod_id]
+
+    rng = search.search_range(
+        spark, store, "dl", gte=0, k=10**6
+    ).toPandas()
+    assert gone_id not in set(rng["doc_id"])
+    assert (rng["doc_id"] == mod_id).sum() == 1
+
+    ta = search.search_terms_agg(
+        spark, store,
+        pd.DataFrame([(0, "tiny")], columns=["qid", "query"]),
+        group_col="lang",
+    ).toPandas()
+    assert ta["n_docs"].sum() == 1  # only the live modified doc matches
