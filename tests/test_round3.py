@@ -364,3 +364,90 @@ def test_metadata_queries_exclude_dead_docs(spark, tmp_path_factory):
         group_col="lang",
     ).toPandas()
     assert ta["n_docs"].sum() == 1  # only the live modified doc matches
+
+
+# --------------------- span kernels vs brute force (property-based)
+
+def _mk_by_term(docs_tokens):
+    """Build the kernel's by_term structures straight from token lists."""
+    by = {}
+    for t in sorted({x for d in docs_tokens for x in d}):
+        ids, tfs, dls, flat = [], [], [], []
+        for i, d in enumerate(docs_tokens):
+            ps = [p for p, x in enumerate(d) if x == t]
+            if ps:
+                ids.append(i)
+                tfs.append(len(ps))
+                dls.append(len(d))
+                flat.extend(ps)
+        ids = np.asarray(ids, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        dls = np.asarray(dls, dtype=np.int64)
+        flat = np.asarray(flat, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        by[t] = (ids, tfs, dls, flat, starts)
+    return by
+
+
+def _brute_span(docs_tokens, phrase, slop, ordered):
+    import itertools
+
+    window = len(phrase) - 1 + slop
+    out = []
+    for i, d in enumerate(docs_tokens):
+        pos_lists = [
+            [p for p, x in enumerate(d) if x == t] for t in phrase
+        ]
+        if any(not pl for pl in pos_lists):
+            continue
+        hit = False
+        for combo in itertools.product(*pos_lists):
+            if ordered:
+                if all(a < b for a, b in zip(combo, combo[1:])) and (
+                    combo[-1] - combo[0] <= window
+                ):
+                    hit = True
+                    break
+            else:
+                if max(combo) - min(combo) <= window:
+                    hit = True
+                    break
+        if hit:
+            out.append(i)
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_doc_strat = st.lists(
+    st.sampled_from("abcd"), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(_doc_strat, min_size=1, max_size=6),
+    phrase=st.lists(
+        st.sampled_from("abcd"), min_size=2, max_size=3, unique=True
+    ),
+    slop=st.integers(min_value=0, max_value=3),
+)
+def test_span_kernels_match_brute_force(docs, phrase, slop):
+    """Both vectorized span kernels agree with exhaustive enumeration on
+    arbitrary tiny corpora (ordered needs slop >= 1 — slop 0 rides the
+    exact-intersection branch in production)."""
+    by = _mk_by_term(docs)
+    if any(t not in by for t in phrase):
+        return  # a phrase term absent from the corpus matches nothing
+    cand = np.arange(len(docs), dtype=np.int64)
+    stride = 64
+    got_u = sorted(
+        search._span_unordered_survivors(by, list(phrase), cand, stride, slop)
+    )
+    assert got_u == _brute_span(docs, phrase, slop, ordered=False)
+    if slop >= 1:
+        got_o = sorted(
+            search._span_near_survivors(by, list(phrase), cand, stride, slop)
+        )
+        assert got_o == _brute_span(docs, phrase, slop, ordered=True)
