@@ -257,6 +257,10 @@ def main() -> None:
              spark, mf_store(), mm, fields=entry_queries.MM_BOOSTS, k=10,
              tie_breaker=entry_queries.MM_TIE,
          ).collect()),
+        ("bm25_combined_fields_set",
+         lambda: search.search_combined_fields(
+             spark, mf_store(), mm, fields=entry_queries.CF_WEIGHTS, k=10,
+         ).collect()),
         ("bm25_phrase_prefix_set",
          lambda: search.search_phrase_prefix(
              spark, store(), pp, k=10).collect()),
