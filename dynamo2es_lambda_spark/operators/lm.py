@@ -34,6 +34,47 @@ _BIGRAMS_FROM_TOKS = (
 )
 
 
+def gram_counts(
+    docs: DataFrame,
+    text_cols: tuple[str, ...],
+    qualify: bool = False,
+) -> DataFrame:
+    """→ (gram, cf): collection frequencies of every unigram AND bigram in
+    one corpus pass — the index-time statistics the phrase suggester's
+    bigram LM reads at query time (ES answers suggesters from index stats,
+    never a corpus scan). A gram containing a space is a bigram
+    ("w1 w2"); without, a unigram — the tokenizer never emits spaces
+    inside a token, so the keyspace cannot collide.
+
+    ``qualify=True`` (multi-field stores) prefixes each gram with its
+    source column as ``"<field>:<gram>"`` — the same qualification scheme
+    posting terms use (plans/build.build_index ``fields=``), so per-field
+    LMs share one table.
+
+    Scale shape: pure built-in expressions (the pinned analyzer's SQL
+    form), one explode, one groupBy whose shuffle volume is the distinct
+    gram vocabulary after map-side partial combine — NOT the token stream.
+    """
+    parts = []
+    for col in text_cols:
+        toks = F.expr(spark_tokens_expr(col))
+        base = docs.select(toks.alias("_toks"))
+        g = base.select(
+            F.explode(
+                F.concat(F.col("_toks"), F.expr(_BIGRAMS_FROM_TOKS))
+            ).alias("gram")
+        )
+        if qualify:
+            g = g.select(
+                F.concat(F.lit(f"{col}:"), F.col("gram")).alias("gram")
+            )
+        parts.append(g)
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    return allg.groupBy("gram").agg(F.count("*").alias("cf"))
+
+
 def bigram_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -92,7 +92,10 @@ def invoke_after_hook(hook, result, meta_df: DataFrame):
         params = list(inspect.signature(hook).parameters.values())
     except (TypeError, ValueError):
         return hook(result)
-    if any(p.name == "meta" for p in params):
+    meta_param = next((p for p in params if p.name == "meta"), None)
+    if meta_param is not None:
+        if meta_param.kind == meta_param.KEYWORD_ONLY:
+            return hook(result, meta=meta_df)
         return hook(result, meta_df)
     pos = [p for p in params
            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
@@ -139,8 +142,21 @@ def build_index(
     id_mode: str | None = None,
     dense_partitions: int | None = None,
     fields: tuple[str, ...] | None = None,
+    lm_stats: bool | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
+
+    ``lm_stats=True`` additionally materializes collection-frequency
+    statistics for every unigram and bigram (``lm_stats`` table) during
+    the build — the index-time language-model state the phrase suggester
+    (plans/search.suggest_phrase) reads at query time, so a did-you-mean
+    never re-scans the corpus (ES answers suggesters from index
+    statistics). Costs one extra JVM-only corpus pass per batch at build
+    time and a vocabulary-sized table in the store. Like ES's ttf, the
+    counts include deleted docs until a full rebuild (compaction keeps
+    them — they are collection statistics, not postings). ``None``
+    inherits an existing store's flag (default off), same discipline as
+    ``positions``.
 
     ``fields``: multi-field mode — tokenize each listed column into ONE
     shared posting namespace as ``"<field>:<token>"`` terms (ES multi-field
@@ -186,6 +202,15 @@ def build_index(
             f"store at {store_path} was built with positions="
             f"{prev.get('positions', False)}; an explicit conflicting value "
             "would mix batch layouts — rebuild or omit the flag to inherit"
+        )
+    if lm_stats is None:
+        lm_stats = bool(prev.get("lm_stats", False))
+    elif committed and prev and bool(prev.get("lm_stats", False)) != lm_stats:
+        raise EngineError(
+            f"store at {store_path} was built with lm_stats="
+            f"{prev.get('lm_stats', False)}; an explicit conflicting value "
+            "would leave earlier batches' grams uncounted and skew the LM — "
+            "rebuild or omit the flag to inherit"
         )
     if id_mode is None:
         id_mode = prev.get("id_mode", "hash")
@@ -318,6 +343,7 @@ def build_index(
                 dense_partitions=dense_partitions,
                 sink_options=cfg.sink_options,
                 fields=fields,
+                lm_stats=lm_stats,
             )
             total_docs += nd
             total_blocks += nb
@@ -325,6 +351,7 @@ def build_index(
         _finalize_store(
             spark, store_path, segment_docs, num_buckets,
             positions=positions, id_mode=id_mode, fields=fields,
+            lm_stats=lm_stats,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -374,9 +401,11 @@ def _build_batch(
     dense_partitions: int | None = None,
     sink_options: dict | None = None,
     fields: tuple[str, ...] | None = None,
+    lm_stats: bool = False,
 ) -> tuple[int, int]:
-    """One resumable unit: dense IDs → doc_stats → postings → lineage →
-    checkpoint marker. Whole-batch retry mirrors lib/handler.js:149-162."""
+    """One resumable unit: dense IDs → doc_stats → postings → [LM grams] →
+    lineage → checkpoint marker. Whole-batch retry mirrors
+    lib/handler.js:149-162."""
     spark = docs.sparkSession
     attempt = 0
     while True:
@@ -387,6 +416,7 @@ def _build_batch(
                 num_buckets=num_buckets, positions=positions,
                 id_mode=id_mode, dense_partitions=dense_partitions,
                 sink_options=sink_options, fields=fields,
+                lm_stats=lm_stats,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -409,6 +439,7 @@ def _build_batch_once(
     dense_partitions: int | None = None,
     sink_options: dict | None = None,
     fields: tuple[str, ...] | None = None,
+    lm_stats: bool = False,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -477,6 +508,22 @@ def _build_batch_once(
         options=sink_options,
     )
     mark("segments_write")
+
+    if lm_stats:
+        # index-time LM statistics: unigram + bigram collection frequencies
+        # from one JVM-only pass over this batch's docs (operators/lm.py).
+        # Part of the resumable batch unit — the checkpoint below covers it.
+        from ..operators import lm as lm_ops
+
+        grams = lm_ops.gram_counts(
+            docs, fields or (content_col,), qualify=bool(fields)
+        )
+        store_io.write_parquet(
+            grams.sortWithinPartitions("gram"),
+            os.path.join(store_path, "lm", f"batch={batch_name}"),
+            options=sink_options,
+        )
+        mark("lm_grams")
 
     # lineage + metrics from the committed blocks (read-back = what a future
     # query will see). ONE aggregation job covers doc count, block count, and
@@ -558,6 +605,7 @@ def _finalize_store(
     positions: bool | None = None,
     id_mode: str | None = None,
     fields: tuple[str, ...] | None = None,
+    lm_stats: bool | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs — per field in
@@ -678,6 +726,21 @@ def _finalize_store(
     blocks = store_io.read_blocks(spark, store_path)
     ts = postings.term_stats(blocks)
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+    lm_root = os.path.join(store_path, "lm")
+    if lm_stats is None:
+        lm_stats = os.path.isdir(lm_root)
+    if lm_stats and os.path.isdir(lm_root):
+        # merge per-batch gram counts into ONE range-sorted lm_stats table:
+        # row-group min/max on the sorted gram column make the suggester's
+        # candidate lookups point reads, not scans
+        grams = (
+            spark.read.parquet(lm_root)
+            .groupBy("gram")
+            .agg(F.sum("cf").alias("cf"))
+            .repartitionByRange(F.col("gram"))
+            .sortWithinPartitions("gram")
+        )
+        store_io.write_parquet(grams, os.path.join(store_path, "lm_stats"))
     prev_meta = store_io.read_meta(store_path)
     if segment_docs == 0:
         segment_docs = prev_meta.get("segment_docs", 0)
@@ -692,6 +755,7 @@ def _finalize_store(
         "num_buckets": num_buckets,
         "positions": bool(positions),
         "id_mode": id_mode,
+        "lm_stats": bool(lm_stats),
     }
     if fields:
         meta["fields"] = list(fields)

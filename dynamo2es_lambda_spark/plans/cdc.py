@@ -197,8 +197,18 @@ def apply_changes(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
+        n_index = action_counts.get(actions.ACTION_INDEX, 0)
+        if n_index and cfg.transform_record_hook is not None:
+            # the hook may DROP records (handler.js:93 `if (doc)`): the
+            # pre-hook action count can't gate the build, or a hook that
+            # drops everything triggers an empty-corpus batch write plus a
+            # second cdc_only checkpoint for the same batch name. Cache the
+            # post-hook corpus (CDC-batch-sized) and count that instead.
+            corpus = corpus.persist()
+            _cached.append(corpus)
+            n_index = corpus.count()
         n_up = 0
-        if action_counts.get(actions.ACTION_INDEX, 0):
+        if n_index:
             n_up, _ = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
                 content_col=content_col,
@@ -209,6 +219,9 @@ def apply_changes(
                 id_mode=id_mode,
                 sink_options=cfg.sink_options,
                 fields=mf_fields,
+                # a store built with LM statistics must extend them per CDC
+                # batch, or the suggester's counts silently go stale
+                lm_stats=bool(meta.get("lm_stats", False)),
             )
 
         # ---- deletes: tombstones (version already bumped by dispatch)

@@ -126,7 +126,7 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v7")
+    (path,), fresh = _cached_store_paths(sf_dir, "v8")
     if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
@@ -136,7 +136,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
-            num_buckets=32, resume=True, positions=True,
+            num_buckets=32, resume=True, positions=True, lm_stats=True,
         )
     return search.load_store(path)
 
@@ -1101,8 +1101,10 @@ PS_K, PS_EDITS, PS_CANDS, PS_SMOOTH = 3, 1, 3, 0.5
 def q_fts_suggest_phrase(spark, sf_dir):
     store = _corpus_store(spark, sf_dir)
     ppdf = pd.DataFrame(PHRASE_SUGGEST_PROBES, columns=["qid", "text"])
+    # no corpus DataFrame: the LM reads the store's index-time lm_stats
+    # table — zero documents-table scans in the suggest plan
     return search.suggest_phrase(
-        spark, store, _docs(spark, sf_dir), ppdf,
+        spark, store, probes=ppdf,
         k=PS_K, max_edits=PS_EDITS, max_candidates=PS_CANDS,
         k_smooth=PS_SMOOTH,
     )

@@ -2294,8 +2294,8 @@ def suggest_terms(
 def suggest_phrase(
     spark: SparkSession,
     store: IndexStore,
-    docs: DataFrame,
-    probes: pd.DataFrame,
+    docs: DataFrame | None = None,
+    probes: pd.DataFrame | None = None,
     k: int = 3,
     max_edits: int = 1,
     max_candidates: int = 3,
@@ -2320,15 +2320,24 @@ def suggest_phrase(
         p(w₁) = (c₁ + k) / (T + kV),
         p(w₂|w₁) = (c₁₂ + k) / (c₁ + kV),
 
-    with V = dictionary size (term_stats row count — a parquet-footer
-    read), T = total corpus tokens (Σ dl from doc_stats), and c₁ / c₁₂
-    counted by TWO corpus passes filtered to the candidate terms /
-    bigrams (query-sized results — the corpus never shuffles wide).
+    with V = dictionary size of the TARGETED field (term_stats row count
+    — a parquet-footer read on single-field stores; on multi-field
+    stores, the count of the field's qualified terms, never the whole
+    cross-field dictionary), T = total field tokens (Σ dl from
+    doc_stats; the field's Σ field_dls slice on multi-field stores), and
+    c₁ / c₁₂ read from the store's INDEX-TIME ``lm_stats`` table
+    (``build_index(lm_stats=True)``) — two candidate-filtered point
+    reads on a gram-sorted table, never a corpus scan (ES answers
+    suggesters from index statistics). A store built without lm_stats
+    falls back to the legacy per-call corpus scan when ``docs`` is
+    passed, else raises.
     Returns (qid, rank, suggestion, logp_r) with logp rounded to 6 dp;
     rank ties break on the suggestion string."""
     import math
 
     fp, _ = _field_of(store, field)
+    if probes is None:
+        raise EngineError("suggest_phrase requires a probes DataFrame")
     rows = []
     for qid, text in zip(probes["qid"], probes["text"]):
         toks = analysis.tokenize_series(pd.Series([text]))[0]
@@ -2386,15 +2395,29 @@ def suggest_phrase(
             ignore_index=True,
         )
 
-    # model constants: V from the dictionary footer, T from doc lengths
+    # model constants: V = the TARGETED field's dictionary size (a raw
+    # footer count on a multi-field store would count every field's
+    # qualified terms and skew the add-k probabilities), T = the field's
+    # token total
     from ..sources import store_io
 
-    V = float(
-        store_io.parquet_num_rows(os.path.join(store.path, "term_stats"))
-    )
-    T = float(
-        store.doc_stats(spark).agg(F.sum("dl")).first()[0] or 0.0
-    )
+    if fp:
+        V = float(ts.count())
+        flds = store.meta.get("fields") or []
+        fidx = flds.index(fp[:-1])
+        T = float(
+            store.doc_stats(spark)
+            .agg(F.sum(F.col("field_dls")[fidx]))
+            .first()[0]
+            or 0.0
+        )
+    else:
+        V = float(
+            store_io.parquet_num_rows(os.path.join(store.path, "term_stats"))
+        )
+        T = float(
+            store.doc_stats(spark).agg(F.sum("dl")).first()[0] or 0.0
+        )
 
     # enumerate combinations per qid (driver, query-sized)
     import itertools
@@ -2412,31 +2435,60 @@ def suggest_phrase(
         {f"{c[i]} {c[i + 1]}" for _, c in combos for i in range(len(c) - 1)}
     )
 
-    toks_expr = analysis.spark_tokens_expr(text_col)
-    base = docs.select(F.expr(toks_expr).alias("_toks"))
-    c1_pdf = (
-        base.select(F.explode("_toks").alias("t"))
-        .filter(F.col("t").isin(need_terms))
-        .groupBy("t")
-        .agg(F.count("*").alias("c"))
-        .toPandas()
-    )
-    c1 = dict(zip(c1_pdf["t"], c1_pdf["c"]))
-    big_expr = (
-        "CASE WHEN size(_toks) >= 2 THEN transform(sequence(2, size(_toks)),"
-        " i -> concat(element_at(_toks, i - 1), ' ', element_at(_toks, i)))"
-        " ELSE array() END"
-    )
-    c12 = {}
-    if need_bigrams:
-        c12_pdf = (
-            base.select(F.explode(F.expr(big_expr)).alias("b"))
-            .filter(F.col("b").isin(need_bigrams))
-            .groupBy("b")
+    if store.meta.get("lm_stats"):
+        # index-time statistics path: ONE candidate-filtered read of the
+        # gram-sorted lm_stats table answers both c₁ (unigram grams) and
+        # c₁₂ (bigram grams) — the filter pushes to the parquet scan and
+        # the range-sorted gram column prunes row groups, so the read is
+        # candidate-sized regardless of corpus size
+        need = [fp + t for t in need_terms] + [fp + b for b in need_bigrams]
+        got = (
+            spark.read.parquet(os.path.join(store.path, "lm_stats"))
+            .filter(F.col("gram").isin(need))
+            .toPandas()
+        )
+        bare_grams = (
+            got["gram"].str[len(fp):] if fp else got["gram"]
+        )
+        counts = dict(zip(bare_grams, got["cf"]))
+        c1 = {t: counts.get(t, 0) for t in need_terms}
+        c12 = {b: counts.get(b, 0) for b in need_bigrams}
+    else:
+        # legacy path (store built without lm_stats=True): two per-call
+        # corpus scans — correct but corpus-sized; rebuild with
+        # lm_stats=True for the index-statistics plan
+        if docs is None:
+            raise EngineError(
+                f"store at {store.path} has no lm_stats table and no "
+                "corpus DataFrame was passed — rebuild with "
+                "build_index(lm_stats=True) or pass docs"
+            )
+        toks_expr = analysis.spark_tokens_expr(
+            text_col if not fp else fp[:-1]
+        )
+        base = docs.select(F.expr(toks_expr).alias("_toks"))
+        c1_pdf = (
+            base.select(F.explode("_toks").alias("t"))
+            .filter(F.col("t").isin(need_terms))
+            .groupBy("t")
             .agg(F.count("*").alias("c"))
             .toPandas()
         )
-        c12 = dict(zip(c12_pdf["b"], c12_pdf["c"]))
+        c1 = dict(zip(c1_pdf["t"], c1_pdf["c"]))
+        from ..operators.lm import _BIGRAMS_FROM_TOKS
+
+        c12 = {}
+        if need_bigrams:
+            c12_pdf = (
+                base.select(
+                    F.explode(F.expr(_BIGRAMS_FROM_TOKS)).alias("b")
+                )
+                .filter(F.col("b").isin(need_bigrams))
+                .groupBy("b")
+                .agg(F.count("*").alias("c"))
+                .toPandas()
+            )
+            c12 = dict(zip(c12_pdf["b"], c12_pdf["c"]))
 
     ks = float(k_smooth)
     out = []

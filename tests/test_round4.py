@@ -1,0 +1,243 @@
+"""Round-4 changes: index-time LM statistics (lm_stats table) replace the
+phrase suggester's per-call corpus scans; keyword-only ``meta`` after-hooks;
+CDC build gated on the post-transform-hook corpus (ADVICE round-3
+findings + VERDICT round-3 tasks 1)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.operators import lm
+from dynamo2es_lambda_spark.plans import build, cdc, search
+
+# ------------------------------------------------ lm_stats: gram counts
+
+
+def test_gram_counts_unigrams_and_bigrams(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b a", "b a"]})
+    )
+    got = {
+        r["gram"]: r["cf"]
+        for r in lm.gram_counts(docs, ("text",)).collect()
+    }
+    assert got == {
+        "a": 3, "b": 2,            # unigram collection frequencies
+        "a b": 1, "b a": 2,        # bigrams
+    }
+
+
+def test_gram_counts_qualified_multi_field(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"t1": ["x y"], "t2": ["y"]})
+    )
+    got = {
+        r["gram"]: r["cf"]
+        for r in lm.gram_counts(docs, ("t1", "t2"), qualify=True).collect()
+    }
+    assert got == {"t1:x": 1, "t1:y": 1, "t1:x y": 1, "t2:y": 1}
+
+
+# ----------------------------- lm_stats: suggester reads index statistics
+
+_CORPUS = (
+    ["stream data pipeline runs"] * 5
+    + ["steam vents data here", "steam engine data room",
+       "steam cleaning data set"]
+)
+
+
+def _mk_docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [str(i) for i in range(len(_CORPUS))],
+             "text": _CORPUS}
+        )
+    )
+
+
+PROBES = pd.DataFrame(
+    [(0, "strem data"), (1, "qq data")], columns=["qid", "text"]
+)
+
+
+def test_suggest_phrase_from_index_stats_matches_corpus_scan(
+    spark, tmp_path_factory
+):
+    """A store built with lm_stats=True answers suggest_phrase WITHOUT a
+    corpus DataFrame, identically to the legacy corpus-scan path."""
+    docs = _mk_docs(spark)
+    p_new = str(tmp_path_factory.mktemp("r4_lm_new"))
+    p_old = str(tmp_path_factory.mktemp("r4_lm_old"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    corpus = docs.withColumnRenamed("text", "content")
+    build.build_index(corpus, cfg, p_new, segment_docs=8, num_buckets=4,
+                      lm_stats=True)
+    build.build_index(corpus, cfg, p_old, segment_docs=8, num_buckets=4)
+    s_new = search.load_store(p_new)
+    assert s_new.meta["lm_stats"] is True
+    assert os.path.isdir(os.path.join(p_new, "lm_stats"))
+    got = search.suggest_phrase(spark, s_new, probes=PROBES, k=3).toPandas()
+    legacy = search.suggest_phrase(
+        spark, search.load_store(p_old), docs, PROBES, k=3
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), legacy.reset_index(drop=True)
+    )
+
+
+def test_suggest_phrase_without_stats_or_docs_raises(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_lm_raise"))
+    build.build_index(
+        _mk_docs(spark).withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    with pytest.raises(Exception, match="lm_stats"):
+        search.suggest_phrase(
+            spark, search.load_store(path), probes=PROBES
+        )
+
+
+def test_suggest_phrase_multifield_field_local_model(
+    spark, tmp_path_factory
+):
+    """On a multi-field store the LM is FIELD-LOCAL: V counts only the
+    targeted field's dictionary, T its token total, grams its stream —
+    so suggestions equal those of a single-field store over the same
+    column (ADVICE r3: raw footer V over-counted)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(len(_CORPUS))],
+            "text": _CORPUS,
+            # a second field with its own vocabulary that would skew V/T
+            # if the model leaked across fields
+            "source": ["alpha beta gamma delta epsilon zeta"] * len(_CORPUS),
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    p_mf = str(tmp_path_factory.mktemp("r4_lm_mf"))
+    p_sf = str(tmp_path_factory.mktemp("r4_lm_sf"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(docs, cfg, p_mf, segment_docs=8, num_buckets=4,
+                      fields=("text", "source"), lm_stats=True)
+    build.build_index(
+        docs.select("doc_id", docs["text"].alias("content")), cfg, p_sf,
+        segment_docs=8, num_buckets=4, lm_stats=True,
+    )
+    mf = search.suggest_phrase(
+        spark, search.load_store(p_mf), probes=PROBES, k=3, field="text"
+    ).toPandas()
+    sf = search.suggest_phrase(
+        spark, search.load_store(p_sf), probes=PROBES, k=3
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        mf.reset_index(drop=True), sf.reset_index(drop=True)
+    )
+
+
+def test_cdc_batch_extends_lm_stats(spark, tmp_path_factory):
+    """An incremental CDC batch on an lm_stats store refreshes the gram
+    table: post-apply counts equal a from-scratch build over the union."""
+    path = str(tmp_path_factory.mktemp("r4_lm_cdc"))
+    twin = str(tmp_path_factory.mktemp("r4_lm_cdc_twin"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    base = _mk_docs(spark).withColumnRenamed("text", "content")
+    build.build_index(base, cfg, path, segment_docs=8, num_buckets=4,
+                      lm_stats=True)
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_name": ["INSERT"],
+                "doc_id": ["100"],
+                "content": ["fresh stream data arrives"],
+            }
+        )
+    ).selectExpr(
+        "event_name",
+        "named_struct('doc_id', doc_id) AS keys",
+        "named_struct('doc_id', doc_id, 'content', content) AS new_image",
+        "CAST(NULL AS struct<doc_id:string>) AS old_image",
+    )
+    cdc.apply_changes(events, cfg, path)
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["100"],
+                      "content": ["fresh stream data arrives"]})
+    )
+    build.build_index(base.unionByName(extra), cfg, twin,
+                      segment_docs=8, num_buckets=4, lm_stats=True)
+    got = {
+        r["gram"]: r["cf"]
+        for r in spark.read.parquet(
+            os.path.join(path, "lm_stats")
+        ).collect()
+    }
+    want = {
+        r["gram"]: r["cf"]
+        for r in spark.read.parquet(
+            os.path.join(twin, "lm_stats")
+        ).collect()
+    }
+    assert got == want
+    assert got["stream data"] == 6  # 5 base + 1 CDC
+
+
+# -------------------------------------- after_hook: keyword-only meta
+
+
+def test_after_hook_keyword_only_meta(spark):
+    got = {}
+
+    def hook(result, *, meta=None):
+        got["v"] = (result, meta)
+
+    sentinel = object()
+    build.invoke_after_hook(hook, "res", sentinel)
+    assert got["v"] == ("res", sentinel)
+
+
+# ------------------- CDC: transform hook that drops every record
+
+
+def test_cdc_drop_all_transform_hook_skips_build(spark, tmp_path_factory):
+    """A transform_record_hook that drops every index record must not run
+    a batch build on the empty corpus (ADVICE r3): the batch lands as a
+    cdc_only checkpoint and the store keeps serving."""
+    path = str(tmp_path_factory.mktemp("r4_cdc_dropall"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        _mk_docs(spark).withColumnRenamed("text", "content"), cfg, path,
+        segment_docs=8, num_buckets=4,
+    )
+    n_batches_before = len(
+        os.listdir(os.path.join(path, "segments"))
+    )
+    drop_cfg = IndexerConfig(
+        index="docs", id_field="doc_id",
+        transform_record_hook=lambda df: df.filter("1 = 0"),
+    )
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_name": ["INSERT"], "doc_id": ["200"],
+             "content": ["to be dropped"]}
+        )
+    ).selectExpr(
+        "event_name",
+        "named_struct('doc_id', doc_id) AS keys",
+        "named_struct('doc_id', doc_id, 'content', content) AS new_image",
+        "CAST(NULL AS struct<doc_id:string>) AS old_image",
+    )
+    res = cdc.apply_changes(events, drop_cfg, path)
+    assert res["upserts"] == 0
+    # no empty segment batch was written
+    assert len(os.listdir(os.path.join(path, "segments"))) == n_batches_before
+    # the batch name is still claimed (cdc_only checkpoint)
+    import json
+
+    ckpt_dir = os.path.join(path, "checkpoints")
+    names = sorted(os.listdir(ckpt_dir))
+    assert len(names) == 2
+    with open(os.path.join(ckpt_dir, names[-1])) as f:
+        assert json.load(f).get("cdc_only") is True
