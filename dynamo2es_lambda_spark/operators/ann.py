@@ -245,15 +245,31 @@ def ivf_assign(
     )
 
 
+DEFAULT_KMEANS_SAMPLE = 4096
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int = DEFAULT_KMEANS_SAMPLE,
 ) -> DataFrame:
-    """Spherical k-means (Lloyd's) trained DISTRIBUTEDLY for the IVF coarse
-    quantizer. Per iteration:
+    """Spherical k-means (Lloyd's) for the IVF coarse quantizer.
+
+    Init = deterministic maximin (farthest-point) over a hash-ordered
+    DRIVER SAMPLE of ``max(sample, 16·k)`` vectors — ONE corpus job
+    total, independent of k (the r3 seeding launched k−1 sequential
+    full-corpus jobs: ~1000 scans before indexing for k=1024; centroids
+    are broadcast-sized model state, exactly like ``pq_train_codebooks``
+    codebooks, and sample-trained seeding loses nothing the nprobe
+    search cares about). Seed = hash-first sample vector, then k−1
+    numpy maximin rounds (smallest max cosine to the chosen set; ties
+    on vec_id).
+
+    The optional distributed Lloyd refinement (``iters`` > 0) then runs
+    per iteration:
 
     - assignment: broadcast the k × dim centroid table, map-side argmax
       cosine (``ivf_assign`` — no shuffle of the vector table);
@@ -263,24 +279,18 @@ def kmeans_centroids(
     - the k × dim centroid matrix lives on the driver between iterations —
       broadcast-sized by construction (it IS the broadcast side).
 
-    Init = deterministic maximin (farthest-point): a hash-ordered seed
-    point, then k−1 rounds each adding the point with the smallest max
-    cosine to the chosen set (one broadcast-join aggregation per round —
-    k−1 cheap jobs; guarantees well-separated clusters each receive an
-    initial centroid, unlike random sampling). Empty clusters keep their
-    previous centroid; centroids are L2-normalized (cosine is
-    scale-invariant, normalization keeps the mean-of-members update
-    spherical). Float-sum reduction order is not fixed, so centroids are
-    deterministic only to float tolerance — use the fixed-id
-    sampled-centroid path when bit-exact reproducibility is required (the
-    driver-gated query does). Returns (cid, cvec)."""
+    Total job count: 1 sample gather + 2·``iters`` — never a function of
+    k or corpus size. Empty clusters keep their previous centroid;
+    centroids are L2-normalized (cosine is scale-invariant, normalization
+    keeps the mean-of-members update spherical). Float-sum reduction
+    order is not fixed, so centroids are deterministic only to float
+    tolerance — use the fixed-id sampled-centroid path when bit-exact
+    reproducibility is required (the driver-gated query does).
+    Returns (cid, cvec)."""
     spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
     )
-
-    def norm(v: np.ndarray) -> np.ndarray:
-        return v / (np.linalg.norm(v) + 1e-12)
 
     def cents_df(c: np.ndarray) -> DataFrame:
         return spark.createDataFrame(
@@ -291,35 +301,41 @@ def kmeans_centroids(
 
     if n_centroids < 1:
         raise ValueError(f"n_centroids ({n_centroids}) must be >= 1")
-    n_vecs = vecs.count()  # column-pruned count, cheap next to k-1 maximin jobs
-    if n_centroids > n_vecs > 0:
-        raise ValueError(
-            f"n_centroids ({n_centroids}) exceeds the vector count "
-            f"({n_vecs}) — lower it to at most the corpus size"
-        )
-    seed = (
-        vecs.orderBy(F.xxhash64("vec_id"), F.col("vec_id")).limit(1).toPandas()
+    n_sample = max(int(sample), 16 * n_centroids)
+    pdf = (
+        vecs.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_sample)
+        .toPandas()
     )
-    if seed.empty:
+    if pdf.empty:
         # empty corpus (every id a query, or no vectors at all): an empty
         # centroid table, so downstream probe/rerank returns empty instead
         # of the seed gather crashing
         return spark.createDataFrame(
             [], "cid long, cvec array<double>"
         )
-    chosen = [norm(np.asarray(seed["tvec"].iloc[0], dtype=np.float64))]
-    for _ in range(n_centroids - 1):
-        far = (
-            vecs.join(F.broadcast(cents_df(np.stack(chosen))))
-            .withColumn("_cos", F.expr(cosine_expr("tvec", "cvec")))
-            .groupBy("vec_id")
-            .agg(F.max("_cos").alias("m"), F.first("tvec").alias("tvec"))
-            .orderBy(F.col("m").asc(), F.col("vec_id"))
-            .limit(1)
-            .toPandas()
+    if len(pdf) < n_sample and len(pdf) < n_centroids:
+        # the sample IS the whole corpus (limit under-filled) — too few
+        # vectors to seed k distinct centroids
+        raise ValueError(
+            f"n_centroids ({n_centroids}) exceeds the vector count "
+            f"({len(pdf)}) — lower it to at most the corpus size"
         )
-        chosen.append(norm(np.asarray(far["tvec"].iloc[0], dtype=np.float64)))
-    cents = np.stack(chosen)
+    xs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["tvec"]])
+    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+    vec_ids = pdf["vec_id"].to_numpy()
+    chosen_idx = [0]  # hash-first sample row seeds, as before
+    taken = np.zeros(len(xs), dtype=bool)
+    taken[0] = True
+    max_cos = xs @ xs[0]
+    for _ in range(n_centroids - 1):
+        # smallest max-cosine to the chosen set; ties break on vec_id asc
+        order = np.lexsort((vec_ids, max_cos))
+        pick = int(order[np.argmin(taken[order])])
+        chosen_idx.append(pick)
+        taken[pick] = True
+        max_cos = np.maximum(max_cos, xs @ xs[pick])
+    cents = xs[chosen_idx]
 
     for _ in range(iters):
         assigned = ivf_assign(

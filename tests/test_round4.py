@@ -184,6 +184,43 @@ def test_cdc_batch_extends_lm_stats(spark, tmp_path_factory):
     assert got["stream data"] == 6  # 5 base + 1 CDC
 
 
+# ------------------------- IVF k-means: O(1) corpus-independent training
+
+
+def test_kmeans_training_job_count_independent_of_k(spark):
+    """Seeding runs on ONE hash-ordered driver sample: the Spark job count
+    of training must not grow with n_centroids (the r3 maximin issued k−1
+    sequential full-corpus jobs)."""
+    import numpy as np
+
+    from dynamo2es_lambda_spark.operators import ann
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(64),
+                "embedding": [
+                    [float(x) for x in rng.normal(0, 1, 8)] for _ in range(64)
+                ],
+            }
+        )
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(k):
+        group = f"r4_km_{k}"
+        sc.setJobGroup(group, "kmeans job count probe")
+        try:
+            ann.kmeans_centroids(emb, n_centroids=k, iters=1)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    a, b = jobs_for(2), jobs_for(16)
+    assert a == b, (a, b)
+
+
 # -------------------------------------- after_hook: keyword-only meta
 
 
