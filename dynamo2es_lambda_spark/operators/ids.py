@@ -180,7 +180,28 @@ def tokenize_count_rows(
         tokenize_series,
     )
 
-    drop = set(fields) if fields else {content_col}
+    fld_cols: dict[str, str] = {}
+    if fields:
+        # nested fields: a dotted path ("meta.author") is a Spark struct
+        # accessor, not a pandas column — project it to an INTERNALLY-NAMED
+        # top-level column so the Arrow hop hands the kernel a plain string
+        # column, while the qualified term prefix stays the dotted path. A
+        # literal dotted COLUMN name ("meta.author") is deliberately avoided:
+        # Catalyst's name-based pruning resolves it as nested access into
+        # the sibling struct and silently drops the projection (observed on
+        # Spark 4.1).
+        for i, fld in enumerate(fields):
+            if "." in fld:
+                safe = f"_fld_{i}"
+                while safe in with_id.columns:
+                    safe += "_"
+                with_id = with_id.withColumn(safe, F.col(fld))
+                fld_cols[fld] = safe
+            else:
+                fld_cols[fld] = fld
+    drop = (
+        set(fields) | set(fld_cols.values()) if fields else {content_col}
+    )
     meta_cols = [
         f.name
         for f in with_id.schema.fields
@@ -205,6 +226,17 @@ def tokenize_count_rows(
     kernel = (
         term_freqs_positions_from_tokens if positions else term_freqs_from_tokens
     )
+    # meta columns of NESTED Spark type (structs riding through a
+    # nested-field build): concat pads them with float NaN on term rows,
+    # which Arrow's struct/array converter rejects — they must be None
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_meta = [
+        f.name
+        for f in with_id.schema.fields
+        if f.name in meta_cols
+        and isinstance(f.dataType, (StructType, ArrayType, MapType))
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,7 +248,7 @@ def tokenize_count_rows(
                 frames = []
                 per_field_dl = []
                 for fld in fields:
-                    toks = tokenize_series(pdf[fld].fillna(""))
+                    toks = tokenize_series(pdf[fld_cols[fld]].fillna(""))
                     dl_f = toks.map(len).to_numpy(dtype=np.int64)
                     per_field_dl.append(dl_f)
                     tr = kernel(doc_int, toks, dl_f)
@@ -245,6 +277,11 @@ def tokenize_count_rows(
             if fields:
                 doc_rows["field_dls"] = field_dls
             out = pd.concat([doc_rows, term_rows], ignore_index=True)
+            for c in complex_meta:
+                out[c] = [
+                    None if isinstance(v, float) and np.isnan(v) else v
+                    for v in out[c]
+                ]
             yield out[[*term_cols, *meta_cols]]
 
     return with_id.mapInPandas(run, schema=out_schema)

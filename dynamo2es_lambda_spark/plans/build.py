@@ -223,9 +223,19 @@ def build_index(
     if id_mode not in ("hash", "dense"):
         raise EngineError(f"unknown id_mode: {id_mode}")
     if fields is not None:
+        import re as _re
+
         fields = tuple(fields)
         for f_ in fields:
-            if ":" in f_ or not f_:
+            # dotted paths index NESTED object fields ("meta.author") — the
+            # reference ships arbitrarily nested documents
+            # (test/handler-tests.js:248, dot paths :1055-1096) which ES
+            # exposes as per-field queries; each dot segment must be a plain
+            # identifier so the path parses identically as a Spark struct
+            # accessor, a SQL expression, and a term-prefix qualifier
+            if not _re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*", f_
+            ):
                 raise EngineError(f"invalid field name: {f_!r}")
         if len(set(fields)) != len(fields):
             raise EngineError(f"duplicate field names: {fields}")

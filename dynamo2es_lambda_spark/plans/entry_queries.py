@@ -168,7 +168,14 @@ def q_fts_bm25_and(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
-def _bm25_sql(queries: list[tuple[int, str]], k: int, and_mode: bool) -> str:
+def _bm25_sql(
+    queries: list[tuple[int, str]],
+    k: int,
+    and_mode: bool,
+    toks_sql: str | None = None,
+) -> str:
+    """``toks_sql`` swaps the tokenized column (default text) — e.g. the
+    nested-field oracle scores the source column the struct path maps to."""
     vals, needs = [], []
     for qid, q in queries:
         toks = analysis.tokenize_series(pd.Series([q]))[0]
@@ -184,7 +191,8 @@ def _bm25_sql(queries: list[tuple[int, str]], k: int, and_mode: bool) -> str:
     )
     return f"""
 WITH corpus AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks FROM documents
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {toks_sql or DOC_TOKS} AS toks
+  FROM documents
 ),
 dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -2316,6 +2324,43 @@ def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     return search.load_store(path)
 
 
+NESTED_QUERIES = [(0, "src1"), (1, "src7 src3"), (2, "absentzzz")]
+
+
+def _corpus_store_nested(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """Engine index with a NESTED field: documents carry a struct column
+    ``meta`` and the index is built on the dotted path ``meta.author``
+    (the reference ships arbitrarily nested documents,
+    test/handler-tests.js:248, dot paths :1055-1096 — ES exposes them as
+    per-field queries)."""
+    (path,), fresh = _cached_store_paths(sf_dir, "nested1")
+    if fresh:
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            "text",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("author"),
+            ).alias("meta"),
+        )
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        build.build_index(
+            corpus, cfg, path,
+            num_buckets=32, resume=True, fields=("text", "meta.author"),
+        )
+    return search.load_store(path)
+
+
+def q_fts_nested_field(spark, sf_dir):
+    """BM25 targeted at the nested path: field-local df/avgdl over the
+    struct field's token stream; the oracle scores the flat source column
+    the path maps to."""
+    store = _corpus_store_nested(spark, sf_dir)
+    qpdf = pd.DataFrame(NESTED_QUERIES, columns=["qid", "query"])
+    res = search.search(spark, store, qpdf, k=50, field="meta.author")
+    return _rerank_rounded(res, FT_K)
+
+
 def q_fts_multi_match(spark, sf_dir):
     store = _corpus_store_mf(spark, sf_dir)
     qpdf = pd.DataFrame(MM_QUERIES, columns=["qid", "query"])
@@ -4081,6 +4126,7 @@ SPARK_QUERIES = {
     "fts_phrase_prefix": q_fts_phrase_prefix,
     "fts_dis_max": q_fts_dis_max,
     "fts_multi_match": q_fts_multi_match,
+    "fts_nested_field": q_fts_nested_field,
     "fts_terms": q_fts_terms,
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
@@ -4171,6 +4217,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_dis_max": _dis_max_sql(DISMAX_CLAUSES, FT_K, DISMAX_TIE),
         "fts_multi_match": _multi_match_sql(
             MM_QUERIES, FT_K, MM_BOOSTS, MM_TIE
+        ),
+        "fts_nested_field": _bm25_sql(
+            NESTED_QUERIES, FT_K, and_mode=False, toks_sql=SRC_TOKS
         ),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),
         "fts_function_score": _function_score_sql(

@@ -7,6 +7,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dynamo2es_lambda_spark import IndexerConfig
 from dynamo2es_lambda_spark.operators import lm
@@ -182,6 +183,72 @@ def test_cdc_batch_extends_lm_stats(spark, tmp_path_factory):
     }
     assert got == want
     assert got["stream data"] == 6  # 5 base + 1 CDC
+
+
+# ------------------------------------------- nested-object field indexing
+
+
+def test_nested_field_equals_flat_field(spark, tmp_path_factory):
+    """Indexing a dotted struct path yields BIT-identical scores to
+    indexing the same data as a flat column: the nested path is pure
+    addressing, the BM25 plan (field-local df/avgdl/norms) is shared."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(6)],
+            "text": ["alpha beta"] * 6,
+            "author": ["kay", "kay lee", "lee", "moss", "kay", "lee moss"],
+        }
+    )
+    flat = spark.createDataFrame(pdf)
+    nested = flat.select(
+        "doc_id", "text",
+        F.struct(F.col("author").alias("author")).alias("meta"),
+    )
+    p_n = str(tmp_path_factory.mktemp("r4_nested"))
+    p_f = str(tmp_path_factory.mktemp("r4_flat"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(nested, cfg, p_n, segment_docs=8, num_buckets=4,
+                      fields=("text", "meta.author"))
+    build.build_index(flat, cfg, p_f, segment_docs=8, num_buckets=4,
+                      fields=("text", "author"))
+    s_n = search.load_store(p_n)
+    assert s_n.meta["fields"] == ["text", "meta.author"]
+    q = pd.DataFrame([(0, "kay lee"), (1, "moss")], columns=["qid", "query"])
+    got = search.search(
+        spark, s_n, q, k=10, field="meta.author"
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    want = search.search(
+        spark, search.load_store(p_f), q, k=10, field="author"
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
+    """Two-level nesting indexes and queries; malformed field names raise."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["1", "2"], "text": ["x", "y"]})
+    ).select(
+        "doc_id", "text",
+        F.struct(
+            F.struct(F.lit("deep value").alias("name")).alias("inner")
+        ).alias("outer"),
+    )
+    path = str(tmp_path_factory.mktemp("r4_nested2"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(docs, cfg, path, segment_docs=8, num_buckets=4,
+                      fields=("text", "outer.inner.name"))
+    got = search.search(
+        spark, search.load_store(path),
+        pd.DataFrame([(0, "deep")], columns=["qid", "query"]),
+        k=10, field="outer.inner.name",
+    ).toPandas()
+    assert set(got["doc_id"]) == {"1", "2"}
+    for bad in ("a:b", "", "a..b", "a b", ".a"):
+        with pytest.raises(Exception, match="invalid field name"):
+            build.build_index(
+                docs, cfg, str(tmp_path_factory.mktemp("r4_badfield")),
+                fields=("text", bad),
+            )
 
 
 # ------------------------- IVF k-means: O(1) corpus-independent training
