@@ -494,7 +494,7 @@ def _build_batch_once(
     meta_cols = [
         c
         for c in ("doc_id", "index_name", "doc_type", "parent",
-                  "version", "content_sha256", "lang", "field_dls")
+                  "version", "content_sha256", "lang", "ts", "field_dls")
         if c in rows.columns
     ]
     # ONE job per batch: python fused pass → (term_bucket, seg) exchange →

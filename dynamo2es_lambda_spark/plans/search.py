@@ -2731,6 +2731,59 @@ def search_histogram(
     )
 
 
+CALENDAR_INTERVALS = (
+    "year", "quarter", "month", "week", "day", "hour", "minute",
+)
+
+
+def calendar_bucket(col, calendar_interval: str):
+    """ES ``date_histogram`` ``calendar_interval`` bucketing as a Column:
+    date_trunc to the named calendar unit, rendered as a date string
+    (weeks start Monday — ISO, matching both Spark and DuckDB
+    ``date_trunc``). Calendar units are NOT fixed-width (months vary,
+    weeks cross month bounds), which is exactly why ES separates them
+    from fixed ``interval`` — the numeric ``search_histogram`` cannot
+    express them."""
+    if calendar_interval not in CALENDAR_INTERVALS:
+        raise EngineError(
+            f"unknown calendar_interval {calendar_interval!r}; "
+            f"one of {CALENDAR_INTERVALS}"
+        )
+    return (
+        F.date_trunc(calendar_interval, col).cast("date").cast("string")
+    )
+
+
+def search_date_histogram(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    calendar_interval: str,
+    value_col: str = "ts",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` with ``calendar_interval`` (month / week /
+    quarter / ...) over the match set: per (qid, calendar bucket) doc
+    counts from the doc_stats date column — block metadata + markers
+    only, postings never decoded. → (qid, bucket, n_docs)."""
+    bucket = calendar_bucket(F.col("_v"), calendar_interval)
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, bucket string, n_docs long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .withColumn("bucket", bucket)
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def search_terms_agg(
     spark: SparkSession,
     store: IndexStore,

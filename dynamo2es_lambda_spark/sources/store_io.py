@@ -127,7 +127,7 @@ def read_doc_stats(spark, store_path: str):
         c
         for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
                   "version", "dl", "field_dls", "content_sha256", "lang",
-                  "batch")
+                  "ts", "batch")
         if c in df.columns
     ]
     return df.select(*keep)

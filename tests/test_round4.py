@@ -251,6 +251,56 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# --------------------------------- calendar-interval date_histogram
+
+
+def test_search_date_histogram_calendar_buckets(spark, tmp_path_factory):
+    """A store with a doc-level date column buckets the match set by
+    calendar unit (month/week) — truncation, not fixed width."""
+    import datetime as dt
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(6)],
+            "content": ["alpha topic"] * 5 + ["other text"],
+            "ts": [
+                dt.datetime(2024, 1, 2),   # week of 2024-01-01
+                dt.datetime(2024, 1, 8),   # week of 2024-01-08
+                dt.datetime(2024, 1, 31),
+                dt.datetime(2024, 2, 1),   # same ISO week as 2024-01-31
+                dt.datetime(2024, 3, 15),
+                dt.datetime(2024, 1, 3),   # non-matching doc
+            ],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r4_dhist"))
+    build.build_index(
+        spark.createDataFrame(rows),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    month = {
+        (r["bucket"], r["n_docs"])
+        for r in search.search_date_histogram(
+            spark, store, q, "month"
+        ).collect()
+    }
+    assert month == {("2024-01-01", 3), ("2024-02-01", 1),
+                     ("2024-03-01", 1)}
+    week = {
+        (r["bucket"], r["n_docs"])
+        for r in search.search_date_histogram(
+            spark, store, q, "week"
+        ).collect()
+    }
+    # 2024-01-31 and 2024-02-01 share the ISO week starting Mon 2024-01-29
+    assert ("2024-01-29", 2) in week and ("2024-01-01", 1) in week
+    with pytest.raises(Exception, match="calendar_interval"):
+        search.search_date_histogram(spark, store, q, "fortnight")
+
+
 # ------------------------- IVF k-means: O(1) corpus-independent training
 
 
