@@ -2230,6 +2230,62 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+SS_SCRIPT = "_score / (1.0 + sqrt(dl)) + log1p(dl)"
+
+
+def q_fts_script_score(spark, sf_dir):
+    """ES script_score (VERDICT r3 gap): a custom whitelisted scoring
+    expression over _score and doc fields — no per-row Python, the
+    expression compiles into codegen."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FS_QUERIES, columns=["qid", "query"])
+    res = search.search_script_score(
+        spark, store, qpdf, SS_SCRIPT, k=50, doc_cols=("dl",)
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _script_score_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_script_score: OR BM25 then the SAME expression
+    (s / (1 + sqrt(dl)) + ln(1 + dl), clamped at 0) replicated in SQL."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+matched AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS s,
+         max(dl.dl) AS dl
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+         greatest(s / (1.0 + sqrt(dl)) + ln(1.0 + dl), 0.0) AS score
+  FROM matched
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _function_score_sql(
     queries: list[tuple[int, str]], k: int,
     weight: float, modifier: str, boost_mode: str,
@@ -4163,6 +4219,7 @@ SPARK_QUERIES = {
     "fts_dis_max": q_fts_dis_max,
     "fts_multi_match": q_fts_multi_match,
     "fts_nested_field": q_fts_nested_field,
+    "fts_script_score": q_fts_script_score,
     "fts_terms": q_fts_terms,
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
@@ -4258,6 +4315,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_nested_field": _bm25_sql(
             NESTED_QUERIES, FT_K, and_mode=False, toks_sql=SRC_TOKS
         ),
+        "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),
         "fts_function_score": _function_score_sql(
             FS_QUERIES, FT_K, FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE

@@ -3704,6 +3704,72 @@ def search_function_score(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+_SCRIPT_FNS = frozenset(
+    {"log", "log1p", "log2", "ln", "sqrt", "exp", "pow", "power", "abs",
+     "greatest", "least", "floor", "ceil", "round", "sigmoid", "sin",
+     "cos", "double", "if", "case", "when", "then", "else", "end", "and",
+     "or", "not"}
+)
+
+
+def search_script_score(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    script: str,
+    k: int = 10,
+    doc_cols: tuple[str, ...] = ("dl",),
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``script_score``: replace the query score with a user EXPRESSION
+    over ``_score`` and per-document fields — the generic scripted-scoring
+    hook field_value_factor/decay/rank_feature cannot express (custom
+    combinations, conditionals).
+
+    The script is a WHITELISTED Spark SQL expression, not a per-row
+    program: every identifier must be ``_score``, a column named in
+    ``doc_cols`` (joined from the metadata-sized doc_stats), or a
+    whitelisted math/conditional function — anything else raises before
+    planning. The expression compiles into whole-stage codegen, so the
+    rescore costs one projection over the match aggregate (the engine's
+    no-per-row-Python rule holds; ES evaluates Painless per doc — this is
+    strictly cheaper). Like ES, a script_score must be non-negative;
+    negative results raise at validation time only if statically constant,
+    otherwise they are clamped to 0 (ES errors per-doc; a distributed
+    per-doc error channel would cost more than the clamp).
+
+    Example: ``script="_score * log1p(dl) / (1.0 + exists_boost)"``."""
+    import re as _re
+
+    stripped = _re.sub(
+        r"\b\d+(\.\d+)?([eE][+-]?\d+)?", " ", script
+    )
+    idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
+    allowed = {"_score", *doc_cols, *_SCRIPT_FNS}
+    bad = sorted(i for i in idents if i.lower() not in allowed and i not in allowed)
+    if bad:
+        raise EngineError(
+            f"script_score references {bad} — allowed: _score, doc columns "
+            f"{sorted(doc_cols)}, and functions {sorted(_SCRIPT_FNS)}"
+        )
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    stats = store.doc_stats(spark).select(
+        "doc_int", *[F.col(c).cast("double").alias(c) for c in doc_cols]
+    )
+    agg = (
+        agg.withColumnRenamed("score", "_score")
+        .join(stats, "doc_int")
+        .withColumn(
+            "score",
+            F.greatest(F.expr(script).cast("double"), F.lit(0.0)),
+        )
+        .select("qid", "doc_int", "score")
+    )
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 _DISMAX_CLAUSE_STRIDE = 1_000_000  # composite qid = qid * stride + clause
 
 

@@ -251,6 +251,44 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ------------------------------------------ script_score expression hook
+
+
+def test_script_score_matches_function_score_and_validates(
+    spark, tmp_path_factory
+):
+    """script \"_score * log1p(1.0 * dl)\" reproduces field_value_factor
+    (log1p, multiply) bit-for-bit; non-whitelisted identifiers raise
+    BEFORE planning."""
+    path = str(tmp_path_factory.mktemp("r4_script"))
+    build.build_index(
+        _mk_docs(spark).withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "stream data")], columns=["qid", "query"])
+    via_script = search.search_script_score(
+        spark, store, q, "_score * log1p(1.0 * dl)", k=10
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    via_fs = search.search_function_score(
+        spark, store, q, k=10, factor_col="dl", modifier="log1p",
+        factor_weight=1.0, boost_mode="multiply",
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_script, via_fs)
+
+    # negative results clamp to zero (ES requires non-negative scores)
+    clamped = search.search_script_score(
+        spark, store, q, "_score - 1000.0", k=10
+    ).toPandas()
+    assert (clamped["score"] == 0.0).all()
+
+    for bad in ("_score * evil_column", "rand()", "_score; drop",
+                "reflect('java.lang.System','exit')"):
+        with pytest.raises(Exception, match="script_score references"):
+            search.search_script_score(spark, store, q, bad, k=10)
+
+
 # --------------------------------- calendar-interval date_histogram
 
 
