@@ -1088,6 +1088,45 @@ def q_fts_terms_agg(spark, sf_dir):
     )
 
 
+TA_AFTER_KEY, TA_PAGE_SIZE = "en", 2
+
+
+def q_fts_terms_agg_after(spark, sf_dir):
+    """ES composite-agg pagination (VERDICT r3 gap): the lang bucket page
+    strictly after after_key='en', capped at 2 buckets per qid — a keyset
+    cursor like hit-level search_after."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_terms_agg(
+        spark, store, qpdf, group_col="lang", value_col="dl",
+        size=TA_PAGE_SIZE, after_key=TA_AFTER_KEY,
+    )
+
+
+def _terms_agg_after_sql(queries: list[tuple[int, str]]) -> str:
+    """Oracle for q_fts_terms_agg_after: the same bucket aggregation,
+    keyset-filtered then row_number-capped per qid."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+buckets AS (
+  SELECT CAST(m.qid AS BIGINT) AS qid, doc.lang AS grp,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(dl.dl), 6) AS avg_value_r
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+  WHERE doc.lang > '{TA_AFTER_KEY}'
+  GROUP BY m.qid, doc.lang
+),
+paged AS (
+  SELECT qid, grp, n_docs, avg_value_r,
+         row_number() OVER (PARTITION BY qid ORDER BY grp ASC) AS rn
+  FROM buckets
+)
+SELECT qid, grp AS "group", n_docs, avg_value_r
+FROM paged WHERE rn <= {TA_PAGE_SIZE}
+"""
+
+
 def _terms_agg_sql(queries: list[tuple[int, str]]) -> str:
     """Oracle for q_fts_terms_agg: per (qid, lang) match-set count + mean
     dl."""
@@ -4250,6 +4289,7 @@ SPARK_QUERIES = {
     "fts_span_near": q_fts_span_near,
     "fts_sorted_after": q_fts_sorted_after,
     "fts_terms_agg_avg": q_fts_terms_agg,
+    "fts_terms_agg_after": q_fts_terms_agg_after,
     "fts_combined_fields": q_fts_combined_fields,
     "fts_rank_feature": q_fts_rank_feature,
     "fts_suggest_phrase": q_fts_suggest_phrase,
@@ -4355,6 +4395,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_sorted_after": _sorted_after_sql(SORTED_QUERIES, FT_K),
         "fts_terms_agg_avg": _terms_agg_sql(SORTED_QUERIES),
+        "fts_terms_agg_after": _terms_agg_after_sql(SORTED_QUERIES),
         "fts_combined_fields": _combined_fields_sql(
             MM_QUERIES, FT_K, CF_WEIGHTS
         ),

@@ -2792,15 +2792,28 @@ def search_terms_agg(
     value_col: str = "dl",
     mode: str = "or",
     field: str | None = None,
+    size: int | None = None,
+    after_key: str | None = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation WITH a metric sub-aggregation — the most
     common agg combo (`terms` bucket + `avg`): per (qid, doc-field value)
     bucket, the match-set doc count and the mean of a numeric doc_stats
     column, 6-dp rounded. Returns (qid, group, n_docs, avg_value_r).
 
+    ``size`` / ``after_key`` give ES ``composite`` aggregation paging:
+    buckets order by group key ascending, ``after_key`` resumes STRICTLY
+    AFTER the named key (a keyset cursor, the same discipline hit-level
+    ``search_after`` uses — stable under concurrent pages, no offset
+    re-scan), ``size`` caps buckets per qid; the caller passes the last
+    group of one page as the next page's after_key. High-cardinality
+    facets at 100 TB page through buckets without ever materializing the
+    full bucket set to the driver.
+
     Same plan family as the histogram: the match set joins the
     metadata-sized doc_stats once; both metrics come out of ONE hash
-    aggregation (partial map-side)."""
+    aggregation (partial map-side). The after_key filter is applied on
+    the GROUP column before aggregation — it prunes the shuffle, not
+    just the output."""
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
@@ -2811,7 +2824,9 @@ def search_terms_agg(
         F.col(group_col).cast("string").alias("group"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    return (
+    if after_key is not None:
+        stats = stats.filter(F.col("group") > F.lit(str(after_key)))
+    out = (
         hits.join(stats, "doc_int")
         .groupBy("qid", "group")
         .agg(
@@ -2819,6 +2834,16 @@ def search_terms_agg(
             F.round(F.avg("_v"), 6).alias("avg_value_r"),
         )
     )
+    if size is not None:
+        if size < 1:
+            raise EngineError("composite agg size must be >= 1")
+        w = Window.partitionBy("qid").orderBy(F.col("group").asc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(size))
+            .drop("_rn")
+        )
+    return out
 
 
 def search_range_agg(

@@ -251,6 +251,48 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ------------------------------------- composite agg keyset pagination
+
+
+def test_terms_agg_pages_reassemble_full_bucket_set(spark, tmp_path_factory):
+    """Walking pages with (size, after_key) reconstructs exactly the
+    unpaged bucket set, in group order, with no dup or gap."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(10)],
+            "content": ["common term"] * 10,
+            "lang": ["de", "en", "es", "fr", "zh"] * 2,
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r4_compagg"))
+    build.build_index(
+        spark.createDataFrame(rows),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "common")], columns=["qid", "query"])
+    full = (
+        search.search_terms_agg(spark, store, q, group_col="lang")
+        .toPandas().sort_values("group").reset_index(drop=True)
+    )
+    pages, after = [], None
+    while True:
+        page = (
+            search.search_terms_agg(
+                spark, store, q, group_col="lang", size=2, after_key=after
+            )
+            .toPandas().sort_values("group")
+        )
+        if page.empty:
+            break
+        pages.append(page)
+        after = page["group"].iloc[-1]
+    walked = pd.concat(pages, ignore_index=True)
+    pd.testing.assert_frame_equal(walked, full)
+    assert [len(p) for p in pages] == [2, 2, 1]
+
+
 # ------------------------------------------ script_score expression hook
 
 
