@@ -2791,6 +2791,147 @@ def q_fts_span_near(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+SPAN_OR_CLAUSES = [
+    (0, "merge window"),
+    (0, "fast key"),
+    (1, "customer line"),
+]
+
+
+def q_fts_span_or(spark, sf_dir):
+    """Lucene span_or (VERDICT r3 gap): union of exact span clauses,
+    score = sum of matching clauses' phrase scores."""
+    store = _corpus_store(spark, sf_dir)
+    cl = pd.DataFrame(SPAN_OR_CLAUSES, columns=["qid", "clause"])
+    res = search.search_span_or(spark, store, cl, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_or_sql(clauses: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_span_or: per-clause phrase containment + AND
+    BM25, summed over matching clauses per doc."""
+    qv, cl = [], []
+    for cidx, (qid, c) in enumerate(clauses):
+        toks = analysis.tokenize_series(pd.Series([c]))[0]
+        terms = sorted(Counter(toks).items())
+        cl.append(f"({qid}, {cidx}, ' {' '.join(toks)} ', {len(terms)})")
+        for t, qtf in terms:
+            qv.append(f"({qid}, {cidx}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+qv(qid, cidx, term, qtf) AS (VALUES {", ".join(qv)}),
+cl(clqid, clidx, pat, need) AS (VALUES {", ".join(cl)}),
+per_clause AS (
+  SELECT qv.qid AS qid, qv.cidx AS cidx, p.doc_id AS doc_id,
+         sum(qv.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM qv
+  JOIN posting p ON p.term = qv.term
+  JOIN dfreq d ON d.term = qv.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY qv.qid, qv.cidx, p.doc_id
+),
+ok AS (
+  SELECT pc.qid, pc.doc_id, pc.score
+  FROM per_clause pc
+  JOIN cl ON cl.clqid = pc.qid AND cl.clidx = pc.cidx AND pc.nt = cl.need
+  JOIN cs ON cs.doc_id = pc.doc_id AND contains(cs.s, cl.pat)
+),
+scored AS (
+  SELECT qid, doc_id, sum(score) AS score FROM ok GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+SN_INCLUDE, SN_EXCLUDE = "the fast", "fast key"
+
+
+def q_fts_span_not(spark, sf_dir):
+    """Lucene span_not: 'the fast' occurrences not overlapped by a
+    'fast key' span — include scores, exclude only filters."""
+    store = _corpus_store(spark, sf_dir)
+    q = pd.DataFrame(
+        [(0, SN_INCLUDE, SN_EXCLUDE)],
+        columns=["qid", "include", "exclude"],
+    )
+    res = search.search_span_not(spark, store, q, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_not_sql(include: str, exclude: str, k: int) -> str:
+    """Oracle for q_fts_span_not: occurrence positions via list_filter
+    over the token array, overlap window in SQL, include-phrase BM25."""
+    inc = analysis.tokenize_series(pd.Series([include]))[0]
+    exc = analysis.tokenize_series(pd.Series([exclude]))[0]
+    li, le = len(inc), len(exc)
+    inc_lit = "[" + ", ".join(f"'{t}'" for t in inc) + "]"
+    exc_lit = "[" + ", ".join(f"'{t}'" for t in exc) + "]"
+    vals = [
+        f"(0, '{t}', {qtf})" for t, qtf in sorted(Counter(inc).items())
+    ]
+    need = len(set(inc))
+    return f"""{_BM25_BODY},
+inc_pos AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(toks) - {li} + 2),
+         p -> toks[p:p + {li - 1}] = {inc_lit})) AS p
+  FROM corpus WHERE len(toks) >= {li}
+),
+exc_pos AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(toks) - {le} + 2),
+         p -> toks[p:p + {le - 1}] = {exc_lit})) AS p
+  FROM corpus WHERE len(toks) >= {le}
+),
+good AS (
+  SELECT DISTINCT i.doc_id FROM inc_pos i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exc_pos e
+    WHERE e.doc_id = i.doc_id
+      AND e.p BETWEEN i.p - {le - 1} AND i.p + {li - 1}
+  )
+),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(sc.qid AS BIGINT) AS qid, sc.doc_id AS doc_id,
+         round(sc.score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY sc.qid
+           ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored sc
+  JOIN good g ON g.doc_id = sc.doc_id
+  WHERE sc.nt = {need}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _span_near_sql(
     queries: list[tuple[int, str]], k: int, slop: int
 ) -> str:
@@ -4259,6 +4400,8 @@ SPARK_QUERIES = {
     "fts_multi_match": q_fts_multi_match,
     "fts_nested_field": q_fts_nested_field,
     "fts_script_score": q_fts_script_score,
+    "fts_span_or": q_fts_span_or,
+    "fts_span_not": q_fts_span_not,
     "fts_terms": q_fts_terms,
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
@@ -4356,6 +4499,8 @@ def oracle_sql() -> dict[str, str]:
             NESTED_QUERIES, FT_K, and_mode=False, toks_sql=SRC_TOKS
         ),
         "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
+        "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
+        "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),
         "fts_function_score": _function_score_sql(
             FS_QUERIES, FT_K, FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE

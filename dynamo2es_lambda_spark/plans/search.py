@@ -1502,6 +1502,245 @@ def search_span_near(
     return _present(spark, store, _cut_topk(scored, k), k)
 
 
+def search_span_or(
+    spark: SparkSession,
+    store: IndexStore,
+    clauses: pd.DataFrame,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene ``span_or``: the union of span clauses. ``clauses``: pandas
+    (qid, clause) — multiple rows per qid, each clause an in-order exact
+    span (phrase; a single term is a one-token span). A doc matches when
+    ANY clause's span occurs; its score is the SUM of the matching
+    clauses' phrase scores (Lucene scores every matching span).
+
+    Composition, not a new kernel: clauses pack into composite qids
+    (qid × stride + clause — the dis_max discipline) so ONE
+    _phrase_scores pass verifies every clause, then the union is a
+    decompose + re-aggregate. Two posting reads total regardless of
+    clause count."""
+    cl = clauses.copy()
+    cl["_idx"] = cl.groupby("qid").cumcount()
+    if (cl["_idx"] >= _DISMAX_CLAUSE_STRIDE).any():
+        raise EngineError("too many span_or clauses per qid")
+    comp = pd.DataFrame(
+        {
+            "qid": cl["qid"].astype("int64") * _DISMAX_CLAUSE_STRIDE
+            + cl["_idx"].astype("int64"),
+            "query": cl["clause"].astype(str),
+        }
+    )
+    scored = _phrase_scores(spark, store, comp, field)
+    if scored is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    agg = (
+        scored.withColumn(
+            "qid",
+            F.floor(F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long"),
+        )
+        .groupBy("qid", "doc_int")
+        .agg(F.sum("score").alias("score"))
+    )
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def _span_chain_starts(by_term, phrase, sub, stride):
+    """Span-START keys (``cand_index * stride + start_pos``) of an exact
+    in-order chain over candidates ``sub`` — None when a phrase term is
+    absent from this segment's postings."""
+    valid = None
+    for off, tok in enumerate(phrase):
+        if tok not in by_term:
+            return None
+        key = _adjusted_pos_keys(
+            by_term[tok], sub, off, stride, check_membership=True
+        )
+        valid = (
+            key
+            if valid is None
+            else np.intersect1d(valid, key, assume_unique=False)
+        )
+        if valid.size == 0:
+            return valid
+    return valid
+
+
+def _span_not_filter(
+    starts: np.ndarray,
+    estarts: np.ndarray | None,
+    stride: int,
+    len_inc: int,
+    len_exc: int,
+    pre: int,
+    post: int,
+) -> np.ndarray:
+    """Keep the include span starts whose exclusion zone
+    [start − (len_exc−1) − pre, start + (len_inc−1) + post] (clamped to
+    the candidate's position block) contains zero exclude starts — two
+    searchsorted calls over the sorted exclude keys, no per-doc loop."""
+    if estarts is None or estarts.size == 0:
+        return starts
+    estarts = np.sort(estarts)
+    ci = starts // stride
+    pos = starts % stride
+    lo = ci * stride + np.maximum(pos - (len_exc - 1) - pre, 0)
+    hi = ci * stride + np.minimum(pos + (len_inc - 1) + post, stride - 1)
+    n_over = (
+        np.searchsorted(estarts, hi, side="right")
+        - np.searchsorted(estarts, lo, side="left")
+    )
+    return starts[n_over == 0]
+
+
+def search_span_not(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    pre: int = 0,
+    post: int = 0,
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene ``span_not``: spans of ``include`` that do NOT overlap a
+    span of ``exclude``. ``queries``: pandas (qid, include, exclude) —
+    each an in-order exact span. A doc matches when at least one include
+    occurrence is overlap-free; scoring = the include phrase's summed
+    BM25 (the exclude side only filters, as in Lucene). ``pre``/``post``
+    widen the exclusion zone by that many positions before/after the
+    include span (Lucene's span_not dist parameters).
+
+    Kernel shape: the include chain produces span-START keys per
+    candidate exactly like the phrase kernel; the exclude chain's starts
+    become a sorted key array, and each include start survives when the
+    per-candidate window [start − (len_exc−1) − pre, start + (len_inc−1)
+    + post] contains zero exclude starts — two searchsorted per include
+    key set, no per-doc loop. Runs per (qid, seg) like every span
+    kernel."""
+    if not store.meta.get("positions"):
+        raise EngineError(
+            "span_not needs a store built with positions=True"
+        )
+    if pre < 0 or post < 0:
+        raise EngineError("span_not pre/post must be >= 0")
+    n_docs = float(store.meta["n_docs"])
+    prefix, avgdl = _field_of(store, field)
+
+    inc_by_qid: dict[int, list[str]] = {}
+    exc_by_qid: dict[int, list[str]] = {}
+    rows = []
+    for qid, inc, exc in zip(
+        queries["qid"], queries["include"], queries["exclude"]
+    ):
+        inc_t = [
+            prefix + t
+            for t in analysis.tokenize_series(pd.Series([str(inc)]))[0]
+        ]
+        exc_t = [
+            prefix + t
+            for t in analysis.tokenize_series(pd.Series([str(exc)]))[0]
+        ]
+        if not inc_t or not exc_t:
+            raise EngineError(
+                "span_not needs non-empty include and exclude spans"
+            )
+        qid = int(qid)
+        inc_by_qid[qid] = inc_t
+        exc_by_qid[qid] = exc_t
+        for t, c in sorted(Counter(inc_t).items()):
+            rows.append((qid, t, int(c), True))
+        for t in sorted(set(exc_t) - set(inc_t)):
+            rows.append((qid, t, 0, False))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf", "_inc"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    # an unindexed INCLUDE term kills the qid (AND semantics); an
+    # unindexed exclude term just means nothing to exclude
+    dead_qids = set(qt.loc[qt["df"].isna() & qt["_inc"], "qid"])
+    qt = qt[~qt["qid"].isin(dead_qids)].dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    n_inc_terms = (
+        qt[qt["_inc"]].groupby("qid").size().to_dict()
+    )
+    joined = _matched_blocks(spark, store, qt.drop(columns=["_inc"]))
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        inc = inc_by_qid[qid]
+        exc = exc_by_qid[qid]
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_int": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        by_term = _decode_positional_terms(pdf)
+        if sum(1 for t in set(inc) if t in by_term) < n_inc_terms[qid]:
+            return empty
+        cand = None
+        for tok in set(inc):
+            ids = by_term[tok][0]
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+        if cand is None or cand.size == 0:
+            return empty
+        maxpos = 1
+        for _ids, _tfs, _dls, flat, _starts in by_term.values():
+            if flat.size:
+                maxpos = max(maxpos, int(flat.max()) + 2)
+        stride = maxpos + len(inc) + len(exc) + pre + post + 2
+        chunk = max(1, (2**62) // stride)
+        surv_l = []
+        for c0 in range(0, cand.size, chunk):
+            sub = cand[c0: c0 + chunk]
+            starts = _span_chain_starts(by_term, inc, sub, stride)
+            if starts is None or starts.size == 0:
+                continue
+            estarts = _span_chain_starts(by_term, exc, sub, stride)
+            starts = _span_not_filter(
+                starts, estarts, stride, len(inc), len(exc), pre, post
+            )
+            if starts.size:
+                surv_l.append(sub[np.unique(starts // stride)])
+        if not surv_l:
+            return empty
+        surv = np.concatenate(surv_l)
+        w_by_term = (
+            pdf[["term", "w"]].drop_duplicates().set_index("term")["w"]
+        )
+        scores = np.zeros(surv.size, dtype=np.float64)
+        for tok in sorted(set(inc)):
+            ids, tfs, dls, _f, _s = by_term[tok]
+            i = np.searchsorted(ids, surv)
+            scores += float(w_by_term[tok]) * bm25.tf_norm(
+                tfs[i], dls[i], avgdl
+            )
+        return pd.DataFrame(
+            {"qid": pd.Series(np.full(surv.size, qid), dtype="int64"),
+             "doc_int": pd.Series(surv, dtype="int64"),
+             "score": pd.Series(scores, dtype="float64")}
+        )
+
+    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+            "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
 def search_phrase(
     spark: SparkSession,
     store: IndexStore,

@@ -251,6 +251,138 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ---------------------------------------------- span_or / span_not
+
+
+def _mk_span_store(spark, tmp_path_factory, texts):
+    path = str(tmp_path_factory.mktemp("r4_span"))
+    build.build_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [str(i) for i in range(len(texts))],
+                 "content": texts}
+            )
+        ),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4, positions=True,
+    )
+    return search.load_store(path)
+
+
+def test_span_or_union_and_score_sum(spark, tmp_path_factory):
+    store = _mk_span_store(spark, tmp_path_factory, [
+        "alpha beta gamma",      # 0: clause A only
+        "delta epsilon zeta",    # 1: clause B only
+        "alpha beta delta epsilon",  # 2: both
+        "beta alpha epsilon delta",  # 3: neither (wrong order)
+    ])
+    cl = pd.DataFrame(
+        [(0, "alpha beta"), (0, "delta epsilon")],
+        columns=["qid", "clause"],
+    )
+    got = search.search_span_or(spark, store, cl, k=10).toPandas()
+    assert set(got["doc_id"]) == {"0", "1", "2"}
+    s = dict(zip(got["doc_id"], got["score"]))
+    # both-clause doc scores the SUM of its single-clause analogues'
+    # term sets — strictly more than either alone
+    assert s["2"] > max(s["0"], s["1"])
+
+
+def test_span_not_excludes_overlapping_spans(spark, tmp_path_factory):
+    store = _mk_span_store(spark, tmp_path_factory, [
+        "alpha beta gamma",          # 0: include, no exclude → match
+        "alpha beta charlie delta",  # 1: 'beta charlie' overlaps → no
+        "alpha beta x alpha beta charlie",  # 2: first occurrence clean → match
+        "zulu beta charlie",         # 3: no include occurrence
+    ])
+    q = pd.DataFrame(
+        [(0, "alpha beta", "beta charlie")],
+        columns=["qid", "include", "exclude"],
+    )
+    got = search.search_span_not(spark, store, q, k=10).toPandas()
+    assert set(got["doc_id"]) == {"0", "2"}
+    # widening post past the clean occurrence's slack changes nothing
+    # here, but pre large enough to reach a PRECEDING exclude span kills
+    # doc 2's second occurrence only (already dead) — sanity: pre/post
+    # validation
+    with pytest.raises(Exception, match="pre/post"):
+        search.search_span_not(spark, store, q, pre=-1)
+    # an unindexed exclude span excludes nothing
+    q2 = pd.DataFrame(
+        [(0, "alpha beta", "nosuchterm")],
+        columns=["qid", "include", "exclude"],
+    )
+    got2 = search.search_span_not(spark, store, q2, k=10).toPandas()
+    assert set(got2["doc_id"]) == {"0", "1", "2"}
+
+
+def _brute_span_not(docs_tokens, inc, exc, pre, post):
+    out = []
+    for i, d in enumerate(docs_tokens):
+        inc_starts = [
+            p for p in range(len(d) - len(inc) + 1)
+            if d[p: p + len(inc)] == inc
+        ]
+        exc_starts = [
+            p for p in range(len(d) - len(exc) + 1)
+            if d[p: p + len(exc)] == exc
+        ]
+        ok = any(
+            not any(
+                p - (len(exc) - 1) - pre <= q <= p + (len(inc) - 1) + post
+                for q in exc_starts
+            )
+            for p in inc_starts
+        )
+        if ok:
+            out.append(i)
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from tests.test_round3 import _mk_by_term  # noqa: E402
+
+_doc_strat = st.lists(st.sampled_from("abc"), min_size=0, max_size=10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(_doc_strat, min_size=1, max_size=6),
+    inc=st.lists(st.sampled_from("abc"), min_size=1, max_size=2),
+    exc=st.lists(st.sampled_from("abc"), min_size=1, max_size=2),
+    pre=st.integers(min_value=0, max_value=2),
+    post=st.integers(min_value=0, max_value=2),
+)
+def test_span_not_matches_brute_force(docs, inc, exc, pre, post):
+    """The chain-start + window-filter composition agrees with exhaustive
+    enumeration of include/exclude occurrences on arbitrary tiny
+    corpora."""
+    import numpy as np
+
+    by = _mk_by_term(docs)
+    if any(t not in by for t in inc):
+        return  # include can never match
+    stride = 64
+    cand_all = sorted(
+        set.intersection(*[set(by[t][0].tolist()) for t in set(inc)])
+    )
+    if not cand_all:
+        return
+    sub = np.asarray(cand_all, dtype=np.int64)
+    starts = search._span_chain_starts(by, list(inc), sub, stride)
+    got = []
+    if starts is not None and starts.size:
+        estarts = search._span_chain_starts(by, list(exc), sub, stride)
+        kept = search._span_not_filter(
+            starts, estarts, stride, len(inc), len(exc), pre, post
+        )
+        if kept.size:
+            got = sorted(sub[np.unique(kept // stride)].tolist())
+    assert got == _brute_span_not(docs, list(inc), list(exc), pre, post)
+
+
 # ------------------------------------- composite agg keyset pagination
 
 
