@@ -38,6 +38,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PASSES = 2
 
+# Drift-tracking subset (VERDICT r3 task 6): the 15 round-1 tasks, FROZEN —
+# run FIRST in every pass (before any newer task can warm or pressure the
+# JVM differently round-over-round) and reported as their own geomean vs
+# the round-1 artifact, so suite growth can't contaminate the trend.
+FROZEN_R1_TASKS = (
+    "index_build_synth", "index_build_docs", "bm25_query_set_wand",
+    "bm25_phrase_set", "bm25_prefix_set", "bm25_fuzzy_set",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "text_quality", "doc_fingerprint",
+    "events_sessionize", "tpch_q1_pricing_summary",
+    "tpch_revenue_by_nation",
+)
+# BENCH_r01.json "queries" verbatim (sf0.1, 32 cpus) — the fixed yardstick
+R1_BASELINE_SF01 = {
+    "index_build_synth": 11.546, "index_build_docs": 3.723,
+    "bm25_query_set_wand": 1.481, "bm25_phrase_set": 1.525,
+    "bm25_prefix_set": 1.431, "bm25_fuzzy_set": 1.476,
+    "dedup_exact": 0.41, "dedup_minhash_lsh": 2.559,
+    "dedup_simhash": 1.377, "ann_cosine_topk": 0.635,
+    "text_quality": 0.815, "doc_fingerprint": 1.05,
+    "events_sessionize": 0.395, "tpch_q1_pricing_summary": 0.305,
+    "tpch_revenue_by_nation": 1.148,
+}
+
 # phrases over the corpus' hottest terms (df ≈ 0.78 × corpus at sf0.1):
 # the AND candidate set is nearly the whole corpus, so the vectorized
 # span kernel must chain fat position lists — its measured worst case
@@ -292,6 +316,14 @@ def main() -> None:
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))
 
+    # frozen drift subset runs FIRST in every pass, in its frozen order;
+    # newer tasks follow in declaration order
+    task_map = dict(tasks)
+    assert all(n in task_map for n in FROZEN_R1_TASKS)
+    tasks = [
+        (n, task_map[n]) for n in FROZEN_R1_TASKS
+    ] + [t for t in tasks if t[0] not in set(FROZEN_R1_TASKS)]
+
     # interleaved passes: min per task across full-suite sweeps
     for _ in range(N_PASSES):
         for name, fn in tasks:
@@ -316,6 +348,19 @@ def main() -> None:
         len(qpdf) / queries["bm25_query_set_wand"], 2
     )
     extra["bench_passes"] = N_PASSES
+    if abs(sf - 0.1) < 1e-9:
+        # drift metric: geomean of (this round / r1) over the frozen subset
+        import math
+
+        ratios = [
+            queries[n] / R1_BASELINE_SF01[n] for n in FROZEN_R1_TASKS
+        ]
+        extra["frozen_subset_geomean_vs_r1"] = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
+        )
+        extra["frozen_subset_sec"] = round(
+            sum(queries[n] for n in FROZEN_R1_TASKS), 3
+        )
 
     extra["cdc_events"] = len(ev_rows)
     shutil.rmtree(synth_store, ignore_errors=True)
