@@ -3628,13 +3628,17 @@ def _lsh_near_dup_sql() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE vec_id < {NEAR_DUP_MAX_ID}),
 vd AS (SELECT vec_id, unnest(v) AS val, unnest(range(len(v))) AS d FROM e),
+-- dims derived from the data (distinct unnested indices), like the Spark
+-- side derives dim — a changed embeddings table can never silently
+-- compare against wrong hyperplanes (ADVICE r3)
+dims AS (SELECT DISTINCT d FROM vd),
 s AS (
-  SELECT p.range AS p, d.range AS d,
+  SELECT p.range AS p, dims.d AS d,
          CASE WHEN ('0x' || substr(md5(
-                CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)
+                CAST(p.range AS VARCHAR) || '_' || CAST(dims.d AS VARCHAR)
               ), 1, 8))::BIGINT & 1 = 1
               THEN 1.0 ELSE -1.0 END AS sgn
-  FROM range(0, {np_ * nt}) p, range(0, 64) d
+  FROM range(0, {np_ * nt}) p, dims
 ),
 dots AS (
   SELECT vd.vec_id, s.p, sum(vd.val * s.sgn) AS dot
