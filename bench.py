@@ -250,6 +250,42 @@ def main() -> None:
         cdc_plans.apply_changes(cdc_events, cfg_cdc, dst, compact=True)
         shutil.rmtree(dst, ignore_errors=True)
 
+    # LM-stats store for the suggester tasks: its own build task (measures
+    # the lm_stats=True overhead honestly) + the index-statistics suggest
+    lm_store_path = tempfile.mkdtemp(prefix="d2es_bench_lm_")
+
+    def build_docs_lm():
+        from pyspark.sql import functions as F
+
+        c = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang",
+                F.col("text").alias("content"),
+            )
+        )
+        return build.build_index(
+            c, IndexerConfig(index="docs", id_field="docid"), lm_store_path,
+            num_buckets=32, resume=False, positions=True, lm_stats=True,
+        )
+
+    def lm_store():
+        return search.load_store(lm_store_path)
+
+    sug = pd.DataFrame(
+        [(0, "strem data"), (1, "custmer valu"), (2, "windw")],
+        columns=["qid", "text"],
+    )
+    span_or_cl = pd.DataFrame(
+        [(0, "stream data"), (0, "sort query"), (1, "order column")],
+        columns=["qid", "clause"],
+    )
+    span_not_q = pd.DataFrame(
+        [(0, "stream data", "data value")],
+        columns=["qid", "include", "exclude"],
+    )
+
     tasks: list[tuple[str, object]] = [
         ("index_build_synth", build_synth),
         ("cdc_apply_compact", cdc_apply_compact),
@@ -299,6 +335,21 @@ def main() -> None:
          lambda: search.significant_terms(
              spark, store(), sig, corpus_docs, text_col="text",
              id_col="doc_id", k=10,
+         ).collect()),
+        ("index_build_docs_lm", build_docs_lm),
+        ("suggest_phrase_set",
+         lambda: search.suggest_phrase(
+             spark, lm_store(), probes=sug, k=3).collect()),
+        ("bm25_span_or_set",
+         lambda: search.search_span_or(
+             spark, store(), span_or_cl, k=10).collect()),
+        ("bm25_span_not_set",
+         lambda: search.search_span_not(
+             spark, store(), span_not_q, k=10).collect()),
+        ("script_score_set",
+         lambda: search.search_script_score(
+             spark, store(), qpdf,
+             "_score / (1.0 + sqrt(dl)) + log1p(dl)", k=10,
          ).collect()),
     ]
     for name in (
@@ -364,6 +415,7 @@ def main() -> None:
 
     extra["cdc_events"] = len(ev_rows)
     shutil.rmtree(synth_store, ignore_errors=True)
+    shutil.rmtree(lm_store_path, ignore_errors=True)
     shutil.rmtree(docs_store, ignore_errors=True)
     shutil.rmtree(mf_store_path, ignore_errors=True)
     shutil.rmtree(cdc_base, ignore_errors=True)

@@ -774,6 +774,38 @@ def _finalize_store(
         json.dump(meta, f)
 
 
+def explode_nested(
+    corpus: DataFrame,
+    id_col: str,
+    nested_col: str,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Child corpus for the ES ``nested`` type: one document per element
+    of an ``array<struct>`` column, with ``doc_id`` =
+    ``<parent id><sep><path><sep><index>`` (deterministic — rebuilds
+    produce identical child ids) and ``parent`` = the owning doc's id
+    (the has_parent/has_child linkage plans/search.search_nested joins
+    on). The element's struct fields flatten to top-level columns; build
+    the child store with ``fields=<subfields>`` and
+    ``IndexerConfig(id_field="doc_id", parent_field="parent")``.
+
+    ES hides these per-element child documents inside the Lucene segment
+    (the reference ships arbitrarily nested documents ES indexes this
+    way); the engine makes the child store explicit — posexplode is one
+    narrow projection, no shuffle."""
+    return corpus.select(
+        F.col(id_col).cast("string").alias("_parent"),
+        F.posexplode(F.col(nested_col)).alias("_idx", "_elem"),
+    ).select(
+        F.concat_ws(
+            sep, F.col("_parent"), F.lit(nested_col),
+            F.col("_idx").cast("string"),
+        ).alias("doc_id"),
+        F.col("_parent").alias("parent"),
+        "_elem.*",
+    )
+
+
 def _fields_sha(fields: tuple[str, ...]):
     """sha256 over every indexed field of a multi-field doc, in field
     order, unit-separator joined, nulls as empty strings."""

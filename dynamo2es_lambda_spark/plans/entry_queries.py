@@ -2456,6 +2456,125 @@ def q_fts_nested_field(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+# ES `nested` type: per-element child documents (same-element semantics).
+# The documents table has no array column, so the nested corpus derives
+# deterministically: comments = [(author=lang, body=text[1:40]),
+#                                (author=source, body=text[41:80])].
+NESTED_Q_QUERIES = [(0, "en", "data"), (1, "src3", "merge"),
+                    (2, "absentzzz", "data")]
+NESTED_BODY_LEN = 40
+
+
+def _nested_child_store(spark: SparkSession, sf_dir: str):
+    (path,), fresh = _cached_store_paths(sf_dir, "nestq1")
+    if fresh:
+        d = _docs(spark, sf_dir)
+        corpus = d.select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.array(
+                F.struct(
+                    F.col("lang").alias("author"),
+                    F.substring("text", 1, NESTED_BODY_LEN).alias("body"),
+                ),
+                F.struct(
+                    F.col("source").alias("author"),
+                    F.substring(
+                        "text", NESTED_BODY_LEN + 1, NESTED_BODY_LEN
+                    ).alias("body"),
+                ),
+            ).alias("comments"),
+        )
+        child = build.explode_nested(corpus, "docid", "comments")
+        cfg = IndexerConfig(
+            index="nested", id_field="doc_id", parent_field="parent"
+        )
+        build.build_index(
+            child, cfg, path,
+            num_buckets=32, resume=True, fields=("author", "body"),
+        )
+    return search.load_store(path)
+
+
+def q_fts_nested_query(spark, sf_dir):
+    """ES nested query (same-element must+filter over different
+    subfields): child store scores, parents ranked by the max element
+    score — a flattened index would cross-match elements."""
+    pstore = _corpus_store(spark, sf_dir)
+    cstore = _nested_child_store(spark, sf_dir)
+    q = pd.DataFrame(
+        [
+            (qid, m, "", "", f, "author", "body")
+            for qid, m, f in NESTED_Q_QUERIES
+        ],
+        columns=["qid", "must", "should", "must_not", "filter",
+                 "must_field", "filter_field"],
+    )
+    res = search.search_nested(
+        spark, pstore, cstore, q, k=50, score_mode="max"
+    )
+    return _rerank_rounded(res.select("qid", "doc_id", "score"), FT_K)
+
+
+def _nested_query_sql(queries, k: int) -> str:
+    """Oracle for q_fts_nested_query: the same two-element explode in
+    SQL, per-element BM25 on the author field (child-corpus stats,
+    field-local avgdl), filter containment on the body field of the SAME
+    element, max over elements per parent."""
+    L = NESTED_BODY_LEN
+    a_toks = analysis.duckdb_tokens_sql("author")
+    b_toks = analysis.duckdb_tokens_sql("body")
+    vals = ", ".join(f"({qid}, '{m}', '{f}')" for qid, m, f in queries)
+    return f"""
+WITH elems AS (
+  SELECT CAST(doc_id AS VARCHAR) AS parent, 0 AS idx,
+         lang AS author, substr(text, 1, {L}) AS body
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 1, source, substr(text, {L + 1}, {L})
+  FROM documents
+),
+ca AS (
+  SELECT parent, idx, {a_toks} AS ta, {b_toks} AS tb FROM elems
+),
+stats AS (
+  SELECT count(*) AS n, avg(len(ta)) AS avg_a FROM ca
+),
+post_a AS (
+  SELECT parent, idx, term, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT parent, idx, unnest(ta) AS term, len(ta) AS dl FROM ca)
+  GROUP BY parent, idx, term
+),
+df_a AS (SELECT term, count(*) AS df FROM post_a GROUP BY term),
+q(qid, mterm, fterm) AS (VALUES {vals}),
+elem_scored AS (
+  SELECT q.qid AS qid, p.parent AS parent, p.idx AS idx,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+           * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * p.dl / s.avg_a))
+           AS score
+  FROM q
+  JOIN post_a p ON p.term = q.mterm
+  JOIN df_a d ON d.term = q.mterm
+  CROSS JOIN stats s
+  JOIN ca ON ca.parent = p.parent AND ca.idx = p.idx
+         AND list_contains(ca.tb, q.fterm)
+),
+per_parent AS (
+  SELECT qid, parent AS doc_id, max(score) AS score
+  FROM elem_scored GROUP BY qid, parent
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM per_parent
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_fts_multi_match(spark, sf_dir):
     store = _corpus_store_mf(spark, sf_dir)
     qpdf = pd.DataFrame(MM_QUERIES, columns=["qid", "query"])
@@ -4403,6 +4522,7 @@ SPARK_QUERIES = {
     "fts_dis_max": q_fts_dis_max,
     "fts_multi_match": q_fts_multi_match,
     "fts_nested_field": q_fts_nested_field,
+    "fts_nested_query": q_fts_nested_query,
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
     "fts_span_not": q_fts_span_not,
@@ -4503,6 +4623,7 @@ def oracle_sql() -> dict[str, str]:
             NESTED_QUERIES, FT_K, and_mode=False, toks_sql=SRC_TOKS
         ),
         "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
+        "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),

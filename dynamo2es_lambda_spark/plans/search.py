@@ -641,15 +641,14 @@ def _present(
     )
 
 
-def search_bool(
+def _bool_match_scores(
     spark: SparkSession,
     store: IndexStore,
     queries: pd.DataFrame,
-    k: int = 10,
     minimum_should_match: int | None = None,
     field: str | None = None,
     range_filter: dict | None = None,
-) -> DataFrame:
+) -> DataFrame | None:
     """ES ``bool`` query: per qid, ``must`` terms are all required (AND,
     scored), ``should`` terms add score when present (OR, optional), and
     docs containing ANY ``must_not`` term are excluded.
@@ -686,6 +685,8 @@ def search_bool(
     a single per-(qid, doc) aggregation — one shuffle total, vs one full
     pipeline per clause. ``field`` targets one field of a multi-field store.
     """
+    # (shared by search_bool — which cuts/presents — and search_nested,
+    # which aggregates per parent BEFORE any cut)
     prefix, avgdl = _field_of(store, field)
     frames = []
     clause_cols = [(0, "must"), (1, "should"), (2, "must_not")]
@@ -695,14 +696,41 @@ def search_bool(
         q = queries[["qid", col]].rename(columns={col: "query"})
         q = q[q["query"].astype(str).str.len() > 0]
         qt_i = _query_terms(q)
-        if not qt_i.empty:
-            qt_i["qid"] = qt_i["qid"] * 4 + idx
-            frames.append(qt_i)
+        if qt_i.empty:
+            continue
+        qt_i["qid"] = qt_i["qid"] * 4 + idx
+        # per-CLAUSE field targeting (multi-field stores): an optional
+        # "<clause>_field" column routes that clause to a named field —
+        # its terms take the field's prefix and field-local avgdl (the
+        # per-term avgdl column overrides the scalar in
+        # _score_exhaustive, same mechanism multi_match uses). The ES
+        # nested query needs this: must clauses over different subfields
+        # of one element.
+        fcol = f"{col}_field"
+        if fcol in queries.columns:
+            fld_by_qid = {
+                int(q_): str(f_)
+                for q_, f_ in zip(queries["qid"], queries[fcol].fillna(""))
+                if str(f_)
+            }
+            pa = [
+                _field_of(store, fld_by_qid[q_])
+                if q_ in fld_by_qid
+                else (prefix, avgdl)
+                for q_ in (qt_i["qid"] // 4).astype(int)
+            ]
+            qt_i["term"] = [
+                p_ + t for (p_, _), t in zip(pa, qt_i["term"])
+            ]
+            qt_i["avgdl"] = [a_ for _, a_ in pa]
+        else:
+            if prefix:
+                qt_i["term"] = prefix + qt_i["term"]
+            qt_i["avgdl"] = avgdl
+        frames.append(qt_i)
     if not frames:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None
     qt = pd.concat(frames, ignore_index=True)
-    if prefix:
-        qt["term"] = prefix + qt["term"]
 
     qt = _join_term_stats(spark, store, qt, sorted(qt["term"].unique()))
     # per-qid required must-term count, from the PRE-dropna table: an
@@ -722,7 +750,7 @@ def search_bool(
     }
     qt = qt.dropna(subset=["df"])
     if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None
     n_docs = float(store.meta["n_docs"])
     qt["w"] = (
         bm25.idf(n_docs, qt["df"].to_numpy())
@@ -813,6 +841,28 @@ def search_bool(
             .select("doc_int")
         )
         base = base.join(allowed, "doc_int", "left_semi")
+    return base
+
+
+def search_bool(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    field: str | None = None,
+    range_filter: dict | None = None,
+) -> DataFrame:
+    """ES ``bool`` query — the public top-k form of
+    :func:`_bool_match_scores` (see that docstring for the full clause
+    semantics: must AND-scored, should optional-scored with
+    minimum_should_match, must_not / filter as filter context,
+    range_filter as a bool range clause)."""
+    base = _bool_match_scores(
+        spark, store, queries, minimum_should_match, field, range_filter
+    )
+    if base is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return _present(spark, store, _cut_topk(base, k), k)
 
 
@@ -2038,6 +2088,77 @@ def search_has_child(
     pstats = store.doc_stats(spark).select("doc_id", "doc_int")
     per_parent = per_parent.join(pstats, "doc_id")
     per_parent = _drop_dead(spark, store, per_parent)
+    order = (
+        [F.col("doc_id").asc()]
+        if score_mode == "none"
+        else [F.col("score").desc(), F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        per_parent.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search_nested(
+    spark: SparkSession,
+    parent_store: IndexStore,
+    child_store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    score_mode: str = "avg",
+    minimum_should_match: int | None = None,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``nested`` query: match clauses against the elements of a
+    nested object ARRAY with SAME-ELEMENT semantics — a bool ``must`` of
+    two conditions only matches when one array element satisfies both
+    (the flattened-field form would cross-match across elements, the
+    exact trap the ES nested type exists to avoid).
+
+    ES implements this with hidden per-element child documents inside the
+    Lucene segment; the engine's Spark-first equivalent is an explicit
+    child STORE indexing one document per array element
+    (:func:`~..plans.build.explode_nested` builds the child corpus; its
+    ``parent`` column is the owning doc's id — the same linkage
+    has_parent/has_child use). ``queries``: bool-shaped pandas (qid,
+    must, should, must_not[, filter]) evaluated per ELEMENT over the
+    child store — same-element AND falls out of elements being separate
+    documents. ``score_mode`` folds matching elements' scores per parent
+    (none | min | max | sum | avg — ES's modes); parents must be live in
+    ``parent_store``. → (qid, rank, doc_id, score) of PARENT docs.
+
+    Plan shape: one fused bool pipeline over the child store (two posting
+    reads), then metadata-sized joins — child linkage, parent liveness —
+    and ONE aggregation per (qid, parent). No posting re-read for the
+    parent side."""
+    if score_mode not in ("none", "min", "max", "sum", "avg"):
+        raise EngineError(f"unknown score_mode: {score_mode}")
+    base = _bool_match_scores(
+        spark, child_store, queries, minimum_should_match, field, None
+    )
+    if base is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    child_meta = (
+        child_store.doc_stats(spark)
+        .filter(F.col("parent").isNotNull())
+        .select("doc_int", "parent")
+    )
+    j = base.join(child_meta, "doc_int")
+    agg_fn = {
+        "none": F.lit(1.0),
+        "min": F.min("score"),
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+    }[score_mode]
+    per_parent = j.groupBy("qid", F.col("parent").alias("doc_id")).agg(
+        agg_fn.alias("score")
+    )
+    pstats = parent_store.doc_stats(spark).select("doc_id", "doc_int")
+    per_parent = per_parent.join(pstats, "doc_id")
+    per_parent = _drop_dead(spark, parent_store, per_parent)
     order = (
         [F.col("doc_id").asc()]
         if score_mode == "none"

@@ -251,6 +251,62 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ----------------------------------- ES nested type (same-element match)
+
+
+def test_nested_query_same_element_semantics(spark, tmp_path_factory):
+    """A nested bool (must author + filter body over DIFFERENT subfields)
+    matches only when one array element satisfies both — the flattened
+    form would cross-match doc 0's two elements."""
+    corpus = spark.createDataFrame(
+        [
+            ("0", [("kay", "great stuff"), ("lee", "bad stuff")]),
+            ("1", [("kay", "bad stuff")]),
+            ("2", [("lee", "fine stuff")]),
+        ],
+        "doc_id string, "
+        "comments array<struct<author:string,body:string>>",
+    )
+    p_path = str(tmp_path_factory.mktemp("r4_nq_parent"))
+    c_path = str(tmp_path_factory.mktemp("r4_nq_child"))
+    build.build_index(
+        corpus.selectExpr("doc_id", "'parent text' AS content"),
+        IndexerConfig(index="docs", id_field="doc_id"), p_path,
+        segment_docs=8, num_buckets=4,
+    )
+    child = build.explode_nested(corpus, "doc_id", "comments")
+    assert child.count() == 4
+    build.build_index(
+        child,
+        IndexerConfig(index="nested", id_field="doc_id",
+                      parent_field="parent"),
+        c_path, segment_docs=8, num_buckets=4,
+        fields=("author", "body"),
+    )
+    ps, cs = search.load_store(p_path), search.load_store(c_path)
+    q = pd.DataFrame(
+        [(0, "kay", "", "", "bad", "author", "body")],
+        columns=["qid", "must", "should", "must_not", "filter",
+                 "must_field", "filter_field"],
+    )
+    got = search.search_nested(
+        spark, ps, cs, q, k=10, score_mode="max"
+    ).toPandas()
+    assert list(got["doc_id"]) == ["1"]
+    # the flattened cross-match trap: bool over the child store WITHOUT
+    # element separation (single query string on one field) would also
+    # admit doc 0 — prove the element boundary is doing the work
+    flat = search.search_bool(
+        spark, cs,
+        pd.DataFrame([(0, "kay bad", "", "")],
+                     columns=["qid", "must", "should", "must_not"]),
+        k=10, field="author",
+    ).toPandas()
+    assert len(flat) == 0  # 'bad' never in author field: AND fails
+    with pytest.raises(Exception, match="score_mode"):
+        search.search_nested(spark, ps, cs, q, score_mode="median")
+
+
 # ---------------------------------------------- span_or / span_not
 
 
