@@ -2585,6 +2585,76 @@ def q_fts_multi_match(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+SYNONYMS = {"fast": ["quick", "slow"], "merge": ["join"]}
+SYN_QUERIES = [(0, "fast data"), (1, "merge window"), (2, "absentzzz")]
+
+
+def q_fts_synonyms(spark, sf_dir):
+    """ES query-time synonym expansion: each token's group scores as ONE
+    pseudo-term (tf summed over members, df = max member df — Lucene
+    SynonymQuery); 'quick' is unindexed and drops from its group."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SYN_QUERIES, columns=["qid", "query"])
+    res = search.search_synonyms(spark, store, qpdf, SYNONYMS, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _synonyms_sql(
+    queries: list[tuple[int, str]], synonyms: dict, k: int
+) -> str:
+    """Oracle for q_fts_synonyms: groups as VALUES tables, per-group
+    blended tf + max df, per-group BM25, OR-sum per doc."""
+    gv, mv = [], []
+    gid = 0
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            members = [t]
+            for s in synonyms.get(t, []):
+                if s not in members:
+                    members.append(s)
+            gv.append(f"({gid}, {qid}, {qtf})")
+            for m in members:
+                mv.append(f"({gid}, '{m}')")
+            gid += 1
+    return f"""{_BM25_BODY},
+gv(gid, qid, qtf) AS (VALUES {", ".join(gv)}),
+mv(mgid, term) AS (VALUES {", ".join(mv)}),
+gdf AS (
+  SELECT mv.mgid AS gid, max(d.df) AS df
+  FROM mv JOIN dfreq d ON d.term = mv.term GROUP BY mv.mgid
+),
+gtf AS (
+  SELECT mv.mgid AS gid, p.doc_id AS doc_id, sum(p.tf) AS tf
+  FROM mv JOIN posting p ON p.term = mv.term GROUP BY mv.mgid, p.doc_id
+),
+scored AS (
+  SELECT gv.qid AS qid, gtf.doc_id AS doc_id,
+         sum(gv.qtf * ln(1.0 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+             * ({K1} + 1.0)
+             * gtf.tf
+             / (gtf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM gv
+  JOIN gdf ON gdf.gid = gv.gid
+  JOIN gtf ON gtf.gid = gv.gid
+  JOIN dl ON dl.doc_id = gtf.doc_id
+  CROSS JOIN stats s
+  GROUP BY gv.qid, gtf.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 CF_WEIGHTS = {"text": 1.0, "source": 2.0}
 
 
@@ -4523,6 +4593,7 @@ SPARK_QUERIES = {
     "fts_multi_match": q_fts_multi_match,
     "fts_nested_field": q_fts_nested_field,
     "fts_nested_query": q_fts_nested_query,
+    "fts_synonyms": q_fts_synonyms,
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
     "fts_span_not": q_fts_span_not,
@@ -4624,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
         "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
+        "fts_synonyms": _synonyms_sql(SYN_QUERIES, SYNONYMS, FT_K),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),

@@ -468,6 +468,117 @@ def _decode_tfs(joined: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema="qid long, term string, doc_int long, tf long")
 
 
+def search_synonyms(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES query-time synonym expansion (``synonym_graph`` filter at
+    search time): each analyzed query token expands to its synonym group,
+    and the group scores as ONE pseudo-term — Lucene ``SynonymQuery``
+    blending, not a plain OR: per doc ``tf = Σ tf`` over the group's
+    members, ``df = max`` member df (so a rare synonym cannot inflate the
+    group's idf), ONE BM25 contribution per group. Groups then OR-sum
+    per doc like ordinary match terms.
+
+    ``synonyms`` maps an analyzed token to its equivalents (single-token
+    each — multi-word synonyms are a graph feature this engine expresses
+    through span_or instead; a multi-token synonym raises). A group with
+    at least one indexed member matches; fully-unindexed groups drop out
+    (OR semantics).
+
+    Plan shape: one term_stats read (df for every member, query-sized),
+    one pruned posting read for all groups, tf-blend in a single hash
+    aggregation, then a metadata-sized doc_stats join for the length
+    norm — JVM expressions end to end after the decode hop."""
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    rows = []                      # (gid, qualified member term)
+    gmeta: list[tuple[int, int, int]] = []   # (gid, qid, qtf)
+    gid = 0
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
+        for t, c in sorted(Counter(toks).items()):
+            members = [t]
+            for s in synonyms.get(t, []):
+                st = analysis.tokenize_series(pd.Series([str(s)]))[0]
+                if len(st) != 1:
+                    raise EngineError(
+                        f"synonym {s!r} is not a single token — express "
+                        "multi-word synonyms with search_span_or"
+                    )
+                if st[0] not in members:
+                    members.append(st[0])
+            for m in members:
+                rows.append((gid, prefix + m))
+            gmeta.append((gid, int(qid), int(c)))
+            gid += 1
+    if not rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = pd.DataFrame(rows, columns=["qid", "term"])
+    qt["qtf"] = 1
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = 1.0  # unused by the raw-tf decode; blending happens below
+    df_max = qt.groupby("qid")["df"].max()
+    joined = _matched_blocks(spark, store, qt)
+    raw = _decode_tfs(joined)
+    per_group = raw.groupBy("qid", "doc_int").agg(
+        F.sum("tf").alias("tf")
+    )
+    live_gids = set(df_max.index)
+    wrows = [
+        (g, rq, float(
+            bm25.idf(n_docs, np.array([df_max[g]]))[0]
+            * (bm25.K1 + 1.0) * qtf
+        ))
+        for g, rq, qtf in gmeta
+        if g in live_gids
+    ]
+    wdf = spark.createDataFrame(
+        pd.DataFrame(wrows, columns=["gid", "rqid", "w"])
+    )
+    flds = store.meta.get("fields") or []
+    dl_col = (
+        F.col("field_dls")[flds.index(field if field else flds[0])]
+        if prefix
+        else F.col("dl")
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int", dl_col.cast("double").alias("_dl")
+    )
+    scored = (
+        per_group.join(
+            F.broadcast(wdf), per_group["qid"] == wdf["gid"]
+        )
+        .join(stats, "doc_int")
+        .withColumn(
+            "score",
+            F.col("w") * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(bm25.K1)
+                * (
+                    F.lit(1.0 - bm25.B)
+                    + F.lit(bm25.B) * F.col("_dl") / F.lit(avgdl)
+                )
+            ),
+        )
+        .groupBy(F.col("rqid").alias("qid"), F.col("doc_int"))
+        .agg(F.sum("score").alias("score"))
+    )
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
 def search_combined_fields(
     spark: SparkSession,
     store: IndexStore,
