@@ -205,3 +205,66 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.expr(f"bit_count({a} ^ {b})") if isinstance(a, str) else \
         F.bit_count(a.bitwiseXOR(b))
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Cross-document CHUNK-level duplication (boilerplate detection —
+    the RefinedWeb/Gopher-style signal for shared headers, footers, and
+    license blocks that whole-doc dedup misses): each doc's token stream
+    splits into fixed non-overlapping ``chunk_tokens`` windows (tail
+    partial window included), and per doc we report how many of its
+    DISTINCT chunks appear in at least one other document.
+
+    → (doc_id, n_chunks, dup_chunks, dup_frac_r) for docs with ≥1 token.
+
+    Scale shape: chunking is a pure Column expression (no Python); the
+    chunk→doc-count aggregation map-side combines, and the join back is
+    LEFT against ONLY the chunks with count ≥ 2 — real boilerplate is a
+    tiny fraction of distinct chunks, so the join side stays small and a
+    hot chunk ("all rights reserved …") skews the small side, not the
+    corpus. Downstream filters drop docs above a dup_frac threshold.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    d = int(chunk_tokens)
+    toks = spark_tokens_expr(text_col)
+    chunks_expr = (
+        f"case when size(_toks) = 0 then array() else "
+        f"transform(sequence(0, cast(ceil(size(_toks) / {d}.0) as int) - 1), "
+        f"i -> array_join(slice(_toks, i * {d} + 1, {d}), ' ')) end"
+    )
+    doc_chunks = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.expr(toks).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({chunks_expr})")).alias(
+                "chunk"
+            ),
+        )
+    )
+    shared = (
+        doc_chunks.groupBy("chunk")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk", F.lit(1).alias("_dup"))
+    )
+    return (
+        doc_chunks.join(shared, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_frac_r",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )

@@ -3860,6 +3860,51 @@ SELECT a, b, round(cos, 6) AS cos_r FROM p2
 WHERE cos >= {NEAR_DUP_THRESHOLD}
 """
 
+# --------------------------------- 9d2. chunk-level boilerplate dedup
+# Cross-document chunk duplication (RefinedWeb-style boilerplate signal):
+# distinct 2-token chunks per doc, shared = present in >= 2 docs.
+
+CHUNK_TOKENS = 2
+
+
+def q_dedup_chunk_boilerplate(spark, sf_dir):
+    return dedup.chunk_dup_stats(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        chunk_tokens=CHUNK_TOKENS,
+    )
+
+
+def _chunk_boilerplate_sql() -> str:
+    d = CHUNK_TOKENS
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+dc AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+           list_slice(toks, (i - 1) * {d} + 1,
+                      least(i * {d}, len(toks))), ' '
+         ) AS chunk
+  FROM corpus,
+       unnest(range(1, CAST(ceil(len(toks) / {d}.0) AS BIGINT) + 1)) t(i)
+  WHERE len(toks) > 0
+),
+shared AS (
+  SELECT chunk FROM dc GROUP BY chunk HAVING count(*) >= 2
+)
+SELECT dc.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       round(sum(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_frac_r
+FROM dc LEFT JOIN shared s ON s.chunk = dc.chunk
+GROUP BY dc.doc_id
+"""
+
+
 # ----------------------------------- 9e. n-gram decontamination
 # LLM-pipeline decontamination: corpus docs sharing any word n-gram with
 # the benchmark/eval set (operators/decontam.py) — benchmark n-grams
@@ -4634,6 +4679,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_chunk_boilerplate": q_dedup_chunk_boilerplate,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4749,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_chunk_boilerplate": _chunk_boilerplate_sql(),
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _ivf_sql(),
