@@ -696,3 +696,127 @@ def ann_topk_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "score")
     )
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    codebooks: list[np.ndarray],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite — the standard billion-scale ANN shape (FAISS
+    IndexIVFPQ): the coarse quantizer prunes each query's scan to its
+    ``nprobe`` nearest clusters, ADC scores ONLY those clusters' m-byte
+    codes (per-batch LUT gathers masked by the query's probe set), and
+    the shortlist exact-reranks by true cosine. I/O per query ∝ probed
+    fraction × m bytes/vector — the two compressions (cluster pruning ×
+    code compression) multiply.
+
+    Centroids here are fixed-id samples (bit-deterministic, the
+    driver-gated oracle shape — swap in ``kmeans_centroids`` output for
+    trained clustering). At scale, persist ``pq_encode`` output
+    partitioned by ``cid`` so the probe set prunes parquet partitions;
+    here the cid column rides the batch and the mask is per-batch
+    vectorized. → (qid, rank, vec_id, score=exact cosine)."""
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    cents = embeddings.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    targets = embeddings.filter(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
+    )
+    assigned = ivf_assign(targets, cents, id_col="vec_id", vec_col="tvec")
+    enc = pq_encode(assigned, codebooks, "vec_id", "tvec").join(
+        assigned.select("vec_id", "cid"), "vec_id"
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    probes = ivf_assign(
+        queries, cents, id_col="qid", vec_col="qvec", n=nprobe
+    )
+    ppdf = probes.select("qid", "cid").toPandas()
+    if ppdf.empty:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, rank int, vec_id long, score double"
+        )
+    probe_map: dict[int, np.ndarray] = {
+        int(q): np.sort(g["cid"].to_numpy(np.int64))
+        for q, g in ppdf.groupby("qid")
+    }
+    qpdf = queries.toPandas()
+    luts = {}
+    for qid, qv in zip(qpdf["qid"], qpdf["qvec"]):
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        luts[int(qid)] = np.stack(
+            [q[j * sub: (j + 1) * sub] @ codebooks[j].T for j in range(m)]
+        )
+    qid_arr = np.array(sorted(luts), dtype=np.int64)
+    lut_arr = np.stack([luts[int(q)] for q in qid_arr])
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            cids = pdf["cid"].to_numpy(np.int64)
+            vecids = pdf["vec_id"].to_numpy(np.int64)
+            outs = []
+            for qi, qid in enumerate(qid_arr):
+                mask = np.isin(cids, probe_map[int(qid)])
+                if not mask.any():
+                    continue
+                sel = codes[mask]
+                s = np.zeros(len(sel), dtype=np.float64)
+                for j in range(m):
+                    s += lut_arr[qi, j][sel[:, j]]
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": int(qid), "vec_id": vecids[mask],
+                         "score": s}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = enc.mapInPandas(
+        score, schema="qid long, vec_id long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(rerank))
+        .select("qid", "vec_id")
+    )
+    exact = (
+        shortlist.join(targets, "vec_id")
+        .join(
+            F.broadcast(
+                queries.withColumnRenamed("qvec", "qvec_")
+            ),
+            "qid",
+        )
+        .withColumn("score", F.expr(cosine_expr("qvec_", "tvec")))
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "score")
+    )

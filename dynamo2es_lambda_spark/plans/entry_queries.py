@@ -3679,6 +3679,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """FAISS-style IVF-PQ composite: coarse prune (nprobe clusters) ×
+    ADC over m-byte codes × exact rerank. With the rerank window deep
+    enough to recover the probed set's true top-k, the result equals
+    exact-cosine-within-probed-clusters — so the IVF oracle verifies the
+    whole composite (cluster routing + code machinery) end to end."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    books = ann.pq_train_codebooks(
+        emb, m=PQ_M, n_codes=PQ_CODES, iters=10, sample=2048
+    )
+    res = ann.ann_topk_ivfpq(
+        emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, books,
+        k=50, nprobe=IVF_NPROBE, rerank=max(PQ_RERANK, 50),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        res.withColumn("cos_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
 def _ivf_sql() -> str:
     qids = ", ".join(map(str, ANN_QUERY_IDS))
     cids = ", ".join(map(str, IVF_CENTROID_IDS))
@@ -4683,6 +4708,7 @@ SPARK_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_near_dup_pairs": q_ann_near_dup,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
@@ -4799,6 +4825,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _ivf_sql(),
+        "ann_ivfpq_topk": _ivf_sql(),
         "ann_near_dup_pairs": SQL_ANN_NEAR_DUP,
         # PQ+rerank's top-k equals brute force by construction (rerank
         # window covers every true top-k at the test SFs) — the exact
