@@ -251,6 +251,74 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# --------------------------------------- query-time synonym expansion
+
+
+def test_synonyms_blend_not_or(spark, tmp_path_factory):
+    """SynonymQuery semantics: the group scores as ONE pseudo-term — tf
+    summed, df = max member df — NOT a plain OR of two BM25 terms."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["0", "1", "2", "3"],
+            "content": [
+                "car auto travel",      # both members once
+                "car car ride",         # one member twice
+                "auto shop here",
+                "train travel here",    # no member
+            ],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("r4_syn"))
+    build.build_index(
+        spark.createDataFrame(rows),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "car")], columns=["qid", "query"])
+    got = search.search_synonyms(
+        spark, store, q, {"car": ["auto"]}, k=10
+    ).toPandas()
+    assert set(got["doc_id"]) == {"0", "1", "2"}
+    s = dict(zip(got["doc_id"], got["score"]))
+    # docs 0 and 1 both have blended tf=2 and dl=3 → identical scores;
+    # a plain OR would score doc 0 with two different idfs
+    assert s["0"] == pytest.approx(s["1"], abs=1e-12)
+    # unknown synonym member just drops; multi-token synonym raises
+    got2 = search.search_synonyms(
+        spark, store, q, {"car": ["nosuchterm"]}, k=10
+    ).toPandas()
+    assert set(got2["doc_id"]) == {"0", "1"}
+    with pytest.raises(Exception, match="single token"):
+        search.search_synonyms(spark, store, q, {"car": ["two words"]})
+
+
+# --------------------------------------- chunk-level boilerplate dedup
+
+
+def test_chunk_dup_stats_fractions(spark):
+    from dynamo2es_lambda_spark.operators import dedup
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "one two three four five six",   # chunks: "one two"...
+                "one two zzz yyy",               # shares "one two"
+                "qq ww ee",                      # no shared chunk
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+        for r in dedup.chunk_dup_stats(
+            docs, chunk_tokens=2
+        ).collect()
+    }
+    assert got == {"a": (3, 1), "b": (2, 1), "c": (2, 0)}
+
+
 # ----------------------------------- ES nested type (same-element match)
 
 
