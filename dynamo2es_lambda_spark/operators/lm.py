@@ -128,3 +128,70 @@ def bigram_perplexity(
     ).localCheckpoint(eager=True)
     base.unpersist(blocking=False)
     return out
+
+
+def bigram_perplexity_from_stats(
+    spark,
+    store_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = DEFAULT_K,
+) -> DataFrame:
+    """:func:`bigram_perplexity` with the LM read from a store's
+    INDEX-TIME ``lm_stats`` table (``build_index(lm_stats=True)``)
+    instead of re-counting the corpus: the scoring pass still reads the
+    docs being scored (unavoidable — each doc's bigrams are the input),
+    but the model side is two filters over the gram table — so scoring a
+    SLICE of the corpus against the full-corpus LM costs one pass over
+    the slice, not two over the corpus. Output is identical to
+    :func:`bigram_perplexity` when the store indexed the same corpus
+    (driver-gated). Multi-field stores are rejected: their grams are
+    field-qualified and the text_col stream would not match."""
+    import os
+
+    from ..errors import EngineError
+    from ..sources import store_io
+
+    meta = store_io.read_meta(store_path)
+    if not meta.get("lm_stats"):
+        raise EngineError(
+            f"store at {store_path} has no lm_stats table — rebuild with "
+            "build_index(lm_stats=True)"
+        )
+    if meta.get("fields"):
+        raise EngineError(
+            "bigram_perplexity_from_stats needs a single-field store "
+            "(multi-field grams are field-qualified)"
+        )
+    stats = spark.read.parquet(os.path.join(store_path, "lm_stats"))
+    uni = stats.filter(~F.col("gram").contains(" ")).select(
+        F.col("gram").alias("w1"), F.col("cf").alias("c1")
+    )
+    bi = stats.filter(F.col("gram").contains(" ")).select(
+        F.col("gram").alias("b"), F.col("cf").alias("c12")
+    )
+    v = uni.count()
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+    ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS))
+    doc_bi = base.select(
+        "doc_id", F.explode("_bigrams").alias("b")
+    ).withColumn("w1", F.split(F.col("b"), " ")[0])
+    k = float(k_smooth)
+    scored = (
+        doc_bi.join(bi, "b")
+        .join(uni, "w1")
+        .withColumn(
+            "_nll",
+            -F.log2(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.lit(float(v)))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("nll_r"),
+    )

@@ -4372,6 +4372,20 @@ def q_text_perplexity(spark, sf_dir):
     )
 
 
+def q_text_perplexity_indexed(spark, sf_dir):
+    """Perplexity with the LM read from the store's index-time lm_stats
+    table — the oracle recomputes the model from the corpus, so a green
+    row PROVES the materialized gram counts equal the corpus-derived ones
+    at the driver's SF."""
+    from ..operators import lm
+
+    store = _corpus_store(spark, sf_dir)
+    return lm.bigram_perplexity_from_stats(
+        spark, store.path, _docs(spark, sf_dir),
+        id_col="doc_id", text_col="text", k_smooth=LM_K,
+    )
+
+
 def _sql_text_perplexity() -> str:
     return f"""
 WITH x AS (
@@ -4725,6 +4739,7 @@ SPARK_QUERIES = {
     "events_date_histogram_month": q_events_date_histogram_month,
     "documents_clean": q_documents_clean,
     "text_perplexity": q_text_perplexity,
+    "text_perplexity_indexed": q_text_perplexity_indexed,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -4845,6 +4860,7 @@ def oracle_sql() -> dict[str, str]:
         "events_date_histogram_month": SQL_EVENTS_DATE_HIST_CAL,
         "documents_clean": _sql_documents_clean(),
         "text_perplexity": _sql_text_perplexity(),
+        "text_perplexity_indexed": _sql_text_perplexity(),
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,
