@@ -251,6 +251,42 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# --------------------------------- perplexity from index-time LM stats
+
+
+def test_perplexity_from_stats_matches_corpus_model(
+    spark, tmp_path_factory
+):
+    """Scoring against the store's lm_stats model reproduces the
+    corpus-recomputed model exactly (same counts by construction);
+    stores without the table, or multi-field stores, raise."""
+    docs = _mk_docs(spark)
+    path = str(tmp_path_factory.mktemp("r4_ppx"))
+    build.build_index(
+        docs.withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4, lm_stats=True,
+    )
+    got = (
+        lm.bigram_perplexity_from_stats(spark, path, docs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        lm.bigram_perplexity(docs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    bare = str(tmp_path_factory.mktemp("r4_ppx_bare"))
+    build.build_index(
+        docs.withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), bare,
+        segment_docs=8, num_buckets=4,
+    )
+    with pytest.raises(Exception, match="lm_stats"):
+        lm.bigram_perplexity_from_stats(spark, bare, docs)
+
+
 # --------------------------------------- query-time synonym expansion
 
 
