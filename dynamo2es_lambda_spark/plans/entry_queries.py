@@ -794,6 +794,122 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# probes across the three AUTO bands: len<3 → 0 edits, 3–5 → 1, ≥6 → 2
+FUZZY_AUTO_QUERIES = [
+    (0, "sp"),        # 0 edits: only exact 'sp' (absent) — no rows
+    (1, "quer"),      # 1 edit
+    (2, "custome"),   # 2 edits: reaches 'customer'
+]
+
+
+def q_fts_fuzzy_auto(spark, sf_dir):
+    """ES fuzziness=AUTO: per-probe edit budget from the probe length."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FUZZY_AUTO_QUERIES, columns=["qid", "term"])
+    res = search.search_fuzzy(
+        spark, store, qpdf, k=50, max_edits="AUTO",
+        max_expansions=FUZZY_EXPANSIONS,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _fuzzy_auto_sql(probes: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_fuzzy_auto: the AUTO band replicated per probe."""
+    def budget(p: str) -> int:
+        return 0 if len(p) < 3 else (1 if len(p) < 6 else 2)
+
+    vals = ", ".join(
+        f"({qid}, '{p}', {budget(p)})" for qid, p in probes
+    )
+    return f"""{_BM25_BODY},
+q AS (
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (
+             PARTITION BY v.qid
+             ORDER BY levenshtein(d.term, v.probe), d.term
+           ) AS rn
+    FROM (VALUES {vals}) v(qid, probe, me)
+    JOIN dfreq d ON levenshtein(d.term, v.probe) <= v.me
+  ) WHERE rn <= {FUZZY_EXPANSIONS}
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+FILTERS_AGG = {
+    "has_fast": "fast",
+    "merge_and_window": "merge window",
+    "absent": "absentzzz",
+}
+
+
+def q_fts_filters_agg(spark, sf_dir):
+    """ES filters aggregation: named AND-filter buckets counted over the
+    match set, zero-count buckets included."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_filters_agg(spark, store, qpdf, FILTERS_AGG)
+
+
+def _filters_agg_sql(queries, filters: dict) -> str:
+    """Oracle for q_fts_filters_agg: per named filter, docs holding ALL
+    its terms; counts of the intersection with the OR match set; the
+    (qid × name) base keeps zero buckets."""
+    fvals, needs = [], []
+    for name in sorted(filters):
+        toks = analysis.tokenize_series(pd.Series([filters[name]]))[0]
+        needs.append(f"('{name}', {len(set(toks))})")
+        for t in sorted(set(toks)):
+            fvals.append(f"('{name}', '{t}')")
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+fv(fname, term) AS (VALUES {", ".join(fvals)}),
+fneed(fname, need) AS (VALUES {", ".join(needs)}),
+fset AS (
+  SELECT fv.fname AS fname, p.doc_id AS doc_id
+  FROM fv JOIN posting p ON p.term = fv.term
+  GROUP BY fv.fname, p.doc_id
+  HAVING count(DISTINCT fv.term)
+         = (SELECT need FROM fneed WHERE fneed.fname = fv.fname)
+),
+base AS (
+  SELECT DISTINCT m.qid AS qid, fneed.fname AS fname
+  FROM m CROSS JOIN fneed
+),
+cnt AS (
+  SELECT m.qid AS qid, fset.fname AS fname,
+         count(*) AS n
+  FROM m JOIN fset ON fset.doc_id = m.doc_id
+  GROUP BY m.qid, fset.fname
+)
+SELECT CAST(base.qid AS BIGINT) AS qid, base.fname AS fname,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_docs
+FROM base LEFT JOIN cnt
+  ON cnt.qid = base.qid AND cnt.fname = base.fname
+"""
+
+
 # ----------------------- 4o. bool filter clause + completion suggester
 # ES bool filter context (required, unscored) and the completion
 # suggester (plans/search.search_bool filter= / suggest_completions).
@@ -4678,6 +4794,8 @@ SPARK_QUERIES = {
     "fts_nested_field": q_fts_nested_field,
     "fts_nested_query": q_fts_nested_query,
     "fts_synonyms": q_fts_synonyms,
+    "fts_fuzzy_auto": q_fts_fuzzy_auto,
+    "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
     "fts_span_not": q_fts_span_not,
@@ -4783,6 +4901,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
         "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
         "fts_synonyms": _synonyms_sql(SYN_QUERIES, SYNONYMS, FT_K),
+        "fts_fuzzy_auto": _fuzzy_auto_sql(FUZZY_AUTO_QUERIES, FT_K),
+        "fts_filters_agg": _filters_agg_sql(SORTED_QUERIES, FILTERS_AGG),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),

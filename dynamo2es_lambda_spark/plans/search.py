@@ -1392,7 +1392,7 @@ def search_fuzzy(
     store: IndexStore,
     queries: pd.DataFrame,
     k: int = 10,
-    max_edits: int = 1,
+    max_edits: int | str = 1,
     max_expansions: int | None = 50,
     field: str | None = None,
     prefix_length: int = 0,
@@ -1402,6 +1402,11 @@ def search_fuzzy(
     levenshtein with a length pre-filter, never postings), then OR-score the
     expansion with per-term BM25 idf weights. Exact matches (distance 0) are
     included.
+
+    ``max_edits="AUTO"`` is ES ``fuzziness: AUTO``: the edit budget
+    follows the probe's length — 0 edits below 3 chars, 1 for 3–5, 2
+    from 6 up — so short terms don't drown in false expansions while
+    long terms tolerate two typos.
 
     ``queries``: pandas (qid, term) — one fuzzy term per row; repeat qid for
     multi-term fuzzy queries. ``max_expansions`` caps each term's expansion
@@ -1421,6 +1426,17 @@ def search_fuzzy(
     probes = fz[["qid", "probe"]].drop_duplicates()
     if probes.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    if isinstance(max_edits, str):
+        if max_edits.upper() != "AUTO":
+            raise EngineError(
+                f"max_edits must be an int or 'AUTO'; got {max_edits!r}"
+            )
+        lens = probes["probe"].str.len()
+        probes = probes.assign(
+            _me=np.where(lens < 3, 0, np.where(lens < 6, 1, 2)).astype(int)
+        )
+    else:
+        probes = probes.assign(_me=int(max_edits))
     pl = int(prefix_length)
     if pl < 0:
         raise EngineError("prefix_length must be >= 0")
@@ -1428,22 +1444,22 @@ def search_fuzzy(
         probes = probes.assign(_pfx=probes["probe"].str[:pl])
     pdf = spark.createDataFrame(probes)
     # broadcast-NLJ of the tiny probe table into ONE dictionary scan; the
-    # |len(t) - len(p)| <= max_edits band prunes before the levenshtein;
-    # multi-field stores strip the field qualifier before both
+    # |len(t) - len(p)| <= per-probe edit budget band prunes before the
+    # levenshtein; multi-field stores strip the field qualifier before both
     bare = (
         F.expr(f"substring(term, {len(fp) + 1})") if fp else F.col("term")
     )
     ts = store.term_stats(spark)
     if fp:
         ts = ts.filter(F.col("term").startswith(fp))
-    band = F.abs(F.length("_bare") - F.length("probe")) <= max_edits
+    band = F.abs(F.length("_bare") - F.length("probe")) <= F.col("_me")
     if pl:
         band = band & F.col("_bare").startswith(F.col("_pfx"))
     hit = (
         ts.withColumn("_bare", bare)
         .join(F.broadcast(pdf), band)
         .withColumn("_dist", F.levenshtein(F.col("_bare"), F.col("probe")))
-        .filter(F.col("_dist") <= max_edits)
+        .filter(F.col("_dist") <= F.col("_me"))
     )
     qt = _collect_expansion(
         hit, "probe", [F.col("_dist").asc(), F.col("term").asc()],
@@ -3315,6 +3331,62 @@ def search_terms_agg(
             .drop("_rn")
         )
     return out
+
+
+def search_filters_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    filters: dict[str, str],
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: NAMED filter buckets over the match
+    set — per (qid, bucket name), the count of query-matching docs that
+    also match ALL the named filter's terms (filter context: AND,
+    unscored). Every declared name appears for every qid with a
+    non-empty match set, zero counts included (ES returns empty
+    buckets). → (qid, fname, n_docs).
+
+    ONE extra pass answers every bucket: the named filters pack into a
+    second composite match-set job (AND mode), and the bucket counts are
+    a join + aggregation between the two metadata-sized membership sets
+    — posting reads stay two regardless of bucket count."""
+    names = sorted(filters)
+    if not names:
+        raise EngineError("filters aggregation needs at least one bucket")
+    empty = spark.createDataFrame(
+        [], "qid long, fname string, n_docs long"
+    )
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return empty
+    fq = pd.DataFrame(
+        {"qid": range(len(names)),
+         "query": [str(filters[n]) for n in names]}
+    )
+    fsets = _match_set(spark, store, fq, "and", field)
+    name_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"fidx": range(len(names)), "fname": names})
+        )
+    )
+    base = hits.select("qid").distinct().crossJoin(name_df)
+    if fsets is None:
+        return base.select(
+            "qid", "fname", F.lit(0).cast("long").alias("n_docs")
+        )
+    counts = (
+        hits.join(
+            fsets.withColumnRenamed("qid", "fidx"), "doc_int"
+        )
+        .groupBy("qid", "fidx")
+        .agg(F.count("*").alias("_n"))
+    )
+    return base.join(counts, ["qid", "fidx"], "left").select(
+        "qid", "fname",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_docs"),
+    )
 
 
 def search_range_agg(
