@@ -2099,6 +2099,69 @@ SELECT qid, rank, suggestion, dist, df FROM ranked WHERE rank <= {k}
 """
 
 
+# modes need probes that ARE indexed terms: 'merge' is in the dictionary
+SUGGEST_MODE_PROBES = [(0, "merge"), (1, "mrge"), (2, "zzzzqqqqzz")]
+
+
+def q_fts_suggest_popular(spark, sf_dir):
+    """ES suggest_mode=popular: only suggestions strictly more frequent
+    than the probe itself; an indexed probe never suggests itself."""
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(SUGGEST_MODE_PROBES, columns=["qid", "probe"])
+    return search.suggest_terms(
+        spark, store, ppdf, k=SUGGEST_K, max_edits=SUGGEST_EDITS,
+        suggest_mode="popular",
+    )
+
+
+def q_fts_suggest_missing(spark, sf_dir):
+    """ES suggest_mode=missing (the ES default): indexed probes get no
+    suggestions at all; unindexed probes suggest normally."""
+    store = _corpus_store(spark, sf_dir)
+    ppdf = pd.DataFrame(SUGGEST_MODE_PROBES, columns=["qid", "probe"])
+    return search.suggest_terms(
+        spark, store, ppdf, k=SUGGEST_K, max_edits=SUGGEST_EDITS,
+        suggest_mode="missing",
+    )
+
+
+def _suggest_mode_sql(
+    probes: list[tuple[int, str]], k: int, edits: int, mode: str
+) -> str:
+    """Oracle for the suggest_mode variants: the probe's own df (dist 0)
+    gates/filters the candidate set before ranking."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in probes)
+    gate = (
+        "WHERE probe_df IS NULL"
+        if mode == "missing"
+        else "WHERE dist > 0 AND df > COALESCE(probe_df, 0)"
+    )
+    return f"""{_BM25_BODY},
+v(qid, probe) AS (VALUES {vals}),
+hit AS (
+  SELECT v.qid AS qid, d.term AS suggestion,
+         levenshtein(d.term, v.probe) AS dist, d.df AS df
+  FROM v JOIN dfreq d ON abs(len(d.term) - len(v.probe)) <= {edits}
+  WHERE levenshtein(d.term, v.probe) <= {edits}
+),
+gated AS (
+  SELECT qid, suggestion, dist, df,
+         max(CASE WHEN dist = 0 THEN df END) OVER (PARTITION BY qid)
+           AS probe_df
+  FROM hit
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, suggestion,
+         CAST(dist AS INTEGER) AS dist, CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY dist ASC, df DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM gated {gate}
+)
+SELECT qid, rank, suggestion, dist, df FROM ranked WHERE rank <= {k}
+"""
+
+
 def _stats_agg_sql(queries: list[tuple[int, str]]) -> str:
     """Oracle for q_fts_stats_agg: per-qid dl stats over the match set."""
     return f"""{_BM25_BODY},{_match_m_cte(queries)}
@@ -4795,6 +4858,8 @@ SPARK_QUERIES = {
     "fts_nested_query": q_fts_nested_query,
     "fts_synonyms": q_fts_synonyms,
     "fts_fuzzy_auto": q_fts_fuzzy_auto,
+    "fts_suggest_popular": q_fts_suggest_popular,
+    "fts_suggest_missing": q_fts_suggest_missing,
     "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
@@ -4902,6 +4967,12 @@ def oracle_sql() -> dict[str, str]:
         "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
         "fts_synonyms": _synonyms_sql(SYN_QUERIES, SYNONYMS, FT_K),
         "fts_fuzzy_auto": _fuzzy_auto_sql(FUZZY_AUTO_QUERIES, FT_K),
+        "fts_suggest_popular": _suggest_mode_sql(
+            SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "popular"
+        ),
+        "fts_suggest_missing": _suggest_mode_sql(
+            SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "missing"
+        ),
         "fts_filters_agg": _filters_agg_sql(SORTED_QUERIES, FILTERS_AGG),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),

@@ -2730,13 +2730,24 @@ def suggest_terms(
     k: int = 5,
     max_edits: int = 2,
     field: str | None = None,
+    suggest_mode: str = "always",
 ) -> DataFrame:
     """ES ``term`` suggester: for each (possibly misspelled) input term,
     the closest dictionary terms ranked (distance asc, df desc, term asc)
     — i.e. prefer small edits, then popular terms. Returns
     (qid, rank, suggestion, dist, df). One JVM-side dictionary scan for
     all probes (length-banded before levenshtein), capped per probe by
-    ``k`` with a row_number window BEFORE any collect."""
+    ``k`` with a row_number window BEFORE any collect.
+
+    ``suggest_mode`` (the ES parameter): ``always`` (default here)
+    suggests unconditionally, including the exact term; ``missing``
+    suggests ONLY for probes absent from the dictionary (ES's default —
+    don't correct words that exist); ``popular`` suggests only terms
+    MORE frequent than the probe itself (df strictly greater; the probe
+    never suggests itself). Both restrictions are window expressions over
+    the same scan — no extra pass."""
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise EngineError(f"unknown suggest_mode: {suggest_mode}")
     fp, _ = _field_of(store, field)
     pr = probes.copy()
     pr["probe"] = pr["probe"].astype(str).str.lower()
@@ -2765,6 +2776,21 @@ def suggest_terms(
         .withColumn("dist", F.levenshtein(F.col("_bare"), F.col("probe")))
         .filter(F.col("dist") <= max_edits)
     )
+    if suggest_mode != "always":
+        wq = Window.partitionBy("qid", "probe")
+        probe_df = F.max(
+            F.when(F.col("dist") == 0, F.col("df"))
+        ).over(wq)
+        hit = hit.withColumn("_probe_df", probe_df)
+        if suggest_mode == "missing":
+            # an indexed probe gets NO suggestions at all
+            hit = hit.filter(F.col("_probe_df").isNull())
+        else:  # popular
+            hit = hit.filter(
+                (F.col("dist") > 0)
+                & (F.col("df") > F.coalesce(F.col("_probe_df"), F.lit(0)))
+            )
+        hit = hit.drop("_probe_df")
     w = Window.partitionBy("qid", "probe").orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("_bare").asc()
     )
