@@ -51,3 +51,38 @@ def stratified_sample(
             F.col(strata_col).cast("string") == str(s), F.lit(float(r))
         ).otherwise(rate)
     return df.filter(hash_uniform(key_col) < rate)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum keep rates for TEMPERATURE-FLATTENED corpus mixing —
+    the multilingual-pretraining recipe (mBERT/XLM-R style): stratum
+    mass ``p_s ∝ n_s^alpha`` (alpha < 1 upsamples low-resource strata
+    relative to their natural share), scaled so the expected kept total
+    is ``target_frac`` of the corpus, clamped per-stratum at 1.0 (a
+    stratum cannot be kept more than once — the standard clamp; the
+    realized total then lands slightly under target when a small stratum
+    saturates).
+
+    One stratum-count aggregation (driver-side result is strata-sized);
+    feed the returned dict to :func:`stratified_sample` for the
+    shuffle-free md5-keyed filter."""
+    if not 0.0 < float(alpha) <= 1.0:
+        raise EngineError("alpha must be in (0, 1]")
+    if not 0.0 < float(target_frac) <= 1.0:
+        raise EngineError("target_frac must be in (0, 1]")
+    counts = {
+        str(r[strata_col]): int(r["count"])
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    mass = {s: float(n) ** float(alpha) for s, n in sorted(counts.items())}
+    z = sum(mass[s] for s in sorted(mass))
+    total = sum(counts.values()) * float(target_frac)
+    return {
+        s: min(1.0, total * mass[s] / z / counts[s])
+        for s in sorted(counts)
+    }

@@ -4168,6 +4168,50 @@ def q_corpus_sample_mix(spark, sf_dir):
     )
 
 
+MIX_ALPHA, MIX_TARGET = 0.5, 0.5
+
+
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature-flattened corpus mixing (multilingual-pretraining
+    recipe): stratum mass ∝ n^alpha, scaled to a target kept fraction,
+    clamped at 1 — rates derived from the data, then the same md5-keyed
+    shuffle-free filter."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    rates = sampling.temperature_mix_rates(
+        d, "lang", alpha=MIX_ALPHA, target_frac=MIX_TARGET
+    )
+    return sampling.stratified_sample(d, "lang", rates, key_col="doc_id")
+
+
+def _mix_temperature_sql() -> str:
+    """Oracle for q_corpus_mix_temperature: the rate arithmetic
+    (pow(n, alpha) mass, normalized, clamped) replicated over the same
+    stratum counts, then the identical md5 keep filter."""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+cnt AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+tot AS (SELECT sum(n) * {MIX_TARGET} AS total,
+               sum(pow(n, {MIX_ALPHA})) AS z
+        FROM cnt),
+rates AS (
+  SELECT cnt.lang,
+         least(1.0, tot.total * pow(cnt.n, {MIX_ALPHA}) / tot.z / cnt.n)
+           AS rate
+  FROM cnt CROSS JOIN tot
+)
+SELECT d.doc_id AS doc_id, d.lang AS lang
+FROM d JOIN rates ON rates.lang = d.lang
+WHERE d.u < rates.rate
+"""
+
+
 def _sample_mix_sql() -> str:
     cases = " ".join(
         f"WHEN source = '{s}' THEN {r}"
@@ -4913,6 +4957,7 @@ SPARK_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "decontam_ngram": q_decontam_ngram,
     "corpus_sample_mix": q_corpus_sample_mix,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
     "text_repetition": q_text_repetition,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "text_scrub_pii": q_text_scrub_pii,
@@ -5042,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(),
         "decontam_ngram": _decontam_sql(),
         "corpus_sample_mix": _sample_mix_sql(),
+        "corpus_mix_temperature": _mix_temperature_sql(),
         "text_repetition": _repetition_sql(),
         "corpus_pack_sequences": _pack_sql(),
         "text_scrub_pii": _scrub_pii_sql(),
