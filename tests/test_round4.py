@@ -251,6 +251,96 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ---------------- fuzziness=AUTO, suggest_mode, filters agg, mixing
+
+
+def test_fuzzy_auto_bands_and_suggest_modes(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_auto"))
+    build.build_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ["0", "1", "2"],
+                 "content": ["ab others", "merge stream", "marge stream"]}
+            )
+        ),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame(
+        [(0, "ax"), (1, "merg"), (2, "strean")], columns=["qid", "term"]
+    )
+    got = search.search_fuzzy(
+        spark, store, q, k=10, max_edits="AUTO"
+    ).toPandas()
+    by_qid = {q_: set(g["doc_id"]) for q_, g in got.groupby("qid")}
+    assert 0 not in by_qid           # 2-char probe: 0 edits, 'ax' absent
+    assert by_qid[1] == {"1"}        # 1 edit: merge yes, marge is 2 away
+    assert by_qid[2] == {"1", "2"}   # 6-char probe: 2 edits reach stream
+    with pytest.raises(Exception, match="AUTO"):
+        search.search_fuzzy(spark, store, q, max_edits="fuzzy")
+
+    probes = pd.DataFrame([(0, "merge")], columns=["qid", "probe"])
+    always = search.suggest_terms(spark, store, probes, k=5).toPandas()
+    assert "merge" in set(always["suggestion"])
+    missing = search.suggest_terms(
+        spark, store, probes, k=5, suggest_mode="missing"
+    ).toPandas()
+    assert missing.empty             # 'merge' exists → no correction
+    popular = search.suggest_terms(
+        spark, store, probes, k=5, suggest_mode="popular"
+    ).toPandas()
+    # df(merge)=1; only equally-rare neighbors exist → nothing MORE popular
+    assert "merge" not in set(popular["suggestion"])
+    df_merge = 1
+    assert (popular["df"] > df_merge).all()
+
+
+def test_filters_agg_buckets(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_fagg"))
+    build.build_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ["0", "1", "2"],
+                 "content": ["alpha fast", "alpha slow", "beta fast"]}
+            )
+        ),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    got = {
+        r["fname"]: r["n_docs"]
+        for r in search.search_filters_agg(
+            spark, store, q, {"f": "fast", "s": "slow", "none": "zzz"}
+        ).collect()
+    }
+    assert got == {"f": 1, "s": 1, "none": 0}
+
+
+def test_temperature_mix_rates_math(spark):
+    from dynamo2es_lambda_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [str(i) for i in range(100)],
+             "lang": ["en"] * 90 + ["de"] * 10}
+        )
+    )
+    rates = sampling.temperature_mix_rates(
+        d, "lang", alpha=0.5, target_frac=0.5
+    )
+    # mass en=sqrt(90), de=sqrt(10); total=50
+    import math
+
+    z = math.sqrt(90) + math.sqrt(10)
+    assert rates["en"] == pytest.approx(50 * math.sqrt(90) / z / 90)
+    assert rates["de"] == pytest.approx(min(1.0, 50 * math.sqrt(10) / z / 10))
+    # alpha<1 upsamples the small stratum relative to its natural share
+    assert rates["de"] > rates["en"]
+
+
 # --------------------------------- perplexity from index-time LM stats
 
 
