@@ -910,6 +910,103 @@ FROM base LEFT JOIN cnt
 """
 
 
+MBP_QUERIES = [(0, "stream da"), (1, "customer wind"), (2, "absentzzz qu")]
+MBP_EXPANSIONS = 50
+
+
+def q_fts_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix: terms as bool should clauses, last term as a
+    prefix — type-ahead over bool scoring, no positions involved."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(MBP_QUERIES, columns=["qid", "query"])
+    res = search.search_match_bool_prefix(
+        spark, store, qpdf, k=50, max_expansions=MBP_EXPANSIONS
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _match_bool_prefix_sql(queries, k: int) -> str:
+    """Oracle for q_fts_match_bool_prefix: fixed terms (qtf) union the
+    capped last-term expansion (qtf 1), folded per (qid, term), OR
+    BM25."""
+    fvals, pvals = [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, c in sorted(Counter(toks[:-1]).items()):
+            fvals.append(f"({qid}, '{t}', {c})")
+        pvals.append(f"({qid}, '{toks[-1]}')")
+    fixed_cte = (
+        f"fixedq(qid, term, qtf) AS (VALUES {', '.join(fvals)}),"
+        if fvals
+        else ""
+    )
+    fixed_union = "SELECT * FROM fixedq UNION ALL " if fvals else ""
+    return f"""{_BM25_BODY},
+{fixed_cte}
+v(vqid, pfx) AS (VALUES {", ".join(pvals)}),
+exp AS (
+  SELECT qid, term, 1 AS qtf FROM (
+    SELECT v.vqid AS qid, d.term AS term,
+           row_number() OVER (
+             PARTITION BY v.vqid ORDER BY d.term ASC
+           ) AS rn
+    FROM v JOIN dfreq d ON d.term LIKE v.pfx || '%'
+  ) WHERE rn <= {MBP_EXPANSIONS}
+),
+q AS (
+  SELECT qid, term, sum(qtf) AS qtf
+  FROM ({fixed_union}SELECT * FROM exp)
+  GROUP BY qid, term
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_fts_index_stats(spark, sf_dir):
+    """ES _stats/_count analog — and an end-to-end invariant gate: the
+    store's own aggregate statistics (meta.json + term_stats) must equal
+    the corpus-recomputed numbers."""
+    store = _corpus_store(spark, sf_dir)
+    return search.store_stats(spark, store)
+
+
+SQL_INDEX_STATS = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(toks) AS t FROM corpus)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+       (SELECT round(avg(len(toks)), 6) FROM corpus) AS avgdl_r,
+       (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM pairs) AS n_terms,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_postings
+"""
+
+
 # ----------------------- 4o. bool filter clause + completion suggester
 # ES bool filter context (required, unscored) and the completion
 # suggester (plans/search.search_bool filter= / suggest_completions).
@@ -4903,6 +5000,8 @@ SPARK_QUERIES = {
     "fts_synonyms": q_fts_synonyms,
     "fts_fuzzy_auto": q_fts_fuzzy_auto,
     "fts_suggest_popular": q_fts_suggest_popular,
+    "fts_match_bool_prefix": q_fts_match_bool_prefix,
+    "fts_index_stats": q_fts_index_stats,
     "fts_suggest_missing": q_fts_suggest_missing,
     "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
@@ -5012,6 +5111,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
         "fts_synonyms": _synonyms_sql(SYN_QUERIES, SYNONYMS, FT_K),
         "fts_fuzzy_auto": _fuzzy_auto_sql(FUZZY_AUTO_QUERIES, FT_K),
+        "fts_match_bool_prefix": _match_bool_prefix_sql(MBP_QUERIES, FT_K),
+        "fts_index_stats": SQL_INDEX_STATS,
         "fts_suggest_popular": _suggest_mode_sql(
             SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "popular"
         ),

@@ -1180,6 +1180,80 @@ def search_prefix(
     return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
+def search_match_bool_prefix(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` — the type-ahead query over BOOL scoring:
+    every analyzed term is an optional should clause and the LAST term
+    additionally matches as a prefix. Unlike ``match_phrase_prefix``,
+    positions never matter — a doc scores the summed BM25 of whichever
+    fixed terms and last-term expansions it contains (the expansions
+    score with qtf=1 idf weights like every multi-term rewrite; the last
+    term's exact form is itself one of its expansions).
+
+    One dictionary scan expands all queries' last terms (JVM-capped,
+    term-ascending — ES's ``max_expansions``); fixed terms and
+    expansions then ride ONE pruned posting read and one aggregation."""
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    fixed_rows, last_rows = [], []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = analysis.tokenize_series(pd.Series([str(q)]))[0]
+        if not toks:
+            continue
+        for t, c in sorted(Counter(toks[:-1]).items()):
+            fixed_rows.append((int(qid), prefix + t, int(c)))
+        last_rows.append((int(qid), prefix + toks[-1]))
+    if not last_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    pats = pd.DataFrame(last_rows, columns=["qid", "prefix"]).drop_duplicates()
+    hit = store.term_stats(spark).join(
+        F.broadcast(spark.createDataFrame(pats)),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    exp = _collect_expansion(
+        hit, "prefix", [F.col("term").asc()], max_expansions
+    )
+    exp = exp.drop_duplicates(subset=["qid", "term"])
+    qt_parts = []
+    if fixed_rows:
+        qtf = pd.DataFrame(fixed_rows, columns=["qid", "term", "qtf"])
+        qtf = _join_term_stats(
+            spark, store, qtf, sorted(qtf["term"].unique().tolist())
+        ).dropna(subset=["df"])
+        qt_parts.append(qtf)
+    if not exp.empty:
+        exp = exp.copy()
+        exp["qtf"] = 1
+        qt_parts.append(exp)
+    if not qt_parts:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = pd.concat(qt_parts, ignore_index=True)
+    # a term both fixed and expanded folds: qtf adds like duplicate query
+    # terms in ES (the bool has two clauses matching it)
+    agg_cols = {"qtf": "sum", "df": "first"}
+    if "bucket" in qt.columns:
+        agg_cols["bucket"] = "first"
+    qt = (
+        qt.groupby(["qid", "term"], as_index=False).agg(agg_cols)
+    )
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def highlight(
     results: DataFrame,
     corpus: DataFrame,
@@ -3357,6 +3431,26 @@ def search_terms_agg(
             .drop("_rn")
         )
     return out
+
+
+def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
+    """ES ``_stats`` / ``_count`` analog: one row of store-level
+    statistics — live doc count, average doc length, dictionary size,
+    and total postings — answered from meta.json + ONE aggregation over
+    term_stats (df sums to the (term, doc) pair count; the posting bytes
+    are never read). Doubles as an end-to-end invariant check: gated
+    against the same numbers recomputed from the raw corpus by the
+    DuckDB oracle."""
+    ts = store.term_stats(spark).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+    )
+    return ts.select(
+        F.lit(int(store.meta["n_docs"])).cast("long").alias("n_docs"),
+        F.round(F.lit(float(store.meta["avgdl"])), 6).alias("avgdl_r"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n_postings").cast("long").alias("n_postings"),
+    )
 
 
 def search_filters_agg(
