@@ -268,3 +268,75 @@ def chunk_dup_stats(
             F.round(F.col("dup_chunks") / F.col("n_chunks"), 6),
         )
     )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected-component CLUSTERS from a near-duplicate pair list —
+    the global-dedup step after LSH: transitive closure turns pairwise
+    matches into groups, cluster id = the MIN member id (a canonical,
+    deterministic representative; keep-one dedup filters
+    ``id == cluster``). ``ids``: one column of member ids (docs that
+    appear in no pair form singleton clusters). ``pairs``: (a, b) edges.
+    → (id, cluster).
+
+    Algorithm: label propagation to the minimum — each round every id
+    takes the min label across itself and its neighbors' labels; a round
+    is two hash joins + one aggregation, and convergence needs at most
+    the graph diameter rounds (near-dup clusters are shallow — a few
+    rounds in practice; ``max_iters`` bounds pathological chains). The
+    edge list is symmetrized once; labels are checkpointed per round so
+    the plan does not grow unboundedly. Shuffle volume per round =
+    edges + labels, the standard distributed-CC shape (large-star /
+    small-star without the per-round re-partition)."""
+    from pyspark.sql.window import Window as _W  # noqa: F401
+
+    e = pairs.select(
+        F.col("a").cast("string").alias("src"),
+        F.col("b").cast("string").alias("dst"),
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = ids.select(
+        F.col(id_col).cast("string").alias("id")
+    ).distinct().withColumn("cluster", F.col("id"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"),
+                    F.col("cluster").alias("_nc"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("_nc").alias("_best"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("_best"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("cluster", "_old"), "id"
+            )
+            .filter(F.col("cluster") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("cluster"))

@@ -4026,6 +4026,57 @@ SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 50.0, 10.0, 2.0
+
+
+def q_fts_distance_feature(spark, sf_dir):
+    """ES distance_feature: additive proximity bonus
+    boost·pivot/(pivot+|v−origin|) — the recency-boost idiom, here over
+    the dl column."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FS_QUERIES, columns=["qid", "query"])
+    res = search.search_distance_feature(
+        spark, store, qpdf, origin=DF_ORIGIN, pivot=DF_PIVOT,
+        boost=DF_BOOST, k=50,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _distance_feature_sql(queries, k: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         )
+         + {DF_BOOST} * {DF_PIVOT}
+           / ({DF_PIVOT} + abs(max(dl.dl) - {DF_ORIGIN})) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------- 9b. embedding near-dup pairs
 
 NEAR_DUP_THRESHOLD = 0.3
@@ -4052,6 +4103,46 @@ p AS (
 )
 SELECT a, b, round(cos, 6) AS cos_r FROM p WHERE cos >= {NEAR_DUP_THRESHOLD}
 """
+
+def q_ann_near_dup_clusters(spark, sf_dir):
+    """Global dedup clusters: connected components over the exact
+    near-dup pair list, cluster id = min member id (canonical
+    representative — keep-one dedup filters id == cluster); the oracle
+    computes the transitive closure with a recursive CTE."""
+    emb = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_ID
+    )
+    pairs = ann.cosine_near_dup_exact(emb, NEAR_DUP_THRESHOLD)
+    ids = emb.select(F.col("vec_id").cast("string").alias("doc_id"))
+    return dedup.dedup_clusters(ids, pairs)
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {NEAR_DUP_MAX_ID}
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT CAST(a AS VARCHAR) AS src, CAST(b AS VARCHAR) AS dst FROM p
+  UNION ALL
+  SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM p
+),
+ids AS (SELECT CAST(vec_id AS VARCHAR) AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+)
+SELECT id, min(r) AS cluster FROM reach GROUP BY id
+"""
+
 
 # ------------------------------------------ 9c. PQ ANN with exact rerank
 # Product quantization (operators/ann.ann_topk_pq): the full scan touches
@@ -5002,6 +5093,7 @@ SPARK_QUERIES = {
     "fts_suggest_popular": q_fts_suggest_popular,
     "fts_match_bool_prefix": q_fts_match_bool_prefix,
     "fts_index_stats": q_fts_index_stats,
+    "fts_distance_feature": q_fts_distance_feature,
     "fts_suggest_missing": q_fts_suggest_missing,
     "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
@@ -5045,6 +5137,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_chunk_boilerplate": q_dedup_chunk_boilerplate,
+    "ann_near_dup_clusters": q_ann_near_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -5113,6 +5206,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_fuzzy_auto": _fuzzy_auto_sql(FUZZY_AUTO_QUERIES, FT_K),
         "fts_match_bool_prefix": _match_bool_prefix_sql(MBP_QUERIES, FT_K),
         "fts_index_stats": SQL_INDEX_STATS,
+        "fts_distance_feature": _distance_feature_sql(FS_QUERIES, FT_K),
         "fts_suggest_popular": _suggest_mode_sql(
             SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "popular"
         ),
@@ -5174,6 +5268,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_chunk_boilerplate": _chunk_boilerplate_sql(),
+        "ann_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _ivf_sql(),

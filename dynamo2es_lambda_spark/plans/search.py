@@ -4400,6 +4400,45 @@ _SCRIPT_FNS = frozenset(
 )
 
 
+def search_distance_feature(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    value_col: str = "dl",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``distance_feature``: ADD a proximity bonus to the query score —
+    ``boost · pivot / (pivot + |v − origin|)`` from a numeric/date doc
+    column (epoch-cast dates work directly), reaching boost/2 exactly at
+    ``|v − origin| = pivot``. Unlike a decay function_score it always
+    ADDS (never multiplies) and is Lucene-optimized in ES for the
+    recency-boost idiom; here it is one metadata join + codegen'd
+    expression after the OR-BM25 aggregate, before the cut."""
+    if pivot <= 0:
+        raise EngineError("pivot must be positive")
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    v = F.col(value_col).cast("double")
+    bonus = (
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + F.abs(v - F.lit(float(origin))))
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int", bonus.alias("_bonus")
+    )
+    agg = (
+        agg.join(stats, "doc_int")
+        .withColumn("score", F.col("score") + F.col("_bonus"))
+        .drop("_bonus")
+    )
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def search_script_score(
     spark: SparkSession,
     store: IndexStore,
