@@ -4026,6 +4026,120 @@ SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+PINNED_IDS = {0: ["7", "3"], 1: ["490"], 2: ["5"]}
+
+
+def q_fts_pinned(spark, sf_dir):
+    """ES pinned query: promoted ids first in the given order, organic
+    BM25 after; qid 2's query matches nothing organically but still
+    surfaces its pin (null score)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FS_QUERIES, columns=["qid", "query"])
+    return search.search_pinned(
+        spark, store, qpdf, PINNED_IDS, k=FT_K
+    )
+
+
+def _pinned_sql(queries, pinned: dict, k: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    pvals = [
+        f"({qid}, '{d}', {i})"
+        for qid, ids_ in pinned.items()
+        for i, d in enumerate(ids_)
+    ]
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+org AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+pins AS (
+  SELECT v.qid, v.doc_id, v.pin FROM (VALUES {", ".join(pvals)})
+    v(qid, doc_id, pin)
+  WHERE EXISTS (SELECT 1 FROM documents dd
+                WHERE CAST(dd.doc_id AS VARCHAR) = v.doc_id)
+),
+merged AS (
+  SELECT COALESCE(org.qid, pins.qid) AS qid,
+         COALESCE(org.doc_id, pins.doc_id) AS doc_id,
+         CASE WHEN pins.pin IS NOT NULL THEN 0 ELSE 1 END AS tier,
+         COALESCE(pins.pin, 0) AS pin_ord,
+         org.score_r AS score_r
+  FROM org FULL JOIN pins
+    ON pins.qid = org.qid AND pins.doc_id = org.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         CAST(1 - tier AS INTEGER) AS pinned, score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY tier ASC, pin_ord ASC,
+                    score_r DESC NULLS LAST, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM merged
+)
+SELECT qid, rank, doc_id, pinned, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+TL_QUERIES = [(0, "17"), (1, "42")]
+
+
+def q_fts_terms_lookup(spark, sf_dir):
+    """ES terms lookup: the term list comes from another document's
+    field; constant-score filter over the distinct token set, the
+    looked-up doc excluded."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(TL_QUERIES, columns=["qid", "lookup_id"])
+    return search.search_terms_lookup(
+        spark, store, _docs(spark, sf_dir), qpdf, k=FT_K
+    )
+
+
+def _terms_lookup_sql(queries, k: int) -> str:
+    vals = ", ".join(f"({qid}, '{lid}')" for qid, lid in queries)
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+v(qid, lid) AS (VALUES {vals}),
+lookup_terms AS (
+  SELECT v.qid AS qid, t.term AS term
+  FROM v JOIN corpus c ON c.doc_id = v.lid,
+       unnest(list_distinct(c.toks)) t(term)
+),
+hits AS (
+  SELECT DISTINCT lt.qid AS qid, c2.doc_id AS doc_id
+  FROM lookup_terms lt
+  JOIN corpus c2 ON list_contains(c2.toks, lt.term)
+  WHERE c2.doc_id != (SELECT lid FROM v WHERE v.qid = lt.qid)
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         1.0 AS score,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM hits
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 DF_ORIGIN, DF_PIVOT, DF_BOOST = 50.0, 10.0, 2.0
 
 
@@ -5094,6 +5208,8 @@ SPARK_QUERIES = {
     "fts_match_bool_prefix": q_fts_match_bool_prefix,
     "fts_index_stats": q_fts_index_stats,
     "fts_distance_feature": q_fts_distance_feature,
+    "fts_pinned": q_fts_pinned,
+    "fts_terms_lookup": q_fts_terms_lookup,
     "fts_suggest_missing": q_fts_suggest_missing,
     "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
@@ -5207,6 +5323,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_match_bool_prefix": _match_bool_prefix_sql(MBP_QUERIES, FT_K),
         "fts_index_stats": SQL_INDEX_STATS,
         "fts_distance_feature": _distance_feature_sql(FS_QUERIES, FT_K),
+        "fts_pinned": _pinned_sql(FS_QUERIES, PINNED_IDS, FT_K),
+        "fts_terms_lookup": _terms_lookup_sql(TL_QUERIES, FT_K),
         "fts_suggest_popular": _suggest_mode_sql(
             SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "popular"
         ),

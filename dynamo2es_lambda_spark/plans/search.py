@@ -4126,6 +4126,138 @@ def search_span_first(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def search_pinned(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    pinned: dict[int, list[str]],
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed doc_ids rank FIRST, in the given
+    order, above every organic match of the inner (OR BM25) query;
+    organic results follow by score. A pinned id that is missing or dead
+    is skipped; a pinned doc that also matches organically appears once,
+    pinned (ES dedupes the same way). Returns (qid, rank, doc_id,
+    pinned, score_r) — score_r is the organic BM25 (6 dp) or null for
+    docs pinned without an organic match (ES substitutes a synthetic
+    score there; null keeps the column honest).
+
+    Plan: the organic aggregate is the usual pre-cut (qid, doc_int,
+    score); pins are a broadcast (qid, doc_id, pin_rank) table resolved
+    against LIVE doc metadata; ranking is one window over
+    (pinned-first, pin order | score desc, doc_id)."""
+    organic = _scored_or_match(spark, store, queries, field)
+    pin_rows = [
+        (int(q), str(d), i)
+        for q, ids_ in pinned.items()
+        for i, d in enumerate(ids_)
+    ]
+    if organic is None and not pin_rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, pinned int, "
+            "score_r double"
+        )
+    meta = store.doc_stats(spark).select("doc_int", "doc_id")
+    if organic is not None:
+        org = organic.join(meta, "doc_int").select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+    else:
+        org = spark.createDataFrame(
+            [], "qid long, doc_id string, score_r double"
+        )
+    if pin_rows:
+        pins = spark.createDataFrame(
+            pd.DataFrame(pin_rows, columns=["qid", "doc_id", "_pin"])
+        )
+        live = _drop_dead(spark, store, meta)
+        pins = pins.join(live.select("doc_id"), "doc_id", "left_semi")
+    else:
+        pins = spark.createDataFrame(
+            [], "qid long, doc_id string, _pin long"
+        )
+    # (no broadcast hint: full-outer joins cannot broadcast; the pin side
+    # is query-sized so the shuffle it induces is negligible)
+    merged = org.join(pins, ["qid", "doc_id"], "full").select(
+        "qid", "doc_id",
+        F.when(F.col("_pin").isNotNull(), 0).otherwise(1).alias("_tier"),
+        F.coalesce(F.col("_pin"), F.lit(0)).alias("_pin_ord"),
+        "score_r",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_tier").asc(), F.col("_pin_ord").asc(),
+        F.col("score_r").desc_nulls_last(), F.col("doc_id").asc(),
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "rank", "doc_id",
+            (F.lit(1) - F.col("_tier")).cast("int").alias("pinned"),
+            "score_r",
+        )
+    )
+
+
+def search_terms_lookup(
+    spark: SparkSession,
+    store: IndexStore,
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``terms`` query with TERMS LOOKUP: the term list comes from a
+    FIELD OF ANOTHER DOCUMENT (``queries``: pandas (qid, lookup_id)) —
+    the "more docs like the one the user is viewing, by exact overlap"
+    idiom. The lookup fetches only the named docs from the source table
+    (query-sized), analyzes them with the pinned tokenizer, and runs the
+    distinct token set as a constant-score terms filter (ES terms
+    queries are filter context); the looked-up doc itself is excluded.
+    → (qid, rank, doc_id, score)."""
+    ids = sorted({str(i) for i in queries["lookup_id"]})
+    toks_expr = analysis.spark_tokens_expr(text_col)
+    looked = (
+        corpus.filter(F.col(id_col).cast("string").isin(ids))
+        .select(
+            F.col(id_col).cast("string").alias("_lid"),
+            F.expr(f"array_distinct({toks_expr})").alias("_toks"),
+        )
+        .toPandas()
+    )
+    tok_by_id = dict(zip(looked["_lid"], looked["_toks"]))
+    rows = []
+    for qid, lid in zip(queries["qid"], queries["lookup_id"]):
+        for t in sorted(tok_by_id.get(str(lid), [])):
+            rows.append((int(qid), t))
+    if not rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    res = search_terms(
+        spark, store,
+        pd.DataFrame(rows, columns=["qid", "term"]),
+        k=k + len(ids), field=field, constant_score=1.0,
+    )
+    # exclude the lookup docs themselves, then re-rank the survivors
+    excl = spark.createDataFrame(
+        pd.DataFrame(
+            [(int(q), str(l)) for q, l in
+             zip(queries["qid"], queries["lookup_id"])],
+            columns=["qid", "doc_id"],
+        )
+    )
+    res = res.join(F.broadcast(excl), ["qid", "doc_id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        res.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
 def search_terms(
     spark: SparkSession,
     store: IndexStore,
