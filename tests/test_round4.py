@@ -251,6 +251,101 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# -------------------- pinned / terms lookup / distance_feature / clusters
+
+
+def test_pinned_promotes_in_order(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_pin"))
+    build.build_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ["0", "1", "2", "3"],
+                 "content": ["alpha alpha", "alpha", "alpha alpha alpha",
+                             "other"]}
+            )
+        ),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    got = search.search_pinned(
+        spark, store, q, {0: ["3", "1", "nosuchdoc"]}, k=10
+    ).toPandas().sort_values("rank")
+    # pins first in GIVEN order (3 then 1; missing id skipped), then
+    # organic by score: doc 2 (tf 3) before doc 0 (tf 2); doc 1 already
+    # pinned so it appears once
+    assert list(got["doc_id"]) == ["3", "1", "2", "0"]
+    assert list(got["pinned"]) == [1, 1, 0, 0]
+    assert pd.isna(got.iloc[0]["score_r"])       # '3' has no organic match
+    assert not pd.isna(got.iloc[1]["score_r"])   # '1' does
+
+
+def test_terms_lookup_excludes_source(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_tl"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["0", "1", "2", "3"],
+             "text": ["alpha beta", "alpha", "beta", "gamma"]}
+        )
+    )
+    build.build_index(
+        docs.withColumnRenamed("text", "content"),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "0")], columns=["qid", "lookup_id"])
+    got = search.search_terms_lookup(
+        spark, store, docs, q, k=10
+    ).toPandas()
+    assert set(got["doc_id"]) == {"1", "2"}  # share a term; '0' excluded
+
+
+def test_distance_feature_adds_proximity_bonus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_df"))
+    build.build_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ["0", "1"],
+                 "content": ["alpha " + "pad " * 3,    # dl 4
+                             "alpha " + "pad " * 49]}  # dl 50
+            )
+        ),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    plain = search.search(spark, store, q, k=10).toPandas()
+    boosted = search.search_distance_feature(
+        spark, store, q, origin=50.0, pivot=5.0, boost=10.0, k=10
+    ).toPandas()
+    p = dict(zip(plain["doc_id"], plain["score"]))
+    b = dict(zip(boosted["doc_id"], boosted["score"]))
+    # doc 1 sits AT the origin → full boost; doc 0 is 46 away → tiny
+    assert b["1"] == pytest.approx(p["1"] + 10.0, abs=1e-9)
+    assert b["1"] > b["0"]
+    with pytest.raises(Exception, match="pivot"):
+        search.search_distance_feature(spark, store, q, 50.0, pivot=0.0)
+
+
+def test_dedup_clusters_transitive(spark):
+    from dynamo2es_lambda_spark.operators import dedup
+
+    ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c", "d", "e"]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": ["b", "c"], "b": ["c", "d"]})
+    )  # chain b-c-d; a, e singletons
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.dedup_clusters(ids, pairs).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "b", "e": "e"}
+
+
 # ---------------- fuzziness=AUTO, suggest_mode, filters agg, mixing
 
 
