@@ -148,8 +148,16 @@ def apply_changes(
         upserts = good.filter(F.col("action") == actions.ACTION_INDEX)
         if cfg.transform_record_hook is not None:
             upserts = cfg.transform_record_hook(upserts)
-        mapping_cols = ["doc_id", "index_name", "doc_type", "parent",
-                        "version", "content_sha256"]
+        # content_sha256 exists only when the configured content_col
+        # resolved on the event image; a multi-field store re-derives it
+        # from its field list below, so its absence here is fine (a
+        # fields= corpus need not carry a literal 'content' column)
+        mapping_cols = [
+            c
+            for c in ("doc_id", "index_name", "doc_type", "parent",
+                      "version", "content_sha256")
+            if c in upserts.columns
+        ]
         img_fields = [
             f.name
             for f in upserts.schema["new_image"].dataType.fields

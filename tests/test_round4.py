@@ -251,6 +251,38 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ------------------------------------------- CDC over nested-field stores
+
+
+def test_cdc_batch_on_nested_field_store(spark, tmp_path_factory):
+    """An incremental CDC batch whose new_image carries the struct column
+    routes through the same dotted-path flattening as the base build —
+    the new doc becomes searchable under the nested field."""
+    path = str(tmp_path_factory.mktemp("r4_cdc_nested"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    base = spark.createDataFrame(
+        [("0", "base text", ("kay",))],
+        "doc_id string, text string, meta struct<author:string>",
+    )
+    build.build_index(base, cfg, path, segment_docs=8, num_buckets=4,
+                      fields=("text", "meta.author"))
+    events = spark.createDataFrame(
+        [("INSERT", ("9",), ("9", "fresh text", ("zoe",)), None)],
+        "event_name string, keys struct<doc_id:string>, "
+        "new_image struct<doc_id:string, text:string, "
+        "meta:struct<author:string>>, "
+        "old_image struct<doc_id:string>",
+    )
+    cdc.apply_changes(events, cfg, path)
+    store = search.load_store(path)
+    got = search.search(
+        spark, store,
+        pd.DataFrame([(0, "zoe")], columns=["qid", "query"]),
+        k=10, field="meta.author",
+    ).toPandas()
+    assert list(got["doc_id"]) == ["9"]
+
+
 # -------------------- pinned / terms lookup / distance_feature / clusters
 
 
