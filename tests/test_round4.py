@@ -251,6 +251,55 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# ---------------------- resume + north-rule sha over the new store shapes
+
+
+def test_lm_stats_resume_skips_and_preserves(spark, tmp_path_factory):
+    """A resumed build (all checkpoints present) must not rewrite or skew
+    the gram table: second run skips every batch, lm_stats identical."""
+    path = str(tmp_path_factory.mktemp("r4_lm_resume"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    corpus = _mk_docs(spark).withColumnRenamed("text", "content")
+    build.build_index(corpus, cfg, path, segment_docs=8, num_buckets=4,
+                      num_batches=2, lm_stats=True)
+    before = {
+        r["gram"]: r["cf"]
+        for r in spark.read.parquet(
+            os.path.join(path, "lm_stats")
+        ).collect()
+    }
+    res = build.build_index(corpus, cfg, path, segment_docs=8,
+                            num_buckets=4, num_batches=2, lm_stats=True)
+    assert res.skipped_batches == 2 and res.n_docs == 0
+    after = {
+        r["gram"]: r["cf"]
+        for r in spark.read.parquet(
+            os.path.join(path, "lm_stats")
+        ).collect()
+    }
+    assert before == after
+
+
+def test_verify_sha256_nested_field_store(spark, tmp_path_factory):
+    """North-rule per-row sha equality holds for dotted-path multi-field
+    stores: the recomputation covers the same nested columns the build
+    hashed."""
+    docs = spark.createDataFrame(
+        [("0", "alpha", ("kay",)), ("1", "beta", ("lee",))],
+        "doc_id string, text string, meta struct<author:string>",
+    )
+    path = str(tmp_path_factory.mktemp("r4_sha_nested"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(docs, cfg, path, segment_docs=8, num_buckets=4,
+                      fields=("text", "meta.author"))
+    assert build.verify_sha256(docs, cfg, path) == 0
+    tampered = spark.createDataFrame(
+        [("0", "alpha", ("kay",)), ("1", "beta", ("zoe",))],
+        "doc_id string, text string, meta struct<author:string>",
+    )
+    assert build.verify_sha256(tampered, cfg, path) == 1
+
+
 # ------------------------------------------- CDC over nested-field stores
 
 
