@@ -4026,6 +4026,55 @@ SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_fts_count(spark, sf_dir):
+    """ES _count API: match-set sizes, zero retrieval — OR and AND modes
+    in one unioned result; unmatchable queries count 0."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    or_c = search.search_count(spark, store, qpdf, mode="or").select(
+        F.lit("or").alias("mode"), "qid", "n_docs"
+    )
+    and_c = search.search_count(spark, store, qpdf, mode="and").select(
+        F.lit("and").alias("mode"), "qid", "n_docs"
+    )
+    return or_c.unionByName(and_c)
+
+
+def _count_sql(queries) -> str:
+    vals, needs = [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        terms = sorted(set(toks))
+        needs.append(f"({qid}, {len(terms)})")
+        for t in terms:
+            vals.append(f"({qid}, '{t}')")
+    return f"""{_BM25_BODY},
+q(qid, term) AS (VALUES {", ".join(vals)}),
+need(nqid, need) AS (VALUES {", ".join(needs)}),
+matched AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         count(DISTINCT q.term) AS nt
+  FROM q JOIN posting p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+or_c AS (
+  SELECT need.nqid AS qid, CAST(count(m.doc_id) AS BIGINT) AS n_docs
+  FROM need LEFT JOIN matched m ON m.qid = need.nqid
+  GROUP BY need.nqid
+),
+and_c AS (
+  SELECT need.nqid AS qid,
+         CAST(count(CASE WHEN m.nt = need.need THEN 1 END) AS BIGINT)
+           AS n_docs
+  FROM need LEFT JOIN matched m ON m.qid = need.nqid
+  GROUP BY need.nqid
+)
+SELECT 'or' AS mode, CAST(qid AS BIGINT) AS qid, n_docs FROM or_c
+UNION ALL
+SELECT 'and', CAST(qid AS BIGINT), n_docs FROM and_c
+"""
+
+
 PINNED_IDS = {0: ["7", "3"], 1: ["490"], 2: ["5"]}
 
 
@@ -5209,6 +5258,7 @@ SPARK_QUERIES = {
     "fts_index_stats": q_fts_index_stats,
     "fts_distance_feature": q_fts_distance_feature,
     "fts_pinned": q_fts_pinned,
+    "fts_count": q_fts_count,
     "fts_terms_lookup": q_fts_terms_lookup,
     "fts_suggest_missing": q_fts_suggest_missing,
     "fts_filters_agg": q_fts_filters_agg,
@@ -5324,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_index_stats": SQL_INDEX_STATS,
         "fts_distance_feature": _distance_feature_sql(FS_QUERIES, FT_K),
         "fts_pinned": _pinned_sql(FS_QUERIES, PINNED_IDS, FT_K),
+        "fts_count": _count_sql(FT_QUERIES),
         "fts_terms_lookup": _terms_lookup_sql(TL_QUERIES, FT_K),
         "fts_suggest_popular": _suggest_mode_sql(
             SUGGEST_MODE_PROBES, SUGGEST_K, SUGGEST_EDITS, "popular"

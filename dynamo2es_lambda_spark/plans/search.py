@@ -3453,6 +3453,33 @@ def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
     )
 
 
+def search_count(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``_count`` API: the match-set size per query, no hits
+    retrieved and no scores computed — the cheapest form of the query
+    (the tf/dl decode still happens for membership, but no top-k window,
+    no presentation join). Queries with no indexable term report 0, like
+    ES counts an unmatchable query. → (qid, n_docs)."""
+    all_qids = sorted(int(q) for q in queries["qid"].unique())
+    base = spark.createDataFrame(
+        pd.DataFrame({"qid": all_qids})
+    )
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return base.select(
+            "qid", F.lit(0).cast("long").alias("n_docs")
+        )
+    counts = hits.groupBy("qid").agg(F.count("*").alias("_n"))
+    return base.join(counts, "qid", "left").select(
+        "qid", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_docs")
+    )
+
+
 def search_filters_agg(
     spark: SparkSession,
     store: IndexStore,
