@@ -3453,6 +3453,48 @@ def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
     )
 
 
+def scroll(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    page_size: int = 1000,
+    mode: str = "or",
+    field: str | None = None,
+    max_pages: int | None = None,
+):
+    """ES ``scroll`` / PIT deep export: iterate EVERY hit of one query in
+    stable (score desc, doc_id) order as successive pandas pages — a
+    generator driving the ``search_after`` keyset under the hood, so each
+    page costs one bounded query and no cursor state lives server-side
+    (the keyset IS the cursor, the same property ES moved to with
+    search_after + PIT). Page rows carry the global order; the loop ends
+    on the first short page. ``max_pages`` bounds runaway exports.
+
+    At 100 TB this is the export discipline: page N costs the same as
+    page 1 (the keyset predicate prunes before the top-k window), and a
+    failed export resumes from the last keyset instead of re-scanning."""
+    if page_size < 1:
+        raise EngineError("page_size must be >= 1")
+    qpdf = pd.DataFrame({"qid": [0], "query": [str(query)]})
+    after = None
+    pages = 0
+    while True:
+        page = search(
+            spark, store, qpdf, k=page_size, mode=mode, field=field,
+            algo="exhaustive", search_after=after,
+        ).toPandas().sort_values("rank")
+        if page.empty:
+            return
+        yield page
+        pages += 1
+        if len(page) < page_size:
+            return
+        if max_pages is not None and pages >= max_pages:
+            return
+        last = page.iloc[-1]
+        after = (float(last["score"]), str(last["doc_id"]))
+
+
 def search_count(
     spark: SparkSession,
     store: IndexStore,

@@ -251,6 +251,36 @@ def test_nested_field_two_levels_and_validation(spark, tmp_path_factory):
             )
 
 
+# -------------------------------------------- scroll deep export
+
+
+def test_scroll_pages_reassemble_full_result(spark, tmp_path_factory):
+    """Scrolling with a small page size reproduces the one-shot full
+    result exactly — no dup, no gap, global order preserved."""
+    path = str(tmp_path_factory.mktemp("r4_scroll"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(17)],
+            "content": ["alpha " + "pad " * (i % 5) for i in range(17)],
+        }
+    )
+    build.build_index(
+        spark.createDataFrame(rows),
+        IndexerConfig(index="docs", id_field="doc_id"), path,
+        segment_docs=8, num_buckets=4,
+    )
+    store = search.load_store(path)
+    full = search.search(
+        spark, store, pd.DataFrame([(0, "alpha")], columns=["qid", "query"]),
+        k=100,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    pages = list(search.scroll(spark, store, "alpha", page_size=5))
+    assert [len(p) for p in pages] == [5, 5, 5, 2]
+    walked = pd.concat(pages, ignore_index=True)
+    assert list(walked["doc_id"]) == list(full["doc_id"])
+    assert walked["doc_id"].is_unique
+
+
 # ---------------------- resume + north-rule sha over the new store shapes
 
 
