@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.analysis import spark_tokens_expr
 from ..functions.text import fingerprint_md5
@@ -340,3 +341,92 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("cluster"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Token-level EXACT-SUBSTRING duplicate spans — the ExactSubstr
+    dedup of Lee et al. (2022), bounded to a fixed witness length: every
+    SLIDING ``window``-gram of the token stream is hashed; a gram
+    occurring ≥ 2 times in the corpus (across docs or repeated within
+    one) marks its token range, and overlapping marks merge into maximal
+    spans per doc. Downstream either cuts the spans out of the text or
+    drops docs whose duplicated fraction is high — the substring-level
+    signal whole-doc and chunk dedup both miss (a licence header pasted
+    mid-file marks only ITS tokens).
+
+    → (doc_id, start, end): half-open [start, end) token offsets,
+    0-based, maximal (non-overlapping, non-adjacent-overlapping merged).
+
+    Scale shape: gram emission is a pure Column expression (sliding
+    windows over the tokenized array); the duplicate-witness aggregation
+    map-side combines on the gram string; the join back is LEFT-SEMI
+    against only grams with count ≥ 2 (the duplicated tail, small in a
+    clean corpus — same skew argument as chunk_dup_stats); the island
+    merge is two window functions over per-doc position streams
+    (running-max island detection), shuffled once by doc."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = int(window)
+    toks = spark_tokens_expr(text_col)
+    grams_expr = (
+        f"case when size(_toks) < {w} then array() else "
+        f"transform(sequence(0, size(_toks) - {w}), "
+        f"i -> struct(i as pos, "
+        f"array_join(slice(_toks, i + 1, {w}), ' ') as gram)) end"
+    )
+    occ = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.expr(toks).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(grams_expr)).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.pos").alias("pos"),
+                F.col("_g.gram").alias("gram"))
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gram")
+    )
+    marked = occ.join(dup_grams, "gram", "left_semi").select(
+        "doc_id", F.col("pos").cast("long").alias("start"),
+        (F.col("pos") + w).cast("long").alias("end"),
+    )
+    # gaps-and-islands: a mark starts a NEW island when it begins after
+    # every previous mark's end (running max over the doc's sorted marks)
+    ws = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max_end = F.max("end").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "_new",
+            F.when(
+                prev_max_end.isNull()
+                | (F.col("start") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+        )
+        .select("doc_id", "start", "end")
+    )

@@ -4460,6 +4460,63 @@ GROUP BY dc.doc_id
 """
 
 
+# ------------------------------ 9d3. exact-substring duplicate spans
+# ExactSubstr dedup (Lee et al. 2022) bounded to a fixed witness length:
+# duplicated token spans, maximal after island merge.
+
+DUPSPAN_W = 3
+
+
+def q_dedup_duplicate_spans(spark, sf_dir):
+    return dedup.duplicate_spans(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        window=DUPSPAN_W,
+    )
+
+
+def _duplicate_spans_sql() -> str:
+    w = DUPSPAN_W
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {w} - 1), ' ') AS gram
+  FROM corpus, unnest(range(1, len(toks) - {w} + 2)) t(i)
+),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+marked AS (
+  SELECT occ.doc_id AS doc_id, occ.pos AS s, occ.pos + {w} AS e
+  FROM occ JOIN dup USING (gram)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR s > max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+              THEN 1 ELSE 0 END AS new_i
+  FROM marked
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_i) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS start, CAST(max(e) AS BIGINT) AS "end"
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 # ----------------------------------- 9e. n-gram decontamination
 # LLM-pipeline decontamination: corpus docs sharing any word n-gram with
 # the benchmark/eval set (operators/decontam.py) — benchmark n-grams
@@ -5303,6 +5360,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_chunk_boilerplate": q_dedup_chunk_boilerplate,
+    "dedup_duplicate_spans": q_dedup_duplicate_spans,
     "ann_near_dup_clusters": q_ann_near_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -5437,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_chunk_boilerplate": _chunk_boilerplate_sql(),
+        "dedup_duplicate_spans": _duplicate_spans_sql(),
         "ann_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "dedup_simhash": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN,
