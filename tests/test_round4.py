@@ -441,6 +441,32 @@ def test_distance_feature_adds_proximity_bonus(spark, tmp_path_factory):
         search.search_distance_feature(spark, store, q, 50.0, pivot=0.0)
 
 
+def test_duplicate_spans_merge_and_witness(spark):
+    """Sliding-gram witnesses mark and merge into maximal spans; unique
+    text stays unmarked; within-doc repeats count as witnesses."""
+    from dynamo2es_lambda_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": [
+                    "one two three four x y z one two three four",
+                    "zz one two three four qq",
+                    "totally unique words here now",
+                ],
+            }
+        )
+    )
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in dedup.duplicate_spans(docs, window=3).collect()
+    )
+    assert got == [("a", 0, 4), ("a", 7, 11), ("b", 1, 5)]
+    with pytest.raises(Exception, match="window"):
+        dedup.duplicate_spans(docs, window=0)
+
+
 def test_dedup_clusters_transitive(spark):
     from dynamo2es_lambda_spark.operators import dedup
 
