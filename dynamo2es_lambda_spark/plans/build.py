@@ -143,8 +143,18 @@ def build_index(
     dense_partitions: int | None = None,
     fields: tuple[str, ...] | None = None,
     lm_stats: bool | None = None,
+    doc_meta_cols: tuple[str, ...] | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
+
+    ``doc_meta_cols``: extra corpus columns to carry onto the doc-stat
+    markers alongside the built-in metadata (lang/ts/version/...) — ES
+    stores arbitrary document fields and its aggregations bucket on
+    them; the engine's agg family (plans/search.search_terms_agg and
+    friends) reads whatever read_doc_stats exposes. Names are recorded
+    in meta.json so readers know what to select; follows the
+    inherit-or-conflict discipline of ``fields`` (a resumed build must
+    not change the marker schema batch-to-batch).
 
     ``lm_stats=True`` additionally materializes collection-frequency
     statistics for every unigram and bigram (``lm_stats`` table) during
@@ -248,6 +258,32 @@ def build_index(
             "explicit conflicting value would mix qualified and unqualified "
             "term namespaces — rebuild or omit the value to inherit"
         )
+    prev_dmc = tuple(prev.get("doc_meta_cols") or ()) or None
+    if doc_meta_cols is None:
+        doc_meta_cols = prev_dmc
+    else:
+        doc_meta_cols = tuple(doc_meta_cols)
+        reserved = {
+            "part", "term", "seg", "block_id", "n_docs", "doc_first",
+            "doc_last", "max_tf", "min_dl", "doc_bytes", "tf_bytes",
+            "dl_bytes", "pos_bytes", "term_bucket", "doc_int", "dl",
+            "doc_seg", "batch", "doc_id", "index_name", "doc_type",
+            "parent", "version", "content_sha256", "lang", "ts",
+            "field_dls",
+        }
+        clash = sorted(set(doc_meta_cols) & reserved)
+        if clash:
+            raise EngineError(
+                f"doc_meta_cols {clash} collide with reserved store "
+                "columns — rename the corpus columns"
+            )
+        if committed and prev and prev_dmc != doc_meta_cols:
+            raise EngineError(
+                f"store at {store_path} was built with doc_meta_cols="
+                f"{prev_dmc}; an explicit conflicting value would change the "
+                "marker schema mid-store — rebuild or omit the value to "
+                "inherit"
+            )
     if num_buckets is None:
         num_buckets = int(prev.get("num_buckets", DEFAULT_BUCKETS))
     elif (
@@ -354,6 +390,7 @@ def build_index(
                 sink_options=cfg.sink_options,
                 fields=fields,
                 lm_stats=lm_stats,
+                doc_meta_cols=doc_meta_cols or (),
             )
             total_docs += nd
             total_blocks += nb
@@ -361,7 +398,7 @@ def build_index(
         _finalize_store(
             spark, store_path, segment_docs, num_buckets,
             positions=positions, id_mode=id_mode, fields=fields,
-            lm_stats=lm_stats,
+            lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -412,6 +449,7 @@ def _build_batch(
     sink_options: dict | None = None,
     fields: tuple[str, ...] | None = None,
     lm_stats: bool = False,
+    doc_meta_cols: tuple[str, ...] = (),
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → [LM grams] →
     lineage → checkpoint marker. Whole-batch retry mirrors
@@ -426,7 +464,7 @@ def _build_batch(
                 num_buckets=num_buckets, positions=positions,
                 id_mode=id_mode, dense_partitions=dense_partitions,
                 sink_options=sink_options, fields=fields,
-                lm_stats=lm_stats,
+                lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -450,6 +488,7 @@ def _build_batch_once(
     sink_options: dict | None = None,
     fields: tuple[str, ...] | None = None,
     lm_stats: bool = False,
+    doc_meta_cols: tuple[str, ...] = (),
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -494,7 +533,8 @@ def _build_batch_once(
     meta_cols = [
         c
         for c in ("doc_id", "index_name", "doc_type", "parent",
-                  "version", "content_sha256", "lang", "ts", "field_dls")
+                  "version", "content_sha256", "lang", "ts", "field_dls",
+                  *doc_meta_cols)
         if c in rows.columns
     ]
     # ONE job per batch: python fused pass → (term_bucket, seg) exchange →
@@ -616,6 +656,7 @@ def _finalize_store(
     id_mode: str | None = None,
     fields: tuple[str, ...] | None = None,
     lm_stats: bool | None = None,
+    doc_meta_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs — per field in
@@ -629,6 +670,12 @@ def _finalize_store(
         # a finalize without the flag (CDC apply / compact) must still
         # recompute the per-field stats of a multi-field store
         fields = tuple(store_io.read_meta(store_path)["fields"])
+    if doc_meta_cols is None:
+        # CDC apply / compact finalizes without the flag — preserve it
+        doc_meta_cols = (
+            tuple(store_io.read_meta(store_path).get("doc_meta_cols") or ())
+            or None
+        )
     if fields and "field_dls" not in doc_stats.columns:
         raise EngineError(
             f"store at {store_path} is multi-field ({fields}) but its "
@@ -770,6 +817,8 @@ def _finalize_store(
     if fields:
         meta["fields"] = list(fields)
         meta["avgdl_fields"] = avgdl_fields
+    if doc_meta_cols:
+        meta["doc_meta_cols"] = list(doc_meta_cols)
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

@@ -126,17 +126,20 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v8")
+    (path,), fresh = _cached_store_paths(sf_dir, "v9")
     if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
             F.col("text").alias("content"),
         )
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
             num_buckets=32, resume=True, positions=True, lm_stats=True,
+            doc_meta_cols=("source", "n_chars"),
         )
     return search.load_store(path)
 
@@ -5283,6 +5286,331 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+# ------------------------------------------- 4z. metric / pipeline aggs
+# The remaining first-class ES aggregation families over the match set
+# (extended_stats, string_stats, weighted_avg, rare_terms, multi_terms,
+# top_metrics, the pipeline aggs, adjacency_matrix, sampler). Every one
+# is a single _match_set job + one metadata join + hash/window aggs —
+# the doc fields they bucket on ride the store's doc markers via
+# build_index(doc_meta_cols=...) (plans/build.py), never a corpus scan.
+
+RARE_TERMS_MAX = 3
+BUCKET_SORT_SIZE = 3
+TOP_METRICS_SIZE = 3
+SAMPLER_SHARD = 10
+ADJ_FILTERS = {"cust": "customer", "fast": "fast", "mw": "merge window"}
+
+
+def _doc_join_sql(queries) -> str:
+    """Shared oracle prefix: BM25 body + OR match set + documents join."""
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+md AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id, dl.dl AS dl,
+         doc.lang AS lang, doc.source AS source, doc.n_chars AS n_chars
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+)"""
+
+
+def q_fts_extended_stats(spark, sf_dir):
+    """ES extended_stats: stats + sum_of_squares + population variance."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_extended_stats_agg(spark, store, qpdf, value_col="dl")
+    return res.select(
+        "qid", "n_docs",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("sum_sq", 6).alias("sum_sq"),
+        "variance_r", "std_dev_r",
+    )
+
+
+def _extended_stats_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(dl) AS DOUBLE), 6) AS sum_v,
+       round(avg(dl), 6) AS avg_v,
+       round(CAST(sum(dl * dl) AS DOUBLE), 6) AS sum_sq,
+       round(var_pop(dl), 6) AS variance_r,
+       round(stddev_pop(dl), 6) AS std_dev_r
+FROM md GROUP BY qid
+"""
+
+
+def q_fts_string_stats(spark, sf_dir):
+    """ES string_stats over the source keyword field: length statistics."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_string_stats_agg(
+        spark, store, qpdf, value_col="source"
+    )
+
+
+def _string_stats_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(length(source)) AS BIGINT) AS min_len,
+       CAST(max(length(source)) AS BIGINT) AS max_len,
+       round(avg(length(source)), 6) AS avg_len_r
+FROM md GROUP BY qid
+"""
+
+
+def q_fts_weighted_avg(spark, sf_dir):
+    """ES weighted_avg: dl weighted by the doc's n_chars field."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_weighted_avg_agg(
+        spark, store, qpdf, value_col="dl", weight_col="n_chars"
+    )
+
+
+def _weighted_avg_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(CAST(dl AS DOUBLE) * n_chars) / sum(CAST(n_chars AS DOUBLE)),
+             6) AS weighted_avg_r
+FROM md GROUP BY qid
+"""
+
+
+def q_fts_rare_terms(spark, sf_dir):
+    """ES rare_terms: long-tail buckets (≤ max_doc_count docs) of the
+    high-cardinality n_chars keyword — low-cardinality fields would give
+    no buckets under the cap (all-common) and an empty-vs-empty gate."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_rare_terms_agg(
+        spark, store, qpdf, group_col="n_chars", max_doc_count=RARE_TERMS_MAX
+    )
+
+
+def _rare_terms_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(n_chars AS VARCHAR) AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM md GROUP BY qid, n_chars
+HAVING count(*) <= {RARE_TERMS_MAX}
+"""
+
+
+def q_fts_multi_terms(spark, sf_dir):
+    """ES multi_terms: buckets keyed by the (lang, source) composite."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_multi_terms_agg(
+        spark, store, qpdf, group_cols=("lang", "source"), value_col="dl"
+    )
+
+
+def _multi_terms_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid, lang AS g0, source AS g1,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(dl AS DOUBLE)), 6) AS avg_value_r
+FROM md GROUP BY qid, lang, source
+"""
+
+
+def q_fts_top_metrics(spark, sf_dir):
+    """ES top_metrics: n_chars at the top-dl docs of the match set."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_top_metrics_agg(
+        spark, store, qpdf, sort_col="dl", metric_col="n_chars",
+        size=TOP_METRICS_SIZE,
+    )
+
+
+def _top_metrics_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         CAST(dl AS DOUBLE) AS sort_v, CAST(n_chars AS DOUBLE) AS metric_v,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY dl DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM md
+)
+SELECT qid, rank, doc_id, sort_v, metric_v
+FROM ranked WHERE rank <= {TOP_METRICS_SIZE}
+"""
+
+
+def q_fts_histogram_pipeline(spark, sf_dir):
+    """ES pipeline aggs (cumulative_sum + derivative) over the histogram."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_histogram_pipeline(
+        spark, store, qpdf, interval=HIST_INTERVAL, value_col="dl"
+    )
+
+
+def _histogram_pipeline_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, bucket, n_docs,
+       CAST(sum(n_docs) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_docs,
+       CAST(n_docs - lag(n_docs) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+       ) AS BIGINT) AS deriv
+FROM base
+"""
+
+
+def q_fts_stats_bucket(spark, sf_dir):
+    """ES stats_bucket sibling pipeline agg over histogram doc counts."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_stats_bucket(
+        spark, store, qpdf, interval=HIST_INTERVAL, value_col="dl"
+    )
+
+
+def _stats_bucket_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         count(*) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n_docs) AS BIGINT) AS min_bucket,
+       CAST(max(n_docs) AS BIGINT) AS max_bucket,
+       round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_bucket_r,
+       CAST(sum(n_docs) AS BIGINT) AS sum_bucket
+FROM base GROUP BY qid
+"""
+
+
+def q_fts_bucket_sort(spark, sf_dir):
+    """ES bucket_sort: lang buckets re-ordered by count, truncated."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_bucket_sort(
+        spark, store, qpdf, group_col="lang", size=BUCKET_SORT_SIZE
+    )
+
+
+def _bucket_sort_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+counts AS (
+  SELECT CAST(qid AS BIGINT) AS qid, lang AS grp,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, lang
+),
+ranked AS (
+  SELECT qid, grp, n_docs,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY n_docs DESC, grp ASC
+         ) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT qid, rank, grp AS "group", n_docs
+FROM ranked WHERE rank <= {BUCKET_SORT_SIZE}
+"""
+
+
+def q_fts_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: filter + pairwise-intersection doc counts."""
+    store = _corpus_store(spark, sf_dir)
+    return search.search_adjacency_matrix(spark, store, ADJ_FILTERS)
+
+
+def _adjacency_matrix_sql(filters: dict) -> str:
+    names = sorted(filters)
+    fvals, needs, nvals = [], [], []
+    for i, name in enumerate(names):
+        toks = analysis.tokenize_series(pd.Series([filters[name]]))[0]
+        needs.append(f"({i}, {len(set(toks))})")
+        nvals.append(f"({i}, '{name}')")
+        for t in sorted(set(toks)):
+            fvals.append(f"({i}, '{t}')")
+    return f"""{_BM25_BODY},
+fv(i, term) AS (VALUES {", ".join(fvals)}),
+fneed(i, need) AS (VALUES {", ".join(needs)}),
+names(i, name) AS (VALUES {", ".join(nvals)}),
+fset AS (
+  SELECT fv.i AS i, p.doc_id AS doc_id
+  FROM fv JOIN posting p ON p.term = fv.term
+  GROUP BY fv.i, p.doc_id
+  HAVING count(DISTINCT fv.term)
+         = (SELECT need FROM fneed WHERE fneed.i = fv.i)
+),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS n
+  FROM fset a JOIN fset b ON a.doc_id = b.doc_id
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CASE WHEN na.name = nb.name THEN na.name
+            ELSE concat(na.name, '&', nb.name) END AS bucket,
+       CAST(n AS BIGINT) AS n_docs
+FROM pairs
+JOIN names na ON na.i = pairs.ia
+JOIN names nb ON nb.i = pairs.ib
+"""
+
+
+def q_fts_sampler_terms(spark, sf_dir):
+    """ES sampler agg: lang buckets over the top-scoring sample only."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_sampler_terms(
+        spark, store, qpdf, shard_size=SAMPLER_SHARD, group_col="lang"
+    )
+
+
+def _sampler_terms_sql(queries, shard_size: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT CAST(r.qid AS BIGINT) AS qid, doc.lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked r
+JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = r.doc_id
+WHERE r.rn <= {shard_size}
+GROUP BY r.qid, doc.lang
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -5356,6 +5684,17 @@ SPARK_QUERIES = {
     "fts_combined_fields": q_fts_combined_fields,
     "fts_rank_feature": q_fts_rank_feature,
     "fts_suggest_phrase": q_fts_suggest_phrase,
+    "fts_extended_stats": q_fts_extended_stats,
+    "fts_string_stats": q_fts_string_stats,
+    "fts_weighted_avg": q_fts_weighted_avg,
+    "fts_rare_terms": q_fts_rare_terms,
+    "fts_multi_terms": q_fts_multi_terms,
+    "fts_top_metrics": q_fts_top_metrics,
+    "fts_histogram_pipeline": q_fts_histogram_pipeline,
+    "fts_stats_bucket": q_fts_stats_bucket,
+    "fts_bucket_sort": q_fts_bucket_sort,
+    "fts_adjacency_matrix": q_fts_adjacency_matrix,
+    "fts_sampler_terms": q_fts_sampler_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -5488,6 +5827,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_rank_feature": _rank_feature_sql(SORTED_QUERIES, FT_K),
         "fts_suggest_phrase": _suggest_phrase_sql(),
+        "fts_extended_stats": _extended_stats_sql(SORTED_QUERIES),
+        "fts_string_stats": _string_stats_sql(SORTED_QUERIES),
+        "fts_weighted_avg": _weighted_avg_sql(SORTED_QUERIES),
+        "fts_rare_terms": _rare_terms_sql(SORTED_QUERIES),
+        "fts_multi_terms": _multi_terms_sql(SORTED_QUERIES),
+        "fts_top_metrics": _top_metrics_sql(SORTED_QUERIES),
+        "fts_histogram_pipeline": _histogram_pipeline_sql(SORTED_QUERIES),
+        "fts_stats_bucket": _stats_bucket_sql(SORTED_QUERIES),
+        "fts_bucket_sort": _bucket_sort_sql(SORTED_QUERIES),
+        "fts_adjacency_matrix": _adjacency_matrix_sql(ADJ_FILTERS),
+        "fts_sampler_terms": _sampler_terms_sql(
+            SORTED_QUERIES, SAMPLER_SHARD
+        ),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

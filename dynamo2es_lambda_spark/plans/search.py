@@ -3433,6 +3433,418 @@ def search_terms_agg(
     return out
 
 
+def search_extended_stats_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation over the match set: the plain
+    stats plus sum_of_squares, POPULATION variance and std_deviation
+    (ES's default; sample variance is the ``_sampling`` variant we skip).
+    Same plan family as ``stats``: one pruned posting read for the match
+    set, one metadata join, ONE hash aggregation computes every metric
+    (variance via the sum-of-squares identity — no second pass)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, n_docs long, sum_v double, avg_v double, "
+            "sum_sq double, variance_r double, std_dev_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_v").alias("sum_v"),
+            F.avg("_v").alias("avg_v"),
+            F.sum(F.col("_v") * F.col("_v")).alias("sum_sq"),
+            F.round(F.var_pop("_v"), 6).alias("variance_r"),
+            F.round(F.stddev_pop("_v"), 6).alias("std_dev_r"),
+        )
+    )
+
+
+def search_string_stats_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "lang",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation over the match set: count and
+    min/max/avg LENGTH of a keyword doc field (ES additionally reports a
+    Shannon entropy over the character distribution — an approximation
+    detail we document as out of scope; the length statistics are the
+    exact contract). Metadata join + one aggregation."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, n_docs long, min_len long, max_len long, "
+            "avg_len_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.length(F.col(value_col).cast("string")).alias("_l")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_l").cast("long").alias("min_len"),
+            F.max("_l").cast("long").alias("max_len"),
+            F.round(F.avg("_l"), 6).alias("avg_len_r"),
+        )
+    )
+
+
+def search_weighted_avg_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str,
+    weight_col: str,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: sum(value·weight) / sum(weight)
+    over the match set, value and weight both doc fields. One metadata
+    join, one aggregation (both sums come out of the same hash agg)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, weighted_avg_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 6
+            ).alias("weighted_avg_r"),
+        )
+    )
+
+
+def search_rare_terms_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    max_doc_count: int = 1,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG-TAIL buckets a ``terms``
+    agg ordered by count ascending would surface — doc-field values
+    matched by at most ``max_doc_count`` docs of the match set (ES
+    approximates with a CuckooFilter at scale; the engine's counts are
+    exact). One aggregation, then a post-aggregation filter — the filter
+    runs on bucket counts (group-cardinality rows), never on docs."""
+    if max_doc_count < 1:
+        raise EngineError("rare_terms max_doc_count must be >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], "qid long, group string, n_docs long")
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(group_col).cast("string").alias("group")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "group")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= int(max_doc_count))
+    )
+
+
+def search_multi_terms_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a COMPOSITE of
+    several doc fields (the agg ``terms`` cannot express without a
+    script), per bucket the match-set doc count and a metric (avg).
+    Exactly one hash aggregation on the composite key — the key tuple
+    rides the shuffle as separate columns, no string concat."""
+    if len(group_cols) < 2:
+        raise EngineError("multi_terms needs at least two group columns")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        schema = ", ".join(f"g{i} string" for i in range(len(group_cols)))
+        return spark.createDataFrame(
+            [], f"qid long, {schema}, n_docs long, avg_value_r double"
+        )
+    sel = ["doc_int"] + [
+        F.col(c).cast("string").alias(f"g{i}")
+        for i, c in enumerate(group_cols)
+    ] + [F.col(value_col).cast("double").alias("_v")]
+    stats = store.doc_stats(spark).select(*sel)
+    keys = [f"g{i}" for i in range(len(group_cols))]
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", *keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_v"), 6).alias("avg_value_r"),
+        )
+    )
+
+
+def search_top_metrics_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    sort_col: str,
+    metric_col: str,
+    size: int = 1,
+    ascending: bool = False,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric field's values at the
+    match set's top ``size`` docs ordered by a sort field (ES caps size
+    at 10 — same spirit here: this is a per-qid constant-size answer).
+    Deterministic: ties on the sort value break by doc_id ascending.
+    One metadata join + one window — no posting re-read, no sort of the
+    full match set reaches the driver."""
+    if size < 1:
+        raise EngineError("top_metrics size must be >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank int, doc_id string, sort_v double, "
+            "metric_v double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(sort_col).cast("double").alias("sort_v"),
+        F.col(metric_col).cast("double").alias("metric_v"),
+    )
+    order = (
+        F.col("sort_v").asc() if ascending else F.col("sort_v").desc()
+    )
+    w = Window.partitionBy("qid").orderBy(order, F.col("doc_id").asc())
+    return (
+        hits.join(stats, "doc_int")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("qid", "rank", "doc_id", "sort_v", "metric_v")
+    )
+
+
+def search_histogram_pipeline(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES PIPELINE aggregations over a histogram: ``cumulative_sum`` and
+    ``derivative`` of the per-bucket doc counts. Parent buckets come from
+    the same plan as ``search_histogram``; the pipeline metrics are two
+    window expressions over the (qid, bucket) frame — bucket-cardinality
+    rows, no second pass over docs. The derivative of the FIRST bucket is
+    null (ES emits no value there); with min_doc_count=1 parents (ours —
+    empty buckets are skipped) the derivative is the count delta vs the
+    previous NON-EMPTY bucket, the documented divergence from ES's
+    gap-policy knobs."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bucket").asc())
+    return (
+        base.withColumn(
+            "cum_docs",
+            F.sum("n_docs").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "deriv",
+            (F.col("n_docs") - F.lag("n_docs", 1).over(w)).cast("long"),
+        )
+    )
+
+
+def search_stats_bucket(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES SIBLING pipeline aggregation ``stats_bucket`` (subsumes
+    avg_bucket / max_bucket / min_bucket / sum_bucket): one row per qid
+    with min/max/avg/sum over the histogram's per-bucket doc counts.
+    Aggregation OF an aggregation — the second hop runs on
+    bucket-cardinality rows."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    return base.groupBy("qid").agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n_docs").cast("long").alias("min_bucket"),
+        F.max("n_docs").cast("long").alias("max_bucket"),
+        F.round(F.avg("n_docs"), 6).alias("avg_bucket_r"),
+        F.sum("n_docs").cast("long").alias("sum_bucket"),
+    )
+
+
+def search_bucket_sort(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    size: int,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: re-order a ``terms``
+    agg's buckets by doc count (desc, bucket-key tiebreak ascending for
+    determinism) and truncate to ``size`` — the "top N categories"
+    shape. One aggregation + one window over bucket-cardinality rows."""
+    if size < 1:
+        raise EngineError("bucket_sort size must be >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, group string, n_docs long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(group_col).cast("string").alias("group")
+    )
+    counts = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "group")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_docs").desc(), F.col("group").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("qid", "rank", "group", "n_docs")
+    )
+
+
+def search_adjacency_matrix(
+    spark: SparkSession,
+    store: IndexStore,
+    filters: dict[str, str],
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: given named AND-filters,
+    the doc counts of every filter and every pairwise INTERSECTION
+    ("a", "a&b" buckets — ES's co-occurrence matrix for graph-ish
+    exploration). ONE composite match-set job answers every filter
+    (filters pack into qids exactly like the filters agg); the matrix is
+    a self-join of the metadata-sized membership set on doc_int with
+    fidx_a <= fidx_b — posting reads stay one regardless of filter
+    count. Empty intersections are omitted (ES omits zero buckets
+    here, unlike the filters agg)."""
+    names = sorted(filters)
+    if len(names) < 2:
+        raise EngineError("adjacency_matrix needs at least two filters")
+    fq = pd.DataFrame(
+        {"qid": range(len(names)),
+         "query": [str(filters[n]) for n in names]}
+    )
+    fsets = _match_set(spark, store, fq, "and", field)
+    if fsets is None:
+        return spark.createDataFrame([], "bucket string, n_docs long")
+    a = fsets.select(
+        F.col("qid").alias("ia"), "doc_int"
+    )
+    b = fsets.select(F.col("qid").alias("ib"), "doc_int")
+    name_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"i": range(len(names)), "name": names})
+        )
+    )
+    pairs = (
+        a.join(b, "doc_int")
+        .filter(F.col("ia") <= F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        pairs.join(name_df.withColumnRenamed("i", "ia")
+                   .withColumnRenamed("name", "na"), "ia")
+        .join(name_df.withColumnRenamed("i", "ib")
+              .withColumnRenamed("name", "nb"), "ib")
+        .select(
+            F.when(F.col("na") == F.col("nb"), F.col("na"))
+            .otherwise(F.concat_ws("&", "na", "nb")).alias("bucket"),
+            "n_docs",
+        )
+    )
+
+
+def search_sampler_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    shard_size: int,
+    group_col: str,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``sampler`` aggregation with a ``terms`` sub-agg: restrict the
+    sub-aggregation to the TOP-``shard_size`` BEST-SCORING matches, then
+    bucket those (the "aggregate only the most relevant docs" shape).
+    Deterministic sample: rank over (round(score,6) desc, doc_id) —
+    the same presentation discipline every scored path uses. The sample
+    window runs on the scored aggregate (no posting re-read); the terms
+    agg then touches sample-sized rows only."""
+    if shard_size < 1:
+        raise EngineError("sampler shard_size must be >= 1")
+    # overfetch past the cut so rounding ties at the boundary resolve on
+    # (rounded score, doc_id) — the same headroom every scored gate uses
+    res = search(
+        spark, store, queries, k=shard_size + 40, algo="exhaustive",
+        field=field,
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_id", F.col(group_col).cast("string").alias("group")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    sample = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(shard_size))
+    )
+    return (
+        sample.join(stats, "doc_id")
+        .groupBy("qid", "group")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
     """ES ``_stats`` / ``_count`` analog: one row of store-level
     statistics — live doc count, average doc length, dictionary size,

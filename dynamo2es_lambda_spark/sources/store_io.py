@@ -110,11 +110,22 @@ def read_store(spark, path: str):
 
 
 def read_blocks(spark, store_path: str):
+    """Posting-block rows ONLY, projected to the block columns — marker
+    metadata (including user doc_meta_cols, whose names are free-form)
+    must never ride into query-side joins where they could shadow the
+    planner's own columns; the projection is also the column pruning the
+    posting reads want."""
     from pyspark.sql import functions as F
 
-    return read_store(spark, segments_path(store_path)).filter(
+    block_cols = [
+        "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
+        "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+        "pos_bytes", "term_bucket", "batch",
+    ]
+    df = read_store(spark, segments_path(store_path)).filter(
         F.col("part") == "block"
     )
+    return df.select(*[c for c in block_cols if c in df.columns])
 
 
 def read_doc_stats(spark, store_path: str):
@@ -123,11 +134,12 @@ def read_doc_stats(spark, store_path: str):
     df = read_store(spark, segments_path(store_path)).filter(
         F.col("part") == "doc"
     )
+    extra = tuple(read_meta(store_path).get("doc_meta_cols") or ())
     keep = [
         c
         for c in ("doc_int", "doc_id", "index_name", "doc_type", "parent",
                   "version", "dl", "field_dls", "content_sha256", "lang",
-                  "ts", "batch")
+                  "ts", "batch", *extra)
         if c in df.columns
     ]
     return df.select(*keep)

@@ -1,0 +1,201 @@
+"""Round-4 metric/pipeline aggregation family + the doc_meta_cols marker
+passthrough that feeds it (ES stores arbitrary doc fields and buckets
+aggregations on them; the reference ships whole documents to ES,
+lib/handler.js:100, so every stored field is aggregatable there)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.plans import build, search
+from dynamo2es_lambda_spark.sources import store_io
+
+# corpus: "alpha" in every doc, "beta" in half — match sets are easy to
+# reason about; src/w are the extra doc fields the aggs bucket/weigh on
+_DOCS = [
+    # doc_id, text,                  src,  w
+    ("d0", "alpha beta one",         "s0", 10),
+    ("d1", "alpha beta two two",     "s0", 20),
+    ("d2", "alpha three",            "s1", 30),
+    ("d3", "alpha beta four",        "s1", 40),
+    ("d4", "alpha five five five",   "s2", 50),
+    ("d5", "alpha beta six",         "s2", 60),
+]
+
+
+@pytest.fixture(scope="module")
+def agg_store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_aggs"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(_DOCS, columns=["doc_id", "content", "src", "w"])
+    ).withColumn("w", F.col("w").cast("long"))
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("src", "w"),
+    )
+    return search.load_store(path)
+
+
+def _q(text="alpha"):
+    return pd.DataFrame([(0, text)], columns=["qid", "query"])
+
+
+# --------------------------------------------- doc_meta_cols plumbing
+
+
+def test_doc_meta_cols_on_markers_and_meta(spark, agg_store):
+    ds = agg_store.doc_stats(spark)
+    assert {"src", "w"} <= set(ds.columns)
+    got = {r["doc_id"]: (r["src"], r["w"]) for r in ds.collect()}
+    assert got["d3"] == ("s1", 40)
+    assert agg_store.meta.get("doc_meta_cols") == ["src", "w"]
+
+
+def test_doc_meta_cols_conflict_on_committed_store(
+    spark, agg_store, tmp_path_factory
+):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(_DOCS, columns=["doc_id", "content", "src", "w"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    with pytest.raises(EngineError, match="doc_meta_cols"):
+        build.build_index(
+            corpus, cfg, agg_store.path, doc_meta_cols=("src",)
+        )
+    # omitting the value inherits: resume is a no-op, schema unchanged
+    res = build.build_index(corpus, cfg, agg_store.path)
+    assert res.skipped_batches == 1
+    assert "w" in store_io.read_doc_stats(spark, agg_store.path).columns
+
+
+# --------------------------------------------------------- metric aggs
+
+
+def test_extended_stats_population_variance(spark, agg_store):
+    # match set "beta": d0,d1,d3,d5 with dl 3,4,3,3
+    row = search.search_extended_stats_agg(
+        spark, agg_store, _q("beta"), value_col="dl"
+    ).collect()[0]
+    vals = [3.0, 4.0, 3.0, 3.0]
+    mean = sum(vals) / 4
+    var = sum((v - mean) ** 2 for v in vals) / 4  # population, ES default
+    assert row["n_docs"] == 4
+    assert row["sum_sq"] == sum(v * v for v in vals)
+    assert row["variance_r"] == round(var, 6)
+    assert row["std_dev_r"] == round(var ** 0.5, 6)
+
+
+def test_string_stats_lengths(spark, agg_store):
+    row = search.search_string_stats_agg(
+        spark, agg_store, _q(), value_col="src"
+    ).collect()[0]
+    assert (row["n_docs"], row["min_len"], row["max_len"]) == (6, 2, 2)
+
+
+def test_weighted_avg(spark, agg_store):
+    # beta matches: (dl, w) = (3,10),(4,20),(3,40),(3,60)
+    row = search.search_weighted_avg_agg(
+        spark, agg_store, _q("beta"), value_col="dl", weight_col="w"
+    ).collect()[0]
+    expect = (3 * 10 + 4 * 20 + 3 * 40 + 3 * 60) / (10 + 20 + 40 + 60)
+    assert row["weighted_avg_r"] == round(expect, 6)
+
+
+def test_rare_terms_long_tail_only(spark, agg_store):
+    # src buckets over "beta": s0→2, s1→1, s2→1 — cap 1 keeps the tail
+    got = {
+        r["group"]: r["n_docs"]
+        for r in search.search_rare_terms_agg(
+            spark, agg_store, _q("beta"), group_col="src", max_doc_count=1
+        ).collect()
+    }
+    assert got == {"s1": 1, "s2": 1}
+    with pytest.raises(EngineError):
+        search.search_rare_terms_agg(
+            spark, agg_store, _q(), group_col="src", max_doc_count=0
+        )
+
+
+def test_multi_terms_composite_buckets(spark, agg_store):
+    res = search.search_multi_terms_agg(
+        spark, agg_store, _q(), group_cols=("src", "w"), value_col="dl"
+    ).collect()
+    # every (src, w) pair is distinct in the fixture → six 1-doc buckets
+    assert len(res) == 6 and all(r["n_docs"] == 1 for r in res)
+    with pytest.raises(EngineError):
+        search.search_multi_terms_agg(
+            spark, agg_store, _q(), group_cols=("src",)
+        )
+
+
+def test_top_metrics_sorted_with_doc_id_ties(spark, agg_store):
+    # dl desc over alpha: d1/d4 (4), then dl=3 ties break by doc_id asc
+    res = search.search_top_metrics_agg(
+        spark, agg_store, _q(), sort_col="dl", metric_col="w", size=3
+    ).collect()
+    got = [(r["rank"], r["doc_id"], r["metric_v"]) for r in
+           sorted(res, key=lambda r: r["rank"])]
+    assert got == [(1, "d1", 20.0), (2, "d4", 50.0), (3, "d0", 10.0)]
+
+
+# ------------------------------------------------------- pipeline aggs
+
+
+def test_histogram_pipeline_cumsum_and_derivative(spark, agg_store):
+    res = search.search_histogram_pipeline(
+        spark, agg_store, _q(), interval=1.0, value_col="dl"
+    ).collect()
+    rows = sorted(
+        ((r["bucket"], r["n_docs"], r["cum_docs"], r["deriv"]) for r in res)
+    )
+    # dl histogram: 2.0→1 (d2), 3.0→3, 4.0→2; cum 1,4,6; deriv ∅,+2,−1
+    assert rows == [(2.0, 1, 1, None), (3.0, 3, 4, 2), (4.0, 2, 6, -1)]
+
+
+def test_stats_bucket_over_histogram_counts(spark, agg_store):
+    row = search.search_stats_bucket(
+        spark, agg_store, _q(), interval=1.0, value_col="dl"
+    ).collect()[0]
+    assert (row["n_buckets"], row["min_bucket"], row["max_bucket"],
+            row["sum_bucket"]) == (3, 1, 3, 6)
+    assert row["avg_bucket_r"] == 2.0
+
+
+def test_bucket_sort_orders_and_truncates(spark, agg_store):
+    res = search.search_bucket_sort(
+        spark, agg_store, _q("beta"), group_col="src", size=2
+    ).collect()
+    got = [(r["rank"], r["group"], r["n_docs"]) for r in
+           sorted(res, key=lambda r: r["rank"])]
+    # counts: s0→2, s1→1, s2→1; tie s1/s2 breaks on bucket key asc
+    assert got == [(1, "s0", 2), (2, "s1", 1)]
+
+
+def test_adjacency_matrix_intersections(spark, agg_store):
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in search.search_adjacency_matrix(
+            spark, agg_store,
+            {"b": "beta", "t": "two", "x": "absentzzz"},
+        ).collect()
+    }
+    # b: 4 docs; t: d1 only; b∩t: d1; x empty → omitted entirely
+    assert got == {"b": 4, "t": 1, "b&t": 1}
+
+
+def test_sampler_restricts_to_top_scoring(spark, agg_store):
+    # shard_size=1 over "beta": only the single best-scoring doc buckets
+    res = search.search_sampler_terms(
+        spark, agg_store, _q("beta"), shard_size=1, group_col="src"
+    ).collect()
+    assert len(res) == 1 and res[0]["n_docs"] == 1
+    # the bucket is the top-1 doc's src (d1: highest tf via "two two"
+    # doesn't matter for 'beta'; compute via the search path itself)
+    top = search.search(
+        spark, agg_store, _q("beta"), k=1, algo="exhaustive"
+    ).collect()[0]
+    src = {d[0]: d[2] for d in _DOCS}[top["doc_id"]]
+    assert res[0]["group"] == src
