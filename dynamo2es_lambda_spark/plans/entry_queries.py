@@ -5611,6 +5611,209 @@ GROUP BY r.qid, doc.lang
 """
 
 
+# --------------------------------- 4z2. pipeline-agg family II + doc APIs
+
+PIPE_INTERVAL = 8.0
+MOVING_WINDOW = 2
+SERIAL_LAG = 1
+PB_PERCENTS = (50.0, 95.0)
+BUCKET_SCRIPT = "sum_v / n_docs"
+BUCKET_SELECTOR = "n_docs > 100"
+TV_DOC_IDS = ["1", "2", "42"]
+MGET_IDS = ["1", "7", "nope-absent"]
+ANALYZE_TEXTS = [
+    (0, "Hello, World! FooBar 42 foo"),
+    (1, "spark merge window  join"),
+]
+
+
+def q_fts_moving_fn(spark, sf_dir):
+    """ES moving_fn: windowed avg of histogram bucket counts (shift=0:
+    the window is the 2 buckets before each, excluding the current)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_moving_fn(
+        spark, store, qpdf, interval=PIPE_INTERVAL, window=MOVING_WINDOW,
+        fn="avg", value_col="dl",
+    )
+
+
+def _moving_fn_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, bucket, n_docs,
+       round(avg(CAST(n_docs AS DOUBLE)) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+         ROWS BETWEEN {MOVING_WINDOW} PRECEDING AND 1 PRECEDING
+       ), 6) AS moving_v
+FROM base
+"""
+
+
+def q_fts_serial_diff(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_serial_diff(
+        spark, store, qpdf, interval=PIPE_INTERVAL, lag=SERIAL_LAG,
+        value_col="dl",
+    )
+
+
+def _serial_diff_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, bucket, n_docs,
+       CAST(n_docs - lag(n_docs, {SERIAL_LAG}) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+       ) AS BIGINT) AS diff_v
+FROM base
+"""
+
+
+def q_fts_percentiles_bucket(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_percentiles_bucket(
+        spark, store, qpdf, interval=PIPE_INTERVAL, percents=PB_PERCENTS,
+        value_col="dl",
+    )
+
+
+def _percentiles_bucket_sql(queries) -> str:
+    pvals = ", ".join(f"({p})" for p in sorted(PB_PERCENTS))
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         count(*) AS n_docs
+  FROM md GROUP BY qid, bucket
+),
+ranked AS (
+  SELECT qid, n_docs,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY n_docs ASC, bucket ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY qid) AS n
+  FROM base
+),
+pc(percent) AS (VALUES {pvals})
+SELECT ranked.qid AS qid, CAST(pc.percent AS DOUBLE) AS percent,
+       CAST(ranked.n_docs AS BIGINT) AS value
+FROM ranked CROSS JOIN pc
+WHERE ranked.rn = greatest(1, CAST(ceil(pc.percent / 100.0 * ranked.n)
+                                   AS INTEGER))
+"""
+
+
+def q_fts_bucket_script(spark, sf_dir):
+    """ES bucket_script: per-lang bucket metric from a whitelisted
+    expression over sibling metrics (here sum_v/n_docs ≡ the mean)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_bucket_script(
+        spark, store, qpdf, BUCKET_SCRIPT, group_col="lang", value_col="dl"
+    )
+
+
+def _bucket_script_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid, lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(dl) AS DOUBLE), 6) AS sum_v,
+       round(avg(dl), 6) AS avg_v,
+       round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS script_v
+FROM md GROUP BY qid, lang
+"""
+
+
+def q_fts_bucket_selector(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_bucket_selector(
+        spark, store, qpdf, BUCKET_SELECTOR, group_col="lang",
+        value_col="dl",
+    )
+
+
+def _bucket_selector_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid, lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(dl) AS DOUBLE), 6) AS sum_v,
+       round(avg(dl), 6) AS avg_v
+FROM md GROUP BY qid, lang
+HAVING count(*) > 100
+"""
+
+
+def q_fts_termvectors(spark, sf_dir):
+    """ES _termvectors: per-(doc, term) tf + df straight from the index
+    (segment-targeted block decode, no document re-analysis)."""
+    store = _corpus_store(spark, sf_dir)
+    return search.termvectors(spark, store, TV_DOC_IDS)
+
+
+def _termvectors_sql() -> str:
+    vals = ", ".join(f"('{d}')" for d in TV_DOC_IDS)
+    return f"""{_BM25_BODY},
+v(doc_id) AS (VALUES {vals})
+SELECT p.doc_id AS doc_id, p.term AS term,
+       CAST(p.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df
+FROM v
+JOIN posting p ON p.doc_id = v.doc_id
+JOIN dfreq d ON d.term = p.term
+"""
+
+
+def q_fts_analyze(spark, sf_dir):
+    """ES _analyze: the engine tokenizer over ad-hoc texts, positioned."""
+    tpdf = pd.DataFrame(ANALYZE_TEXTS, columns=["qid", "text"])
+    return search.analyze_texts(spark, tpdf)
+
+
+def _analyze_sql() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in ANALYZE_TEXTS)
+    toks = analysis.duckdb_tokens_sql("text")
+    return f"""
+WITH v(qid, text) AS (VALUES {vals})
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(unnest(range(len({toks}))) AS INTEGER) AS pos,
+       unnest({toks}) AS token
+FROM v
+"""
+
+
+def q_fts_mget(spark, sf_dir):
+    """ES _mget: found flag + stored fields per requested id; absent ids
+    report found=false with null fields."""
+    store = _corpus_store(spark, sf_dir)
+    return search.mget(
+        spark, store, MGET_IDS, cols=("dl", "lang", "source")
+    )
+
+
+def _mget_sql() -> str:
+    vals = ", ".join(f"('{d}')" for d in MGET_IDS)
+    return f"""{_BM25_BODY},
+v(doc_id) AS (VALUES {vals})
+SELECT v.doc_id AS doc_id, dl.doc_id IS NOT NULL AS found,
+       CAST(dl.dl AS BIGINT) AS dl, doc.lang AS lang, doc.source AS source
+FROM v
+LEFT JOIN dl ON dl.doc_id = v.doc_id
+LEFT JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = v.doc_id
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -5695,6 +5898,14 @@ SPARK_QUERIES = {
     "fts_bucket_sort": q_fts_bucket_sort,
     "fts_adjacency_matrix": q_fts_adjacency_matrix,
     "fts_sampler_terms": q_fts_sampler_terms,
+    "fts_moving_fn": q_fts_moving_fn,
+    "fts_serial_diff": q_fts_serial_diff,
+    "fts_percentiles_bucket": q_fts_percentiles_bucket,
+    "fts_bucket_script": q_fts_bucket_script,
+    "fts_bucket_selector": q_fts_bucket_selector,
+    "fts_termvectors": q_fts_termvectors,
+    "fts_analyze": q_fts_analyze,
+    "fts_mget": q_fts_mget,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -5840,6 +6051,14 @@ def oracle_sql() -> dict[str, str]:
         "fts_sampler_terms": _sampler_terms_sql(
             SORTED_QUERIES, SAMPLER_SHARD
         ),
+        "fts_moving_fn": _moving_fn_sql(SORTED_QUERIES),
+        "fts_serial_diff": _serial_diff_sql(SORTED_QUERIES),
+        "fts_percentiles_bucket": _percentiles_bucket_sql(SORTED_QUERIES),
+        "fts_bucket_script": _bucket_script_sql(SORTED_QUERIES),
+        "fts_bucket_selector": _bucket_selector_sql(SORTED_QUERIES),
+        "fts_termvectors": _termvectors_sql(),
+        "fts_analyze": _analyze_sql(),
+        "fts_mget": _mget_sql(),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

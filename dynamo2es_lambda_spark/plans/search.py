@@ -3845,6 +3845,357 @@ def search_sampler_terms(
     )
 
 
+def search_moving_fn(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    window: int,
+    fn: str = "avg",
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``moving_fn`` (and its ``moving_avg`` predecessor) over the
+    histogram's bucket doc counts: the chosen function over the
+    ``window`` buckets BEFORE each bucket (ES's default ``shift=0``
+    window excludes the current bucket; the first bucket gets null).
+    One window expression over bucket-cardinality rows."""
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    if fn not in fns:
+        raise EngineError(f"moving_fn fn must be one of {sorted(fns)}")
+    if window < 1:
+        raise EngineError("moving_fn window must be >= 1")
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-int(window), -1)
+    )
+    out = base.withColumn(
+        "moving_v", fns[fn](F.col("n_docs").cast("double")).over(w)
+    )
+    return out.withColumn("moving_v", F.round("moving_v", 6))
+
+
+def search_serial_diff(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    lag: int = 1,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: n-th order differencing of the
+    histogram's bucket doc counts (count minus the count ``lag``
+    non-empty buckets earlier; the first ``lag`` buckets get null —
+    same gap policy note as the derivative)."""
+    if lag < 1:
+        raise EngineError("serial_diff lag must be >= 1")
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bucket").asc())
+    return base.withColumn(
+        "diff_v",
+        (F.col("n_docs") - F.lag("n_docs", int(lag)).over(w)).cast("long"),
+    )
+
+
+def search_percentiles_bucket(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    percents: tuple[float, ...] = (50.0, 95.0),
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: exact NEAREST-RANK
+    percentiles of the histogram's bucket doc counts (ES documents these
+    as exact, returning an actual sibling value — no interpolation).
+    Rank = max(1, ceil(p/100 · n)) over counts ascending, ties broken by
+    bucket key for determinism; everything runs on bucket-cardinality
+    rows."""
+    if not percents or any(p <= 0 or p > 100 for p in percents):
+        raise EngineError("percents must be in (0, 100]")
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_docs").asc(), F.col("bucket").asc()
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("qid"))
+    )
+    pdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"percent": [float(p) for p in sorted(percents)]})
+        )
+    )
+    return (
+        ranked.crossJoin(pdf)
+        .filter(
+            F.col("_rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("percent") / 100.0 * F.col("_n")).cast("int"),
+            )
+        )
+        .select(
+            "qid", "percent",
+            F.col("n_docs").cast("long").alias("value"),
+        )
+    )
+
+
+def _validate_bucket_script(script: str, metric_cols: tuple[str, ...]):
+    import re as _re
+
+    stripped = _re.sub(r"\b\d+(\.\d+)?([eE][+-]?\d+)?", " ", script)
+    idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
+    allowed = {*metric_cols, *_SCRIPT_FNS}
+    bad = sorted(
+        i for i in idents if i.lower() not in allowed and i not in allowed
+    )
+    if bad:
+        raise EngineError(
+            f"bucket script references {bad} — allowed: metric columns "
+            f"{sorted(metric_cols)} and functions {sorted(_SCRIPT_FNS)}"
+        )
+
+
+def search_bucket_script(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    script: str,
+    group_col: str,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a per-bucket metric computed by
+    a user EXPRESSION over the bucket's sibling metrics (``n_docs``,
+    ``sum_v``, ``avg_v``) — same whitelisted-Spark-SQL discipline as
+    script_score (plans/search.search_script_score): compiles into
+    codegen over bucket-cardinality rows, never per-row Python."""
+    metric_cols = ("n_docs", "sum_v", "avg_v")
+    _validate_bucket_script(script, metric_cols)
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, group string, n_docs long, sum_v double, "
+            "avg_v double, script_v double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    buckets = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "group")
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum("_v").alias("sum_v"),
+            F.avg("_v").alias("avg_v"),
+        )
+    )
+    return buckets.select(
+        "qid", "group",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round(F.expr(script).cast("double"), 6).alias("script_v"),
+    )
+
+
+def search_bucket_selector(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    script: str,
+    group_col: str,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only the buckets whose
+    boolean expression over sibling metrics holds — the HAVING of the
+    agg family, same whitelist as bucket_script."""
+    metric_cols = ("n_docs", "sum_v", "avg_v")
+    _validate_bucket_script(script, metric_cols)
+    full = search_bucket_script(
+        spark, store, queries, "n_docs", group_col, value_col, mode, field
+    )
+    return full.filter(F.expr(script)).select(
+        "qid", "group", "n_docs", "sum_v", "avg_v"
+    )
+
+
+def termvectors(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_ids: list[str],
+) -> DataFrame:
+    """ES ``_termvectors`` API: per (doc, term) statistics — term
+    frequency in the doc plus the term's document frequency — straight
+    from the INDEX, never re-analyzing the document.
+
+    Plan: the requested ids resolve to (doc_int, posting segment) via the
+    doc markers (one metadata-sized filtered read); the posting read is
+    then restricted to blocks of THOSE segments whose [doc_first,
+    doc_last] range covers a requested doc — segment-sized work
+    independent of corpus size. Blocks decode Arrow-batched and keep only
+    the requested doc_ints; df joins in from term_stats. Dead docs
+    (superseded/tombstoned) report nothing, like ES after delete."""
+    from ..sources import store_io
+
+    if not doc_ids:
+        raise EngineError("termvectors needs at least one doc id")
+    ids = [str(d) for d in doc_ids]
+    tgt = (
+        store_io.read_doc_rows(
+            spark, store.path, cols=("doc_id", "doc_int", "seg")
+        )
+        .filter(F.col("doc_id").isin(ids))
+    )
+    tgt = _drop_dead(spark, store, tgt)
+    rows = tgt.collect()  # query-sized: one row per requested id
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id string, term string, tf long, df long"
+        )
+    tpdf = pd.DataFrame(
+        {"doc_int": [r["doc_int"] for r in rows],
+         "t_seg": [r["seg"] for r in rows]}
+    )
+    segs = sorted(tpdf["t_seg"].unique().tolist())
+    cand = F.broadcast(spark.createDataFrame(tpdf))
+    blocks = (
+        store.postings(spark)
+        .filter(F.col("seg").isin(segs))
+        .join(
+            cand,
+            (F.col("seg") == F.col("t_seg"))
+            & (F.col("doc_first") <= F.col("doc_int"))
+            & (F.col("doc_int") <= F.col("doc_last")),
+        )
+        .select(
+            "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes",
+            F.col("doc_int").alias("want_int"),
+        )
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                d_ids, tfs, _dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                hit = np.searchsorted(d_ids, row.want_int)
+                if hit < len(d_ids) and d_ids[hit] == row.want_int:
+                    outs.append(
+                        pd.DataFrame(
+                            {"doc_int": [int(row.want_int)],
+                             "term": [row.term],
+                             "tf": [int(tfs[hit])]}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    decoded = blocks.mapInPandas(
+        run, schema="doc_int long, term string, tf long"
+    )
+    names = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_int": [r["doc_int"] for r in rows],
+                 "doc_id": [r["doc_id"] for r in rows]}
+            )
+        )
+    )
+    ts = store.term_stats(spark).select("term", "df")
+    return (
+        decoded.join(names, "doc_int")
+        .join(ts, "term")
+        .select("doc_id", "term", "tf", F.col("df").cast("long").alias("df"))
+    )
+
+
+def analyze_texts(spark: SparkSession, texts: pd.DataFrame) -> DataFrame:
+    """ES ``_analyze`` API: run the engine's analyzer over ad-hoc texts
+    and return every token WITH its position — the debugging window into
+    exactly what the index would store. ``texts``: pandas (qid, text).
+    Arrow-batched through the same tokenizer the build path uses
+    (functions/analysis.tokenize_series), so _analyze can never drift
+    from indexing."""
+    src = spark.createDataFrame(texts[["qid", "text"]])
+
+    def run(batches):
+        for pdf in batches:
+            toks = analysis.tokenize_series(pdf["text"])
+            outs = []
+            for qid, tl in zip(pdf["qid"], toks):
+                if len(tl):
+                    outs.append(
+                        pd.DataFrame(
+                            {"qid": qid,
+                             "pos": range(len(tl)),
+                             "token": list(tl)}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return src.mapInPandas(run, schema="qid long, pos int, token string")
+
+
+def mget(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_ids: list[str],
+    cols: tuple[str, ...] = ("dl",),
+) -> DataFrame:
+    """ES ``_mget`` API: per requested id, found flag + the stored doc
+    fields (doc_meta_cols and built-in marker columns). One filtered
+    metadata read left-joined under the requested-id list — missing and
+    dead ids report found=false with null fields, present ids their
+    marker row; posting bytes are never touched."""
+    if not doc_ids:
+        raise EngineError("mget needs at least one doc id")
+    ids = [str(d) for d in doc_ids]
+    want = F.broadcast(
+        spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    )
+    ds = store.doc_stats(spark)
+    missing = [c for c in cols if c not in ds.columns]
+    if missing:
+        raise EngineError(
+            f"mget columns {missing} not on doc_stats — stored: "
+            f"{sorted(ds.columns)}"
+        )
+    live = _drop_dead(
+        spark, store, ds.filter(F.col("doc_id").isin(ids))
+    ).select("doc_id", F.lit(True).alias("found"), *cols)
+    return want.join(live, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("found", F.lit(False)).alias("found"),
+        *cols,
+    )
+
+
 def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
     """ES ``_stats`` / ``_count`` analog: one row of store-level
     statistics — live doc count, average doc length, dictionary size,

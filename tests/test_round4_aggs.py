@@ -199,3 +199,90 @@ def test_sampler_restricts_to_top_scoring(spark, agg_store):
     ).collect()[0]
     src = {d[0]: d[2] for d in _DOCS}[top["doc_id"]]
     assert res[0]["group"] == src
+
+
+# ----------------------- pipeline family II (moving_fn … bucket_selector)
+
+
+def test_moving_fn_window_excludes_current(spark, agg_store):
+    res = search.search_moving_fn(
+        spark, agg_store, _q(), interval=1.0, window=2, fn="avg"
+    ).collect()
+    got = {r["bucket"]: r["moving_v"] for r in res}
+    # buckets 2.0→1, 3.0→3, 4.0→2; window = 2 buckets BEFORE each
+    assert got == {2.0: None, 3.0: 1.0, 4.0: 2.0}
+    with pytest.raises(EngineError):
+        search.search_moving_fn(
+            spark, agg_store, _q(), interval=1.0, window=2, fn="median"
+        )
+
+
+def test_serial_diff_lag(spark, agg_store):
+    res = search.search_serial_diff(
+        spark, agg_store, _q(), interval=1.0, lag=2
+    ).collect()
+    got = {r["bucket"]: r["diff_v"] for r in res}
+    assert got == {2.0: None, 3.0: None, 4.0: 1}  # 2 − 1 at lag 2
+
+
+def test_percentiles_bucket_nearest_rank(spark, agg_store):
+    res = search.search_percentiles_bucket(
+        spark, agg_store, _q(), interval=1.0, percents=(1.0, 50.0, 100.0)
+    ).collect()
+    got = {r["percent"]: r["value"] for r in res}
+    # counts sorted: [1, 2, 3] → p1→rank1=1, p50→rank2=2, p100→rank3=3
+    assert got == {1.0: 1, 50.0: 2, 100.0: 3}
+    with pytest.raises(EngineError):
+        search.search_percentiles_bucket(
+            spark, agg_store, _q(), interval=1.0, percents=(0.0,)
+        )
+
+
+def test_bucket_script_and_selector(spark, agg_store):
+    res = search.search_bucket_script(
+        spark, agg_store, _q("beta"), "sum_v / n_docs", group_col="src"
+    ).collect()
+    got = {r["group"]: r["script_v"] for r in res}
+    # beta per src: s0 dl(3,4) → 3.5; s1 dl(3) → 3; s2 dl(3) → 3
+    assert got == {"s0": 3.5, "s1": 3.0, "s2": 3.0}
+    with pytest.raises(EngineError, match="references"):
+        search.search_bucket_script(
+            spark, agg_store, _q(), "sum_v + evil_col", group_col="src"
+        )
+    kept = search.search_bucket_selector(
+        spark, agg_store, _q("beta"), "n_docs > 1", group_col="src"
+    ).collect()
+    assert {r["group"] for r in kept} == {"s0"}
+
+
+# ------------------------------------- doc APIs: termvectors/analyze/mget
+
+
+def test_termvectors_tf_df_from_index(spark, agg_store):
+    res = search.termvectors(spark, agg_store, ["d1", "absent"]).collect()
+    got = {r["term"]: (r["tf"], r["df"]) for r in res}
+    assert all(r["doc_id"] == "d1" for r in res)
+    # d1 = "alpha beta two two": tf(two)=2; df(alpha)=6, df(beta)=4
+    assert got == {"alpha": (1, 6), "beta": (1, 4), "two": (2, 1)}
+    with pytest.raises(EngineError):
+        search.termvectors(spark, agg_store, [])
+
+
+def test_analyze_positions(spark):
+    res = search.analyze_texts(
+        spark, pd.DataFrame([(7, "Alpha, beta ALPHA!")],
+                            columns=["qid", "text"])
+    ).collect()
+    got = sorted((r["pos"], r["token"]) for r in res)
+    assert got == [(0, "alpha"), (1, "beta"), (2, "alpha")]
+    assert all(r["qid"] == 7 for r in res)
+
+
+def test_mget_found_flags_and_validation(spark, agg_store):
+    res = search.mget(
+        spark, agg_store, ["d2", "ghost"], cols=("dl", "src")
+    ).collect()
+    got = {r["doc_id"]: (r["found"], r["dl"], r["src"]) for r in res}
+    assert got == {"d2": (True, 2, "s1"), "ghost": (False, None, None)}
+    with pytest.raises(EngineError, match="not on doc_stats"):
+        search.mget(spark, agg_store, ["d2"], cols=("nope",))
