@@ -98,3 +98,44 @@ def decontaminate(
         F.col(id_col).cast("string") == F.col("_bad_id"),
         "left_anti",
     )
+
+
+def embedding_contamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: → (vec_id, max_cos_r, contaminated) for
+    every corpus vector, where max_cos_r is its best cosine similarity
+    against ANY eval-set vector (rounded 6dp) and contaminated flags
+    max_cos ≥ tau — the embedding-space complement of the n-gram overlap
+    check (paraphrased eval leakage that shares no 8-gram).
+
+    Scale shape mirrors ngram_contamination: the eval side is
+    benchmark-sized and BROADCAST; the corpus side streams map-side
+    through one codegen'd dot-product expression (operators/ann.py's
+    cosine_expr — no Python, no shuffle) into a per-vector max. For
+    eval sets too large to broadcast, pre-reduce them with
+    cosine_near_dup_lsh's bucketing instead."""
+    from .ann import cosine_expr
+
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    ev = F.broadcast(
+        eval_emb.select(F.col(vec_col).alias("_evec"))
+    )
+    return (
+        corpus_emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+        )
+        .join(ev)
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.max(F.expr(cosine_expr("_cvec", "_evec"))), 6
+            ).alias("max_cos_r")
+        )
+        .withColumn("contaminated", F.col("max_cos_r") >= float(tau))
+    )

@@ -126,20 +126,30 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v9")
+    (path,), fresh = _cached_store_paths(sf_dir, "v10")
     if fresh:
+        # synthetic-but-deterministic extra doc fields (geo point, a
+        # sometimes-null tag) — derived from doc_id so the DuckDB oracle
+        # reproduces them exactly; they exercise doc_meta_cols, the geo
+        # queries, and the missing/value_count aggs
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang",
             "source",
             F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("source"))
+            .alias("opt_tag"),
+            ((F.col("doc_id") % 180) - 90 + 0.25).cast("double")
+            .alias("lat"),
+            (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double")
+            .alias("lon"),
             F.col("text").alias("content"),
         )
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
             num_buckets=32, resume=True, positions=True, lm_stats=True,
-            doc_meta_cols=("source", "n_chars"),
+            doc_meta_cols=("source", "n_chars", "opt_tag", "lat", "lon"),
         )
     return search.load_store(path)
 
@@ -5814,6 +5824,226 @@ LEFT JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = v.doc_id
 """
 
 
+# ------------------------------- 4z3. geo / global / dense-bucket / misc
+
+GEO_ORIGIN = (10.25, 20.5)
+GEO_DIST_KM = 5000.0
+GEO_K = 10
+GEO_BOX = (-45.0, -90.0, 45.0, 90.0)  # south, west, north, east
+DENSE_BOUNDS = (0.0, 640.0)
+
+# the oracle-side derivations of the synthetic doc fields in _corpus_store
+_SQL_LAT = "((doc.doc_id % 180) - 90 + 0.25)"
+_SQL_LON = "(((doc.doc_id * 7) % 360) - 180 + 0.5)"
+_SQL_OPT_TAG = "CASE WHEN doc.doc_id % 3 = 0 THEN doc.source END"
+
+
+def _sql_haversine(olat: float, olon: float) -> str:
+    lat2, lon2 = _SQL_LAT, _SQL_LON
+    return (
+        f"2.0 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians({lat2} - ({olat})) / 2), 2) + "
+        f"cos(radians({olat})) * cos(radians({lat2})) * "
+        f"pow(sin(radians({lon2} - ({olon})) / 2), 2)))"
+    )
+
+
+def q_fts_geo_distance(spark, sf_dir):
+    """ES geo_distance query + distance sort over doc_meta_cols points."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_distance(
+        spark, store, qpdf, origin=GEO_ORIGIN, distance_km=GEO_DIST_KM,
+        k=GEO_K,
+    )
+
+
+def _geo_distance_sql(queries) -> str:
+    olat, olon = GEO_ORIGIN
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+geo AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id,
+         round({_sql_haversine(olat, olon)}, 6) AS dist_km_r
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, dist_km_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY dist_km_r ASC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM geo WHERE dist_km_r <= {GEO_DIST_KM}
+)
+SELECT qid, rank, doc_id, dist_km_r FROM ranked WHERE rank <= {GEO_K}
+"""
+
+
+def q_fts_geo_bbox(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_bounding_box(spark, store, qpdf, box=GEO_BOX)
+
+
+def _geo_bbox_sql(queries) -> str:
+    s, w, n, e = GEO_BOX
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid, m.doc_id AS doc_id
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+WHERE {_SQL_LAT} BETWEEN {s} AND {n}
+  AND {_SQL_LON} BETWEEN {w} AND {e}
+"""
+
+
+def q_fts_global_agg(spark, sf_dir):
+    """ES global bucket: match-set avg dl next to the whole-index avg."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_global_agg(spark, store, qpdf, value_col="dl")
+
+
+def _global_agg_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+g AS (SELECT count(*) AS gd, round(avg(dl), 6) AS ga FROM dl)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(md.dl AS DOUBLE)), 6) AS avg_v_r,
+       CAST(g.gd AS BIGINT) AS global_docs,
+       g.ga AS global_avg_r
+FROM md CROSS JOIN g GROUP BY qid, g.gd, g.ga
+"""
+
+
+def q_fts_missing_value_count(spark, sf_dir):
+    """ES missing + value_count aggs over the sometimes-null opt_tag."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_missing_agg(spark, store, qpdf, check_col="opt_tag")
+
+
+def _missing_value_count_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {_SQL_OPT_TAG} IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS value_count,
+       CAST(sum(CASE WHEN {_SQL_OPT_TAG} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+GROUP BY m.qid
+"""
+
+
+def q_fts_histogram_dense(spark, sf_dir):
+    """ES histogram with min_doc_count=0 + extended_bounds: zero-filled
+    buckets across the whole axis."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_histogram_dense(
+        spark, store, qpdf, interval=HIST_INTERVAL, bounds=DENSE_BOUNDS,
+        value_col="dl",
+    )
+
+
+def _histogram_dense_sql(queries) -> str:
+    lo, hi = DENSE_BOUNDS
+    n_axis = int((hi - lo) / HIST_INTERVAL)
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+),
+axis AS (
+  SELECT DISTINCT base.qid AS qid,
+         {lo} + g.range * {HIST_INTERVAL} AS bucket
+  FROM base CROSS JOIN range(0, {n_axis + 1}) g
+),
+allb AS (
+  SELECT qid, bucket FROM axis
+  UNION
+  SELECT qid, bucket FROM base
+)
+SELECT a.qid AS qid, a.bucket AS bucket,
+       CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs
+FROM allb a
+LEFT JOIN base b ON b.qid = a.qid AND b.bucket = a.bucket
+"""
+
+
+# ----------------------------- pipeline: embedding decontam, token budget
+
+EMB_EVAL_MAX_ID = 5
+EMB_TAU = 0.25
+
+
+def q_decontam_embedding(spark, sf_dir):
+    """Semantic decontamination: corpus vectors' max cosine against the
+    (broadcast) eval set, flagged at tau."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= EMB_EVAL_MAX_ID)
+    ev = emb.filter(F.col("vec_id") < EMB_EVAL_MAX_ID)
+    return decontam.embedding_contamination(corpus, ev, tau=EMB_TAU)
+
+
+def _decontam_embedding_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+ev AS (SELECT v FROM e WHERE vec_id < {EMB_EVAL_MAX_ID}),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= {EMB_EVAL_MAX_ID}),
+pairs AS (
+  SELECT c.vec_id AS vec_id,
+         list_dot_product(c.v, ev.v)
+         / (sqrt(list_dot_product(c.v, c.v))
+            * sqrt(list_dot_product(ev.v, ev.v))) AS cos
+  FROM c CROSS JOIN ev
+)
+SELECT vec_id, round(max(cos), 6) AS max_cos_r,
+       round(max(cos), 6) >= {EMB_TAU} AS contaminated
+FROM pairs GROUP BY vec_id
+"""
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Data-mixing budget: per (lang, source) doc and token counts plus
+    each cell's share of the total token budget — the bookkeeping a
+    mixture-weighted training-data pipeline runs before sampling. Pure
+    built-in aggregation over the documents table (tokens via the
+    pinned analyzer's Spark-SQL form), one shuffle."""
+    docs = _docs(spark, sf_dir)
+    cells = (
+        docs.select("lang", "source", T.n_tokens("text").alias("_t"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return cells.select(
+        "lang", "source", "n_docs",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(
+            F.col("tokens") / F.sum("tokens").over(total), 6
+        ).alias("share_r"),
+    )
+
+
+def _corpus_token_budget_sql() -> str:
+    return f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len({DOC_TOKS})) AS tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) AS share_r
+FROM cells
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -5906,6 +6136,13 @@ SPARK_QUERIES = {
     "fts_termvectors": q_fts_termvectors,
     "fts_analyze": q_fts_analyze,
     "fts_mget": q_fts_mget,
+    "fts_geo_distance": q_fts_geo_distance,
+    "fts_geo_bbox": q_fts_geo_bbox,
+    "fts_global_agg": q_fts_global_agg,
+    "fts_missing_value_count": q_fts_missing_value_count,
+    "fts_histogram_dense": q_fts_histogram_dense,
+    "decontam_embedding": q_decontam_embedding,
+    "corpus_token_budget": q_corpus_token_budget,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -6059,6 +6296,13 @@ def oracle_sql() -> dict[str, str]:
         "fts_termvectors": _termvectors_sql(),
         "fts_analyze": _analyze_sql(),
         "fts_mget": _mget_sql(),
+        "fts_geo_distance": _geo_distance_sql(SORTED_QUERIES),
+        "fts_geo_bbox": _geo_bbox_sql(SORTED_QUERIES),
+        "fts_global_agg": _global_agg_sql(SORTED_QUERIES),
+        "fts_missing_value_count": _missing_value_count_sql(SORTED_QUERIES),
+        "fts_histogram_dense": _histogram_dense_sql(SORTED_QUERIES),
+        "decontam_embedding": _decontam_embedding_sql(),
+        "corpus_token_budget": _corpus_token_budget_sql(),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -39,6 +39,7 @@ Scoring algorithms:
 from __future__ import annotations
 
 import json
+import math
 import os
 from collections import Counter
 from collections.abc import Iterator
@@ -4194,6 +4195,226 @@ def mget(
         F.coalesce("found", F.lit(False)).alias("found"),
         *cols,
     )
+
+
+_EARTH_RADIUS_KM = 6371.0088
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance as a Column expression (pure built-ins —
+    codegen-able, identical formula to the DuckDB oracle)."""
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2.0 * _EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def search_geo_distance(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    origin: tuple[float, float],
+    distance_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 10,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_distance`` query + geo-distance SORT: match-set docs
+    within ``distance_km`` of ``origin``, nearest first (ties break on
+    doc_id). The haversine evaluates as one codegen projection over the
+    metadata join — geo fields are ordinary doc_meta_cols; no geohash
+    index is needed because the match set is already term-pruned (ES
+    evaluates the same way on a filtered query)."""
+    if distance_km <= 0:
+        raise EngineError("geo_distance distance_km must be positive")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, dist_km_r double"
+        )
+    olat, olon = float(origin[0]), float(origin[1])
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        _haversine_km(
+            F.lit(olat), F.lit(olon),
+            F.col(lat_col).cast("double"), F.col(lon_col).cast("double"),
+        ).alias("_d"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("_d", 6).asc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .filter(F.col("_d") <= float(distance_km))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "rank", "doc_id", F.round("_d", 6).alias("dist_km_r")
+        )
+    )
+
+
+def search_geo_bounding_box(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    box: tuple[float, float, float, float],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_bounding_box`` filter over the match set: docs whose
+    point lies in [(south, west), (north, east)] — two range predicates
+    over doc_meta_cols, pure codegen. ``box`` = (south, west, north,
+    east)."""
+    s, wst, n, e = (float(v) for v in box)
+    if s > n or wst > e:
+        raise EngineError("geo_bounding_box wants (south, west, north, east)")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], "qid long, doc_id string")
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .filter(
+            (F.col("_lat") >= s) & (F.col("_lat") <= n)
+            & (F.col("_lon") >= wst) & (F.col("_lon") <= e)
+        )
+        .select("qid", "doc_id")
+    )
+
+
+def search_global_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``global`` bucket: the metric over the WHOLE live index next to
+    the same metric over the match set — the 'my results vs everything'
+    comparison. The global half is ONE corpus-independent aggregation
+    over the metadata-sized doc_stats (computed once, broadcast under
+    every qid), never per-query work."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, n_docs long, avg_v_r double, "
+            "global_docs long, global_avg_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    live = _drop_dead(spark, store, stats)
+    glob = F.broadcast(
+        live.agg(
+            F.count("*").alias("global_docs"),
+            F.round(F.avg("_v"), 6).alias("global_avg_r"),
+        )
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_v"), 6).alias("avg_v_r"),
+        )
+        .crossJoin(glob)
+    )
+
+
+def search_missing_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    check_col: str,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``missing`` + ``value_count`` aggregations in one pass: docs of
+    the match set whose field is null vs the count of present values —
+    both conditional counts out of ONE hash aggregation."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, value_count long, n_missing long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(check_col).isNull().alias("_miss")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("_miss"), 1).otherwise(0))
+            .cast("long").alias("value_count"),
+            F.sum(F.when(F.col("_miss"), 1).otherwise(0))
+            .cast("long").alias("n_missing"),
+        )
+    )
+
+
+def search_histogram_dense(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    bounds: tuple[float, float],
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES histogram with ``min_doc_count=0`` + ``extended_bounds``: every
+    bucket of [lo, hi] appears, zero-filled — the gap policy the
+    derivative/moving pipelines assume when ES inserts zeros. The dense
+    bucket axis GENERATES per qid (sequence() — bucket-cardinality rows,
+    no doc pass) and left-joins the sparse counts; out-of-bounds docs
+    still count into their own buckets, exactly like ES extends rather
+    than clips."""
+    lo, hi = (float(b) for b in bounds)
+    if interval <= 0 or hi < lo:
+        raise EngineError("histogram_dense wants interval > 0 and hi >= lo")
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    qids = base.select("qid").distinct()
+    lo_b = math.floor(lo / interval) * interval
+    hi_b = math.floor(hi / interval) * interval
+    axis = qids.select(
+        "qid",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.lit(int(round((hi_b - lo_b) / interval))),
+            )
+        ).alias("_i"),
+    ).select(
+        "qid",
+        (F.lit(lo_b) + F.col("_i") * F.lit(float(interval)))
+        .alias("bucket"),
+    )
+    dense = (
+        axis.join(base, ["qid", "bucket"], "full")
+        .select(
+            "qid", "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    return dense
 
 
 def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:

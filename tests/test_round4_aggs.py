@@ -286,3 +286,105 @@ def test_mget_found_flags_and_validation(spark, agg_store):
     assert got == {"d2": (True, 2, "s1"), "ghost": (False, None, None)}
     with pytest.raises(EngineError, match="not on doc_stats"):
         search.mget(spark, agg_store, ["d2"], cols=("nope",))
+
+
+# --------------------- geo / global / missing / dense-histogram / decontam
+
+
+def test_geo_distance_filters_and_sorts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_geo"))
+    rows = [  # doc_id, content, lat, lon
+        ("g0", "alpha", 0.0, 0.0),      # at origin
+        ("g1", "alpha", 0.0, 1.0),      # ~111 km east
+        ("g2", "alpha", 45.0, 90.0),    # far
+        ("g3", "beta",  0.0, 0.1),      # near but doesn't match query
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content", "lat", "lon"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("lat", "lon"),
+    )
+    st = search.load_store(path)
+    res = search.search_geo_distance(
+        spark, st, _q("alpha"), origin=(0.0, 0.0), distance_km=500.0
+    ).collect()
+    got = [(r["rank"], r["doc_id"]) for r in
+           sorted(res, key=lambda r: r["rank"])]
+    assert got == [(1, "g0"), (2, "g1")]       # g2 out of range, g3 no match
+    assert res[0]["dist_km_r"] == 0.0
+    bbox = search.search_geo_bounding_box(
+        spark, st, _q("alpha"), box=(-10.0, -10.0, 10.0, 10.0)
+    ).collect()
+    assert {r["doc_id"] for r in bbox} == {"g0", "g1"}
+    with pytest.raises(EngineError):
+        search.search_geo_bounding_box(
+            spark, st, _q("alpha"), box=(10.0, 0.0, -10.0, 5.0)
+        )
+
+
+def test_global_agg_whole_index_vs_match(spark, agg_store):
+    row = search.search_global_agg(
+        spark, agg_store, _q("beta"), value_col="dl"
+    ).collect()[0]
+    # match set beta: 4 docs avg (3+4+3+3)/4; global: all 6 docs
+    assert (row["n_docs"], row["global_docs"]) == (4, 6)
+    assert row["avg_v_r"] == round(13 / 4, 6)
+    assert row["global_avg_r"] == round((3 + 4 + 2 + 3 + 4 + 3) / 6, 6)
+
+
+def test_missing_agg_counts_nulls(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_missing"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [("m0", "alpha", "t"), ("m1", "alpha", None),
+             ("m2", "alpha", "u")],
+            columns=["doc_id", "content", "tag"],
+        )
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("tag",),
+    )
+    st = search.load_store(path)
+    row = search.search_missing_agg(
+        spark, st, _q("alpha"), check_col="tag"
+    ).collect()[0]
+    assert (row["n_docs"], row["value_count"], row["n_missing"]) == (3, 2, 1)
+
+
+def test_histogram_dense_zero_fills_bounds(spark, agg_store):
+    res = search.search_histogram_dense(
+        spark, agg_store, _q(), interval=1.0, bounds=(0.0, 6.0)
+    ).collect()
+    got = {r["bucket"]: r["n_docs"] for r in res}
+    # sparse buckets 2,3,4 keep counts; the rest of [0,6] zero-fill
+    assert got == {0.0: 0, 1.0: 0, 2.0: 1, 3.0: 3, 4.0: 2, 5.0: 0, 6.0: 0}
+
+
+def test_embedding_contamination_flags_near_eval(spark):
+    from dynamo2es_lambda_spark.operators import decontam
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0, 0.0]]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [10, 11, 12],
+             "embedding": [[0.9, 0.1, 0.0],    # near-parallel → flagged
+                           [0.0, 1.0, 0.0],    # orthogonal
+                           [-1.0, 0.0, 0.0]]}  # opposite
+        )
+    )
+    got = {
+        r["vec_id"]: r["contaminated"]
+        for r in decontam.embedding_contamination(
+            corpus, ev, tau=0.8
+        ).collect()
+    }
+    assert got == {10: True, 11: False, 12: False}
+    with pytest.raises(ValueError):
+        decontam.embedding_contamination(corpus, ev, tau=0.0)
