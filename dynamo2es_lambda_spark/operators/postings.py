@@ -209,13 +209,16 @@ def build_segments(
             for c in out_cols:
                 if c not in out.columns:
                     out[c] = None
-            if "field_dls" in out.columns:
-                # concat pads the block rows' absent array column with float
-                # NaN, which Arrow rejects for array<bigint> — null them
-                out["field_dls"] = [
-                    v if isinstance(v, (list, np.ndarray)) else None
-                    for v in out["field_dls"]
-                ]
+            # concat pads the block rows' absent array columns with float
+            # NaN, which Arrow rejects for array<*> — null them. Applies
+            # to field_dls AND any array-typed doc_meta_cols (embeddings,
+            # tag lists, ...).
+            for c in out.columns:
+                if c in types and types[c].startswith("array"):
+                    out[c] = [
+                        v if isinstance(v, (list, np.ndarray)) else None
+                        for v in out[c]
+                    ]
             return out[out_cols]
 
         for pdf in batches:

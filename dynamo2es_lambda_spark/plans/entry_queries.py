@@ -6044,6 +6044,204 @@ FROM cells
 """
 
 
+# --------------------------------- 4z4. filtered kNN / diversified / geo aggs
+
+KNN_K = 5
+DIV_SHARD, DIV_MAX_PER = 6, 2
+GEO_RINGS = [(0.0, 3000.0), (3000.0, 8000.0), (8000.0, 15000.0)]
+GEOTILE_DEG = 30.0
+
+
+def _corpus_store_knn(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """Index over the docs that HAVE embeddings (documents ⋈ embeddings
+    on doc_id = vec_id), the vector riding the markers as a
+    doc_meta_cols array — ES 8's dense_vector field on an ordinary
+    index."""
+    (path,), fresh = _cached_store_paths(sf_dir, "knn1")
+    if fresh:
+        emb = _tbl(spark, sf_dir, "embeddings").select(
+            F.col("vec_id"), F.col("embedding")
+        )
+        corpus = (
+            _docs(spark, sf_dir)
+            .join(emb, F.col("doc_id") == F.col("vec_id"))
+            .select(
+                F.col("doc_id").cast("string").alias("docid"),
+                "lang",
+                F.col("embedding"),
+                F.col("text").alias("content"),
+            )
+        )
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        build.build_index(
+            corpus, cfg, path, num_buckets=32, resume=True,
+            doc_meta_cols=("embedding",),
+        )
+    return search.load_store(path)
+
+
+def q_fts_knn_filtered(spark, sf_dir):
+    """ES filtered kNN: cosine top-k among docs matching the filter
+    query; query vectors are embeddings 0 and 1 read from the table."""
+    store = _corpus_store_knn(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    ev = (
+        _tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .collect()
+    )
+    qv = pd.DataFrame(
+        {"qid": [r["vec_id"] for r in ev],
+         "vec": [list(r["embedding"]) for r in ev]}
+    )
+    return search.search_knn(spark, store, qpdf, qv, k=KNN_K)
+
+
+def _knn_sql(queries) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc.doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id
+),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),{_match_m_cte(queries)},
+vec AS (
+  SELECT CAST(vec_id AS VARCHAR) AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 2
+),
+scored AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id,
+         round(list_dot_product(qv.v, vec.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(vec.v, vec.v))), 6) AS cos_r
+  FROM m
+  JOIN vec ON vec.doc_id = m.doc_id
+  JOIN qv ON qv.qid = m.qid
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, cos_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY cos_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, cos_r FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_fts_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: top-scoring sample with at most 2 docs
+    per lang."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_diversified_sampler(
+        spark, store, qpdf, shard_size=DIV_SHARD, group_col="lang",
+        max_docs_per_value=DIV_MAX_PER,
+    )
+
+
+def _diversified_sampler_sql(queries) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+grouped AS (
+  SELECT s.qid AS qid, s.doc_id AS doc_id, doc.lang AS "group", s.score_r,
+         row_number() OVER (
+           PARTITION BY s.qid, doc.lang
+           ORDER BY s.score_r DESC, s.doc_id ASC
+         ) AS gr
+  FROM scored s
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = s.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, "group", score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM grouped WHERE gr <= {DIV_MAX_PER}
+)
+SELECT qid, rank, doc_id, "group", score_r
+FROM ranked WHERE rank <= {DIV_SHARD}
+"""
+
+
+def q_fts_geo_distance_agg(spark, sf_dir):
+    """ES geo_distance aggregation: ring buckets with zero rings kept."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_distance_agg(
+        spark, store, qpdf, origin=GEO_ORIGIN, ranges=GEO_RINGS
+    )
+
+
+def _geo_distance_agg_sql(queries) -> str:
+    olat, olon = GEO_ORIGIN
+    rvals = ", ".join(
+        f"('{f}-{t}', {f}, {t})" for f, t in GEO_RINGS
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+geo AS (
+  SELECT m.qid AS qid, {_sql_haversine(olat, olon)} AS d
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+),
+rings(ring, rfrom, rto) AS (VALUES {rvals}),
+cnt AS (
+  SELECT qid, ring, count(*) AS n
+  FROM geo JOIN rings ON geo.d >= rings.rfrom AND geo.d < rings.rto
+  GROUP BY qid, ring
+),
+base AS (SELECT DISTINCT geo.qid AS qid, rings.ring AS ring
+         FROM geo CROSS JOIN rings)
+SELECT CAST(base.qid AS BIGINT) AS qid, base.ring AS ring,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_docs
+FROM base LEFT JOIN cnt ON cnt.qid = base.qid AND cnt.ring = base.ring
+"""
+
+
+def q_fts_geotile_grid(spark, sf_dir):
+    """Grid aggregation (geotile_grid simplified to a degree grid)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geotile_grid(
+        spark, store, qpdf, cell_deg=GEOTILE_DEG
+    )
+
+
+def _geotile_grid_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(floor({_SQL_LON} / {GEOTILE_DEG}) AS BIGINT) AS cell_x,
+       CAST(floor({_SQL_LAT} / {GEOTILE_DEG}) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+GROUP BY m.qid, cell_x, cell_y
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -6143,6 +6341,10 @@ SPARK_QUERIES = {
     "fts_histogram_dense": q_fts_histogram_dense,
     "decontam_embedding": q_decontam_embedding,
     "corpus_token_budget": q_corpus_token_budget,
+    "fts_knn_filtered": q_fts_knn_filtered,
+    "fts_diversified_sampler": q_fts_diversified_sampler,
+    "fts_geo_distance_agg": q_fts_geo_distance_agg,
+    "fts_geotile_grid": q_fts_geotile_grid,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -6303,6 +6505,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_histogram_dense": _histogram_dense_sql(SORTED_QUERIES),
         "decontam_embedding": _decontam_embedding_sql(),
         "corpus_token_budget": _corpus_token_budget_sql(),
+        "fts_knn_filtered": _knn_sql(SORTED_QUERIES),
+        "fts_diversified_sampler": _diversified_sampler_sql(SORTED_QUERIES),
+        "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
+        "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -4417,6 +4417,208 @@ def search_histogram_dense(
     return dense
 
 
+def search_knn(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    query_vecs: pd.DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES filtered kNN search: cosine top-k among the docs MATCHING the
+    filter query — vectors live on the doc markers as an ordinary
+    ``doc_meta_cols`` array column, so the index needs no separate
+    vector store.
+
+    ``queries``: pandas (qid, query) — the pre-filter; ``query_vecs``:
+    pandas (qid, vec) with list-valued vecs. Plan: the term-pruned match
+    set joins the metadata-sized markers, the query vectors broadcast,
+    and the cosine evaluates as ONE codegen zip_with/aggregate
+    expression (operators/ann.cosine_expr — no Python) before a per-qid
+    rank window. This is ES's post-filter-exact semantics: with a
+    selective filter, exact scoring of the match set beats an ANN graph
+    walk that must over-fetch past filtered docs; for unfiltered
+    corpus-wide kNN use operators/ann's IVF/PQ/LSH paths."""
+    from ..operators.ann import cosine_expr
+
+    if k < 1:
+        raise EngineError("knn k must be >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, cos_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(vec_col).cast("array<double>").alias("_dvec"),
+    )
+    qv = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": query_vecs["qid"],
+                 "_qvec": [list(map(float, v)) for v in query_vecs["vec"]]}
+            )
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .join(qv, "qid")
+        .withColumn(
+            "cos_r", F.round(F.expr(cosine_expr("_qvec", "_dvec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id", "cos_r")
+    )
+
+
+def search_diversified_sampler(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    shard_size: int,
+    group_col: str,
+    max_docs_per_value: int = 1,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``diversified_sampler``: the top-``shard_size`` best-scoring
+    matches, but with at most ``max_docs_per_value`` docs per value of
+    the diversity field. Equivalent closed form of ES's score-order
+    sweep: the docs ES drops are exactly those outranked by
+    max_docs_per_value same-value docs, so keeping the per-value top
+    ``max_docs_per_value`` first and ranking the survivors gives the
+    identical sample. Two window functions over the scored aggregate —
+    no posting re-read, no iterative sweep."""
+    if shard_size < 1 or max_docs_per_value < 1:
+        raise EngineError(
+            "diversified_sampler wants shard_size and "
+            "max_docs_per_value >= 1"
+        )
+    scored = _scored_or_match(spark, store, queries, field)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, group string, "
+                "score_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(group_col).cast("string").alias("group"),
+    )
+    j = scored.join(stats, "doc_int").withColumn(
+        "score_r", F.round("score", 6)
+    )
+    w_grp = Window.partitionBy("qid", "group").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("_gr", F.row_number().over(w_grp))
+        .filter(F.col("_gr") <= int(max_docs_per_value))
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= int(shard_size))
+        .select("qid", "rank", "doc_id", "group", "score_r")
+    )
+
+
+def search_geo_distance_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    origin: tuple[float, float],
+    ranges: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: ring buckets [from, to) of
+    distance from origin, doc counts per ring, EMPTY RINGS INCLUDED
+    (ES keeps zero buckets here). The (qid × ring) base is
+    query-cardinality; the haversine evaluates once per matched doc in
+    the same codegen projection the geo query uses."""
+    if not ranges or any(f >= t for f, t in ranges):
+        raise EngineError("geo_distance_agg wants non-empty [from, to) rings")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, ring string, n_docs long"
+        )
+    olat, olon = float(origin[0]), float(origin[1])
+    rdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"ring": [f"{f}-{t}" for f, t in ranges],
+                 "_from": [float(f) for f, _ in ranges],
+                 "_to": [float(t) for _, t in ranges]}
+            )
+        )
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        _haversine_km(
+            F.lit(olat), F.lit(olon),
+            F.col(lat_col).cast("double"), F.col(lon_col).cast("double"),
+        ).alias("_d"),
+    )
+    counts = (
+        hits.join(stats, "doc_int")
+        .join(
+            rdf,
+            (F.col("_d") >= F.col("_from")) & (F.col("_d") < F.col("_to")),
+        )
+        .groupBy("qid", "ring")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    base = hits.select("qid").distinct().crossJoin(rdf.select("ring"))
+    return base.join(counts, ["qid", "ring"], "left").select(
+        "qid", "ring",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def search_geotile_grid(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    cell_deg: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geotile_grid``-style grid aggregation, simplified to a fixed
+    lat/lon degree grid (ES tiles in web-mercator zoom levels; the
+    equal-degree cell is the documented divergence — same plan shape,
+    different projection). One hash aggregation keyed on the (cell_x,
+    cell_y) pair; empty cells are omitted like ES."""
+    if cell_deg <= 0:
+        raise EngineError("geotile_grid cell_deg must be positive")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, cell_x long, cell_y long, n_docs long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.floor(F.col(lon_col).cast("double") / float(cell_deg))
+        .alias("cell_x"),
+        F.floor(F.col(lat_col).cast("double") / float(cell_deg))
+        .alias("cell_y"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "cell_x", "cell_y")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def store_stats(spark: SparkSession, store: IndexStore) -> DataFrame:
     """ES ``_stats`` / ``_count`` analog: one row of store-level
     statistics — live doc count, average doc length, dictionary size,

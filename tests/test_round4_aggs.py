@@ -388,3 +388,113 @@ def test_embedding_contamination_flags_near_eval(spark):
     assert got == {10: True, 11: False, 12: False}
     with pytest.raises(ValueError):
         decontam.embedding_contamination(corpus, ev, tau=0.0)
+
+
+# ---------------------- filtered kNN / diversified sampler / geo buckets
+
+
+@pytest.fixture(scope="module")
+def knn_store(spark, tmp_path_factory):
+    """Array-typed doc_meta_cols (the dense_vector analog) — also the
+    regression fixture for NaN-padded array meta columns in the fused
+    segment pass (operators/postings.build_segments emit)."""
+    path = str(tmp_path_factory.mktemp("r4_knn"))
+    rows = [
+        ("k0", "alpha beta", [1.0, 0.0]),
+        ("k1", "alpha",      [0.8, 0.6]),
+        ("k2", "alpha beta", [0.0, 1.0]),
+        ("k3", "gamma",      [1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content", "vec"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("vec",),
+    )
+    return search.load_store(path)
+
+
+def test_knn_filtered_cosine_topk(spark, knn_store):
+    qv = pd.DataFrame({"qid": [0], "vec": [[1.0, 0.0]]})
+    res = search.search_knn(
+        spark, knn_store, _q("beta"), qv, k=2, vec_col="vec"
+    ).collect()
+    got = [(r["rank"], r["doc_id"], r["cos_r"]) for r in
+           sorted(res, key=lambda r: r["rank"])]
+    # filter "beta" keeps k0,k2; k1 (cos .8) and k3 (cos 1) don't match
+    assert got == [(1, "k0", 1.0), (2, "k2", 0.0)]
+
+
+def test_array_meta_cols_roundtrip(spark, knn_store):
+    got = {
+        r["doc_id"]: list(r["vec"])
+        for r in knn_store.doc_stats(spark).collect()
+    }
+    assert got["k1"] == [0.8, 0.6]
+
+
+def test_diversified_sampler_caps_per_group(spark, agg_store):
+    res = search.search_diversified_sampler(
+        spark, agg_store, _q(), shard_size=4, group_col="src",
+        max_docs_per_value=1,
+    ).collect()
+    # 6 alpha matches over 3 srcs, cap 1 → exactly one doc per src
+    assert len(res) == 3
+    assert sorted(r["group"] for r in res) == ["s0", "s1", "s2"]
+    full = search.search_diversified_sampler(
+        spark, agg_store, _q(), shard_size=10, group_col="src",
+        max_docs_per_value=2,
+    ).collect()
+    assert len(full) == 6  # cap 2 × 3 groups keeps everything
+
+
+def test_geo_distance_agg_keeps_zero_rings(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_georing"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [("r0", "alpha", 0.0, 0.0), ("r1", "alpha", 0.0, 1.0)],
+            columns=["doc_id", "content", "lat", "lon"],
+        )
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("lat", "lon"),
+    )
+    st = search.load_store(path)
+    got = {
+        r["ring"]: r["n_docs"]
+        for r in search.search_geo_distance_agg(
+            spark, st, _q("alpha"), origin=(0.0, 0.0),
+            ranges=[(0.0, 50.0), (50.0, 500.0), (500.0, 1000.0)],
+        ).collect()
+    }
+    # r0 at origin, r1 ~111 km; the 500-1000 ring is empty but present
+    assert got == {"0.0-50.0": 1, "50.0-500.0": 1, "500.0-1000.0": 0}
+
+
+def test_geotile_grid_cells(spark, agg_store, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_geotile"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [("t0", "alpha", 10.0, 20.0), ("t1", "alpha", 15.0, 25.0),
+             ("t2", "alpha", -40.0, 100.0)],
+            columns=["doc_id", "content", "lat", "lon"],
+        )
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("lat", "lon"),
+    )
+    st = search.load_store(path)
+    got = {
+        (r["cell_x"], r["cell_y"]): r["n_docs"]
+        for r in search.search_geotile_grid(
+            spark, st, _q("alpha"), cell_deg=30.0
+        ).collect()
+    }
+    # t0,t1 share cell (0,0); t2 lands in (3,-2)
+    assert got == {(0, 0): 2, (3, -2): 1}
