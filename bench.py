@@ -351,6 +351,31 @@ def main() -> None:
              spark, store(), qpdf,
              "_score / (1.0 + sqrt(dl)) + log1p(dl)", k=10,
          ).collect()),
+        # round-4 agg families: each is one _match_set job + metadata
+        # join + hash/window aggs — measured to prove the second hop
+        # stays bucket-cardinality
+        ("agg_metric_set",
+         lambda: search.search_extended_stats_agg(
+             spark, store(), qpdf, value_col="dl"
+         ).collect()),
+        ("agg_pipeline_set",
+         lambda: search.search_histogram_pipeline(
+             spark, store(), qpdf, interval=16.0, value_col="dl"
+         ).collect()),
+        ("adjacency_matrix_set",
+         lambda: search.search_adjacency_matrix(
+             spark, store(),
+             {"a": "stream", "b": "data value", "c": "sort"},
+         ).collect()),
+        ("diversified_sampler_set",
+         lambda: search.search_diversified_sampler(
+             spark, store(), qpdf, shard_size=10, group_col="lang",
+             max_docs_per_value=3,
+         ).collect()),
+        ("termvectors_set",
+         lambda: search.termvectors(
+             spark, store(), [str(i) for i in range(1, 9)]
+         ).collect()),
     ]
     for name in (
         "dedup_exact",

@@ -6242,6 +6242,30 @@ GROUP BY m.qid, cell_x, cell_y
 """
 
 
+def q_fts_normalize_agg(spark, sf_dir):
+    """ES normalize pipeline agg: lang bucket counts as share-of-total."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_normalize_agg(
+        spark, store, qpdf, group_col="lang", method="percent_of_sum"
+    )
+
+
+def _normalize_agg_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+counts AS (
+  SELECT CAST(m.qid AS BIGINT) AS qid, doc.lang AS "group",
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+  GROUP BY m.qid, doc.lang
+)
+SELECT qid, "group", n_docs,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY qid),
+             6) AS normalized_r
+FROM counts
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -6345,6 +6369,7 @@ SPARK_QUERIES = {
     "fts_diversified_sampler": q_fts_diversified_sampler,
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
+    "fts_normalize_agg": q_fts_normalize_agg,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -6509,6 +6534,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_diversified_sampler": _diversified_sampler_sql(SORTED_QUERIES),
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
+        "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

@@ -4041,6 +4041,54 @@ def search_bucket_selector(
     )
 
 
+def search_normalize_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    method: str = "percent_of_sum",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale a terms agg's
+    bucket doc counts per qid — ``percent_of_sum`` (share of total),
+    ``rescale_0_1`` (min-max), or ``z-score``. One window pass over
+    bucket-cardinality rows; a single-bucket qid yields null for the
+    scale-dependent methods (rescale/z-score divide by zero spread),
+    matching ES's skipped-bucket behavior."""
+    methods = ("percent_of_sum", "rescale_0_1", "z-score")
+    if method not in methods:
+        raise EngineError(f"normalize method must be one of {methods}")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, group string, n_docs long, normalized_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(group_col).cast("string").alias("group")
+    )
+    counts = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "group")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("qid")
+    v = F.col("n_docs").cast("double")
+    if method == "percent_of_sum":
+        norm = v / F.sum(v).over(w)
+    elif method == "rescale_0_1":
+        spread = F.max(v).over(w) - F.min(v).over(w)
+        norm = F.when(
+            spread > 0, (v - F.min(v).over(w)) / spread
+        )
+    else:
+        sd = F.stddev_pop(v).over(w)
+        norm = F.when(sd > 0, (v - F.avg(v).over(w)) / sd)
+    return counts.select(
+        "qid", "group", "n_docs", F.round(norm, 6).alias("normalized_r")
+    )
+
+
 def termvectors(
     spark: SparkSession,
     store: IndexStore,

@@ -498,3 +498,33 @@ def test_geotile_grid_cells(spark, agg_store, tmp_path_factory):
     }
     # t0,t1 share cell (0,0); t2 lands in (3,-2)
     assert got == {(0, 0): 2, (3, -2): 1}
+
+
+def test_normalize_agg_methods(spark, agg_store):
+    # beta src counts: s0→2, s1→1, s2→1 (total 4)
+    ps = {
+        r["group"]: r["normalized_r"]
+        for r in search.search_normalize_agg(
+            spark, agg_store, _q("beta"), group_col="src",
+            method="percent_of_sum",
+        ).collect()
+    }
+    assert ps == {"s0": 0.5, "s1": 0.25, "s2": 0.25}
+    r01 = {
+        r["group"]: r["normalized_r"]
+        for r in search.search_normalize_agg(
+            spark, agg_store, _q("beta"), group_col="src",
+            method="rescale_0_1",
+        ).collect()
+    }
+    assert r01 == {"s0": 1.0, "s1": 0.0, "s2": 0.0}
+    # single-bucket qid: spread 0 → null for scale-dependent methods
+    one = search.search_normalize_agg(
+        spark, agg_store, _q("three"), group_col="src",
+        method="z-score",
+    ).collect()
+    assert len(one) == 1 and one[0]["normalized_r"] is None
+    with pytest.raises(EngineError):
+        search.search_normalize_agg(
+            spark, agg_store, _q(), group_col="src", method="softmax"
+        )
