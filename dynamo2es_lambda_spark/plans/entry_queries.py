@@ -6266,9 +6266,313 @@ FROM counts
 """
 
 
+# --------------------------------- 4z5. hybrid retrieval + rank_eval
+# ES 8.8+ retriever API (rrf / linear) and the _rank_eval endpoint —
+# the modern search surface over the same indexed docs + dense vectors.
+
+RRF_WINDOW, RRF_CONST, RRF_K = 50, 60, 10
+HYB_ALPHA = 0.5
+RANK_EVAL_K, RANK_EVAL_TH = 10, 2
+
+
+def _query_vecs_pdf(spark, sf_dir):
+    ev = (
+        _tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .collect()
+    )
+    return pd.DataFrame(
+        {"qid": [r["vec_id"] for r in ev],
+         "vec": [list(r["embedding"]) for r in ev]}
+    )
+
+
+def q_fts_rrf(spark, sf_dir):
+    """ES RRF retriever: BM25 leg + cosine-kNN leg fused by
+    1/(rank_constant + rank); query vectors are embeddings 0 and 1."""
+    store = _corpus_store_knn(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_rrf(
+        spark, store, qpdf, _query_vecs_pdf(spark, sf_dir),
+        k=RRF_K, window=RRF_WINDOW, rank_constant=RRF_CONST,
+    )
+
+
+def q_fts_hybrid_linear(spark, sf_dir):
+    """ES linear retriever: min-max-normalized convex blend of the same
+    two legs."""
+    store = _corpus_store_knn(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_hybrid_linear(
+        spark, store, qpdf, _query_vecs_pdf(spark, sf_dir),
+        k=RRF_K, window=RRF_WINDOW, alpha=HYB_ALPHA,
+    )
+
+
+_KNN_BM25_BODY = f"""
+WITH corpus AS (
+  SELECT CAST(doc.doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term)
+"""
+
+
+def _hybrid_legs_sql(queries, window: int) -> str:
+    """Shared oracle CTEs for the two hybrid entries: BM25 rank leg
+    (lex) and cosine rank leg (knn) over the docs-with-embeddings
+    corpus, both cut at ``window`` and ranked over 6-dp-rounded values
+    with doc_id tie-break."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_KNN_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+lex AS (
+  SELECT * FROM (
+    SELECT qid, doc_id, score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score_r DESC, doc_id ASC
+           ) AS brank
+    FROM scored
+  ) WHERE brank <= {window}
+),
+vec AS (
+  SELECT c.doc_id AS doc_id, e.embedding::DOUBLE[] AS v
+  FROM corpus c JOIN embeddings e ON CAST(e.vec_id AS VARCHAR) = c.doc_id
+),
+qv AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 2
+),
+cosd AS (
+  SELECT qv.qid AS qid, vec.doc_id AS doc_id,
+         round(list_dot_product(qv.v, vec.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(vec.v, vec.v))), 6) AS cos_r
+  FROM qv CROSS JOIN vec
+),
+knn AS (
+  SELECT * FROM (
+    SELECT qid, doc_id, cos_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos_r DESC, doc_id ASC
+           ) AS krank
+    FROM cosd
+  ) WHERE krank <= {window}
+)"""
+
+
+def _rrf_sql(queries) -> str:
+    return f"""{_hybrid_legs_sql(queries, RRF_WINDOW)},
+fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         round(COALESCE(1.0 / ({RRF_CONST} + l.brank), 0.0)
+               + COALESCE(1.0 / ({RRF_CONST} + v.krank), 0.0), 6) AS rrf_r
+  FROM lex l FULL OUTER JOIN knn v
+    ON l.qid = v.qid AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY rrf_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT qid, rank, doc_id, rrf_r FROM ranked WHERE rank <= {RRF_K}
+"""
+
+
+def _hybrid_linear_sql(queries) -> str:
+    a = HYB_ALPHA
+    return f"""{_hybrid_legs_sql(queries, RRF_WINDOW)},
+lexn AS (
+  SELECT qid, doc_id,
+         CASE WHEN max(score_r) OVER (PARTITION BY qid)
+                   > min(score_r) OVER (PARTITION BY qid)
+              THEN (score_r - min(score_r) OVER (PARTITION BY qid))
+                   / (max(score_r) OVER (PARTITION BY qid)
+                      - min(score_r) OVER (PARTITION BY qid))
+              ELSE 1.0 END AS bnorm
+  FROM lex
+),
+knnn AS (
+  SELECT qid, doc_id,
+         CASE WHEN max(cos_r) OVER (PARTITION BY qid)
+                   > min(cos_r) OVER (PARTITION BY qid)
+              THEN (cos_r - min(cos_r) OVER (PARTITION BY qid))
+                   / (max(cos_r) OVER (PARTITION BY qid)
+                      - min(cos_r) OVER (PARTITION BY qid))
+              ELSE 1.0 END AS knorm
+  FROM knn
+),
+fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         round({a} * COALESCE(l.bnorm, 0.0)
+               + {1.0 - a} * COALESCE(v.knorm, 0.0), 6) AS blend_r
+  FROM lexn l FULL OUTER JOIN knnn v
+    ON l.qid = v.qid AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, blend_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY blend_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT qid, rank, doc_id, blend_r FROM ranked WHERE rank <= {RRF_K}
+"""
+
+
+def q_fts_rank_eval(spark, sf_dir):
+    """ES _rank_eval: grade the BM25 top-k against graded judgments
+    derived from the data itself — rating(doc) = number of DISTINCT
+    query terms the doc contains (so rating >= 2 == "contains both"
+    is the relevance threshold)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    toks = analysis.spark_tokens_expr("text")
+    qterms = [
+        (qid, sorted(set(analysis.tokenize_series(pd.Series([q]))[0])))
+        for qid, q in SORTED_QUERIES
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": [a for a, _ in qterms], "qts": [b for _, b in qterms]}
+        )
+    )
+    ratings = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr(f"array_distinct({toks})").alias("_t"),
+        )
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("rating", F.size(F.array_intersect("_t", "qts")))
+        .filter(F.col("rating") > 0)
+        .select("qid", "doc_id", "rating")
+    )
+    return search.rank_eval(
+        spark, store, qpdf, ratings,
+        k=RANK_EVAL_K, relevant_threshold=RANK_EVAL_TH,
+    )
+
+
+def _rank_eval_sql(queries) -> str:
+    k, th = RANK_EVAL_K, RANK_EVAL_TH
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+ratings AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id, count(*) AS rating
+  FROM (SELECT DISTINCT qid, term FROM q) q
+  JOIN posting p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * ({K1} + 1.0) * p.tf
+             / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+),
+topk AS (
+  SELECT r.qid AS qid, r.doc_id AS doc_id, r.rank AS rank,
+         COALESCE(t.rating, 0) AS rating
+  FROM ranked r
+  LEFT JOIN ratings t ON t.qid = r.qid AND t.doc_id = r.doc_id
+  WHERE r.rank <= {k}
+),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN rating >= {th} THEN 1.0 ELSE 0.0 END) / {k}
+           AS precision_at_k,
+         COALESCE(max(CASE WHEN rating >= {th} THEN 1.0 / rank END), 0.0)
+           AS mrr,
+         sum((pow(2.0, rating) - 1.0) / log2(rank + 1.0)) AS dcg,
+         sum(CASE WHEN rating >= {th} THEN 1 ELSE 0 END) AS nrel_topk
+  FROM topk GROUP BY qid
+),
+ideal AS (
+  SELECT qid,
+         sum(CASE WHEN ir <= {k}
+             THEN (pow(2.0, rating) - 1.0) / log2(ir + 1.0)
+             ELSE 0.0 END) AS idcg,
+         sum(CASE WHEN rating >= {th} THEN 1 ELSE 0 END) AS nrel
+  FROM (SELECT qid, doc_id, rating,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY rating DESC, doc_id ASC
+               ) AS ir
+        FROM ratings)
+  GROUP BY qid
+),
+met AS (
+  SELECT COALESCE(p.qid, i.qid) AS qid,
+         round(COALESCE(p.precision_at_k, 0.0), 6) AS precision_at_k,
+         round(CASE WHEN COALESCE(i.nrel, 0) > 0
+               THEN COALESCE(p.nrel_topk, 0) * 1.0 / i.nrel
+               ELSE 0.0 END, 6) AS recall_at_k,
+         round(COALESCE(p.mrr, 0.0), 6) AS mrr,
+         round(CASE WHEN COALESCE(i.idcg, 0) > 0
+               THEN COALESCE(p.dcg, 0) / i.idcg
+               ELSE 0.0 END, 6) AS ndcg_at_k
+  FROM perq p FULL OUTER JOIN ideal i ON p.qid = i.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, 'precision_at_k' AS metric,
+       precision_at_k AS value_r FROM met
+UNION ALL SELECT CAST(qid AS BIGINT), 'recall_at_k', recall_at_k FROM met
+UNION ALL SELECT CAST(qid AS BIGINT), 'mrr', mrr FROM met
+UNION ALL SELECT CAST(qid AS BIGINT), 'ndcg_at_k', ndcg_at_k FROM met
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "fts_rrf": q_fts_rrf,
+    "fts_hybrid_linear": q_fts_hybrid_linear,
+    "fts_rank_eval": q_fts_rank_eval,
     "doc_stats": q_doc_stats,
     "term_df": q_term_df,
     "fts_bm25_topk": q_fts_bm25,
@@ -6535,6 +6839,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "fts_rrf": _rrf_sql(SORTED_QUERIES),
+        "fts_hybrid_linear": _hybrid_linear_sql(SORTED_QUERIES),
+        "fts_rank_eval": _rank_eval_sql(SORTED_QUERIES),
         "fts_suggest_completion": _completion_sql(
             COMPLETION_PREFIXES, COMPLETION_K
         ),

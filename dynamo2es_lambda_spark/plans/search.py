@@ -6447,3 +6447,328 @@ def _score_wand(
         .cogroup(constraints.groupBy("qid", "seg"))
         .applyInPandas(run_cons, schema=_WAND_SCHEMA)
     )
+
+
+# --------------------------------------------------------------- hybrid
+# ES 8.8+ retriever API: fuse a lexical (BM25) ranking with a vector
+# (kNN) ranking.  The reference pipeline's whole purpose is making the
+# shipped documents searchable (lib/handler.js:100); hybrid retrieval is
+# how that search surface looks today when the docs also carry
+# embeddings (dense_vector fields on the same index, as built by
+# build_index(doc_meta_cols=...)).
+
+
+def _ranked_bm25(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    window: int,
+    field: str | None,
+) -> DataFrame:
+    """(qid, doc_id, brank) — BM25 OR ranking cut at ``window``, ranked
+    over the 6-dp-rounded score with doc_id tie-break so the ordering is
+    bit-deterministic (the discipline every entry oracle uses)."""
+    scored = _scored_or_match(spark, store, queries, field)
+    if scored is None:
+        return spark.createDataFrame([], "qid long, doc_id string, brank int")
+    stats = store.doc_stats(spark).select("doc_int", "doc_id")
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(stats, "doc_int")
+        .withColumn("brank", F.row_number().over(w))
+        .filter(F.col("brank") <= int(window))
+        .select("qid", "doc_id", "brank")
+    )
+
+
+def _ranked_knn(
+    spark: SparkSession,
+    store: IndexStore,
+    query_vecs: pd.DataFrame,
+    window: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, doc_id, krank) — corpus-wide cosine ranking cut at
+    ``window``.  Query vectors broadcast; the cosine is ONE codegen
+    aggregate expression over the doc-marker vector column (no Python),
+    ranked over the rounded value with doc_id tie-break."""
+    from ..operators.ann import cosine_expr
+
+    stats = store.doc_stats(spark).select(
+        "doc_id", F.col(vec_col).cast("array<double>").alias("_dvec")
+    ).filter(F.col("_dvec").isNotNull())
+    qv = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": query_vecs["qid"],
+                 "_qvec": [list(map(float, v)) for v in query_vecs["vec"]]}
+            )
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("doc_id").asc()
+    )
+    return (
+        stats.join(qv)
+        .withColumn("_cos", F.round(F.expr(cosine_expr("_qvec", "_dvec")), 6))
+        .withColumn("krank", F.row_number().over(w))
+        .filter(F.col("krank") <= int(window))
+        .select("qid", "doc_id", "krank")
+    )
+
+
+def search_rrf(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    query_vecs: pd.DataFrame,
+    k: int = 10,
+    window: int = 50,
+    rank_constant: int = 60,
+    vec_col: str = "embedding",
+    field: str | None = None,
+) -> DataFrame:
+    """ES reciprocal-rank-fusion retriever: BM25 top-``window`` and
+    cosine-kNN top-``window`` rankings fused by
+    ``sum(1 / (rank_constant + rank))`` over the rankings a doc appears
+    in, then the fused top-``k``.
+
+    Plan shape: both legs are rank windows over metadata-sized per-query
+    aggregates (the BM25 leg reads only the query terms' postings; the
+    kNN leg is a broadcast-vector codegen scan of the doc markers), the
+    fusion is ONE full-outer join on (qid, doc_id) — nothing here scales
+    with corpus size except the marker scan, which is the same scan ES's
+    exact-kNN does.  At 100 TB you swap the kNN leg for the IVF/PQ paths
+    in operators/ann (same output contract) without touching the fusion.
+    """
+    if k < 1 or window < 1 or rank_constant < 0:
+        raise EngineError("rrf wants k, window >= 1 and rank_constant >= 0")
+    lex = _ranked_bm25(spark, store, queries, window, field)
+    vec = _ranked_knn(spark, store, query_vecs, window, vec_col)
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+        "rrf_r",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rank_constant) + F.col("brank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rank_constant) + F.col("krank")), F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id", "rrf_r")
+    )
+
+
+def search_hybrid_linear(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    query_vecs: pd.DataFrame,
+    k: int = 10,
+    window: int = 50,
+    alpha: float = 0.5,
+    vec_col: str = "embedding",
+    field: str | None = None,
+) -> DataFrame:
+    """ES linear retriever with min-max normalization: each leg's scores
+    are rescaled to [0, 1] within its per-query top-``window`` (a
+    degenerate window where max == min maps to 1.0), a doc absent from a
+    leg contributes 0, and the blend is
+    ``alpha * bm25_norm + (1 - alpha) * cos_norm``.
+
+    Same two legs and single full-outer fusion as search_rrf — only the
+    combiner differs (score-based instead of rank-based), so the 100 TB
+    story is identical."""
+    if k < 1 or window < 1:
+        raise EngineError("hybrid wants k and window >= 1")
+    if not 0.0 <= alpha <= 1.0:
+        raise EngineError("alpha must be in [0, 1]")
+    scored = _scored_or_match(spark, store, queries, field)
+    stats = store.doc_stats(spark).select("doc_int", "doc_id")
+    if scored is None:
+        lex = spark.createDataFrame([], "qid long, doc_id string, bnorm double")
+    else:
+        wb = Window.partitionBy("qid").orderBy(
+            F.round("score", 6).desc(), F.col("doc_id").asc()
+        )
+        wq = Window.partitionBy("qid")
+        lex = (
+            scored.join(stats, "doc_int")
+            .withColumn("score_r", F.round("score", 6))
+            .withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= int(window))
+            .withColumn("_mx", F.max("score_r").over(wq))
+            .withColumn("_mn", F.min("score_r").over(wq))
+            .withColumn(
+                "bnorm",
+                F.when(
+                    F.col("_mx") > F.col("_mn"),
+                    (F.col("score_r") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn")),
+                ).otherwise(F.lit(1.0)),
+            )
+            .select("qid", "doc_id", "bnorm")
+        )
+    from ..operators.ann import cosine_expr
+
+    dvec = store.doc_stats(spark).select(
+        "doc_id", F.col(vec_col).cast("array<double>").alias("_dvec")
+    ).filter(F.col("_dvec").isNotNull())
+    qv = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": query_vecs["qid"],
+                 "_qvec": [list(map(float, v)) for v in query_vecs["vec"]]}
+            )
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("doc_id").asc()
+    )
+    wq = Window.partitionBy("qid")
+    vec = (
+        dvec.join(qv)
+        .withColumn("_cos", F.round(F.expr(cosine_expr("_qvec", "_dvec")), 6))
+        .withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= int(window))
+        .withColumn("_mx", F.max("_cos").over(wq))
+        .withColumn("_mn", F.min("_cos").over(wq))
+        .withColumn(
+            "knorm",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col("_cos") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .select("qid", "doc_id", "knorm")
+    )
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+        "blend_r",
+        F.round(
+            F.lit(float(alpha)) * F.coalesce("bnorm", F.lit(0.0))
+            + F.lit(1.0 - float(alpha)) * F.coalesce("knorm", F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("blend_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id", "blend_r")
+    )
+
+
+# -------------------------------------------------------------- rank_eval
+# ES _rank_eval API: score a ranking against graded relevance judgments.
+
+
+def rank_eval(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    ratings: DataFrame,
+    k: int = 10,
+    relevant_threshold: int = 1,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``_rank_eval``: run the BM25 OR ranking for each query and
+    grade its top-``k`` against external judgments.
+
+    ``ratings``: DataFrame (qid, doc_id, rating) with integer graded
+    relevance — docs absent from it rate 0.  Emits one row per (qid,
+    metric) for ES's four ranking metrics:
+
+    - ``precision_at_k``: fraction of the top-k with rating >=
+      ``relevant_threshold`` (ES precision.relevant_rating_threshold).
+    - ``recall_at_k``: top-k relevant over ALL relevant for the query.
+    - ``mrr``: 1/rank of the first relevant hit (0 when none).
+    - ``ndcg_at_k``: DCG with graded gains (2^rating - 1, log2(rank+1)
+      discount) over the ideal DCG from the ratings themselves.
+
+    Judgments are metric-sized (qrels, not corpus), so they broadcast;
+    the ranking is the same windowed aggregate as search() — nothing
+    new materializes at corpus scale."""
+    if k < 1:
+        raise EngineError("rank_eval wants k >= 1")
+    ranked = _ranked_bm25(spark, store, queries, k, field).withColumnRenamed(
+        "brank", "rank"
+    )
+    r = F.broadcast(
+        ratings.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("rating").cast("long").alias("rating"),
+        )
+    )
+    hits = ranked.join(r, ["qid", "doc_id"], "left").withColumn(
+        "rating", F.coalesce("rating", F.lit(0))
+    )
+    rel = F.col("rating") >= int(relevant_threshold)
+    gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0) / F.log2(
+        F.col("rank").cast("double") + 1.0
+    )
+    per_q = hits.groupBy("qid").agg(
+        (F.sum(rel.cast("double")) / float(k)).alias("precision_at_k"),
+        F.coalesce(
+            F.max(F.when(rel, 1.0 / F.col("rank"))), F.lit(0.0)
+        ).alias("mrr"),
+        F.sum(gain).alias("_dcg"),
+        F.sum(rel.cast("long")).alias("_nrel_topk"),
+    )
+    # denominators from the judgments alone (query-independent of the
+    # ranking): total relevant count and the ideal DCG of the best
+    # possible ordering of the judged docs
+    wi = Window.partitionBy("qid").orderBy(
+        F.col("rating").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        ratings.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("rating").cast("long").alias("rating"),
+        )
+        .withColumn("_ir", F.row_number().over(wi))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_ir") <= int(k),
+                    (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+                    / F.log2(F.col("_ir").cast("double") + 1.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("_idcg"),
+            F.sum(
+                (F.col("rating") >= int(relevant_threshold)).cast("long")
+            ).alias("_nrel"),
+        )
+    )
+    j = per_q.join(F.broadcast(ideal), "qid", "full_outer").fillna(0)
+    out = j.select(
+        "qid",
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round(
+            F.when(F.col("_nrel") > 0, F.col("_nrel_topk") / F.col("_nrel"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+    long = out.selectExpr(
+        "qid",
+        "stack(4, 'precision_at_k', precision_at_k, 'recall_at_k', "
+        "recall_at_k, 'mrr', mrr, 'ndcg_at_k', ndcg_at_k) AS (metric, value_r)",
+    )
+    return long.select("qid", "metric", F.round("value_r", 6).alias("value_r"))
