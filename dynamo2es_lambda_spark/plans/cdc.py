@@ -178,6 +178,12 @@ def apply_changes(
         # multi-field stores qualify terms per field — an incremental batch
         # must tokenize the same columns under the same qualifiers
         mf_fields = tuple(meta["fields"]) if meta.get("fields") else None
+        # a store built with doc_meta_cols writes those columns on every
+        # marker; an incremental batch must carry them too or its docs
+        # read back null meta (and mixed marker schemas break the
+        # meta-bucketed aggs) — checked against the image schema below
+        # because _build_batch silently skips absent columns.
+        dmc = tuple(meta.get("doc_meta_cols") or ())
         if num_buckets is None:
             num_buckets = int(meta.get("num_buckets", build.DEFAULT_BUCKETS))
         elif meta and int(meta.get("num_buckets", num_buckets)) != int(
@@ -217,6 +223,14 @@ def apply_changes(
             n_index = corpus.count()
         n_up = 0
         if n_index:
+            missing_dmc = sorted(set(dmc) - set(corpus.columns))
+            if missing_dmc:
+                raise EngineError(
+                    f"store at {store_path} carries doc_meta_cols "
+                    f"{sorted(dmc)} but the event images lack "
+                    f"{missing_dmc} — ship them on new_image or the "
+                    "batch's markers would read back null meta"
+                )
             n_up, _ = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
                 content_col=content_col,
@@ -230,6 +244,7 @@ def apply_changes(
                 # a store built with LM statistics must extend them per CDC
                 # batch, or the suggester's counts silently go stale
                 lm_stats=bool(meta.get("lm_stats", False)),
+                doc_meta_cols=dmc,
             )
 
         # ---- deletes: tombstones (version already bumped by dispatch)

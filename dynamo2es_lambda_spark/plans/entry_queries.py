@@ -26,7 +26,7 @@ from ..config import IndexerConfig
 from ..functions import analysis, text as T
 from ..functions.bm25 import B, K1
 from ..operators import ann, decontam, dedup, packing, quality, sampling
-from . import build, search
+from . import build, manage, search
 
 # ---------------------------------------------------------------- helpers
 
@@ -6567,9 +6567,193 @@ UNION ALL SELECT CAST(qid AS BIGINT), 'ndcg_at_k', ndcg_at_k FROM met
 """
 
 
+# --------------------------------- 4z6. document-management APIs
+# ES _delete_by_query / _update_by_query / _reindex / aliases
+# (plans/manage.py) — bulk index maintenance over the same stores.
+
+MGMT_DEL_QUERY = "spark merge"
+MGMT_UPD_QUERY = "customer window"
+ALIAS_NAME, ALIAS_FILTER_TERM = "support-docs", "customer"
+REIDX_EXCLUDE_LANG = "de"
+
+
+def _mgmt_stores(spark: SparkSession, sf_dir: str):
+    """Three management-exercised stores, built once per testdata
+    identity: [0] post-delete_by_query, [1] post-update_by_query,
+    [2] reindex destination (per-lang index routing). A family-level
+    sentinel marks the mutations applied, so a fresh process re-entering
+    committed paths (build resume = no-op) does not re-mutate."""
+    paths, fresh = _cached_store_paths(sf_dir, "mgmt1", count=3)
+    sentinel = paths[0] + ".mgmt_done"
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"),
+        "lang",
+        F.lit(0).cast("long").alias("version"),
+        F.col("text").alias("content"),
+    )
+    cfg = IndexerConfig(
+        index="docs", id_field="docid", version_field="version"
+    )
+    if fresh or not os.path.exists(sentinel):
+        for p in paths[:2]:
+            build.build_index(corpus, cfg, p, num_buckets=32, resume=True)
+        if not os.path.exists(sentinel):
+            manage.delete_by_query(
+                spark, search.load_store(paths[0]),
+                pd.DataFrame([(0, MGMT_DEL_QUERY)],
+                             columns=["qid", "query"]),
+            )
+            manage.update_by_query(
+                spark, corpus, search.load_store(paths[1]), cfg,
+                pd.DataFrame([(0, MGMT_UPD_QUERY)],
+                             columns=["qid", "query"]),
+                {"lang": "concat(lang, '-x')", "version": "version + 1"},
+            )
+            manage.reindex(
+                spark, corpus,
+                IndexerConfig(
+                    index_prefix="idx-", index_field="lang",
+                    id_field="docid", version_field="version",
+                ),
+                paths[2],
+                query_filter=f"lang <> '{REIDX_EXCLUDE_LANG}'",
+                num_buckets=32, resume=True,
+            )
+            with open(sentinel, "w") as f:
+                f.write("done")
+    return [search.load_store(p) for p in paths]
+
+
+def _live_lang_counts(spark, store) -> DataFrame:
+    live = store.doc_stats(spark).join(
+        store.dead_df(spark), "doc_int", "left_anti"
+    )
+    return live.groupBy(F.col("lang").alias("lang")).agg(
+        F.count("*").alias("n_live")
+    )
+
+
+def q_fts_delete_by_query(spark, sf_dir):
+    """Live per-lang counts after _delete_by_query('spark merge')."""
+    st = _mgmt_stores(spark, sf_dir)[0]
+    return _live_lang_counts(spark, st)
+
+
+def _delete_by_query_sql() -> str:
+    return f"""{_BM25_BODY},{_match_m_cte([(0, MGMT_DEL_QUERY)])}
+SELECT doc.lang AS lang, CAST(count(*) AS BIGINT) AS n_live
+FROM documents doc
+WHERE CAST(doc.doc_id AS VARCHAR) NOT IN (SELECT doc_id FROM m)
+GROUP BY doc.lang
+"""
+
+
+def q_fts_update_by_query(spark, sf_dir):
+    """Live per-lang counts after _update_by_query tagging matched docs'
+    lang with '-x' (script re-index through the CDC path)."""
+    st = _mgmt_stores(spark, sf_dir)[1]
+    return _live_lang_counts(spark, st)
+
+
+def _update_by_query_sql() -> str:
+    return f"""{_BM25_BODY},{_match_m_cte([(0, MGMT_UPD_QUERY)])}
+SELECT CASE WHEN CAST(doc.doc_id AS VARCHAR) IN (SELECT doc_id FROM m)
+            THEN doc.lang || '-x' ELSE doc.lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_live
+FROM documents doc
+GROUP BY 1
+"""
+
+
+def q_fts_reindex(spark, sf_dir):
+    """_reindex into per-lang indexes (index_prefix + index_field
+    routing), excluding one lang: per-index live counts plus the
+    north-rule sha parity count against the source table."""
+    st = _mgmt_stores(spark, sf_dir)[2]
+    src = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("sdoc"),
+        F.sha2(F.col("text"), 256).alias("ssha"),
+    )
+    live = st.doc_stats(spark).join(
+        st.dead_df(spark), "doc_int", "left_anti"
+    )
+    return (
+        live.join(src, live["doc_id"] == src["sdoc"], "left")
+        .groupBy("index_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("content_sha256") == F.col("ssha")).cast("long")
+            ).alias("n_sha_ok"),
+        )
+    )
+
+
+def _reindex_sql() -> str:
+    return f"""
+SELECT 'idx-' || lang AS index_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sha_ok
+FROM documents WHERE lang <> '{REIDX_EXCLUDE_LANG}'
+GROUP BY lang
+"""
+
+
+def q_fts_alias(spark, sf_dir):
+    """Filtered-alias search: alias = (index 'docs', filter term
+    'customer'); BM25 ranking restricted to the alias's candidate set
+    before the top-k cut."""
+    store = _corpus_store(spark, sf_dir)
+    store = manage.put_alias(
+        store, ALIAS_NAME, index="docs", filter_term=ALIAS_FILTER_TERM
+    )
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return manage.search_alias(spark, store, ALIAS_NAME, qpdf, k=FT_K)
+
+
+def _alias_sql(queries) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+fm AS (
+  SELECT DISTINCT doc_id FROM posting WHERE term = '{ALIAS_FILTER_TERM}'
+),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM fm)
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "fts_delete_by_query": q_fts_delete_by_query,
+    "fts_update_by_query": q_fts_update_by_query,
+    "fts_reindex": q_fts_reindex,
+    "fts_alias": q_fts_alias,
     "fts_rrf": q_fts_rrf,
     "fts_hybrid_linear": q_fts_hybrid_linear,
     "fts_rank_eval": q_fts_rank_eval,
@@ -6839,6 +7023,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "fts_delete_by_query": _delete_by_query_sql(),
+        "fts_update_by_query": _update_by_query_sql(),
+        "fts_reindex": _reindex_sql(),
+        "fts_alias": _alias_sql(SORTED_QUERIES),
         "fts_rrf": _rrf_sql(SORTED_QUERIES),
         "fts_hybrid_linear": _hybrid_linear_sql(SORTED_QUERIES),
         "fts_rank_eval": _rank_eval_sql(SORTED_QUERIES),
