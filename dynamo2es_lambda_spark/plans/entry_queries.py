@@ -6747,9 +6747,233 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {FT_K}
 """
 
 
+# --------------------------------- 4z7. metric aggs II + auto/date-range
+# ES median_absolute_deviation / boxplot / t_test / matrix_stats over
+# doc fields, and date_range / auto_date_histogram over the events table.
+
+TT_GROUPS = ("en", "es")
+MS_FIELDS = ("dl", "n_chars")
+DATE_RANGES = [
+    ("r0", None, "2024-01-10"),
+    ("r1", "2024-01-10", "2024-01-20"),
+    ("r2", "2024-01-20", None),
+]
+AUTO_DH_TARGET = 40
+
+
+def q_fts_mad(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_median_absolute_deviation_agg(
+        spark, store, qpdf, value_col="dl"
+    )
+
+
+def _mad_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+vals AS (
+  SELECT m.qid AS qid, CAST(dl.dl AS DOUBLE) AS v
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+),
+med AS (SELECT qid, quantile_cont(v, 0.5) AS med FROM vals GROUP BY qid)
+SELECT CAST(vals.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(abs(v - med), 0.5), 6) AS mad_r
+FROM vals JOIN med ON med.qid = vals.qid
+GROUP BY vals.qid
+"""
+
+
+def q_fts_boxplot(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_boxplot_agg(
+        spark, store, qpdf, value_col="n_chars"
+    )
+
+
+def _boxplot_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+vals AS (
+  SELECT m.qid AS qid, CAST(doc.n_chars AS DOUBLE) AS v
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(v), 6) AS min_r,
+       round(quantile_cont(v, 0.25), 6) AS q1_r,
+       round(quantile_cont(v, 0.5), 6) AS q2_r,
+       round(quantile_cont(v, 0.75), 6) AS q3_r,
+       round(max(v), 6) AS max_r
+FROM vals GROUP BY qid
+"""
+
+
+def q_fts_t_test(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_t_test_agg(
+        spark, store, qpdf, value_col="n_chars", group_col="lang",
+        group_a=TT_GROUPS[0], group_b=TT_GROUPS[1],
+    )
+
+
+def _t_test_sql(queries) -> str:
+    a, b = TT_GROUPS
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+vals AS (
+  SELECT m.qid AS qid, CAST(doc.n_chars AS DOUBLE) AS v, doc.lang AS g
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+),
+agg AS (
+  SELECT qid,
+         count(*) FILTER (g = '{a}') AS n_a,
+         count(*) FILTER (g = '{b}') AS n_b,
+         avg(v) FILTER (g = '{a}') AS ma,
+         avg(v) FILTER (g = '{b}') AS mb,
+         var_samp(v) FILTER (g = '{a}') AS va,
+         var_samp(v) FILTER (g = '{b}') AS vb
+  FROM vals GROUP BY qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND sqrt(va / n_a + vb / n_b) > 0
+                  THEN (ma - mb) / sqrt(va / n_a + vb / n_b)
+             END, 6) AS t_r
+FROM agg
+"""
+
+
+def q_fts_matrix_stats(spark, sf_dir):
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_matrix_stats_agg(spark, store, qpdf, MS_FIELDS)
+    # round covariance to 2 dp (absolute magnitude ~1e5: 6-dp rounding
+    # would sit inside cross-engine float-sum noise), correlation to 6
+    return res.select(
+        "qid", "field_x", "field_y", "n_docs",
+        F.round("covar_r", 2).alias("covar_r2"), "corr_r",
+    )
+
+
+def _matrix_stats_sql(queries) -> str:
+    x, y = MS_FIELDS
+    cells = []
+    for fx, ex in ((x, "vx"), (y, "vy")):
+        for fy, ey in ((x, "vx"), (y, "vy")):
+            cells.append(
+                f"SELECT CAST(qid AS BIGINT) AS qid, '{fx}' AS field_x, "
+                f"'{fy}' AS field_y, CAST(count(*) AS BIGINT) AS n_docs, "
+                f"round(covar_samp({ex}, {ey}), 2) AS covar_r2, "
+                f"round(corr({ex}, {ey}), 6) AS corr_r FROM vals GROUP BY qid"
+            )
+    u = "\nUNION ALL ".join(cells)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+vals AS (
+  SELECT m.qid AS qid, CAST(dl.dl AS DOUBLE) AS vx,
+         CAST(doc.n_chars AS DOUBLE) AS vy
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+)
+{u}
+"""
+
+
+def q_events_date_range(spark, sf_dir):
+    """ES date_range aggregation over the events stream: half-open
+    [from, to) buckets (ES semantics), overlap-safe via a broadcast
+    range join — one scan regardless of bucket count."""
+    e = _tbl(spark, sf_dir, "events")
+    r = spark.createDataFrame(
+        pd.DataFrame(DATE_RANGES, columns=["rkey", "rfrom", "rto"])
+    ).select(
+        "rkey",
+        F.col("rfrom").cast("timestamp").alias("rfrom"),
+        F.col("rto").cast("timestamp").alias("rto"),
+    )
+    cond = (
+        (F.col("rfrom").isNull() | (F.col("ts") >= F.col("rfrom")))
+        & (F.col("rto").isNull() | (F.col("ts") < F.col("rto")))
+    )
+    return (
+        e.join(F.broadcast(r), cond)
+        .groupBy("rkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value_r"),
+        )
+    )
+
+
+def _date_range_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', {f'TIMESTAMP ' + repr(f) if f else 'NULL'}, "
+        f"{f'TIMESTAMP ' + repr(t) if t else 'NULL'})"
+        for k, f, t in DATE_RANGES
+    )
+    return f"""
+WITH r(rkey, rfrom, rto) AS (VALUES {vals})
+SELECT r.rkey AS rkey, CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(e.value), 6) AS avg_value_r
+FROM events e JOIN r
+  ON (r.rfrom IS NULL OR e.ts >= r.rfrom)
+ AND (r.rto IS NULL OR e.ts < r.rto)
+GROUP BY r.rkey
+"""
+
+
+def q_events_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: the engine picks the finest calendar
+    interval fitting the target bucket count, then buckets on it."""
+    e = _tbl(spark, sf_dir, "events")
+    _, out = search.auto_date_histogram(e, "ts", AUTO_DH_TARGET)
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "interval",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _auto_date_histogram_sql() -> str:
+    t = AUTO_DH_TARGET
+    return f"""
+WITH c AS (
+  SELECT count(DISTINCT date_trunc('minute', ts)) AS c_minute,
+         count(DISTINCT date_trunc('hour', ts)) AS c_hour,
+         count(DISTINCT date_trunc('day', ts)) AS c_day,
+         count(DISTINCT date_trunc('week', ts)) AS c_week,
+         count(DISTINCT date_trunc('month', ts)) AS c_month,
+         count(DISTINCT date_trunc('quarter', ts)) AS c_quarter,
+         count(DISTINCT date_trunc('year', ts)) AS c_year
+  FROM events
+),
+b AS (
+  SELECT CASE WHEN c_minute <= {t} THEN 'minute'
+              WHEN c_hour <= {t} THEN 'hour'
+              WHEN c_day <= {t} THEN 'day'
+              WHEN c_week <= {t} THEN 'week'
+              WHEN c_month <= {t} THEN 'month'
+              WHEN c_quarter <= {t} THEN 'quarter'
+              ELSE 'year' END AS iv
+  FROM c
+)
+SELECT CAST(date_trunc(b.iv, e.ts) AS VARCHAR) AS bucket,
+       b.iv AS "interval", CAST(count(*) AS BIGINT) AS n
+FROM events e CROSS JOIN b
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "fts_mad": q_fts_mad,
+    "fts_boxplot": q_fts_boxplot,
+    "fts_t_test": q_fts_t_test,
+    "fts_matrix_stats": q_fts_matrix_stats,
+    "events_date_range": q_events_date_range,
+    "events_auto_date_histogram": q_events_auto_date_histogram,
     "fts_delete_by_query": q_fts_delete_by_query,
     "fts_update_by_query": q_fts_update_by_query,
     "fts_reindex": q_fts_reindex,
@@ -7023,6 +7247,12 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "fts_mad": _mad_sql(SORTED_QUERIES),
+        "fts_boxplot": _boxplot_sql(SORTED_QUERIES),
+        "fts_t_test": _t_test_sql(SORTED_QUERIES),
+        "fts_matrix_stats": _matrix_stats_sql(SORTED_QUERIES),
+        "events_date_range": _date_range_sql(),
+        "events_auto_date_histogram": _auto_date_histogram_sql(),
         "fts_delete_by_query": _delete_by_query_sql(),
         "fts_update_by_query": _update_by_query_sql(),
         "fts_reindex": _reindex_sql(),

@@ -6772,3 +6772,240 @@ def rank_eval(
         "recall_at_k, 'mrr', mrr, 'ndcg_at_k', ndcg_at_k) AS (metric, value_r)",
     )
     return long.select("qid", "metric", F.round("value_r", 6).alias("value_r"))
+
+
+# ------------------------------------------- round-4 metric aggs II
+# ES median_absolute_deviation / boxplot / t_test / matrix_stats — the
+# remaining numeric aggregations over doc fields the reference ships
+# onto the index (lib/handler.js:100). All follow the stats-agg plan:
+# pruned posting read -> metadata join -> hash aggregation(s).
+
+
+def search_median_absolute_deviation_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|v - median(v)|) per
+    query. ES approximates with TDigest; we define the EXACT
+    interpolated median (documented divergence — deterministic and
+    oracle-replicable, and at 100 TB the second pass is a metadata-sized
+    re-aggregation, not a corpus scan: the match-set values join a
+    per-qid scalar)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, mad_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    joined = hits.join(stats, "doc_int")
+    med = joined.groupBy("qid").agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    return (
+        joined.join(F.broadcast(med), "qid")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.expr("percentile(abs(_v - _med), 0.5)"), 6
+            ).alias("mad_r"),
+        )
+    )
+
+
+def search_boxplot_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``boxplot``: min / q1 / q2 / q3 / max of a doc field over the
+    match set, exact interpolated quantiles (ES uses TDigest — same
+    documented divergence as MAD). ONE hash aggregation."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, n_docs long, min_r double, q1_r double, "
+            "q2_r double, q3_r double, max_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("_v"), 6).alias("min_r"),
+            F.round(F.expr("percentile(_v, 0.25)"), 6).alias("q1_r"),
+            F.round(F.expr("percentile(_v, 0.5)"), 6).alias("q2_r"),
+            F.round(F.expr("percentile(_v, 0.75)"), 6).alias("q3_r"),
+            F.round(F.max("_v"), 6).alias("max_r"),
+        )
+    )
+
+
+def search_t_test_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``t_test`` (unpaired heteroscedastic — Welch's, the ES default
+    for two filters): t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b) with
+    SAMPLE variances, between the match-set docs whose ``group_col``
+    equals ``group_a`` vs ``group_b``. Null when either side has < 2
+    docs or both variances are zero. ONE conditional aggregation."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_a long, n_b long, t_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(group_col).cast("string").alias("_g"),
+    )
+    in_a = F.col("_g") == group_a
+    in_b = F.col("_g") == group_b
+    agg = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.sum(in_a.cast("long")).alias("n_a"),
+            F.sum(in_b.cast("long")).alias("n_b"),
+            F.avg(F.when(in_a, F.col("_v"))).alias("_ma"),
+            F.avg(F.when(in_b, F.col("_v"))).alias("_mb"),
+            F.var_samp(F.when(in_a, F.col("_v"))).alias("_va"),
+            F.var_samp(F.when(in_b, F.col("_v"))).alias("_vb"),
+        )
+    )
+    denom = F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (denom > 0),
+        (F.col("_ma") - F.col("_mb")) / denom,
+    )
+    return agg.select(
+        "qid", "n_a", "n_b", F.round(t, 6).alias("t_r")
+    )
+
+
+def search_matrix_stats_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    fields: tuple[str, ...],
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats``: the covariance and correlation matrices over
+    a set of numeric doc fields, one long-format row per ordered field
+    pair. SAMPLE covariance (ES's definition); the diagonal carries the
+    field variance and correlation 1. ONE hash aggregation computes
+    every cell, then a stack to long format — no per-pair pass."""
+    if len(fields) < 2:
+        raise EngineError("matrix_stats wants >= 2 fields")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, field_x string, field_y string, n_docs long, "
+            "covar_r double, corr_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        *[F.col(f).cast("double").alias(f"_v_{f}") for f in fields],
+    )
+    cells = []
+    for x in fields:
+        for y in fields:
+            cells.append(
+                F.round(
+                    F.covar_samp(f"_v_{x}", f"_v_{y}"), 6
+                ).alias(f"_cov_{x}_{y}")
+            )
+            # Pearson via try_divide: ANSI-mode corr() raises on a
+            # zero-variance column; ES (and DuckDB) return null there
+            cells.append(
+                F.round(
+                    F.expr(
+                        f"try_divide(covar_samp(_v_{x}, _v_{y}), "
+                        f"stddev_samp(_v_{x}) * stddev_samp(_v_{y}))"
+                    ),
+                    6,
+                ).alias(f"_cor_{x}_{y}")
+            )
+    agg = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_docs"), *cells)
+    )
+    pairs = ", ".join(
+        f"'{x}', '{y}', _cov_{x}_{y}, _cor_{x}_{y}"
+        for x in fields
+        for y in fields
+    )
+    n = len(fields) * len(fields)
+    return agg.selectExpr(
+        "qid",
+        "n_docs",
+        f"stack({n}, {pairs}) AS (field_x, field_y, covar_r, corr_r)",
+    ).select("qid", "field_x", "field_y", "n_docs", "covar_r", "corr_r")
+
+
+_AUTO_DH_INTERVALS = (
+    "minute", "hour", "day", "week", "month", "quarter", "year"
+)
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    target_buckets: int,
+    group_cols: tuple[str, ...] = (),
+) -> tuple[str, DataFrame]:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval
+    (minute → year) whose distinct-bucket count stays within
+    ``target_buckets``, then bucket on it. Returns (chosen_interval,
+    aggregated frame with ``bucket``/``interval``/``n`` columns).
+
+    The interval choice is ONE aggregation computing every candidate's
+    distinct-bucket count simultaneously (7 countDistincts over the
+    pruned ts column — no per-candidate pass); only the 7-number result
+    reaches the driver."""
+    counts = df.agg(
+        *[
+            F.countDistinct(F.date_trunc(u, F.col(ts_col))).alias(u)
+            for u in _AUTO_DH_INTERVALS
+        ]
+    ).first()
+    chosen = _AUTO_DH_INTERVALS[-1]
+    for u in _AUTO_DH_INTERVALS:
+        if int(counts[u] or 0) <= int(target_buckets):
+            chosen = u
+            break
+    out = (
+        df.groupBy(
+            F.date_trunc(chosen, F.col(ts_col)).alias("bucket"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("interval", F.lit(chosen))
+    )
+    return chosen, out
