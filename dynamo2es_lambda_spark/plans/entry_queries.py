@@ -6965,9 +6965,216 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------- 4z8. terms_set / runtime / inner_hits
+# / intervals / msearch — the remaining ES query-DSL stragglers.
+
+TERMS_SET_QUERIES = [
+    (0, "spark merge window stream"),
+    (1, "customer part data"),
+]
+TS_MSM_SPARK = "1 + pmod(n_chars, 3)"
+TS_MSM_SQL = "1 + (n_chars % 3)"
+RT_EXPRS = {
+    "size_class": (
+        "CASE WHEN n_chars < 200 THEN 'small' "
+        "WHEN n_chars < 400 THEN 'mid' ELSE 'large' END"
+    ),
+    "chars_per_tok": "CAST(n_chars AS DOUBLE) / greatest(dl, 1)",
+}
+CI_K, CI_INNER = 3, 2
+INTERVALS_GAPS = 2
+MSEARCH_REQUESTS = [
+    {"slot": 0, "kind": "match", "query": "spark merge window"},
+    {"slot": 1, "kind": "match_and", "query": "spark merge"},
+    {"slot": 2, "kind": "phrase", "query": "part filter scan"},
+]
+
+
+def q_fts_terms_set(spark, sf_dir):
+    """ES terms_set: per-doc minimum_should_match from a doc field
+    expression (minimum_should_match_field semantics)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(TERMS_SET_QUERIES, columns=["qid", "query"])
+    return search.search_terms_set(
+        spark, store, qpdf, msm_expr=TS_MSM_SPARK, k=FT_K
+    )
+
+
+def _terms_set_sql(queries) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+req AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         greatest(1, {TS_MSM_SQL}) AS required
+  FROM documents
+),
+ranked AS (
+  SELECT CAST(s.qid AS BIGINT) AS qid, s.doc_id AS doc_id,
+         CAST(s.nt AS BIGINT) AS nt, s.score_r,
+         CAST(row_number() OVER (
+           PARTITION BY s.qid ORDER BY s.score_r DESC, s.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored s JOIN req ON req.doc_id = s.doc_id
+  WHERE s.nt >= req.required
+)
+SELECT qid, rank, doc_id, nt, score_r FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_fts_runtime_field(spark, sf_dir):
+    """ES runtime fields: derived size_class bucket + avg derived
+    chars-per-token, both computed at query time from marker columns."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_runtime_terms_agg(
+        spark, store, qpdf, RT_EXPRS,
+        group_field="size_class", avg_field="chars_per_tok",
+    )
+
+
+def _runtime_field_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+rt AS (
+  SELECT CAST(doc.doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc.n_chars < 200 THEN 'small'
+              WHEN doc.n_chars < 400 THEN 'mid' ELSE 'large' END AS grp,
+         CAST(doc.n_chars AS DOUBLE) / greatest(dl.dl, 1) AS cpt
+  FROM documents doc
+  JOIN dl ON dl.doc_id = CAST(doc.doc_id AS VARCHAR)
+)
+SELECT CAST(m.qid AS BIGINT) AS qid, rt.grp AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(rt.cpt), 6) AS avg_r
+FROM m JOIN rt ON rt.doc_id = m.doc_id
+GROUP BY m.qid, rt.grp
+"""
+
+
+def q_fts_collapse_inner(spark, sf_dir):
+    """ES collapse + inner_hits: top groups by best doc, each with its
+    own top inner docs."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_collapse_inner_hits(
+        spark, store, qpdf, collapse_col="lang", k=CI_K,
+        inner_size=CI_INNER,
+    )
+
+
+def _collapse_inner_sql(queries) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+named AS (
+  SELECT s.qid AS qid, s.doc_id AS doc_id, doc.lang AS grp, s.score_r
+  FROM scored s
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = s.doc_id
+),
+inner_h AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid, grp ORDER BY score_r DESC, doc_id ASC
+  ) AS inner_rank
+  FROM named
+),
+kept AS (SELECT * FROM inner_h WHERE inner_rank <= {CI_INNER}),
+g AS (
+  SELECT qid, grp, max(score_r) AS gscore,
+         min(CASE WHEN inner_rank = 1 THEN doc_id END) AS gdoc
+  FROM kept GROUP BY qid, grp
+),
+gr AS (
+  SELECT qid, grp, dense_rank() OVER (
+    PARTITION BY qid ORDER BY gscore DESC, gdoc ASC
+  ) AS group_rank
+  FROM g
+)
+SELECT CAST(k.qid AS BIGINT) AS qid,
+       CAST(gr.group_rank AS INTEGER) AS group_rank, k.grp AS "group",
+       CAST(k.inner_rank AS INTEGER) AS inner_rank, k.doc_id AS doc_id,
+       k.score_r AS score_r
+FROM kept k JOIN gr ON gr.qid = k.qid AND gr.grp = k.grp
+WHERE gr.group_rank <= {CI_K}
+"""
+
+
+def q_fts_intervals(spark, sf_dir):
+    """ES intervals query (match rule, ordered, max_gaps) — delegates to
+    the positional span kernel via the slop identity."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SLOP_QUERIES, columns=["qid", "query"])
+    res = search.search_intervals(
+        spark, store, qpdf, max_gaps=INTERVALS_GAPS, ordered=True, k=50
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_msearch(spark, sf_dir):
+    """ES _msearch: three heterogeneous requests in one call."""
+    store = _corpus_store(spark, sf_dir)
+    return search.msearch(spark, store, MSEARCH_REQUESTS, k=FT_K)
+
+
+def _msearch_sql() -> str:
+    parts = []
+    for req in MSEARCH_REQUESTS:
+        qs = [(0, req["query"])]
+        if req["kind"] == "match":
+            sub = _bm25_sql(qs, FT_K, and_mode=False)
+        elif req["kind"] == "match_and":
+            sub = _bm25_sql(qs, FT_K, and_mode=True)
+        else:
+            sub = _phrase_sql(qs, FT_K)
+        parts.append(
+            f"SELECT CAST({req['slot']} AS BIGINT) AS slot, rank, doc_id, "
+            f"score_r FROM ({sub})"
+        )
+    return "\nUNION ALL ".join(parts)
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "fts_terms_set": q_fts_terms_set,
+    "fts_runtime_field": q_fts_runtime_field,
+    "fts_collapse_inner": q_fts_collapse_inner,
+    "fts_intervals": q_fts_intervals,
+    "fts_msearch": q_fts_msearch,
     "fts_mad": q_fts_mad,
     "fts_boxplot": q_fts_boxplot,
     "fts_t_test": q_fts_t_test,
@@ -7247,6 +7454,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "fts_terms_set": _terms_set_sql(TERMS_SET_QUERIES),
+        "fts_runtime_field": _runtime_field_sql(SORTED_QUERIES),
+        "fts_collapse_inner": _collapse_inner_sql(SORTED_QUERIES),
+        "fts_intervals": _phrase_slop_sql(SLOP_QUERIES, FT_K, INTERVALS_GAPS),
+        "fts_msearch": _msearch_sql(),
         "fts_mad": _mad_sql(SORTED_QUERIES),
         "fts_boxplot": _boxplot_sql(SORTED_QUERIES),
         "fts_t_test": _t_test_sql(SORTED_QUERIES),

@@ -7009,3 +7009,244 @@ def auto_date_histogram(
         .withColumn("interval", F.lit(chosen))
     )
     return chosen, out
+
+
+# --------------------------------------------- terms_set / runtime / etc.
+
+
+def search_terms_set(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    msm_expr: str,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``terms_set``: OR over the analyzed query terms, but each doc
+    sets its OWN minimum_should_match — ``msm_expr`` is a SQL expression
+    over the doc-marker columns (ES minimum_should_match_field /
+    _script), clamped to >= 1. Score = summed BM25 of matched terms.
+
+    Plan: the ordinary OR aggregate already counts distinct matched
+    terms (nt); the per-doc gate is one metadata join + filter — no
+    extra posting pass."""
+    if k < 1:
+        raise EngineError("terms_set k must be >= 1")
+    prefix, avgdl = _field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = _query_terms(queries)
+    if qt.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, nt long, score_r double"
+        )
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    ).dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, nt long, score_r double"
+        )
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score"), F.count("*").alias("nt")
+    )
+    agg = _drop_dead(spark, store, agg)
+    stats = store.doc_stats(spark).withColumn(
+        "_required", F.greatest(F.lit(1), F.expr(msm_expr).cast("long"))
+    ).select("doc_int", "doc_id", "_required")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.join(stats, "doc_int")
+        .filter(F.col("nt") >= F.col("_required"))
+        .withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id", F.col("nt").cast("long").alias("nt"),
+                "score_r")
+    )
+
+
+def search_runtime_terms_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    runtime_exprs: dict[str, str],
+    group_field: str,
+    avg_field: str | None = None,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES runtime fields: ``runtime_exprs`` (name -> SQL expression over
+    the doc-marker columns) define query-time derived fields — here
+    bucketed (terms agg on ``group_field``) with an optional avg of
+    another runtime field, ES's emit-a-field-then-aggregate pattern
+    without touching the index.
+
+    Runtime fields evaluate as Column expressions inside the metadata
+    join's projection (whole-stage codegen, no per-row Python, nothing
+    materialized store-side) — exactly the scale story ES runtime
+    fields promise (compute at query time, index nothing)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    out_schema = (
+        "qid long, group string, n_docs long"
+        + (", avg_r double" if avg_field else "")
+    )
+    if hits is None:
+        return spark.createDataFrame([], out_schema)
+    stats = store.doc_stats(spark)
+    for name, expr in sorted(runtime_exprs.items()):
+        stats = stats.withColumn(name, F.expr(expr))
+    stats = stats.select(
+        "doc_int", F.col(group_field).cast("string").alias("group"),
+        *([F.col(avg_field).cast("double").alias("_av")] if avg_field else []),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if avg_field:
+        aggs.append(F.round(F.avg("_av"), 6).alias("avg_r"))
+    return hits.join(stats, "doc_int").groupBy("qid", "group").agg(*aggs)
+
+
+def search_collapse_inner_hits(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    collapse_col: str,
+    k: int = 10,
+    inner_size: int = 3,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: groups rank by their best
+    doc (as search_collapse), and each surviving group also returns its
+    top ``inner_size`` docs. Three window functions over the scored
+    aggregate — the inner hits come from the SAME pass that ranked the
+    groups, no per-group re-query (which is exactly what ES's
+    inner_hits does NOT give you: it re-runs a sub-search per group)."""
+    if k < 1 or inner_size < 1:
+        raise EngineError("collapse wants k and inner_size >= 1")
+    scored = _scored_or_match(spark, store, queries, field)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "qid long, group_rank int, group string, inner_rank int, "
+                "doc_id string, score_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(collapse_col).cast("string").alias("group"),
+    )
+    named = scored.join(stats, "doc_int").withColumn(
+        "score_r", F.round("score", 6)
+    )
+    w_in = Window.partitionBy("qid", "group").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    w_grp = Window.partitionBy("qid", "group")
+    inner = (
+        named.withColumn("inner_rank", F.row_number().over(w_in))
+        .filter(F.col("inner_rank") <= int(inner_size))
+        .withColumn("_gscore", F.max("score_r").over(w_grp))
+        .withColumn(
+            "_gdoc",
+            F.min(
+                F.when(F.col("inner_rank") == 1, F.col("doc_id"))
+            ).over(w_grp),
+        )
+    )
+    w_out = Window.partitionBy("qid").orderBy(
+        F.col("_gscore").desc(), F.col("_gdoc").asc()
+    )
+    return (
+        inner.withColumn("group_rank", F.dense_rank().over(w_out))
+        .filter(F.col("group_rank") <= int(k))
+        .select("qid", "group_rank", "group", "inner_rank", "doc_id",
+                "score_r")
+    )
+
+
+def search_intervals(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    max_gaps: int = 0,
+    ordered: bool = True,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``intervals`` query, ``match`` rule with ``max_gaps`` /
+    ``ordered``: the analyzed terms must appear within a window wasting
+    at most ``max_gaps`` positions. For n terms that window is
+    ``n - 1 + max_gaps`` — algebraically the span_near slop budget, so
+    the query delegates to the same vectorized positional kernel
+    (ordered -> in-order chain, unordered -> window sweep). Scoring:
+    summed BM25 of the interval terms."""
+    if max_gaps < 0:
+        raise EngineError("intervals max_gaps must be >= 0")
+    return search_span_near(
+        spark, store, queries, slop=int(max_gaps), in_order=ordered,
+        k=k, field=field,
+    )
+
+
+def msearch(
+    spark: SparkSession,
+    store: IndexStore,
+    requests: list[dict],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``_msearch``: heterogeneous searches in one call, results
+    tagged by request slot. Each request: ``{"slot": int, "kind":
+    "match" | "match_and" | "phrase", "query": str}``. Rankings use the
+    rounded-score doc_id-tie-broken discipline so pages are
+    bit-deterministic. Returns (slot, rank, doc_id, score_r).
+
+    The slots run as independent jobs over the SAME store handle (shared
+    metadata, shared posting layout); a driver loop over a handful of
+    requests, each itself fully distributed — the classic ES msearch
+    shape."""
+    outs = []
+    w = Window.partitionBy("slot").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    for req in requests:
+        kind = req.get("kind", "match")
+        qpdf = pd.DataFrame([(0, req["query"])], columns=["qid", "query"])
+        if kind == "match":
+            res = search(spark, store, qpdf, k=max(50, k), algo="exhaustive")
+        elif kind == "match_and":
+            res = search(
+                spark, store, qpdf, k=max(50, k), mode="and",
+                algo="exhaustive",
+            )
+        elif kind == "phrase":
+            res = search_phrase(spark, store, qpdf, k=max(50, k))
+        else:
+            raise EngineError(f"msearch: unknown kind {kind!r}")
+        outs.append(
+            res.select(
+                F.lit(int(req["slot"])).cast("long").alias("slot"),
+                "doc_id",
+                F.round("score", 6).alias("score_r"),
+            )
+        )
+    if not outs:
+        return spark.createDataFrame(
+            [], "slot long, rank int, doc_id string, score_r double"
+        )
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("slot", "rank", "doc_id", "score_r")
+    )
