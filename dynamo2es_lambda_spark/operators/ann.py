@@ -820,3 +820,59 @@ def ann_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "score")
     )
+
+
+def cluster_label_stats(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic one-pass domain clustering for corpus organization
+    (the training-pipeline "what topic mix is in each shard" question):
+    centroids are the first ``k`` vectors in md5(id) order — a
+    content-keyed pseudo-random sample, the same oracle-replicable trick
+    the PQ/LSH paths use — and every vector assigns to its max-cosine
+    centroid (6-dp rounded, centroid-id tie-break). Emits per
+    (cluster, label): member count and mean cosine (cohesion).
+
+    Plan: the k centroids broadcast (model-sized); assignment is a
+    broadcast nested-loop join with the cosine as ONE codegen aggregate
+    expression + a per-vector rank window — a single pass over the
+    embeddings, no iteration. For a refined codebook swap the seeding
+    for kmeans_centroids (same assignment plan)."""
+    from ..errors import EngineError
+
+    if k < 1:
+        raise EngineError("cluster_label_stats wants k >= 1")
+    cent = F.broadcast(
+        embeddings.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("_h", F.md5(F.col("cid")))
+        .orderBy("_h")
+        .limit(int(k))
+        .select("cid", "cvec")
+    )
+    v = embeddings.select(
+        F.col(id_col).cast("string").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vvec"),
+        F.col(label_col).cast("string").alias("label"),
+    )
+    j = v.crossJoin(cent).withColumn(
+        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_r").desc(), F.col("cid").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(F.col("cid").alias("cluster"), "label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("cos_r"), 6).alias("avg_cos_r"),
+        )
+    )

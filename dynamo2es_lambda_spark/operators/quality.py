@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..errors import EngineError
 from ..functions.analysis import spark_tokens_expr
 
 
@@ -92,3 +93,39 @@ def repetition_stats(
         )
     )
     return out
+
+
+def quality_percentile_filter(
+    docs: DataFrame,
+    pct: float = 0.25,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus-relative adaptive quality gate: drop every doc whose
+    quality score sits below the corpus's ``pct`` quantile — the
+    percentile-threshold variant of the fixed-cutoff documents_clean
+    gate (real pipelines tune "drop the worst X%", not an absolute
+    score). Emits per-lang kept counts + mean kept score.
+
+    The threshold is ONE exact interpolated percentile over the
+    6-dp-rounded scores (rounding first keeps the quantile
+    oracle-replicable), broadcast back as a scalar — two aggregations
+    total, no sort of the corpus."""
+    from ..functions import text as T
+
+    if not 0.0 <= pct <= 1.0:
+        raise EngineError("pct must be in [0, 1]")
+    scored = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.round(T.quality_score(text_col), 6).alias("q_r"),
+    )
+    thr = scored.agg(F.expr(f"percentile(q_r, {pct})").alias("_t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("q_r") >= F.col("_t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("q_r"), 6).alias("avg_q_r"),
+        )
+    )

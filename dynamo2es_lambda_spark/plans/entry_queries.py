@@ -7167,9 +7167,96 @@ def _msearch_sql() -> str:
     return "\nUNION ALL ".join(parts)
 
 
+# --------------------------------- 4z9. pipeline ops III
+# Domain clustering over embeddings + percentile-threshold quality gate.
+
+CLUSTER_K = 4
+QPCT = 0.25
+
+
+def q_embed_cluster_stats(spark, sf_dir):
+    """Deterministic domain clustering: md5-seeded centroids, one
+    max-cosine assignment pass, per-(cluster, label) mix + cohesion."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return ann.cluster_label_stats(emb, k=CLUSTER_K)
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {CLUSTER_K}
+),
+v AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vid, embedding::DOUBLE[] AS vvec,
+         CAST(label AS VARCHAR) AS label
+  FROM embeddings
+),
+j AS (
+  SELECT v.vid AS vid, v.label AS label, cent.cid AS cid,
+         round(list_dot_product(v.vvec, cent.cvec)
+               / (sqrt(list_dot_product(v.vvec, v.vvec))
+                  * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6)
+           AS cos_r
+  FROM v CROSS JOIN cent
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vid ORDER BY cos_r DESC, cid ASC
+    ) AS rn FROM j
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster, label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(cos_r), 6) AS avg_cos_r
+FROM best GROUP BY cid, label
+"""
+
+
+def q_documents_quality_pct(spark, sf_dir):
+    """Percentile-threshold adaptive quality gate: keep docs at or
+    above the corpus P25 quality score; per-lang kept counts."""
+    return quality.quality_percentile_filter(
+        _docs(spark, sf_dir), pct=QPCT
+    )
+
+
+def _quality_pct_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    return f"""
+WITH x AS (
+  SELECT lang, text, {DOC_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT lang,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         len(regexp_extract_all(text, '{T.PUNCT_RE}'))
+           / greatest(length(text), 1) AS punct,
+         len(list_filter(toks, t -> t IN ({stop})))
+           / greatest(len(toks), 1) AS stop
+  FROM x
+),
+base AS (
+  SELECT lang,
+         round(least(n_tok / 100.0, 1.0) * 0.4
+               + (1.0 - least(punct * 4.0, 1.0)) * 0.3
+               + least(stop * 5.0, 1.0) * 0.3, 6) AS q_r
+  FROM m
+),
+thr AS (SELECT quantile_cont(q_r, {QPCT}) AS t FROM base)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(q_r), 6) AS avg_q_r
+FROM base, thr WHERE q_r >= t
+GROUP BY lang
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "embed_cluster_stats": q_embed_cluster_stats,
+    "documents_quality_pct": q_documents_quality_pct,
     "fts_terms_set": q_fts_terms_set,
     "fts_runtime_field": q_fts_runtime_field,
     "fts_collapse_inner": q_fts_collapse_inner,
@@ -7454,6 +7541,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "embed_cluster_stats": _cluster_stats_sql(),
+        "documents_quality_pct": _quality_pct_sql(),
         "fts_terms_set": _terms_set_sql(TERMS_SET_QUERIES),
         "fts_runtime_field": _runtime_field_sql(SORTED_QUERIES),
         "fts_collapse_inner": _collapse_inner_sql(SORTED_QUERIES),
