@@ -388,6 +388,16 @@ def main() -> None:
         "events_sessionize",
         "tpch_q1_pricing_summary",
         "tpch_revenue_by_nation",
+        # round-4 session families: hybrid fusion (both legs + full-outer
+        # fuse), rank_eval (ranking + broadcast qrels), terms_set (per-doc
+        # msm gate), exact-quantile agg, one-pass domain clustering, and
+        # the percentile quality gate
+        "fts_rrf",
+        "fts_rank_eval",
+        "fts_terms_set",
+        "fts_mad",
+        "embed_cluster_stats",
+        "documents_quality_pct",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))
