@@ -7252,9 +7252,100 @@ GROUP BY lang
 """
 
 
+# --------------------------------- 4z10. point-in-time + sliced scroll
+
+SLICES, SLICED_PAGE = 3, 7
+SLICED_QUERY = "spark merge"
+
+
+def q_fts_pit_counts(spark, sf_dir):
+    """Point-in-time liveness over the post-delete store's batch log:
+    as-of the base build (batch 0) every doc is live; as-of the delete
+    batch (batch 1) the match set is gone — both computed from the same
+    immutable store."""
+    st = _mgmt_stores(spark, sf_dir)[0]
+    return manage.count_as_of(spark, st, [0, 1], group_col="lang")
+
+
+def _pit_sql() -> str:
+    return f"""{_BM25_BODY},{_match_m_cte([(0, MGMT_DEL_QUERY)])}
+SELECT CAST(0 AS BIGINT) AS batch, lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_live
+FROM documents GROUP BY lang
+UNION ALL
+SELECT CAST(1 AS BIGINT), lang, CAST(count(*) AS BIGINT)
+FROM documents doc
+WHERE CAST(doc.doc_id AS VARCHAR) NOT IN (SELECT doc_id FROM m)
+GROUP BY lang
+"""
+
+
+def q_fts_scroll_sliced(spark, sf_dir):
+    """ES sliced scroll: the full export of one query split into
+    disjoint md5-hash slices, each drained through the keyset pager
+    (page_size small enough to force multiple pages per slice)."""
+    store = _corpus_store(spark, sf_dir)
+    frames = []
+    for s in range(SLICES):
+        rows = [
+            page[["doc_id", "score_r"]]
+            for page in search.scroll_sliced(
+                spark, store, SLICED_QUERY, s, SLICES,
+                page_size=SLICED_PAGE,
+            )
+        ]
+        if not rows:
+            continue
+        pdf = pd.concat(rows, ignore_index=True)
+        pdf.insert(0, "slice", s)
+        pdf.insert(1, "rank", range(1, len(pdf) + 1))
+        frames.append(pdf)
+    out = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(out).select(
+        F.col("slice").cast("long").alias("slice"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "score_r",
+    )
+
+
+def _scroll_sliced_sql() -> str:
+    toks = analysis.tokenize_series(pd.Series([SLICED_QUERY]))[0]
+    vals = [
+        f"(0, '{t}', {qtf})" for t, qtf in sorted(Counter(toks).items())
+    ]
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT p.doc_id AS doc_id,
+         round(sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ({K1} + 1.0) * p.tf
+                   / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score_r
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(floor((('0x' || substr(md5(doc_id), 1, 8))::BIGINT
+                   / 4294967296.0) * {SLICES}) AS BIGINT) AS slice,
+       CAST(row_number() OVER (
+         PARTITION BY floor((('0x' || substr(md5(doc_id), 1, 8))::BIGINT
+                             / 4294967296.0) * {SLICES})
+         ORDER BY score_r DESC, doc_id ASC
+       ) AS BIGINT) AS rank,
+       doc_id, score_r
+FROM scored
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
+    "fts_pit_counts": q_fts_pit_counts,
+    "fts_scroll_sliced": q_fts_scroll_sliced,
     "embed_cluster_stats": q_embed_cluster_stats,
     "documents_quality_pct": q_documents_quality_pct,
     "fts_terms_set": q_fts_terms_set,
@@ -7541,6 +7632,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
+        "fts_pit_counts": _pit_sql(),
+        "fts_scroll_sliced": _scroll_sliced_sql(),
         "embed_cluster_stats": _cluster_stats_sql(),
         "documents_quality_pct": _quality_pct_sql(),
         "fts_terms_set": _terms_set_sql(TERMS_SET_QUERIES),

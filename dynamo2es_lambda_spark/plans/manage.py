@@ -243,3 +243,146 @@ def search_alias(
         .filter(F.col("rank") <= int(k))
         .select("qid", "rank", "doc_id", "score_r")
     )
+
+
+# ----------------------------------------------------------- point-in-time
+
+
+def _batch_num(col):
+    """'b12' -> 12 (batch partition values are b<idx> — plans/build.py
+    batch_name / plans/cdc.py _next_batch_idx)."""
+    return F.substring(col, 2, 18).cast("long")
+
+
+def live_as_of(
+    spark: SparkSession, store: search.IndexStore, batch: int | str
+) -> DataFrame:
+    """ES point-in-time / Iceberg-snapshot liveness: the LIVE (doc_int,
+    doc_id) set as of batch ``batch`` — recompute the LWW winners
+    considering only marker batches and tombstone batches with index <=
+    ``batch``. The store's immutable batch log IS the time axis: nothing
+    was ever rewritten, so any prefix of it replays exactly.
+
+    Metadata-only (markers + tombstone rows, never postings); the same
+    version-desc / tombstone-wins window discipline as
+    plans/build._finalize_store, just over the batch-prefix."""
+    n = int(str(batch).lstrip("b"))
+    ds = store.doc_stats(spark)
+    if "batch" not in ds.columns:
+        raise EngineError(
+            f"store at {store.path} markers carry no batch column — "
+            "rebuild to enable point-in-time reads"
+        )
+    entries = ds.filter(_batch_num(F.col("batch")) <= n).select(
+        "doc_id", "version", "doc_int", F.lit(False).alias("is_tomb")
+    )
+    tomb_path = os.path.join(store.path, "tombstones")
+    if os.path.isdir(tomb_path):
+        tombs = (
+            spark.read.parquet(tomb_path)
+            .filter(_batch_num(F.col("batch")) <= n)
+            .select(
+                "doc_id", "version",
+                F.lit(None).cast("long").alias("doc_int"),
+                F.lit(True).alias("is_tomb"),
+            )
+        )
+        entries = entries.unionByName(tombs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("version").desc_nulls_last(),
+        F.col("is_tomb").desc(),
+        F.col("doc_int").desc_nulls_last(),
+    )
+    return (
+        entries.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("is_tomb"))
+        .select("doc_int", "doc_id")
+    )
+
+
+def count_as_of(
+    spark: SparkSession,
+    store: search.IndexStore,
+    batches: list[int | str],
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group live counts at several points in time — the PIT gate:
+    one row per (batch, group). Each batch's liveness is its own
+    metadata window; the union stays metadata-sized."""
+    outs = []
+    ds = store.doc_stats(spark)
+    for b in batches:
+        n = int(str(b).lstrip("b"))
+        live = live_as_of(spark, store, n)
+        outs.append(
+            live.join(ds.select("doc_int", group_col), "doc_int")
+            .groupBy(F.col(group_col).alias("group"))
+            .agg(F.count("*").alias("n_live"))
+            .select(
+                F.lit(n).cast("long").alias("batch"), "group", "n_live"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def search_as_of(
+    spark: SparkSession,
+    store: search.IndexStore,
+    queries: pd.DataFrame,
+    batch: int | str,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """BM25 OR ranking against the point-in-time candidate set: the
+    match set semi-joins the as-of live list instead of anti-joining the
+    current dead list. Scores use the store's CURRENT global statistics
+    (documented divergence: ES PIT pins segment stats too; pinning N/df
+    per PIT would mean re-deriving term_stats per batch-prefix — the
+    candidate-set pin is the part correctness depends on, scores remain
+    a consistent ranking)."""
+    n = int(str(batch).lstrip("b"))
+    prefix, avgdl = search._field_of(store, field)
+    n_docs = float(store.meta["n_docs"])
+    qt = search._query_terms(queries)
+    if qt.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, score_r double"
+        )
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = search._join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    ).dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, score_r double"
+        )
+    qt = qt.copy()
+    from ..functions import bm25
+
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = search._matched_blocks(spark, store, qt)
+    cand = search._score_exhaustive(joined, avgdl)
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    live = live_as_of(spark, store, n).select("doc_int")
+    agg = agg.join(live, "doc_int", "left_semi")
+    stats = store.doc_stats(spark).select("doc_int", "doc_id").dropDuplicates(
+        ["doc_int"]
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.join(stats, "doc_int")
+        .withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id", "score_r")
+    )

@@ -7250,3 +7250,76 @@ def msearch(
         .filter(F.col("rank") <= int(k))
         .select("slot", "rank", "doc_id", "score_r")
     )
+
+
+def scroll_sliced(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    slice_id: int,
+    max_slices: int,
+    page_size: int = 1000,
+    mode: str = "or",
+    field: str | None = None,
+    max_pages: int | None = None,
+):
+    """ES sliced scroll: partition one query's full export into
+    ``max_slices`` disjoint id-hash slices so independent workers drain
+    them in parallel — slice membership is the engine's portable md5
+    uniform (operators/sampling.hash_uniform), so slices are
+    deterministic, disjoint, and complete by construction.
+
+    Each page is one bounded job: the slice predicate and the keyset
+    cursor both apply BEFORE the rank window (filter-then-rank), so page
+    N of slice S costs the same as page 1 — the 100 TB export discipline
+    of plans/search.scroll, times parallel slices."""
+    from ..operators.sampling import hash_uniform
+
+    if page_size < 1:
+        raise EngineError("page_size must be >= 1")
+    if not 0 <= int(slice_id) < int(max_slices):
+        raise EngineError("need 0 <= slice_id < max_slices")
+    qpdf = pd.DataFrame({"qid": [0], "query": [str(query)]})
+    scored = _scored_or_match(spark, store, qpdf, field)
+    if scored is None:
+        return
+    stats = store.doc_stats(spark).select("doc_int", "doc_id")
+    base = (
+        scored.join(stats, "doc_int")
+        .withColumn("score_r", F.round("score", 6))
+        .filter(
+            F.floor(hash_uniform("doc_id") * int(max_slices))
+            == int(slice_id)
+        )
+        .select("qid", "doc_id", "score_r")
+    )
+    after = None
+    pages = 0
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    while True:
+        page_df = base
+        if after is not None:
+            s0, d0 = after
+            page_df = page_df.filter(
+                (F.col("score_r") < float(s0))
+                | ((F.col("score_r") == float(s0))
+                   & (F.col("doc_id") > str(d0)))
+            )
+        page = (
+            page_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(page_size))
+            .toPandas()
+            .sort_values("rank")
+        )
+        if page.empty:
+            return
+        yield page
+        pages += 1
+        if len(page) < page_size:
+            return
+        if max_pages is not None and pages >= max_pages:
+            return
+        last = page.iloc[-1]
+        after = (float(last["score_r"]), str(last["doc_id"]))
