@@ -398,6 +398,11 @@ def main() -> None:
         "fts_mad",
         "embed_cluster_stats",
         "documents_quality_pct",
+        # pipeline IV: interpolated trigram LM (three gram-vocab
+        # aggregations + vocab-keyed joins) and zero-shuffle window
+        # chunking
+        "text_perplexity_trigram",
+        "corpus_chunk_windows",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))

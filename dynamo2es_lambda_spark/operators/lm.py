@@ -195,3 +195,105 @@ def bigram_perplexity_from_stats(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("nll_r"),
     )
+
+
+_TRIGRAMS_FROM_TOKS = (
+    "CASE WHEN size(_toks) >= 3 THEN "
+    "transform(sequence(3, size(_toks)), "
+    "i -> concat(element_at(_toks, i - 2), ' ', element_at(_toks, i - 1), "
+    "' ', element_at(_toks, i))) "
+    "ELSE array() END"
+)
+
+
+def trigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = DEFAULT_K,
+    lambdas: tuple[float, float, float] = (0.2, 0.3, 0.5),
+) -> DataFrame:
+    """→ (doc_id, n_trigrams, nll_r): per-doc mean −log2 p under a
+    Jelinek-Mercer-interpolated trigram LM — the KenLM-shaped upgrade of
+    :func:`bigram_perplexity` (real pipelines filter on an interpolated
+    higher-order model, not a raw bigram):
+
+        p(w3 | w1 w2) = λ1·(c(w3)+k)/(T+kV)
+                      + λ2·(c(w2 w3)+k)/(c(w2)+kV)
+                      + λ3·(c(w1 w2 w3)+k)/(c(w1 w2)+kV)
+
+    with T = total tokens, V = distinct unigrams, add-k inside each
+    order. Docs with fewer than three tokens are excluded (no trigram
+    evidence). Deterministic: exact integer counts everywhere, floats
+    only in the final interpolation.
+
+    Scale shape mirrors the bigram LM: three gram-vocabulary-sized
+    aggregations (map-side partial combine), scoring is one explode plus
+    vocabulary-keyed equi-joins and a per-doc mean — no driver
+    materialization beyond the (T, V) scalars."""
+    l1, l2, l3 = (float(x) for x in lambdas)
+    if abs(l1 + l2 + l3 - 1.0) > 1e-9:
+        from ..errors import EngineError
+
+        raise EngineError("interpolation lambdas must sum to 1")
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+    ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS)).withColumn(
+        "_trigrams", F.expr(_TRIGRAMS_FROM_TOKS)
+    ).persist()
+    uni = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tv = uni.agg(
+        F.count("*").alias("v"), F.sum("c1").alias("t")
+    ).first()
+    v, t = float(tv["v"]), float(tv["t"])
+    bi = (
+        base.select(F.explode("_bigrams").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cb"))
+    )
+    tri = (
+        base.select(F.explode("_trigrams").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c123"))
+    )
+    k = float(k_smooth)
+    parts = F.split(F.col("g"), " ")
+    doc_tri = base.select(
+        "doc_id", F.explode("_trigrams").alias("g")
+    ).select(
+        "doc_id", "g",
+        F.concat_ws(" ", parts[0], parts[1]).alias("b12"),
+        F.concat_ws(" ", parts[1], parts[2]).alias("b23"),
+        parts[1].alias("w2"),
+        parts[2].alias("w3"),
+    )
+    scored = (
+        doc_tri.join(tri, "g")
+        .join(bi.withColumnRenamed("b", "b12")
+                .withColumnRenamed("cb", "c12"), "b12")
+        .join(bi.withColumnRenamed("b", "b23")
+                .withColumnRenamed("cb", "c23"), "b23")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("c1", "c2"), "w2")
+        .join(uni.withColumnRenamed("w", "w3")
+                 .withColumnRenamed("c1", "c3"), "w3")
+        .withColumn(
+            "_p",
+            F.lit(l1) * (F.col("c3") + k) / F.lit(t + k * v)
+            + F.lit(l2) * (F.col("c23") + k) / (F.col("c2") + F.lit(k * v))
+            + F.lit(l3) * (F.col("c123") + k)
+              / (F.col("c12") + F.lit(k * v)),
+        )
+        .withColumn("_nll", -F.log2("_p"))
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.avg("_nll"), 6).alias("nll_r"),
+    ).localCheckpoint(eager=True)
+    base.unpersist(blocking=False)
+    return out

@@ -5066,6 +5066,110 @@ GROUP BY doc_id
 """
 
 
+# ----------------------------- 11d. interpolated trigram-LM perplexity
+
+LM_LAMBDAS = (0.2, 0.3, 0.5)
+
+
+def q_text_perplexity_trigram(spark, sf_dir):
+    from ..operators import lm
+
+    return lm.trigram_perplexity(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        k_smooth=LM_K, lambdas=LM_LAMBDAS,
+    )
+
+
+def _sql_text_perplexity_trigram() -> str:
+    l1, l2, l3 = LM_LAMBDAS
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(3, len(toks) + 1),
+                     i -> toks[i - 2] || ' ' || toks[i - 1] || ' ' || toks[i])
+                ELSE [] END) AS g
+  FROM x
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(2, len(toks) + 1),
+                                    i -> toks[i - 1] || ' ' || toks[i])
+                ELSE [] END) AS b
+  FROM x
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM x)
+  GROUP BY w
+),
+tv AS (SELECT count(*) AS v, sum(c1) AS t FROM uni),
+bic AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+tric AS (SELECT g, count(*) AS c123 FROM tg GROUP BY g),
+scored AS (
+  SELECT tg.doc_id AS doc_id,
+         {l1} * (u3.c1 + {LM_K}) / (tv.t + {LM_K} * tv.v)
+       + {l2} * (b23.cb + {LM_K}) / (u2.c1 + {LM_K} * tv.v)
+       + {l3} * (tric.c123 + {LM_K}) / (b12.cb + {LM_K} * tv.v) AS p
+  FROM tg
+  JOIN tric ON tric.g = tg.g
+  JOIN bic b12
+    ON b12.b = split_part(tg.g, ' ', 1) || ' ' || split_part(tg.g, ' ', 2)
+  JOIN bic b23
+    ON b23.b = split_part(tg.g, ' ', 2) || ' ' || split_part(tg.g, ' ', 3)
+  JOIN uni u2 ON u2.w = split_part(tg.g, ' ', 2)
+  JOIN uni u3 ON u3.w = split_part(tg.g, ' ', 3)
+  CROSS JOIN tv
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(-log2(p)), 6) AS nll_r
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ------------------------------- 11e. training-window chunking
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def q_corpus_chunk_windows(spark, sf_dir):
+    from ..operators import chunking
+
+    return chunking.chunk_windows(
+        _docs(spark, sf_dir), window=CHUNK_WINDOW, stride=CHUNK_STRIDE,
+        text_col="text", id_col="doc_id",
+    )
+
+
+def _sql_chunk_windows() -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM x WHERE len(toks) > 0
+),
+s AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, n, {CHUNK_STRIDE})) AS start
+  FROM n
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS win_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least({CHUNK_WINDOW}, n - start) AS BIGINT) AS n_win_tokens,
+       toks[start + 1] AS first_tok
+FROM s
+"""
+
+
 # ------------------------------------------------------ 12. fingerprints
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -7495,6 +7599,8 @@ SPARK_QUERIES = {
     "documents_clean": q_documents_clean,
     "text_perplexity": q_text_perplexity,
     "text_perplexity_indexed": q_text_perplexity_indexed,
+    "text_perplexity_trigram": q_text_perplexity_trigram,
+    "corpus_chunk_windows": q_corpus_chunk_windows,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -7688,6 +7794,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_clean": _sql_documents_clean(),
         "text_perplexity": _sql_text_perplexity(),
         "text_perplexity_indexed": _sql_text_perplexity(),
+        "text_perplexity_trigram": _sql_text_perplexity_trigram(),
+        "corpus_chunk_windows": _sql_chunk_windows(),
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,
