@@ -362,6 +362,11 @@ def main() -> None:
          lambda: search.search_histogram_pipeline(
              spark, store(), qpdf, interval=16.0, value_col="dl"
          ).collect()),
+        ("agg_cumulative_set",
+         lambda: search.search_cumulative_cardinality(
+             spark, store(), qpdf, interval=16.0, group_col="lang",
+             value_col="dl",
+         ).collect()),
         ("adjacency_matrix_set",
          lambda: search.search_adjacency_matrix(
              spark, store(),

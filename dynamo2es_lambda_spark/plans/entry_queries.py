@@ -5794,6 +5794,124 @@ FROM base
 """
 
 
+def q_fts_derivative(spark, sf_dir):
+    """ES derivative: first difference of histogram bucket counts plus
+    the unit-normalized value (delta per one interval of x-distance)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_derivative(
+        spark, store, qpdf, interval=PIPE_INTERVAL, value_col="dl"
+    )
+
+
+def _derivative_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, bucket, n_docs,
+       CAST(n_docs - lag(n_docs, 1) OVER w AS BIGINT) AS deriv_v,
+       round(CAST(n_docs - lag(n_docs, 1) OVER w AS DOUBLE)
+             / ((bucket - lag(bucket, 1) OVER w) / {PIPE_INTERVAL}), 6)
+         AS deriv_rate_r
+FROM base
+WINDOW w AS (PARTITION BY qid ORDER BY bucket ASC)
+"""
+
+
+def q_fts_cumulative_sum(spark, sf_dir):
+    """ES cumulative_sum: running total of histogram bucket counts."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_cumulative_sum(
+        spark, store, qpdf, interval=PIPE_INTERVAL, value_col="dl"
+    )
+
+
+def _cumulative_sum_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM md GROUP BY qid, bucket
+)
+SELECT qid, bucket, n_docs,
+       CAST(sum(n_docs) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_docs
+FROM base
+"""
+
+
+def q_fts_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality ("new users per bucket", here distinct
+    sources): each group value counts once at its FIRST bucket, then a
+    cumulative sum — never a windowed COUNT(DISTINCT)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_cumulative_cardinality(
+        spark, store, qpdf, interval=PIPE_INTERVAL, group_col="source",
+        value_col="dl",
+    )
+
+
+def _cumulative_cardinality_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+b AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {PIPE_INTERVAL}) * {PIPE_INTERVAL} AS bucket,
+         source AS g
+  FROM md
+),
+base AS (
+  SELECT qid, bucket, CAST(count(*) AS BIGINT) AS n_docs
+  FROM b GROUP BY qid, bucket
+),
+firsts AS (
+  SELECT qid, min(bucket) AS bucket FROM b GROUP BY qid, g
+),
+news AS (
+  SELECT qid, bucket, count(*) AS n_new FROM firsts GROUP BY qid, bucket
+)
+SELECT base.qid AS qid, base.bucket AS bucket, base.n_docs AS n_docs,
+       CAST(sum(coalesce(news.n_new, 0)) OVER (
+         PARTITION BY base.qid ORDER BY base.bucket ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_card
+FROM base LEFT JOIN news
+  ON news.qid = base.qid AND news.bucket = base.bucket
+"""
+
+
+def q_events_rate_week(spark, sf_dir):
+    """ES rate agg in a calendar date_histogram: docs per day within
+    each week bucket (the driver events span one month, so weeks give
+    a real bucket axis; month/quarter normalize by true calendar
+    length through the same operator)."""
+    return search.date_rate(
+        _tbl(spark, sf_dir, "events"), "ts", "week"
+    )
+
+
+SQL_EVENTS_RATE_WEEK = """
+WITH g AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM events GROUP BY b
+)
+SELECT CAST(0 AS BIGINT) AS qid,
+       CAST(b AS VARCHAR) AS bucket,
+       n_docs,
+       round(CAST(n_docs AS DOUBLE) / 7, 6) AS rate_per_day_r
+FROM g
+"""
+
+
 def q_fts_percentiles_bucket(spark, sf_dir):
     store = _corpus_store(spark, sf_dir)
     qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
@@ -7553,6 +7671,10 @@ SPARK_QUERIES = {
     "fts_sampler_terms": q_fts_sampler_terms,
     "fts_moving_fn": q_fts_moving_fn,
     "fts_serial_diff": q_fts_serial_diff,
+    "fts_derivative": q_fts_derivative,
+    "fts_cumulative_sum": q_fts_cumulative_sum,
+    "fts_cumulative_cardinality": q_fts_cumulative_cardinality,
+    "events_rate_week": q_events_rate_week,
     "fts_percentiles_bucket": q_fts_percentiles_bucket,
     "fts_bucket_script": q_fts_bucket_script,
     "fts_bucket_selector": q_fts_bucket_selector,
@@ -7720,6 +7842,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_moving_fn": _moving_fn_sql(SORTED_QUERIES),
         "fts_serial_diff": _serial_diff_sql(SORTED_QUERIES),
+        "fts_derivative": _derivative_sql(SORTED_QUERIES),
+        "fts_cumulative_sum": _cumulative_sum_sql(SORTED_QUERIES),
+        "fts_cumulative_cardinality":
+            _cumulative_cardinality_sql(SORTED_QUERIES),
+        "events_rate_week": SQL_EVENTS_RATE_WEEK,
         "fts_percentiles_bucket": _percentiles_bucket_sql(SORTED_QUERIES),
         "fts_bucket_script": _bucket_script_sql(SORTED_QUERIES),
         "fts_bucket_selector": _bucket_selector_sql(SORTED_QUERIES),

@@ -3907,6 +3907,165 @@ def search_serial_diff(
     )
 
 
+def search_derivative(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``derivative`` pipeline agg over the histogram's bucket doc
+    counts: first-order difference vs the previous NON-EMPTY bucket
+    (``deriv_v``; first bucket null, like ES) plus the ``unit``-
+    normalized form ``deriv_rate_r`` = delta per ONE interval of x-axis
+    distance — when buckets are gappy the two disagree exactly as ES's
+    ``value`` vs ``normalized_value`` do. One window expression over
+    bucket-cardinality rows (reference parity: the reference delegates
+    analytics bucketing to ES, lib/handler.js:100)."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bucket").asc())
+    delta = F.col("n_docs") - F.lag("n_docs", 1).over(w)
+    gap = (F.col("bucket") - F.lag("bucket", 1).over(w)) / F.lit(
+        float(interval)
+    )
+    return base.withColumn("deriv_v", delta.cast("long")).withColumn(
+        "deriv_rate_r", F.round(delta.cast("double") / gap, 6)
+    )
+
+
+def search_cumulative_sum(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg: running total of the
+    histogram's bucket doc counts in bucket-key order. One unbounded-
+    preceding window over bucket-cardinality rows — the corpus-sized
+    work all happened in the histogram's single hash aggregation."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn(
+        "cum_docs", F.sum("n_docs").over(w).cast("long")
+    )
+
+
+def search_cumulative_cardinality(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    group_col: str,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg: per histogram bucket,
+    the number of DISTINCT ``group_col`` values seen in this bucket or
+    any earlier one (ES pitches it as "new users per day" over a
+    date_histogram; here the x-axis is any numeric doc_stats column).
+
+    Exact, and deliberately NOT a distinct-count-per-window: each group
+    value contributes only at its FIRST bucket (one min-aggregation),
+    first-bucket counts cumulative-sum across the bucket axis, and a
+    left join pins them back onto the histogram. Three aggregations
+    total — two over match-set-sized frames, the window over
+    bucket-cardinality rows — instead of the quadratic re-count a
+    naive windowed COUNT(DISTINCT) would do at 100 TB."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, bucket double, n_docs long, cum_card long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        (
+            F.floor(F.col(value_col) / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).cast("double").alias("bucket"),
+        F.col(group_col).cast("string").alias("_g"),
+    )
+    md = hits.join(stats, "doc_int")
+    base = md.groupBy("qid", "bucket").agg(F.count("*").alias("n_docs"))
+    firsts = (
+        md.groupBy("qid", "_g")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("_new"))
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(firsts, ["qid", "bucket"], "left")
+        .withColumn(
+            "cum_card",
+            F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w)
+            .cast("long"),
+        )
+        .drop("_new")
+    )
+
+
+def date_rate(
+    df: DataFrame,
+    ts_col: str,
+    calendar_interval: str,
+    qid: int = 0,
+) -> DataFrame:
+    """ES ``rate`` agg inside a calendar ``date_histogram``: per calendar
+    bucket, the doc count and the per-DAY rate — count divided by the
+    bucket's true calendar length (months are 28–31 days, quarters
+    90–92; ES normalizes by exactly this bucket/unit ratio). Works on
+    any timestamped DataFrame (the events table, a store's doc_stats) —
+    one hash aggregation, the calendar arithmetic is constant-folded
+    per bucket. → (qid, bucket, n_docs, rate_per_day_r)."""
+    months = {"month": 1, "quarter": 3}
+    if calendar_interval in months:
+        start = F.to_date(F.date_trunc(
+            "quarter" if calendar_interval == "quarter" else "month",
+            F.col(ts_col),
+        ))
+        days = F.datediff(
+            F.add_months(start, months[calendar_interval]), start
+        )
+    elif calendar_interval == "week":
+        start = F.to_date(F.date_trunc("week", F.col(ts_col)))
+        days = F.lit(7)
+    else:
+        raise EngineError(
+            "date_rate calendar_interval must be month, quarter, or week"
+        )
+    return (
+        df.select(start.alias("bucket"), days.alias("_days"))
+        .groupBy("bucket", "_days")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            F.col("bucket").cast("string").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_days"), 6
+            ).alias("rate_per_day_r"),
+        )
+    )
+
+
 def search_percentiles_bucket(
     spark: SparkSession,
     store: IndexStore,
