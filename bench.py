@@ -381,6 +381,10 @@ def main() -> None:
          lambda: search.termvectors(
              spark, store(), [str(i) for i in range(1, 9)]
          ).collect()),
+        ("significant_text_set",
+         lambda: search.significant_text(
+             spark, store(), qpdf, sample_k=30, k=10, min_doc_count=2,
+         ).collect()),
     ]
     for name in (
         "dedup_exact",

@@ -1723,6 +1723,124 @@ def q_fts_significant_terms(spark, sf_dir):
     )
 
 
+SIGTXT_SAMPLE_K, SIGTXT_K, SIGTXT_MIN_DC = 30, 10, 2
+
+
+def q_fts_significant_text(spark, sf_dir):
+    """ES significant_text: JLH over the free text of the top-sample_k
+    hits, term vectors read from the INDEX (no corpus access)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SIG_QUERIES, columns=["qid", "query"])
+    return search.significant_text(
+        spark, store, qpdf, sample_k=SIGTXT_SAMPLE_K, k=SIGTXT_K,
+        min_doc_count=SIGTXT_MIN_DC,
+    )
+
+
+def _significant_text_sql(
+    queries: list[tuple[int, str]], sample_k: int, k: int, min_dc: int
+) -> str:
+    """Oracle for q_fts_significant_text: BM25 top-sample_k docs
+    (rounded-score, doc_id tiebreak), JLH over their distinct terms."""
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+sample AS (
+  SELECT qid, doc_id FROM (
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(score, 6) DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {sample_k}
+),
+nm AS (SELECT qid, count(*) AS n_fg FROM sample GROUP BY qid),
+fg AS (
+  SELECT s.qid AS qid, p.term AS term, count(*) AS fg
+  FROM sample s JOIN posting p ON p.doc_id = s.doc_id
+  GROUP BY s.qid, p.term
+  HAVING count(*) >= {min_dc}
+),
+sc AS (
+  SELECT fg.qid AS qid, fg.term AS term, fg.fg AS fg, d.df AS bg,
+         ((fg.fg * 1.0 / nm.n_fg) - (d.df * 1.0 / st.n))
+           * (fg.fg * 1.0 / nm.n_fg) / (d.df * 1.0 / st.n) AS score
+  FROM fg
+  JOIN dfreq d ON d.term = fg.term
+  JOIN nm ON nm.qid = fg.qid
+  CROSS JOIN stats st
+),
+ranked AS (
+  SELECT qid, term, CAST(fg AS BIGINT) AS fg, CAST(bg AS BIGINT) AS bg,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT qid, rank, term, fg, bg, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+SCRIPTED_METRIC_EXPR = "dl * dl + 0.5 * n_chars"
+TEMPLATE_SRC = "{{a}} {{b}}"
+TEMPLATE_PARAMS = [(0, "spark", "merge"), (1, "customer", "window")]
+
+
+def q_fts_scripted_metric(spark, sf_dir):
+    """ES scripted_metric (whitelisted-expression map + associative
+    reduce, codegen'd — never per-row Painless)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_scripted_metric(
+        spark, store, qpdf, map_script=SCRIPTED_METRIC_EXPR,
+        reduce="sum", doc_cols=("dl", "n_chars"),
+    )
+
+
+def _scripted_metric_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum({SCRIPTED_METRIC_EXPR}), 6) AS metric_r
+FROM md GROUP BY qid
+"""
+
+
+def q_fts_search_template(spark, sf_dir):
+    """ES _search/template: mustache render per params row, one batched
+    top-k search for all rendered queries."""
+    store = _corpus_store(spark, sf_dir)
+    params = pd.DataFrame(TEMPLATE_PARAMS, columns=["qid", "a", "b"])
+    res = search.search_template(spark, store, TEMPLATE_SRC, params, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _search_template_oracle() -> str:
+    rendered = [
+        (qid, search.render_search_template(TEMPLATE_SRC, {"a": a, "b": b}))
+        for qid, a, b in TEMPLATE_PARAMS
+    ]
+    return _bm25_sql(rendered, FT_K, and_mode=False)
+
+
 def q_fts_percolate(spark, sf_dir):
     reg = pd.DataFrame(PERC_QUERIES, columns=["query_id", "query"])
     return search.percolate(
@@ -6464,6 +6582,43 @@ GROUP BY m.qid, cell_x, cell_y
 """
 
 
+def q_fts_geo_bounds(spark, sf_dir):
+    """ES geo_bounds metric agg: match-set bounding box."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_bounds_agg(spark, store, qpdf)
+
+
+def _geo_bounds_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       round(max({_SQL_LAT}), 6) AS top,
+       round(min({_SQL_LAT}), 6) AS bottom,
+       round(min({_SQL_LON}), 6) AS "left",
+       round(max({_SQL_LON}), 6) AS "right"
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+GROUP BY m.qid
+"""
+
+
+def q_fts_geo_centroid(spark, sf_dir):
+    """ES geo_centroid metric agg: mean point of the match set."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_centroid_agg(spark, store, qpdf)
+
+
+def _geo_centroid_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg({_SQL_LAT}), 6) AS lat_r,
+       round(avg({_SQL_LON}), 6) AS lon_r
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+GROUP BY m.qid
+"""
+
+
 def q_fts_normalize_agg(spark, sf_dir):
     """ES normalize pipeline agg: lang bucket counts as share-of-total."""
     store = _corpus_store(spark, sf_dir)
@@ -7640,6 +7795,9 @@ SPARK_QUERIES = {
     "fts_has_child": q_fts_has_child,
     "fts_rescore": q_fts_rescore,
     "fts_significant_terms": q_fts_significant_terms,
+    "fts_significant_text": q_fts_significant_text,
+    "fts_scripted_metric": q_fts_scripted_metric,
+    "fts_search_template": q_fts_search_template,
     "fts_percolate": q_fts_percolate,
     "fts_collapse": q_fts_collapse,
     "fts_sharded": q_fts_sharded,
@@ -7692,6 +7850,8 @@ SPARK_QUERIES = {
     "fts_diversified_sampler": q_fts_diversified_sampler,
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
+    "fts_geo_bounds": q_fts_geo_bounds,
+    "fts_geo_centroid": q_fts_geo_centroid,
     "fts_normalize_agg": q_fts_normalize_agg,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7801,6 +7961,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_rescore": _rescore_sql(
             RESCORE_QUERIES, FT_K, RESCORE_WINDOW, RESCORE_QW, RESCORE_RW
         ),
+        "fts_scripted_metric": _scripted_metric_sql(SORTED_QUERIES),
+        "fts_search_template": _search_template_oracle(),
+        "fts_significant_text": _significant_text_sql(
+            SIG_QUERIES, SIGTXT_SAMPLE_K, SIGTXT_K, SIGTXT_MIN_DC
+        ),
         "fts_significant_terms": _significant_terms_sql(
             SIG_QUERIES, SIG_K, SIG_MIN_DC
         ),
@@ -7864,6 +8029,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_diversified_sampler": _diversified_sampler_sql(SORTED_QUERIES),
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
+        "fts_geo_bounds": _geo_bounds_sql(SORTED_QUERIES),
+        "fts_geo_centroid": _geo_centroid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
         "fts_pit_counts": _pit_sql(),
         "fts_scroll_sliced": _scroll_sliced_sql(),

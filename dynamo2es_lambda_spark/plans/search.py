@@ -2634,6 +2634,90 @@ def significant_terms(
     )
 
 
+def significant_text(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    sample_k: int = 50,
+    k: int = 10,
+    min_doc_count: int = 2,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: JLH-scored over-represented
+    terms in the FREE TEXT of the query's top hits. ES explicitly pairs
+    this agg with a ``sampler`` (it re-analyzes _source per shard-local
+    top hits, never the full match set); we mirror that contract —
+    foreground = the top ``sample_k`` BM25 hits (rounded-score,
+    doc_id-tiebroken, like every ranked surface here) — but read the
+    sampled docs' term vectors FROM THE INDEX (the :func:`termvectors`
+    block-decode plan: doc markers → covering posting blocks only)
+    instead of re-analyzing source. Zero corpus access: at 100 TB the
+    cost is ranked retrieval + a query-sized block decode, while
+    :func:`significant_terms`'s corpus-join foreground (faithful to
+    ES's non-sampled significant_terms on an unindexed field) would
+    re-scan the corpus. Background rates come from term_stats df / meta
+    n_docs. → (qid, rank, term, fg, bg, score_r)."""
+    if sample_k < 1 or k < 1:
+        raise EngineError("significant_text wants sample_k >= 1, k >= 1")
+    prefix, _ = _field_of(store, field)
+    res = search(
+        spark, store, queries, k=int(sample_k) + 20, algo="wand",
+        field=field,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    pdf = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(sample_k))
+        .select("qid", "doc_id")
+        .toPandas()  # query-sized: <= sample_k rows per query
+    )
+    if pdf.empty:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank int, term string, fg long, bg long, "
+            "score_r double",
+        )
+    tv = termvectors(spark, store, sorted(set(pdf["doc_id"])))
+    if prefix:
+        tv = tv.filter(F.col("term").startswith(prefix)).withColumn(
+            "term", F.expr(f"substring(term, {len(prefix) + 1})")
+        )
+    sample = F.broadcast(spark.createDataFrame(pdf))
+    n_fg = F.broadcast(
+        spark.createDataFrame(
+            pdf.groupby("qid").size().rename("_n_fg").reset_index()
+        )
+    )
+    n_docs = float(store.meta["n_docs"])
+    joined = (
+        tv.join(sample, "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg"), F.max("df").alias("bg"))
+        .filter(F.col("fg") >= int(min_doc_count))
+        .join(n_fg, "qid")
+        .withColumn("_fg_rate", F.col("fg") / F.col("_n_fg"))
+        .withColumn("_bg_rate", F.col("bg") / F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("_fg_rate") - F.col("_bg_rate"))
+            * F.col("_fg_rate") / F.col("_bg_rate"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "rank", "term", "fg", "bg",
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
 def percolate(
     spark: SparkSession,
     registered: pd.DataFrame,
@@ -4130,6 +4214,95 @@ def _validate_bucket_script(script: str, metric_cols: tuple[str, ...]):
         )
 
 
+def search_scripted_metric(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    map_script: str,
+    reduce: str = "sum",
+    doc_cols: tuple[str, ...] = ("dl",),
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, the whitelisted-expression
+    way: ``map_script`` is a Spark SQL expression over per-document
+    fields (the map phase), ``reduce`` one of sum/avg/min/max (ES's
+    combine+reduce collapse into one associative aggregate — partial
+    map-side combine keeps the shuffle metric-sized). Same validation
+    discipline as script_score/bucket_script: every identifier must be
+    a named doc column or a whitelisted function, so the map phase
+    compiles into whole-stage codegen — never per-row Painless-style
+    interpretation. → (qid, n_docs, metric_r)."""
+    reducers = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    if reduce not in reducers:
+        raise EngineError(
+            f"scripted_metric reduce must be one of {sorted(reducers)}"
+        )
+    _validate_bucket_script(map_script, tuple(doc_cols))
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, metric_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", *[F.col(c).cast("double").alias(c) for c in doc_cols]
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .withColumn("_m", F.expr(map_script).cast("double"))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(reducers[reduce]("_m"), 6).alias("metric_r"),
+        )
+    )
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """Mustache-lite ``{{var}}`` substitution for ES ``_search/template``
+    (driver-side by nature — templates are query construction). Unknown
+    placeholders left unfilled raise, like ES's missing-parameter
+    error."""
+    import re as _re
+
+    out = template
+    for key, val in params.items():
+        out = out.replace("{{" + str(key) + "}}", str(val))
+    left = _re.findall(r"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}", out)
+    if left:
+        raise EngineError(
+            f"search template missing parameters: {sorted(set(left))}"
+        )
+    return out
+
+
+def search_template(
+    spark: SparkSession,
+    store: IndexStore,
+    template: str,
+    params: pd.DataFrame,
+    k: int = 10,
+    algo: str = "wand",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``_search/template``: render the mustache template once per
+    params row (the row's ``qid`` keys the results) and run the rendered
+    queries as ONE batched top-k search — n templates cost the same two
+    posting reads any n-query batch does."""
+    if "qid" not in params.columns:
+        raise EngineError("search_template params need a qid column")
+    rendered = [
+        (row["qid"],
+         render_search_template(
+             template,
+             {c: row[c] for c in params.columns if c != "qid"},
+         ))
+        for _, row in params.iterrows()
+    ]
+    qpdf = pd.DataFrame(rendered, columns=["qid", "query"])
+    return search(spark, store, qpdf, k=k, algo=algo, field=field)
+
+
 def search_bucket_script(
     spark: SparkSession,
     store: IndexStore,
@@ -4823,6 +4996,76 @@ def search_geotile_grid(
         hits.join(stats, "doc_int")
         .groupBy("qid", "cell_x", "cell_y")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def search_geo_bounds_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_bounds`` metric agg: the bounding box of the match set's
+    points — (top, bottom, left, right) = (max lat, min lat, min lon,
+    max lon), ES's non-dateline-wrapping default. One hash aggregation
+    over the match set joined to metadata-sized doc_stats."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, top double, bottom double, "
+            "left double, right double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.round(F.max("_lat"), 6).alias("top"),
+            F.round(F.min("_lat"), 6).alias("bottom"),
+            F.round(F.min("_lon"), 6).alias("left"),
+            F.round(F.max("_lon"), 6).alias("right"),
+        )
+    )
+
+
+def search_geo_centroid_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_centroid`` metric agg: arithmetic mean of the match
+    set's lat/lon (ES centroids in planar space per doc, same mean).
+    One hash aggregation; → (qid, n_docs, lat_r, lon_r)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_docs long, lat_r double, lon_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_lat"), 6).alias("lat_r"),
+            F.round(F.avg("_lon"), 6).alias("lon_r"),
+        )
     )
 
 
