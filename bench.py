@@ -412,6 +412,7 @@ def main() -> None:
         # chunking
         "text_perplexity_trigram",
         "corpus_chunk_windows",
+        "bpe_pair_counts",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))

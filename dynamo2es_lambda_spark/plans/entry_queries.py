@@ -5288,6 +5288,41 @@ FROM s
 """
 
 
+# ----------------------------- 11f. BPE tokenizer-training pair counts
+
+BPE_MIN_COUNT = 3
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    from ..operators import bpe
+
+    return bpe.bpe_pair_counts(
+        _docs(spark, sf_dir), text_col="text", min_count=BPE_MIN_COUNT
+    )
+
+
+def _sql_bpe_pair_counts() -> str:
+    return f"""
+WITH x AS (SELECT {DOC_TOKS} AS toks FROM documents),
+wc AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(toks) AS w FROM x)
+  GROUP BY w
+),
+p AS (
+  SELECT unnest(CASE WHEN length(w) >= 2 THEN
+           list_transform(range(1, length(w)),
+             i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))
+         ELSE [] END) AS pair,
+         n
+  FROM wc
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
+FROM p GROUP BY pair
+HAVING sum(n) >= {BPE_MIN_COUNT}
+"""
+
+
 # ------------------------------------------------------ 12. fingerprints
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -7883,6 +7918,7 @@ SPARK_QUERIES = {
     "text_perplexity_indexed": q_text_perplexity_indexed,
     "text_perplexity_trigram": q_text_perplexity_trigram,
     "corpus_chunk_windows": q_corpus_chunk_windows,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "events_action_dispatch": q_events_dispatch,
     "events_version_lww": q_events_lww,
     "events_sessionize": q_events_sessions,
@@ -8090,6 +8126,7 @@ def oracle_sql() -> dict[str, str]:
         "text_perplexity_indexed": _sql_text_perplexity(),
         "text_perplexity_trigram": _sql_text_perplexity_trigram(),
         "corpus_chunk_windows": _sql_chunk_windows(),
+        "bpe_pair_counts": _sql_bpe_pair_counts(),
         "events_action_dispatch": SQL_EVENTS_DISPATCH,
         "events_version_lww": SQL_EVENTS_LWW,
         "events_sessionize": SQL_EVENTS_SESSIONS,

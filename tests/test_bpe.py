@@ -1,0 +1,87 @@
+"""BPE tokenizer training: pair counting + merge learning vs a pure-
+Python reference implementation (the classic Sennrich-style loop)."""
+
+import collections
+import re
+
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.functions import analysis
+from dynamo2es_lambda_spark.operators import bpe
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Reference BPE on word counts: arg-max pair (count desc, pair
+    asc), greedy left-to-right fuse."""
+    words = collections.Counter()
+    for t in texts:
+        words.update(analysis.tokenize_series(pd.Series([t]))[0])
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        best = [
+            (p, c) for p, c in pairs.items() if c >= min_count
+        ]
+        if not best:
+            break
+        pair, cnt = min(best, key=lambda x: (-x[1], x[0]))
+        merges.append((pair[0], pair[1], cnt))
+        out = {}
+        for syms, n in vocab.items():
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == pair[0] and x == pair[1]:
+                    acc[-1] = pair[0] + pair[1]
+                else:
+                    acc.append(x)
+            out[tuple(acc)] = out.get(tuple(acc), 0) + n
+        vocab = out
+    return merges
+
+
+_TEXTS = [
+    "the cat sat on the mat",
+    "the hats were newest lowest widest",
+    "lower low lowest newer new news",
+    "aaa abab ababab banana bandana",
+]
+
+
+def test_learn_merges_matches_reference(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(_TEXTS)), "text": _TEXTS})
+    )
+    got = bpe.bpe_learn_merges(docs, 8, min_count=2)
+    want = _ref_bpe(_TEXTS, 8, min_count=2)
+    assert got == want
+
+
+def test_pair_counts_weighted_and_overlapping(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["aaa aaa", "ab"]})
+    )
+    got = {
+        r["pair"]: r["n_pairs"]
+        for r in bpe.bpe_pair_counts(docs, min_count=1).collect()
+    }
+    # "aaa" x2: overlapping (a,a) pairs count twice per word
+    assert got["a a"] == 4
+    assert got["a b"] == 1
+    with pytest.raises(EngineError):
+        bpe.bpe_pair_counts(docs, min_count=0)
+    with pytest.raises(EngineError):
+        bpe.bpe_learn_merges(docs, 0)
+
+
+def test_learn_merges_stops_when_dry(spark):
+    # every word is a single char: no pairs at all
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": "a b c d"}, index=[0])
+    )
+    assert bpe.bpe_learn_merges(docs, 5) == []
