@@ -277,6 +277,17 @@ def build_index(
                 f"doc_meta_cols {clash} collide with reserved store "
                 "columns — rename the corpus columns"
             )
+        both = sorted(set(doc_meta_cols) & set(fields or ()))
+        if both:
+            # the fused tokenize pass consumes field columns (they become
+            # qualified postings, operators/ids.tokenize_count_rows) — a
+            # column cannot ALSO ride the doc markers; silently dropping
+            # it would make doc_stats reads fail later, so refuse here
+            raise EngineError(
+                f"doc_meta_cols {both} are also indexed fields — project "
+                "a duplicate column (e.g. .withColumn('x_meta', col('x')))"
+                " and list that as the meta column"
+            )
         if committed and prev and prev_dmc != doc_meta_cols:
             raise EngineError(
                 f"store at {store_path} was built with doc_meta_cols="

@@ -2873,7 +2873,7 @@ NESTED_BODY_LEN = 40
 
 
 def _nested_child_store(spark: SparkSession, sf_dir: str):
-    (path,), fresh = _cached_store_paths(sf_dir, "nestq1")
+    (path,), fresh = _cached_store_paths(sf_dir, "nestq3")
     if fresh:
         d = _docs(spark, sf_dir)
         corpus = d.select(
@@ -2892,12 +2892,15 @@ def _nested_child_store(spark: SparkSession, sf_dir: str):
             ).alias("comments"),
         )
         child = build.explode_nested(corpus, "docid", "comments")
+        # author is also an indexed field — meta rides a duplicate column
+        child = child.withColumn("author_tag", F.col("author"))
         cfg = IndexerConfig(
             index="nested", id_field="doc_id", parent_field="parent"
         )
         build.build_index(
             child, cfg, path,
             num_buckets=32, resume=True, fields=("author", "body"),
+            doc_meta_cols=("author_tag",),
         )
     return search.load_store(path)
 
@@ -2979,6 +2982,35 @@ ranked AS (
   FROM per_parent
 )
 SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_fts_nested_agg(spark, sf_dir):
+    """ES nested agg + reverse_nested: bucket matching parents' nested
+    elements by author; n_children in nested space, n_parents is the
+    reverse_nested parent count."""
+    pstore = _corpus_store(spark, sf_dir)
+    cstore = _nested_child_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_nested_terms_agg(
+        spark, pstore, cstore, qpdf, group_col="author_tag"
+    )
+
+
+def _nested_agg_sql(queries) -> str:
+    L = NESTED_BODY_LEN
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+elems AS (
+  SELECT CAST(doc_id AS VARCHAR) AS parent, lang AS author
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), source FROM documents
+)
+SELECT CAST(m.qid AS BIGINT) AS qid, e.author AS "group",
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST(count(DISTINCT e.parent) AS BIGINT) AS n_parents
+FROM m JOIN elems e ON e.parent = m.doc_id
+GROUP BY m.qid, e.author
 """
 
 
@@ -7799,6 +7831,7 @@ SPARK_QUERIES = {
     "fts_dis_max": q_fts_dis_max,
     "fts_multi_match": q_fts_multi_match,
     "fts_nested_field": q_fts_nested_field,
+    "fts_nested_agg": q_fts_nested_agg,
     "fts_nested_query": q_fts_nested_query,
     "fts_synonyms": q_fts_synonyms,
     "fts_fuzzy_auto": q_fts_fuzzy_auto,
@@ -7961,6 +7994,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_script_score": _script_score_sql(FS_QUERIES, FT_K),
         "fts_nested_query": _nested_query_sql(NESTED_Q_QUERIES, FT_K),
+        "fts_nested_agg": _nested_agg_sql(SORTED_QUERIES),
         "fts_synonyms": _synonyms_sql(SYN_QUERIES, SYNONYMS, FT_K),
         "fts_fuzzy_auto": _fuzzy_auto_sql(FUZZY_AUTO_QUERIES, FT_K),
         "fts_match_bool_prefix": _match_bool_prefix_sql(MBP_QUERIES, FT_K),

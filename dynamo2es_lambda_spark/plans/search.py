@@ -2374,6 +2374,56 @@ def search_nested(
     )
 
 
+def search_nested_terms_agg(
+    spark: SparkSession,
+    parent_store: IndexStore,
+    child_store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``nested`` aggregation WITH its ``reverse_nested`` sibling:
+    bucket the nested-object elements of the query's matching PARENT
+    docs by a child field — per bucket, ``n_children`` counts elements
+    (the nested agg's doc count, which runs in nested-document space)
+    and ``n_parents`` counts distinct owning parents (exactly what
+    ES's reverse_nested exists to recover).
+
+    Plan: the parent match set (pruned posting read) joins the
+    metadata-sized parent doc_stats for ids, then the child store's
+    doc_stats — one row per nested element, already carrying the
+    ``parent`` linkage column (plans/build.explode_nested) and the
+    child field as ``doc_meta_cols`` — joins on parent and feeds ONE
+    hash aggregation computing both counts. Postings of the child
+    store are never read. → (qid, group, n_children, n_parents)."""
+    hits = _match_set(spark, parent_store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, group string, n_children long, n_parents long"
+        )
+    pids = hits.join(
+        parent_store.doc_stats(spark).select("doc_int", "doc_id"),
+        "doc_int",
+    ).select("qid", F.col("doc_id").alias("parent"))
+    kids = _drop_dead(
+        spark,
+        child_store,
+        child_store.doc_stats(spark).select(
+            "doc_int", "parent",
+            F.col(group_col).cast("string").alias("group"),
+        ),
+    ).drop("doc_int")
+    return (
+        pids.join(kids, "parent")
+        .groupBy("qid", "group")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.count_distinct("parent").alias("n_parents"),
+        )
+    )
+
+
 def search_sharded(
     spark: SparkSession,
     stores: list[IndexStore],
