@@ -381,6 +381,13 @@ def main() -> None:
          lambda: search.termvectors(
              spark, store(), [str(i) for i in range(1, 9)]
          ).collect()),
+        ("span_containing_set",
+         lambda: search.search_span_containing(
+             spark, store(),
+             pd.DataFrame([(0, "slow hash batch", "hash batch")],
+                          columns=["qid", "big", "little"]),
+             k=10, mode="containing",
+         ).collect()),
         ("significant_text_set",
          lambda: search.significant_text(
              spark, store(), qpdf, sample_k=30, k=10, min_doc_count=2,

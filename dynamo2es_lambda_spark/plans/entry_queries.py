@@ -3500,6 +3500,107 @@ def q_fts_span_not(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+SC_BIG, SC_LITTLE = "slow hash batch", "hash batch"
+SW_BIG, SW_LITTLE = "value slow hash", "slow hash"
+
+
+def q_fts_span_containing(spark, sf_dir):
+    """Lucene span_containing: 'slow hash batch' spans that contain a
+    'hash batch' span — the big span scores."""
+    store = _corpus_store(spark, sf_dir)
+    q = pd.DataFrame(
+        [(0, SC_BIG, SC_LITTLE)], columns=["qid", "big", "little"]
+    )
+    res = search.search_span_containing(
+        spark, store, q, k=50, mode="containing"
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def q_fts_span_within(spark, sf_dir):
+    """Lucene span_within: 'slow hash' spans lying within a
+    'value slow hash' span — the little span scores."""
+    store = _corpus_store(spark, sf_dir)
+    q = pd.DataFrame(
+        [(0, SW_BIG, SW_LITTLE)], columns=["qid", "big", "little"]
+    )
+    res = search.search_span_containing(
+        spark, store, q, k=50, mode="within"
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_contain_sql(big: str, little: str, k: int, mode: str) -> str:
+    """Oracle for span_containing/span_within: occurrence positions via
+    list_filter, EXISTS containment window, kept-span BM25."""
+    bt = analysis.tokenize_series(pd.Series([big]))[0]
+    lt = analysis.tokenize_series(pd.Series([little]))[0]
+    lb, ll = len(bt), len(lt)
+    big_lit = "[" + ", ".join(f"'{t}'" for t in bt) + "]"
+    lit_lit = "[" + ", ".join(f"'{t}'" for t in lt) + "]"
+    keep = bt if mode == "containing" else lt
+    vals = [
+        f"(0, '{t}', {qtf})" for t, qtf in sorted(Counter(keep).items())
+    ]
+    need = len(set(keep))
+    if mode == "containing":
+        good = f"""
+  SELECT DISTINCT b.doc_id FROM big_pos b
+  WHERE EXISTS (
+    SELECT 1 FROM lit_pos l
+    WHERE l.doc_id = b.doc_id
+      AND l.p BETWEEN b.p AND b.p + {lb - ll}
+  )"""
+    else:
+        good = f"""
+  SELECT DISTINCT l.doc_id FROM lit_pos l
+  WHERE EXISTS (
+    SELECT 1 FROM big_pos b
+    WHERE b.doc_id = l.doc_id
+      AND b.p BETWEEN l.p - {lb - ll} AND l.p
+  )"""
+    return f"""{_BM25_BODY},
+big_pos AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(toks) - {lb} + 2),
+         p -> toks[p:p + {lb - 1}] = {big_lit})) AS p
+  FROM corpus WHERE len(toks) >= {lb}
+),
+lit_pos AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(toks) - {ll} + 2),
+         p -> toks[p:p + {ll - 1}] = {lit_lit})) AS p
+  FROM corpus WHERE len(toks) >= {ll}
+),
+good AS ({good}
+),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(sc.qid AS BIGINT) AS qid, sc.doc_id AS doc_id,
+         round(sc.score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY sc.qid
+           ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored sc
+  JOIN good g ON g.doc_id = sc.doc_id
+  WHERE sc.nt = {need}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _span_not_sql(include: str, exclude: str, k: int) -> str:
     """Oracle for q_fts_span_not: occurrence positions via list_filter
     over the token array, overlap window in SQL, include-phrase BM25."""
@@ -7847,6 +7948,8 @@ SPARK_QUERIES = {
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
     "fts_span_not": q_fts_span_not,
+    "fts_span_containing": q_fts_span_containing,
+    "fts_span_within": q_fts_span_within,
     "fts_terms": q_fts_terms,
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
@@ -8012,6 +8115,12 @@ def oracle_sql() -> dict[str, str]:
         "fts_filters_agg": _filters_agg_sql(SORTED_QUERIES, FILTERS_AGG),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
+        "fts_span_containing": _span_contain_sql(
+            SC_BIG, SC_LITTLE, FT_K, "containing"
+        ),
+        "fts_span_within": _span_contain_sql(
+            SW_BIG, SW_LITTLE, FT_K, "within"
+        ),
         "fts_terms": _terms_sql(TERMS_QUERIES, FT_K),
         "fts_function_score": _function_score_sql(
             FS_QUERIES, FT_K, FS_WEIGHT, FS_MODIFIER, FS_BOOST_MODE

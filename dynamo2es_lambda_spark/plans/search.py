@@ -1993,6 +1993,193 @@ def search_span_not(
     return _present(spark, store, _cut_topk(scored, k), k)
 
 
+def _span_contain_filter(
+    starts: np.ndarray,
+    ostarts: np.ndarray | None,
+    stride: int,
+    len_keep: int,
+    len_other: int,
+    keep_is_big: bool,
+) -> np.ndarray:
+    """Keep span starts with ≥ 1 other-side start in the containment
+    window — the dual of :func:`_span_not_filter`'s zero-overlap test.
+    ``keep_is_big``: the kept (scored) span must contain the other
+    (span_containing); else it must lie within the other
+    (span_within). Two searchsorted calls over sorted other-side keys,
+    no per-doc loop."""
+    if ostarts is None or ostarts.size == 0:
+        return starts[:0]
+    if keep_is_big and len_keep < len_other:
+        return starts[:0]
+    if not keep_is_big and len_other < len_keep:
+        return starts[:0]
+    ostarts = np.sort(ostarts)
+    ci = starts // stride
+    pos = starts % stride
+    if keep_is_big:
+        lo_p = pos
+        hi_p = pos + (len_keep - len_other)
+    else:
+        lo_p = np.maximum(pos - (len_other - len_keep), 0)
+        hi_p = pos
+    lo = ci * stride + lo_p
+    hi = ci * stride + np.minimum(hi_p, stride - 1)
+    n_in = (
+        np.searchsorted(ostarts, hi, side="right")
+        - np.searchsorted(ostarts, lo, side="left")
+    )
+    return starts[n_in >= 1]
+
+
+def search_span_containing(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    mode: str = "containing",
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene ``span_containing`` / ``span_within`` — the last two span
+    compositions: spans of ``big`` that contain a span of ``little``
+    (mode="containing", scored by the big span, Lucene's contract) or
+    spans of ``little`` that lie within a span of ``big``
+    (mode="within", scored by the little span). ``queries``: pandas
+    (qid, big, little), each an in-order exact span.
+
+    Kernel shape: both chains produce span-START keys per candidate
+    exactly like the phrase kernel (candidates pre-intersected on ALL
+    terms of BOTH spans — an absent term on either side kills the qid,
+    since a match needs both spans); the kept side's starts survive
+    when the containment window holds ≥ 1 other-side start — the dual
+    of span_not's zero-overlap searchsorted test. Runs per (qid, seg);
+    segments are disjoint doc ranges so results merge exactly."""
+    if not store.meta.get("positions"):
+        raise EngineError(
+            "span_containing needs a store built with positions=True"
+        )
+    if mode not in ("containing", "within"):
+        raise EngineError(
+            "span_containing mode must be 'containing' or 'within'"
+        )
+    keep_is_big = mode == "containing"
+    n_docs = float(store.meta["n_docs"])
+    prefix, avgdl = _field_of(store, field)
+
+    keep_by_qid: dict[int, list[str]] = {}
+    other_by_qid: dict[int, list[str]] = {}
+    rows = []
+    for qid, big, little in zip(
+        queries["qid"], queries["big"], queries["little"]
+    ):
+        big_t = [
+            prefix + t
+            for t in analysis.tokenize_series(pd.Series([str(big)]))[0]
+        ]
+        lit_t = [
+            prefix + t
+            for t in analysis.tokenize_series(pd.Series([str(little)]))[0]
+        ]
+        if not big_t or not lit_t:
+            raise EngineError(
+                "span_containing needs non-empty big and little spans"
+            )
+        qid = int(qid)
+        keep_t, other_t = (
+            (big_t, lit_t) if keep_is_big else (lit_t, big_t)
+        )
+        keep_by_qid[qid] = keep_t
+        other_by_qid[qid] = other_t
+        for t, c in sorted(Counter(keep_t).items()):
+            rows.append((qid, t, int(c)))
+        for t in sorted(set(other_t) - set(keep_t)):
+            rows.append((qid, t, 0))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    # BOTH spans must exist somewhere — any unindexed term kills the qid
+    dead_qids = set(qt.loc[qt["df"].isna(), "qid"])
+    qt = qt[~qt["qid"].isin(dead_qids)]
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        keep = keep_by_qid[qid]
+        other = other_by_qid[qid]
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_int": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        by_term = _decode_positional_terms(pdf)
+        all_terms = set(keep) | set(other)
+        if any(t not in by_term for t in all_terms):
+            return empty
+        cand = None
+        for tok in all_terms:
+            ids = by_term[tok][0]
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+        if cand is None or cand.size == 0:
+            return empty
+        maxpos = 1
+        for _ids, _tfs, _dls, flat, _starts in by_term.values():
+            if flat.size:
+                maxpos = max(maxpos, int(flat.max()) + 2)
+        stride = maxpos + len(keep) + len(other) + 2
+        chunk = max(1, (2**62) // stride)
+        surv_l = []
+        for c0 in range(0, cand.size, chunk):
+            sub = cand[c0: c0 + chunk]
+            starts = _span_chain_starts(by_term, keep, sub, stride)
+            if starts is None or starts.size == 0:
+                continue
+            ostarts = _span_chain_starts(by_term, other, sub, stride)
+            starts = _span_contain_filter(
+                starts, ostarts, stride, len(keep), len(other),
+                keep_is_big,
+            )
+            if starts.size:
+                surv_l.append(sub[np.unique(starts // stride)])
+        if not surv_l:
+            return empty
+        surv = np.concatenate(surv_l)
+        w_by_term = (
+            pdf[["term", "w"]].drop_duplicates().set_index("term")["w"]
+        )
+        scores = np.zeros(surv.size, dtype=np.float64)
+        for tok in sorted(set(keep)):
+            ids, tfs, dls, _f, _s = by_term[tok]
+            i = np.searchsorted(ids, surv)
+            scores += float(w_by_term[tok]) * bm25.tf_norm(
+                tfs[i], dls[i], avgdl
+            )
+        return pd.DataFrame(
+            {"qid": pd.Series(np.full(surv.size, qid), dtype="int64"),
+             "doc_int": pd.Series(surv, dtype="int64"),
+             "score": pd.Series(scores, dtype="float64")}
+        )
+
+    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+            "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    scored = _drop_dead(spark, store, scored)
+    return _present(spark, store, _cut_topk(scored, k), k)
+
+
 def search_phrase(
     spark: SparkSession,
     store: IndexStore,
