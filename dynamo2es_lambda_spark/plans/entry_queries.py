@@ -126,12 +126,12 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v10")
+    (path,), fresh = _cached_store_paths(sf_dir, "v11")
     if fresh:
         # synthetic-but-deterministic extra doc fields (geo point, a
-        # sometimes-null tag) — derived from doc_id so the DuckDB oracle
-        # reproduces them exactly; they exercise doc_meta_cols, the geo
-        # queries, and the missing/value_count aggs
+        # sometimes-null tag, a date) — derived from doc_id so the DuckDB
+        # oracle reproduces them exactly; they exercise doc_meta_cols, the
+        # geo queries, the missing/value_count aggs, and date_range
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
             "lang",
@@ -143,6 +143,10 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             .alias("lat"),
             (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double")
             .alias("lon"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"),
+                (F.col("doc_id") % 400).cast("int"),
+            ).cast("timestamp").alias("ts"),
             F.col("text").alias("content"),
         )
         cfg = IndexerConfig(index="docs", id_field="docid")
@@ -2090,6 +2094,157 @@ ranked AS (
   FROM hits
 )
 SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------- 4j2. children agg / parent_id (join-field family)
+
+PARENT_ID_QUERY = [(0, "7"), (1, "23")]
+
+
+def q_fts_children_agg(spark, sf_dir):
+    """ES children agg + parent reverse: matched parents' children
+    bucketed by child lang; n_children in child space, n_parents the
+    distinct-owner count the parent reverse-step recovers."""
+    store = _corpus_store_pc(spark, sf_dir)
+    qpdf = pd.DataFrame(PC_QUERY, columns=["qid", "query"])
+    return search.search_children_agg(spark, store, qpdf, group_col="lang")
+
+
+def _children_agg_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},{_PC_FAM}
+SELECT CAST(m.qid AS BIGINT) AS qid, d.lang AS "group",
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST(count(DISTINCT f.parent) AS BIGINT) AS n_parents
+FROM m JOIN fam f ON f.parent = m.doc_id
+JOIN documents d ON CAST(d.doc_id AS VARCHAR) = f.doc_id
+GROUP BY m.qid, d.lang
+"""
+
+
+def q_fts_parent_id(spark, sf_dir):
+    """ES parent_id query: children of one literal parent id per row."""
+    store = _corpus_store_pc(spark, sf_dir)
+    ppdf = pd.DataFrame(PARENT_ID_QUERY, columns=["qid", "parent"])
+    return search.search_parent_id(spark, store, ppdf, k=FT_K)
+
+
+def _parent_id_sql(parents: list[tuple[int, str]], k: int) -> str:
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in parents)
+    return f"""WITH {_PC_FAM.lstrip()},
+pq(qid, parent) AS (VALUES {vals}),
+ranked AS (
+  SELECT CAST(pq.qid AS BIGINT) AS qid, f.doc_id AS doc_id,
+         1.0 AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY pq.qid ORDER BY f.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM pq JOIN fam f ON f.parent = pq.parent
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------- 4i1b. random_sampler / percentile_ranks / date_range
+
+SAMPLER_P = 0.45
+PCT_RANK_VALUES = (60.0, 110.0, 170.0)
+FTS_DATE_RANGES = [
+    ("early", None, "2020-06-01"),
+    ("mid", "2020-06-01", "2021-01-01"),
+    ("late", "2021-01-01", None),
+]
+
+
+def q_fts_random_sampler(spark, sf_dir):
+    """ES random_sampler agg: md5-uniform sample of the match set at
+    rate p, sub-agg (count, avg dl) + 1/p-scaled total estimate."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_random_sampler(
+        spark, store, qpdf, probability=SAMPLER_P, value_col="dl"
+    )
+
+
+def _random_sampler_sql(queries, p: float) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id), 1, 8))::BIGINT / 4294967296.0 AS u
+  FROM dl
+)
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       round(avg(CAST(dl.dl AS DOUBLE)), 6) AS avg_value_r,
+       round(count(*) / {p!r}, 6) AS est_total
+FROM m JOIN u ON u.doc_id = m.doc_id
+JOIN dl ON dl.doc_id = m.doc_id
+WHERE u.u < {p!r}
+GROUP BY m.qid
+"""
+
+
+def q_fts_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks agg (inverse percentiles): exact CDF of dl
+    at fixed probe values over the match set."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_percentile_ranks_agg(
+        spark, store, qpdf, values=PCT_RANK_VALUES, value_col="dl"
+    )
+
+
+def _percentile_ranks_sql(queries, values) -> str:
+    vals = ", ".join(f"({float(v)!r})" for v in values)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+pv(value) AS (VALUES {vals})
+SELECT CAST(m.qid AS BIGINT) AS qid, pv.value AS value,
+       round(100.0 * sum(CASE WHEN CAST(dl.dl AS DOUBLE) <= pv.value
+                              THEN 1 ELSE 0 END) / count(*), 6) AS rank_r
+FROM m JOIN dl ON dl.doc_id = m.doc_id
+CROSS JOIN pv
+GROUP BY m.qid, pv.value
+"""
+
+
+def q_fts_date_range(spark, sf_dir):
+    """ES date_range agg: named [from, to) buckets (unbounded edges,
+    overlap allowed) over the derived ts doc field."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_date_range_agg(
+        spark, store, qpdf, ranges=FTS_DATE_RANGES, value_col="ts"
+    )
+
+
+_SQL_DOC_TS = (
+    "CAST(DATE '2020-01-01' + CAST(doc.doc_id % 400 AS INTEGER) "
+    "AS TIMESTAMP)"
+)
+
+
+def _fts_date_range_sql(queries, ranges) -> str:
+    vals = ", ".join(
+        "('{}', {}, {})".format(
+            key,
+            f"TIMESTAMP '{lo}'" if lo else "CAST(NULL AS TIMESTAMP)",
+            f"TIMESTAMP '{hi}'" if hi else "CAST(NULL AS TIMESTAMP)",
+        )
+        for key, lo, hi in ranges
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+dt AS (
+  SELECT CAST(doc.doc_id AS VARCHAR) AS doc_id, {_SQL_DOC_TS} AS ts
+  FROM documents doc
+),
+r(rkey, lo, hi) AS (VALUES {vals})
+SELECT CAST(m.qid AS BIGINT) AS qid, r.rkey AS rkey,
+       CAST(sum(CASE WHEN (r.lo IS NULL OR dt.ts >= r.lo)
+                      AND (r.hi IS NULL OR dt.ts < r.hi)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+FROM m JOIN dt ON dt.doc_id = m.doc_id
+CROSS JOIN r
+GROUP BY m.qid, r.rkey
 """
 
 
@@ -7964,6 +8119,11 @@ SPARK_QUERIES = {
     "fts_top_hits": q_fts_top_hits,
     "fts_has_parent": q_fts_has_parent,
     "fts_has_child": q_fts_has_child,
+    "fts_children_agg": q_fts_children_agg,
+    "fts_parent_id": q_fts_parent_id,
+    "fts_random_sampler": q_fts_random_sampler,
+    "fts_percentile_ranks": q_fts_percentile_ranks,
+    "fts_date_range": q_fts_date_range,
     "fts_rescore": q_fts_rescore,
     "fts_significant_terms": q_fts_significant_terms,
     "fts_significant_text": q_fts_significant_text,
@@ -8137,6 +8297,15 @@ def oracle_sql() -> dict[str, str]:
         "fts_top_hits": _top_hits_sql(SORTED_QUERIES, TOP_HITS_KPG),
         "fts_has_parent": _has_parent_sql(PC_QUERY, FT_K),
         "fts_has_child": _has_child_sql(PC_QUERY, FT_K),
+        "fts_children_agg": _children_agg_sql(PC_QUERY),
+        "fts_parent_id": _parent_id_sql(PARENT_ID_QUERY, FT_K),
+        "fts_random_sampler": _random_sampler_sql(SORTED_QUERIES, SAMPLER_P),
+        "fts_percentile_ranks": _percentile_ranks_sql(
+            SORTED_QUERIES, PCT_RANK_VALUES
+        ),
+        "fts_date_range": _fts_date_range_sql(
+            SORTED_QUERIES, FTS_DATE_RANGES
+        ),
         "fts_rescore": _rescore_sql(
             RESCORE_QUERIES, FT_K, RESCORE_WINDOW, RESCORE_QW, RESCORE_RW
         ),

@@ -7962,3 +7962,233 @@ def scroll_sliced(
             return
         last = page.iloc[-1]
         after = (float(last["score_r"]), str(last["doc_id"]))
+
+
+def search_children_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``children`` aggregation WITH its ``parent`` reverse: for the
+    query's matching PARENT docs (a join-field store, reference
+    lib/handler.js:76-78 parent routing), step down into their CHILD
+    docs and bucket those by a child metadata field — per (qid, bucket)
+    ``n_children`` counts child docs (the children agg's doc_count) and
+    ``n_parents`` counts distinct owning parents (what a ``parent``
+    reverse-step recovers, mirroring reverse_nested for join fields).
+
+    Plan: one pruned posting read for the parent match set; the child
+    side is the SAME store's metadata-sized doc_stats (the join field
+    lives on one index in ES too) filtered to rows carrying a parent
+    ref, hash-joined on parent id and fed to ONE aggregation. Child
+    postings are never read. → (qid, group, n_children, n_parents)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, group string, n_children long, n_parents long"
+        )
+    stats = store.doc_stats(spark)
+    pids = hits.join(
+        stats.select("doc_int", "doc_id"), "doc_int"
+    ).select("qid", F.col("doc_id").alias("_parent"))
+    kids = _drop_dead(
+        spark,
+        store,
+        stats.select(
+            "doc_int",
+            F.col("parent").alias("_parent"),
+            F.col(group_col).cast("string").alias("group"),
+        ),
+    ).drop("doc_int")
+    return (
+        pids.join(kids, "_parent")
+        .groupBy("qid", "group")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.count_distinct("_parent").alias("n_parents"),
+        )
+    )
+
+
+def search_random_sampler(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    probability: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation: run the sub-aggregation over a
+    uniform random subset of the match set at rate ``probability`` and
+    scale counts back up by 1/p. Randomness is the engine's standard
+    deterministic uniform — u = first 8 md5 hex digits of doc_id / 2^32
+    (same construction as operators/sampling.py), so reruns and the
+    oracle see the identical sample; ES seeds a hash the same way.
+    Returns per qid: sampled doc count, the sampled mean of a numeric
+    doc field, and the 1/p-scaled total estimate. The filter is a
+    map-side predicate on metadata-sized rows — no extra shuffle.
+    → (qid, n_sampled, avg_value_r, est_total)."""
+    if not (0.0 < probability <= 1.0):
+        raise EngineError("random_sampler probability must be in (0, 1]")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_sampled long, avg_value_r double, "
+                "est_total double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id", F.col(value_col).cast("double").alias("_v")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .filter(u < F.lit(float(probability)))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("_v"), 6).alias("avg_value_r"),
+            F.round(
+                F.count("*") / F.lit(float(probability)), 6
+            ).alias("est_total"),
+        )
+    )
+
+
+def search_parent_id(
+    spark: SparkSession,
+    store: IndexStore,
+    parents: pd.DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``parent_id`` query: fetch the child docs whose join-field
+    parent is EXACTLY the given id — constant score 1.0, doc_id rank
+    (the engine's standard unscored presentation). ``parents``: pandas
+    (qid, parent). The query frame broadcasts; the only job is a
+    metadata-sized doc_stats scan filtered on the parent column —
+    no posting read at all. → (qid, rank, doc_id, score_r)."""
+    qdf = F.broadcast(spark.createDataFrame(parents[["qid", "parent"]]))
+    kids = _drop_dead(
+        spark,
+        store,
+        store.doc_stats(spark).select(
+            "doc_int", "doc_id", F.col("parent").alias("_pref")
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        qdf.join(kids, qdf["parent"] == kids["_pref"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "rank", "doc_id",
+            F.lit(1.0).cast("double").alias("score_r"),
+        )
+    )
+
+
+def search_percentile_ranks_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    values: tuple[float, ...],
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation — the inverse of
+    ``percentiles``: for each probe value, the percentage of matched
+    docs whose field is <= that value. Exact CDF (100 * count(v <= x) /
+    count(*)); ES approximates with t-digest and interpolates within
+    centroids — divergence documented, the exact answer is the one a
+    100-TB job should standardize on. One aggregation over the match
+    set joined to metadata-sized doc_stats; every probe value is a
+    conditional count in the SAME pass (no per-value job).
+    → (qid, value, rank_r)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, value double, rank_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("double").alias("_v")
+    )
+    j = hits.join(stats, "doc_int")
+    aggs = [
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("_v") <= float(v), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias(f"_r{i}")
+        for i, v in enumerate(values)
+    ]
+    wide = j.groupBy("qid").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(v)).alias("value"),
+            F.col(f"_r{i}").alias("rank_r"),
+        )
+        for i, v in enumerate(values)
+    ])
+    return wide.select(
+        "qid", F.explode(pairs).alias("_z")
+    ).select("qid", F.col("_z.value").alias("value"),
+             F.col("_z.rank_r").alias("rank_r"))
+
+
+def search_date_range_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    ranges: list[tuple[str, str | None, str | None]],
+    value_col: str = "ts",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``date_range`` aggregation: named, possibly-overlapping,
+    possibly-unbounded [from, to) buckets over a date doc field —
+    unlike a histogram the buckets are explicit and a doc lands in
+    EVERY range containing it, so each range is an independent
+    conditional count. ``ranges``: (key, from_iso | None, to_iso |
+    None), from inclusive / to exclusive, exactly ES's convention.
+    All ranges compute in ONE aggregation pass over the match set
+    joined to metadata-sized doc_stats (no per-range job, no posting
+    re-read). Empty ranges surface with n_docs = 0, as ES keeps keyed
+    buckets. → (qid, rkey, n_docs)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], "qid long, rkey string, n_docs long")
+    stats = store.doc_stats(spark).select(
+        "doc_int", F.col(value_col).cast("timestamp").alias("_v")
+    )
+    j = hits.join(stats, "doc_int")
+    aggs = []
+    for i, (key, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_v") >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col("_v") < F.to_timestamp(F.lit(hi)))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"_n{i}")
+        )
+    wide = j.groupBy("qid").agg(*aggs)
+    buckets = F.array(*[
+        F.struct(
+            F.lit(key).alias("rkey"), F.col(f"_n{i}").alias("n_docs")
+        )
+        for i, (key, _, _) in enumerate(ranges)
+    ])
+    return wide.select("qid", F.explode(buckets).alias("_z")).select(
+        "qid", F.col("_z.rkey").alias("rkey"), F.col("_z.n_docs").alias("n_docs")
+    )
