@@ -3640,6 +3640,141 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------- 4h2. span_multi (multi-term span) / script_fields
+
+SPAN_MULTI_QUERIES = [(0, "mer* window"), (1, "slo* hash")]
+
+
+def q_fts_span_multi(spark, sf_dir):
+    """Lucene span_multi: a prefix sub-query inside an exact span,
+    rewritten to span_or over the capped term-ascending expansions."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SPAN_MULTI_QUERIES, columns=["qid", "query"])
+    res = search.search_span_multi(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _span_multi_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_span_multi: expansions from the dictionary
+    (LIKE prefix, term-ascending LIMIT 50 — the engine's cap), each
+    instantiated span checked by containment and scored as the
+    expansion's BM25 + the fixed terms' BM25, summed over matching
+    instantiations per doc."""
+    blocks = []
+    for qid, q in queries:
+        raw = q.split()
+        slot = next(i for i, t in enumerate(raw) if t.endswith("*"))
+        toks = [t.rstrip("*").lower() for t in raw]
+        pre = " ".join(toks[:slot])
+        post = " ".join(toks[slot + 1:])
+        pre_sql = f"' {pre} ' || e.term" if pre else "' ' || e.term"
+        pat_sql = (
+            f"{pre_sql} || ' {post} '" if post else f"{pre_sql} || ' '"
+        )
+        fixed = sorted(
+            Counter(t for i, t in enumerate(toks) if i != slot).items()
+        )
+        fixed_score = " + ".join(
+            f"""(SELECT {qtf} * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * ({K1} + 1.0) * p.tf
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+               FROM posting p JOIN dfreq d ON d.term = p.term
+               WHERE p.term = '{t}' AND p.doc_id = ok.doc_id)"""
+            for t, qtf in fixed
+        ) or "0.0"
+        blocks.append(f"""
+SELECT {qid} AS qid, ok.doc_id AS doc_id,
+       (SELECT ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ({K1} + 1.0) * p.tf
+               / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+        FROM posting p JOIN dfreq d ON d.term = p.term
+        WHERE p.term = ok.eterm AND p.doc_id = ok.doc_id)
+       + {fixed_score} AS score
+FROM (
+  SELECT e.term AS eterm, cs.doc_id AS doc_id
+  FROM (SELECT term FROM dfreq WHERE term LIKE '{toks[slot]}%'
+        ORDER BY term LIMIT 50) e
+  JOIN cs ON contains(cs.s, {pat_sql})
+) ok
+JOIN dl ON dl.doc_id = ok.doc_id
+CROSS JOIN stats s""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""{_BM25_BODY},
+cs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s
+       FROM corpus),
+inst AS ({union}),
+scored AS (
+  SELECT qid, doc_id, sum(score) AS score FROM inst GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+SCRIPT_FIELDS = {
+    "dl_boost_r": "_score * log1p(dl)",
+    "chars_per_tok_r": "n_chars / dl",
+}
+
+
+def q_fts_script_fields(spark, sf_dir):
+    """ES script_fields: whitelisted-expression derived fields on every
+    hit (codegen projection; no per-row Python)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search_script_fields(
+        spark, store, qpdf, scripts=SCRIPT_FIELDS, k=50,
+        doc_cols=("dl", "n_chars"),
+    )
+    return res.filter(F.col("rank") <= FT_K)
+
+
+def _script_fields_sql(queries: list[tuple[int, str]], k: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+nc AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars FROM documents),
+ranked AS (
+  SELECT CAST(scored.qid AS BIGINT) AS qid, scored.doc_id AS doc_id,
+         round(scored.score, 6) AS score_r,
+         round(scored.score * ln(1.0 + dl.dl), 6) AS dl_boost_r,
+         round(CAST(nc.n_chars AS DOUBLE) / dl.dl, 6) AS chars_per_tok_r,
+         CAST(row_number() OVER (
+           PARTITION BY scored.qid
+           ORDER BY round(scored.score, 6) DESC, scored.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+  JOIN dl ON dl.doc_id = scored.doc_id
+  JOIN nc ON nc.doc_id = scored.doc_id
+)
+SELECT qid, rank, doc_id, score_r, dl_boost_r, chars_per_tok_r
+FROM ranked WHERE rank <= {k}
+"""
+
+
 SN_INCLUDE, SN_EXCLUDE = "the fast", "fast key"
 
 
@@ -8102,6 +8237,8 @@ SPARK_QUERIES = {
     "fts_filters_agg": q_fts_filters_agg,
     "fts_script_score": q_fts_script_score,
     "fts_span_or": q_fts_span_or,
+    "fts_span_multi": q_fts_span_multi,
+    "fts_script_fields": q_fts_script_fields,
     "fts_span_not": q_fts_span_not,
     "fts_span_containing": q_fts_span_containing,
     "fts_span_within": q_fts_span_within,
@@ -8274,6 +8411,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_filters_agg": _filters_agg_sql(SORTED_QUERIES, FILTERS_AGG),
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
+        "fts_span_multi": _span_multi_sql(SPAN_MULTI_QUERIES, FT_K),
+        "fts_script_fields": _script_fields_sql(FT_QUERIES, FT_K),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_span_containing": _span_contain_sql(
             SC_BIG, SC_LITTLE, FT_K, "containing"

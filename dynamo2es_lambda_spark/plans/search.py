@@ -8192,3 +8192,164 @@ def search_date_range_agg(
     return wide.select("qid", F.explode(buckets).alias("_z")).select(
         "qid", F.col("_z.rkey").alias("rkey"), F.col("_z.n_docs").alias("n_docs")
     )
+
+
+def search_script_fields(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    scripts: dict[str, str],
+    k: int = 10,
+    doc_cols: tuple[str, ...] = ("dl",),
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``script_fields``: every top-k hit carries extra DERIVED fields
+    computed from user expressions over ``_score`` and per-document
+    fields (ES evaluates Painless per hit; the reference ships whole
+    docs to the engine, lib/handler.js:100, and users derive display /
+    feature fields at query time).
+
+    Same contract as search_script_score: each script is a WHITELISTED
+    Spark SQL expression — identifiers must be ``_score``, a ``doc_cols``
+    column, or a whitelisted function, validated before planning — that
+    compiles into whole-stage codegen, so all scripts together cost one
+    projection over the k-sized hit set joined to metadata-sized
+    doc_stats (no per-row Python, no posting re-read). Unlike
+    script_score the base ranking is untouched: derived fields decorate
+    hits, 6-dp rounded. → (qid, rank, doc_id, score_r, <script names>)."""
+    import re as _re
+
+    reserved = {"qid", "rank", "doc_id", "score_r", "_score", *doc_cols}
+    for name, script in scripts.items():
+        if name in reserved:
+            raise EngineError(
+                f"script field name {name!r} collides with a result or "
+                "doc column"
+            )
+        stripped = _re.sub(r"\b\d+(\.\d+)?([eE][+-]?\d+)?", " ", script)
+        idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
+        allowed = {"_score", *doc_cols, *_SCRIPT_FNS}
+        bad = sorted(
+            i for i in idents if i.lower() not in allowed and i not in allowed
+        )
+        if bad:
+            raise EngineError(
+                f"script field {name!r} references {bad} — allowed: "
+                f"_score, doc columns {sorted(doc_cols)}, and functions "
+                f"{sorted(_SCRIPT_FNS)}"
+            )
+    res = search(spark, store, queries, k=k, field=field).withColumnRenamed(
+        "score", "_score"
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_id", *[F.col(c).cast("double").alias(c) for c in doc_cols]
+    )
+    out = res.join(stats, "doc_id")
+    for name, script in scripts.items():
+        out = out.withColumn(
+            name, F.round(F.expr(script).cast("double"), 6)
+        )
+    # presentation rank over the ROUNDED score (ties broken on doc_id) —
+    # the engine-wide determinism discipline, so 6-dp equal scores rank
+    # identically everywhere
+    w = Window.partitionBy("qid").orderBy(
+        F.round("_score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select(
+            "qid", "rank", "doc_id",
+            F.round("_score", 6).alias("score_r"),
+            *scripts.keys(),
+        )
+    )
+
+
+def search_span_multi(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+    field: str | None = None,
+) -> DataFrame:
+    """Lucene ``span_multi``: a multi-term sub-query (prefix) nested
+    inside a span clause — "find 'mer*' immediately before 'window'".
+    ``queries``: pandas (qid, query) where EXACTLY ONE token carries a
+    trailing ``*`` marking the prefix slot; the rest are exact span
+    terms.
+
+    Plan = Lucene's own rewrite (SpanMultiTermQueryWrapper →
+    SpanOrQuery): ONE broadcast dictionary scan expands every query's
+    prefix against term_stats (JVM-capped, term-ascending,
+    ``max_expansions`` — never an uncapped collect), each expansion
+    instantiates the exact span with the prefix slot substituted, and
+    all instantiated spans ride the span_or composite-qid pipeline
+    (qid × stride + clause) through ONE positional verification pass —
+    two posting reads total regardless of expansion count. A doc scores
+    the SUM of its matching instantiated spans' phrase scores, exactly
+    search_span_or's discipline. → standard (qid, rank, doc_id, score)."""
+    fp, _ = _field_of(store, field)
+    pats, parts = [], {}
+    for qid, q in zip(queries["qid"], queries["query"]):
+        raw = str(q).split()
+        stars = [i for i, t in enumerate(raw) if t.endswith("*")]
+        if len(stars) != 1:
+            raise EngineError(
+                "span_multi needs exactly one '*'-marked token per query"
+            )
+        toks = analysis.tokenize_series(
+            pd.Series([" ".join(t.rstrip("*") for t in raw)])
+        )[0]
+        if len(toks) != len(raw):
+            raise EngineError(
+                "span_multi tokens must analyze one-to-one (no "
+                "multi-token or dropped words in the span)"
+            )
+        pfx = toks[stars[0]]
+        if not pfx:
+            raise EngineError(
+                "empty span_multi prefix would expand to the entire "
+                "dictionary"
+            )
+        pats.append((int(qid), fp + pfx))
+        parts[int(qid)] = (toks, stars[0])
+    pdf = spark.createDataFrame(
+        pd.DataFrame(pats, columns=["qid", "prefix"]).drop_duplicates()
+    )
+    hit = store.term_stats(spark).join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    exp = _collect_expansion(
+        hit, "prefix", [F.col("term").asc()], max_expansions
+    )
+    if exp.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    rows = []
+    for qid, g in exp.groupby("qid"):
+        toks, slot = parts[int(qid)]
+        for i, term in enumerate(sorted(g["term"])):
+            inst = list(toks)
+            inst[slot] = term[len(fp):]
+            rows.append((int(qid), i, " ".join(inst)))
+    if max(i for _, i, _ in rows) >= _DISMAX_CLAUSE_STRIDE:
+        raise EngineError("too many span_multi expansions per qid")
+    comp = pd.DataFrame(
+        {
+            "qid": [q * _DISMAX_CLAUSE_STRIDE + i for q, i, _ in rows],
+            "query": [s for _, _, s in rows],
+        }
+    )
+    scored = _phrase_scores(spark, store, comp, field)
+    if scored is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    agg = (
+        scored.withColumn(
+            "qid",
+            F.floor(F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long"),
+        )
+        .groupBy("qid", "doc_int")
+        .agg(F.sum("score").alias("score"))
+    )
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
