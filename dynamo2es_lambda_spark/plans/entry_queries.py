@@ -2967,7 +2967,7 @@ MM_TIE = 0.2
 
 def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Multi-field engine index over documents (fields text + source)."""
-    (path,), fresh = _cached_store_paths(sf_dir, "mf1")
+    (path,), fresh = _cached_store_paths(sf_dir, "mf2")
     if fresh:
         corpus = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("docid"),
@@ -2977,6 +2977,7 @@ def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
         build.build_index(
             corpus, cfg, path,
             num_buckets=32, resume=True, fields=("text", "source"),
+            positions=True,
         )
     return search.load_store(path)
 
@@ -3393,6 +3394,215 @@ sc_s AS (
   JOIN df_s d ON d.term = q.term
   JOIN dl_s dl ON dl.doc_id = p.doc_id
   CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+comb AS (
+  SELECT COALESCE(t.qid, s2.qid) AS qid,
+         COALESCE(t.doc_id, s2.doc_id) AS doc_id,
+         greatest(COALESCE(t.sc, s2.sc), COALESCE(s2.sc, t.sc))
+           + {tie} * (COALESCE(t.sc, 0) + COALESCE(s2.sc, 0)
+                      - greatest(COALESCE(t.sc, s2.sc), COALESCE(s2.sc, t.sc))
+                     ) AS score
+  FROM sc_t t
+  FULL OUTER JOIN sc_s s2 ON t.qid = s2.qid AND t.doc_id = s2.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM comb
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------- 4c2. script query / matched_queries / multi_match phrase
+
+SCRIPT_QUERY_PRED = "dl % 2 = 0 and n_chars > 100"
+
+
+def q_fts_script_query(spark, sf_dir):
+    """ES script query (filter context): whitelisted boolean predicate
+    over doc fields gates the match set; constant score."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search_script_query(
+        spark, store, qpdf, predicate=SCRIPT_QUERY_PRED, k=FT_K,
+        doc_cols=("dl", "n_chars"),
+    )
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def _script_query_sql(queries, k: int) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+hits AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+  WHERE dl.dl % 2 = 0 AND doc.n_chars > 100
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, 1.0 AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM hits
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+NAMED_CLAUSES = [
+    (0, "qa", "spark merge"),
+    (0, "qb", "customer"),
+    (1, "qx", "window"),
+    (1, "qy", "fast key"),
+]
+
+
+def q_fts_matched_queries(spark, sf_dir):
+    """ES named queries: every hit reports WHICH should clauses matched
+    (matched_queries), score = summed BM25 over matched clauses."""
+    store = _corpus_store(spark, sf_dir)
+    cl = pd.DataFrame(NAMED_CLAUSES, columns=["qid", "name", "clause"])
+    res = search.search_matched_queries(spark, store, cl, k=50)
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FT_K)
+        .select("qid", "rank", "doc_id", "score_r", "matched")
+    )
+
+
+def _matched_queries_sql(clauses, k: int) -> str:
+    vals = []
+    for qid, name, clause in clauses:
+        toks = analysis.tokenize_series(pd.Series([clause]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{name}', '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, name, term, qtf) AS (VALUES {", ".join(vals)}),
+per AS (
+  SELECT q.qid AS qid, q.name AS name, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, q.name, p.doc_id
+),
+agg AS (
+  SELECT qid, doc_id, sum(score) AS score,
+         string_agg(name, ',' ORDER BY name) AS matched
+  FROM per GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r, matched,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM agg
+)
+SELECT qid, rank, doc_id, score_r, matched
+FROM ranked WHERE rank <= {k}
+"""
+
+
+MMP_QUERIES = [(0, "merge window"), (1, "src3"), (2, "customer line")]
+MMP_TIE = 0.3
+
+
+def q_fts_multi_match_phrase(spark, sf_dir):
+    """ES multi_match type=phrase: the query as a PHRASE per field,
+    best_fields combine (max + tie_breaker * rest) with boosts."""
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(MMP_QUERIES, columns=["qid", "query"])
+    res = search.multi_match_phrase(
+        spark, store, qpdf, fields=MM_BOOSTS, k=50, tie_breaker=MMP_TIE,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _mm_phrase_sql(queries, k: int, boosts: dict, tie: float) -> str:
+    """Oracle for q_fts_multi_match_phrase: per-field phrase containment
+    + AND BM25 with field-local stats, best_fields combine."""
+    vals, pats = [], []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        pats.append(f"({qid}, ' {' '.join(toks)} ')")
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    bt, bs = boosts["text"], boosts["source"]
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt,
+         {SRC_TOKS} AS ts
+  FROM documents
+),
+cs_t AS (SELECT doc_id, ' ' || array_to_string(tt, ' ') || ' ' AS s
+         FROM corpus),
+cs_s AS (SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS s
+         FROM corpus),
+dl_t AS (SELECT doc_id, len(tt) AS dl FROM corpus),
+dl_s AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n,
+                 (SELECT avg(dl) FROM dl_t) AS avg_t,
+                 (SELECT avg(dl) FROM dl_s) AS avg_s
+          FROM corpus),
+post_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+post_s AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY term),
+df_s AS (SELECT term, count(*) AS df FROM post_s GROUP BY term),
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+ph(pqid, pat) AS (VALUES {", ".join(pats)}),
+sc_t AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_t))
+         ) * {bt} AS sc
+  FROM q
+  JOIN post_t p ON p.term = q.term
+  JOIN df_t d ON d.term = q.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  JOIN ph ON ph.pqid = q.qid
+  JOIN cs_t c ON c.doc_id = p.doc_id AND contains(c.s, ph.pat)
+  GROUP BY q.qid, p.doc_id
+),
+sc_s AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_s))
+         ) * {bs} AS sc
+  FROM q
+  JOIN post_s p ON p.term = q.term
+  JOIN df_s d ON d.term = q.term
+  JOIN dl_s dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  JOIN ph ON ph.pqid = q.qid
+  JOIN cs_s c ON c.doc_id = p.doc_id AND contains(c.s, ph.pat)
   GROUP BY q.qid, p.doc_id
 ),
 comb AS (
@@ -8239,6 +8449,9 @@ SPARK_QUERIES = {
     "fts_span_or": q_fts_span_or,
     "fts_span_multi": q_fts_span_multi,
     "fts_script_fields": q_fts_script_fields,
+    "fts_script_query": q_fts_script_query,
+    "fts_matched_queries": q_fts_matched_queries,
+    "fts_multi_match_phrase": q_fts_multi_match_phrase,
     "fts_span_not": q_fts_span_not,
     "fts_span_containing": q_fts_span_containing,
     "fts_span_within": q_fts_span_within,
@@ -8413,6 +8626,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_span_or": _span_or_sql(SPAN_OR_CLAUSES, FT_K),
         "fts_span_multi": _span_multi_sql(SPAN_MULTI_QUERIES, FT_K),
         "fts_script_fields": _script_fields_sql(FT_QUERIES, FT_K),
+        "fts_script_query": _script_query_sql(SORTED_QUERIES, FT_K),
+        "fts_matched_queries": _matched_queries_sql(NAMED_CLAUSES, FT_K),
+        "fts_multi_match_phrase": _mm_phrase_sql(
+            MMP_QUERIES, FT_K, MM_BOOSTS, MMP_TIE
+        ),
         "fts_span_not": _span_not_sql(SN_INCLUDE, SN_EXCLUDE, FT_K),
         "fts_span_containing": _span_contain_sql(
             SC_BIG, SC_LITTLE, FT_K, "containing"

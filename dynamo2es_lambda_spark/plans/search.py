@@ -8353,3 +8353,204 @@ def search_span_multi(
     )
     agg = _drop_dead(spark, store, agg)
     return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def search_script_query(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    predicate: str,
+    k: int = 10,
+    doc_cols: tuple[str, ...] = ("dl",),
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``script`` query (filter context): keep only the matched docs
+    for which a user PREDICATE over per-document fields is true —
+    "match 'spark merge' where dl % 2 = 0". Filter context exactly:
+    constant score 1.0, doc_id rank (the engine's unscored
+    presentation), like ES wrapping the script in a bool filter.
+
+    The predicate follows the script_score contract: a WHITELISTED
+    Spark SQL boolean expression over ``doc_cols`` (no ``_score`` —
+    filter context has none), validated before planning, compiled into
+    whole-stage codegen over the match set joined to metadata-sized
+    doc_stats. ES evaluates Painless per doc; this is one codegen'd
+    filter. → (qid, rank, doc_id, score_r)."""
+    import re as _re
+
+    stripped = _re.sub(r"\b\d+(\.\d+)?([eE][+-]?\d+)?", " ", predicate)
+    idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
+    allowed = {*doc_cols, *_SCRIPT_FNS}
+    bad = sorted(
+        i for i in idents if i.lower() not in allowed and i not in allowed
+    )
+    if bad:
+        raise EngineError(
+            f"script query references {bad} — allowed: doc columns "
+            f"{sorted(doc_cols)} and functions {sorted(_SCRIPT_FNS)}"
+        )
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        *[F.col(c).cast("double").alias(c) for c in doc_cols],
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("doc_id").asc())
+    return (
+        hits.join(stats, "doc_int")
+        .filter(F.expr(predicate).cast("boolean"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", "doc_id",
+                F.lit(1.0).cast("double").alias("score"))
+    )
+
+
+def search_matched_queries(
+    spark: SparkSession,
+    store: IndexStore,
+    clauses: pd.DataFrame,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES named queries / ``matched_queries``: a bool of NAMED should
+    clauses where every hit reports WHICH clauses matched it —
+    the relevance-debugging surface ES exposes via ``_name``.
+    ``clauses``: pandas (qid, name, clause) — each clause an OR match;
+    a doc's score is the summed BM25 of every matched clause's terms
+    (bool should semantics) and its ``matched`` column lists the names
+    of the clauses with ≥1 matching term, sorted and comma-joined
+    (deterministic presentation).
+
+    One fused pipeline: clauses pack into composite qids (qid × stride
+    + clause — the dis_max discipline), ride ONE term-stats read and
+    ONE pruned posting read; the decompose re-aggregation computes the
+    score sum and collects the matched names in the SAME groupBy. →
+    (qid, rank, doc_id, score, matched)."""
+    cl = clauses.copy()
+    names = {}
+    rows = []
+    for qid, g in cl.groupby("qid"):
+        for i, (_, r) in enumerate(g.iterrows()):
+            if i >= _DISMAX_CLAUSE_STRIDE:
+                raise EngineError("too many named clauses per qid")
+            names[(int(qid), i)] = str(r["name"])
+            rows.append(
+                (int(qid) * _DISMAX_CLAUSE_STRIDE + i, str(r["clause"]))
+            )
+    comp = pd.DataFrame(rows, columns=["qid", "query"])
+    prefix, avgdl = _field_of(store, field)
+    qt = _query_terms(comp)
+    if qt.empty:
+        return spark.createDataFrame(
+            [], RESULT_SCHEMA + ", matched string"
+        )
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"]).copy()
+    if qt.empty:
+        return spark.createDataFrame(
+            [], RESULT_SCHEMA + ", matched string"
+        )
+    n_docs = float(store.meta["n_docs"])
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, avgdl)
+    name_rows = [
+        (q * _DISMAX_CLAUSE_STRIDE + i, nm)
+        for (q, i), nm in names.items()
+    ]
+    ndf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(name_rows, columns=["qid", "_name"])
+        )
+    )
+    per_clause = (
+        cand.groupBy("qid", "doc_int")
+        .agg(F.sum("score").alias("score"))
+        .join(ndf, "qid")
+        .withColumn(
+            "qid",
+            F.floor(F.col("qid") / _DISMAX_CLAUSE_STRIDE).cast("long"),
+        )
+    )
+    agg = (
+        per_clause.groupBy("qid", "doc_int")
+        .agg(
+            F.sum("score").alias("score"),
+            F.array_join(F.array_sort(F.collect_set("_name")), ",")
+            .alias("matched"),
+        )
+    )
+    agg = _drop_dead(spark, store, agg)
+    cut = _cut_topk(agg.select("qid", "doc_int", "score", "matched"), k)
+    ids = store.doc_stats(spark).select("doc_int", "doc_id")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cut.join(ids, "doc_int")
+        .withColumn("rank", F.row_number().over(w))
+        .select("qid", "rank", "doc_id", "score", "matched")
+    )
+
+
+def multi_match_phrase(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    fields: dict[str, float] | list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``multi_match`` with ``type: phrase``: run the query as a
+    PHRASE against every listed field and combine per doc with
+    best_fields (max + tie_breaker × rest — the dis_max ES builds for
+    this type). Fields may carry boosts like :func:`multi_match`.
+
+    One positional verification pass per field (terms are
+    field-qualified, so each pass prunes to that field's postings —
+    the total posting volume across passes equals ONE pass over the
+    union, the per-field split only adds a bounded number of job
+    submissions, never a re-read of another field's blocks); the
+    combine is a single full-outer aggregation like multi_match."""
+    if isinstance(fields, dict):
+        fmap = {str(f): float(b) for f, b in fields.items()}
+    else:
+        fmap = {str(f): 1.0 for f in fields}
+    if not fmap:
+        raise EngineError("multi_match_phrase needs at least one field")
+    per_field = []
+    for f, boost in sorted(fmap.items()):
+        scored = _phrase_scores(spark, store, queries, f)
+        if scored is None:
+            continue
+        per_field.append(
+            scored.withColumn("score", F.col("score") * F.lit(boost))
+        )
+    if not per_field:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    u = per_field[0]
+    for p in per_field[1:]:
+        u = u.unionByName(p)
+    agg = (
+        u.groupBy("qid", "doc_int")
+        .agg(
+            (
+                F.max("score")
+                + F.lit(float(tie_breaker))
+                * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
+    )
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)

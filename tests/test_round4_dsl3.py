@@ -124,3 +124,95 @@ def test_script_fields_rejects_reserved_name(spark, sm_store):
         search.search_script_fields(
             spark, sm_store, _q("merge"), scripts={"doc_id": "dl"}
         )
+
+
+@pytest.fixture(scope="module")
+def mf_pos_store(spark, tmp_path_factory):
+    """Multi-field store WITH positions (content + src)."""
+    path = str(tmp_path_factory.mktemp("r4_mfpos"))
+    rows = [
+        ("d0", "merge window open", "alpha"),
+        ("d1", "merged window close", "beta"),
+        ("d2", "merge pane window", "alpha"),
+        ("d3", "window merge", "gamma"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content", "src"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(corpus, cfg, path, segment_docs=8, num_buckets=4,
+                      positions=True, fields=("content", "src"))
+    return search.load_store(path)
+
+
+def test_script_query_filters_on_predicate(spark, mf_pos_store):
+    # mf dl is total tokens across fields: d0=4 d1=4 d2=4 d3=3
+    got = search.search_script_query(
+        spark, mf_pos_store, _q("merge window"), "dl % 2 = 1",
+        field="content",
+    ).toPandas()
+    assert list(got["doc_id"]) == ["d3"]
+    assert set(got["score"]) == {1.0}
+
+
+def test_script_query_rejects_score_identifier(spark, mf_pos_store):
+    with pytest.raises(EngineError):
+        search.search_script_query(
+            spark, mf_pos_store, _q("merge"), "_score > 1"
+        )
+
+
+def test_matched_queries_names_and_scores(spark, mf_pos_store):
+    cl = pd.DataFrame(
+        [(0, "a", "merge"), (0, "b", "window close")],
+        columns=["qid", "name", "clause"],
+    )
+    got = (
+        search.search_matched_queries(spark, mf_pos_store, cl,
+                                      field="content")
+        .toPandas().set_index("doc_id")
+    )
+    # d1 'merged window close': clause a misses ('merged' != 'merge')
+    assert got.loc["d1", "matched"] == "b"
+    assert got.loc["d0", "matched"] == "a,b"
+    assert got.loc["d3", "matched"] == "a,b"
+    # score equals the plain bool-should score over the union of terms
+    base = (
+        search.search(spark, mf_pos_store,
+                      _q("merge window close"), field="content")
+        .toPandas().set_index("doc_id")
+    )
+    for d in got.index:
+        assert abs(got.loc[d, "score"] - base.loc[d, "score"]) < 1e-9
+
+
+def test_multi_match_phrase_best_fields(spark, mf_pos_store):
+    got = search.multi_match_phrase(
+        spark, mf_pos_store, _q("merge window"),
+        {"content": 1.0, "src": 2.0}, tie_breaker=0.0,
+    ).toPandas()
+    # phrase occurs only in d0's content
+    assert list(got["doc_id"]) == ["d0"]
+    # single-token phrase hits the src field with boost
+    got2 = search.multi_match_phrase(
+        spark, mf_pos_store, _q("alpha"), {"content": 1.0, "src": 2.0}
+    ).toPandas()
+    assert sorted(got2["doc_id"]) == ["d0", "d2"]
+
+
+def test_multi_match_phrase_tie_breaker_adds_second_field(
+    spark, mf_pos_store
+):
+    # 'merge' is a one-token phrase present in content (d0,d2,d3) only;
+    # with tie_breaker the (absent) src side adds nothing — scores equal
+    # the plain phrase score
+    a = search.multi_match_phrase(
+        spark, mf_pos_store, _q("merge"), {"content": 1.0, "src": 1.0},
+        tie_breaker=0.5,
+    ).toPandas().set_index("doc_id")["score"]
+    b = search.search_phrase(
+        spark, mf_pos_store, _q("merge"), field="content"
+    ).toPandas().set_index("doc_id")["score"]
+    assert set(a.index) == set(b.index)
+    for d in a.index:
+        assert abs(a[d] - b[d]) < 1e-9
