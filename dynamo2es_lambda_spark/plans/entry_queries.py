@@ -1629,6 +1629,194 @@ def q_fts_sharded(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+SHARD_BOOSTS = [1.0, 2.0]
+
+
+def q_fts_sharded_boost(spark, sf_dir):
+    """ES indices_boost on the federated search: per-shard score
+    multiplier (even-parity shard 1.0, odd 2.0), stats stay global."""
+    shards = _corpus_shards(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search_sharded(
+        spark, shards, qpdf, k=50, index_boosts=SHARD_BOOSTS
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _sharded_boost_sql(queries, k: int, boosts) -> str:
+    b0, b1 = boosts
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+boosted AS (
+  SELECT qid, doc_id,
+         score * CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                      THEN {b0!r} ELSE {b1!r} END AS score
+  FROM scored
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM boosted
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+TERMS_ORDERED_SIZE, TERMS_ORDERED_MDC = 3, 2
+
+
+def q_fts_terms_agg_ordered(spark, sf_dir):
+    """ES terms agg with its default doc_count-desc order + min_doc_count
+    floor and size cut."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_terms_agg(
+        spark, store, qpdf, group_col="source", value_col="dl",
+        order_by="count_desc", min_doc_count=TERMS_ORDERED_MDC,
+        size=TERMS_ORDERED_SIZE,
+    )
+
+
+def _terms_agg_ordered_sql(queries, size: int, mdc: int) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+agg AS (
+  SELECT m.qid AS qid, doc.source AS "group",
+         count(*) AS n_docs,
+         round(avg(CAST(dl.dl AS DOUBLE)), 6) AS avg_value_r
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+  GROUP BY m.qid, doc.source
+  HAVING count(*) >= {mdc}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY n_docs DESC, "group" ASC
+  ) AS _rn FROM agg
+)
+SELECT CAST(qid AS BIGINT) AS qid, "group",
+       CAST(n_docs AS BIGINT) AS n_docs, avg_value_r
+FROM ranked WHERE _rn <= {size}
+"""
+
+
+CTX_PREFIXES = [(0, "mer", "en"), (1, "cus", "de"), (2, "wind", "fr")]
+CTX_K = 5
+
+
+def q_fts_suggest_completion_ctx(spark, sf_dir):
+    """ES completion suggester with category contexts: completions
+    ranked by in-context popularity (docs of the query's lang only)."""
+    store = _corpus_store(spark, sf_dir)
+    pr = pd.DataFrame(CTX_PREFIXES, columns=["qid", "prefix", "context"])
+    return search.suggest_completions_ctx(
+        spark, store, pr, context_col="lang", k=CTX_K
+    )
+
+
+def _suggest_ctx_sql(prefixes, k: int) -> str:
+    vals = ", ".join(
+        f"({qid}, '{p}', '{c}')" for qid, p, c in prefixes
+    )
+    return f"""{_BM25_BODY},
+pv(qid, pfx, ctx) AS (VALUES {vals}),
+exp AS (
+  SELECT qid, ctx, term FROM (
+    SELECT pv.qid AS qid, pv.ctx AS ctx, d.term AS term,
+           row_number() OVER (
+             PARTITION BY pv.qid ORDER BY d.term ASC
+           ) AS _rn
+    FROM pv JOIN dfreq d ON d.term LIKE pv.pfx || '%'
+  ) WHERE _rn <= 200
+),
+cnt AS (
+  SELECT e.qid AS qid, e.term AS suggestion,
+         count(DISTINCT p.doc_id) AS df_ctx
+  FROM exp e
+  JOIN posting p ON p.term = e.term
+  JOIN documents doc
+    ON CAST(doc.doc_id AS VARCHAR) = p.doc_id AND doc.lang = e.ctx
+  GROUP BY e.qid, e.term
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, suggestion,
+         CAST(df_ctx AS BIGINT) AS df_ctx,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY df_ctx DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM cnt
+)
+SELECT qid, rank, suggestion, df_ctx FROM ranked WHERE rank <= {k}
+"""
+
+
+MIN_SCORE_FLOOR = 1.0
+
+
+def q_fts_min_score(spark, sf_dir):
+    """ES min_score: absolute relevance floor before the top-k cut
+    (compared at the 6-dp presentation precision)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(FT_QUERIES, columns=["qid", "query"])
+    res = search.search_min_score(
+        spark, store, qpdf, min_score=MIN_SCORE_FLOOR, k=50
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _min_score_sql(queries, k: int, floor: float) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+  WHERE round(score, 6) >= {floor!r}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------- 4m. collapse (field fold)
 # ES collapse: one best doc per field value (plans/search.search_collapse).
 
@@ -8482,6 +8670,10 @@ SPARK_QUERIES = {
     "fts_percolate": q_fts_percolate,
     "fts_collapse": q_fts_collapse,
     "fts_sharded": q_fts_sharded,
+    "fts_sharded_boost": q_fts_sharded_boost,
+    "fts_terms_agg_ordered": q_fts_terms_agg_ordered,
+    "fts_suggest_completion_ctx": q_fts_suggest_completion_ctx,
+    "fts_min_score": q_fts_min_score,
     "fts_bool_filter": q_fts_bool_filter,
     "fts_suggest_completion": q_fts_suggest_completion,
     "fts_range": q_fts_range,
@@ -8677,6 +8869,18 @@ def oracle_sql() -> dict[str, str]:
         "fts_percolate": _percolate_sql(PERC_QUERIES),
         "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),
         "fts_sharded": _bm25_sql(FT_QUERIES, FT_K, and_mode=False),
+        "fts_sharded_boost": _sharded_boost_sql(
+            FT_QUERIES, FT_K, SHARD_BOOSTS
+        ),
+        "fts_terms_agg_ordered": _terms_agg_ordered_sql(
+            SORTED_QUERIES, TERMS_ORDERED_SIZE, TERMS_ORDERED_MDC
+        ),
+        "fts_suggest_completion_ctx": _suggest_ctx_sql(
+            CTX_PREFIXES, CTX_K
+        ),
+        "fts_min_score": _min_score_sql(
+            FT_QUERIES, FT_K, MIN_SCORE_FLOOR
+        ),
         "fts_bool_filter": _bool_filter_sql(BOOL_FILTER_QUERIES, FT_K),
         "fts_range": _range_sql(),
         "fts_ids": _ids_sql(),

@@ -2617,6 +2617,7 @@ def search_sharded(
     queries: pd.DataFrame,
     k: int = 10,
     field: str | None = None,
+    index_boosts: list[float] | None = None,
 ) -> DataFrame:
     """Federated top-k BM25 over SEVERAL index stores (shards) with exact
     GLOBAL statistics — ES ``dfs_query_then_fetch``: df(t) sums across
@@ -2630,9 +2631,18 @@ def search_sharded(
     constant in the shard count; each shard then runs its own pruned
     block read + exhaustive scorer with the GLOBAL weights; candidates
     union into one aggregation; the doc_id join unions the shards'
-    metadata. Shard doc ids must be disjoint (a sharded corpus)."""
+    metadata. Shard doc ids must be disjoint (a sharded corpus).
+
+    ``index_boosts`` (ES ``indices_boost``): one multiplier per store —
+    every doc's final score multiplies by its OWNING shard's boost
+    (global stats stay exact; only the score scales, exactly ES's
+    per-index boost). None = all 1.0."""
     if not stores:
         raise EngineError("search_sharded needs at least one store")
+    if index_boosts is not None and len(index_boosts) != len(stores):
+        raise EngineError(
+            "index_boosts must have one multiplier per store"
+        )
     for st in stores:
         if st.meta.get("id_mode", "hash") != "hash":
             # dense ids are STORE-LOCAL ranks — two shards both number
@@ -2707,7 +2717,7 @@ def search_sharded(
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     cands = []
-    for st, qt_st in zip(stores, per_store_qt):
+    for shard_i, (st, qt_st) in enumerate(zip(stores, per_store_qt)):
         qt_live = qt_st[qt_st["term"].isin(df_global)].copy()
         qt_live = qt_live[qt_live["df"].notna()]  # shard holds the term
         if qt_live.empty:
@@ -2723,6 +2733,9 @@ def search_sharded(
         joined = _matched_blocks(spark, st, qt_live)
         cand = _score_exhaustive(joined, avgdl)
         cand = _drop_dead(spark, st, cand)
+        if index_boosts is not None:
+            b = float(index_boosts[shard_i])
+            cand = cand.withColumn("score", F.col("score") * F.lit(b))
         cands.append(cand)
     if not cands:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -3703,11 +3716,21 @@ def search_terms_agg(
     field: str | None = None,
     size: int | None = None,
     after_key: str | None = None,
+    order_by: str | None = None,
+    min_doc_count: int | None = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation WITH a metric sub-aggregation — the most
     common agg combo (`terms` bucket + `avg`): per (qid, doc-field value)
     bucket, the match-set doc count and the mean of a numeric doc_stats
     column, 6-dp rounded. Returns (qid, group, n_docs, avg_value_r).
+
+    ``order_by`` gives ES ``terms`` bucket ordering: ``"count_desc"``
+    (ES's default terms order: doc_count desc) or ``"avg_desc"`` (order
+    by the metric sub-agg — ES ``order: {"avg_v": "desc"}``); key
+    ascending breaks ties deterministically. ``min_doc_count`` drops
+    buckets below the floor BEFORE the size cut, like ES. ``order_by``
+    is incompatible with ``after_key`` (ES too: composite pages by key
+    only — a metric-ordered cursor would need the full bucket set).
 
     ``size`` / ``after_key`` give ES ``composite`` aggregation paging:
     buckets order by group key ascending, ``after_key`` resumes STRICTLY
@@ -3723,6 +3746,13 @@ def search_terms_agg(
     aggregation (partial map-side). The after_key filter is applied on
     the GROUP column before aggregation — it prunes the shuffle, not
     just the output."""
+    if order_by is not None and after_key is not None:
+        raise EngineError(
+            "order_by and after_key are incompatible (composite paging "
+            "is key-ordered)"
+        )
+    if order_by is not None and order_by not in ("count_desc", "avg_desc"):
+        raise EngineError(f"unknown terms order: {order_by!r}")
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
@@ -3743,10 +3773,18 @@ def search_terms_agg(
             F.round(F.avg("_v"), 6).alias("avg_value_r"),
         )
     )
+    if min_doc_count is not None:
+        out = out.filter(F.col("n_docs") >= int(min_doc_count))
     if size is not None:
         if size < 1:
             raise EngineError("composite agg size must be >= 1")
-        w = Window.partitionBy("qid").orderBy(F.col("group").asc())
+        if order_by == "count_desc":
+            order = [F.col("n_docs").desc(), F.col("group").asc()]
+        elif order_by == "avg_desc":
+            order = [F.col("avg_value_r").desc(), F.col("group").asc()]
+        else:
+            order = [F.col("group").asc()]
+        w = Window.partitionBy("qid").orderBy(*order)
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(size))
@@ -8554,3 +8592,132 @@ def multi_match_phrase(
     )
     agg = _drop_dead(spark, store, agg)
     return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def search_min_score(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    min_score: float,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``min_score``: drop hits whose relevance falls below an
+    absolute floor BEFORE the top-k cut — the "only good matches"
+    search shape. The floor compares against the 6-dp-rounded score
+    (the engine's presentation precision, so the boundary is
+    deterministic across dialects and replicable by the oracle; ES
+    compares the raw float). One OR-BM25 aggregate, a codegen'd filter,
+    then the standard cut/present — the filter prunes candidates before
+    the rank window, not after. → (qid, rank, doc_id, score)."""
+    agg = _scored_or_match(spark, store, queries, field)
+    if agg is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    agg = agg.filter(
+        F.round(F.col("score"), 6) >= F.lit(float(min_score))
+    )
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
+def suggest_completions_ctx(
+    spark: SparkSession,
+    store: IndexStore,
+    prefixes: pd.DataFrame,
+    context_col: str,
+    k: int = 5,
+    max_expansions: int | None = 200,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``completion`` suggester WITH contexts: complete each prefix
+    but rank by popularity WITHIN the query's context category —
+    ``prefixes``: pandas (qid, prefix, context); a suggestion counts
+    only the docs whose ``context_col`` equals the row's context (ES
+    category contexts filter suggestions the same way). Suggestions
+    with zero in-context docs drop out.
+
+    Plan: one metadata-sized dictionary scan expands every prefix
+    (JVM-capped, term-ascending — the multi-term discipline); each
+    expansion rides a composite qid through ONE pruned posting read;
+    the in-context df is a count over the decoded doc sets joined to
+    the metadata-sized doc_stats context column — postings outside the
+    expansion set are never read. → (qid, rank, suggestion, df_ctx)."""
+    fp, _ = _field_of(store, field)
+    pr = prefixes.copy()
+    pr["prefix"] = pr["prefix"].astype(str).str.lower()
+    if (pr["prefix"].str.len() == 0).any():
+        raise EngineError("empty completion prefix")
+    if pr["qid"].duplicated().any():
+        raise EngineError(
+            "one (prefix, context) per qid (ranks are per input)"
+        )
+    ctx_by_qid = {
+        int(q): str(c) for q, c in zip(pr["qid"], pr["context"])
+    }
+    pr["prefix"] = fp + pr["prefix"]
+    pdf = spark.createDataFrame(pr[["qid", "prefix"]])
+    hit = store.term_stats(spark).join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    exp = _collect_expansion(
+        hit, "prefix", [F.col("term").asc()], max_expansions
+    )
+    if exp.empty:
+        return spark.createDataFrame(
+            [], "qid long, rank int, suggestion string, df_ctx long"
+        )
+    rows, names = [], {}
+    for qid, g in exp.groupby("qid"):
+        for i, r in enumerate(g.sort_values("term").itertuples()):
+            if i >= _DISMAX_CLAUSE_STRIDE:
+                raise EngineError("too many completion expansions")
+            comp_qid = int(qid) * _DISMAX_CLAUSE_STRIDE + i
+            names[comp_qid] = (int(qid), r.term)
+            row = {"qid": comp_qid, "term": r.term, "df": r.df,
+                   "qtf": 1, "w": 1.0}
+            if "bucket" in exp.columns:
+                row["bucket"] = r.bucket
+            rows.append(row)
+    qt = pd.DataFrame(rows)
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, 1.0)
+    cand = _drop_dead(spark, store, cand)
+    ctx = store.doc_stats(spark).select(
+        "doc_int", F.col(context_col).cast("string").alias("_ctx")
+    )
+    want = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(cq, ctx_by_qid[q]) for cq, (q, _) in names.items()],
+                columns=["qid", "_want"],
+            )
+        )
+    )
+    name_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (cq, q, t[len(fp):] if fp else t)
+                    for cq, (q, t) in names.items()
+                ],
+                columns=["qid", "_q", "suggestion"],
+            )
+        )
+    )
+    counted = (
+        cand.join(ctx, "doc_int")
+        .join(want, "qid")
+        .filter(F.col("_ctx") == F.col("_want"))
+        .groupBy("qid")
+        .agg(F.count_distinct("doc_int").alias("df_ctx"))
+        .join(name_df, "qid")
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("df_ctx").desc(), F.col("suggestion").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_q").alias("qid"), "rank", "suggestion", "df_ctx"
+        )
+    )

@@ -152,3 +152,53 @@ def test_date_range_from_inclusive_to_exclusive(spark, dated_store):
     # d1 at 2020-06-01 falls in 'mid' (from inclusive), not 'early'
     # (to exclusive); d4 doesn't match 'alpha'
     assert got == {"early": 1, "mid": 2, "late": 1, "all": 4, "none": 0}
+
+
+def test_terms_agg_order_by_count_desc_with_floor(spark, pc_store):
+    got = (
+        search.search_terms_agg(
+            spark, pc_store, _q("child text"), group_col="lang",
+            order_by="count_desc", min_doc_count=2, size=2,
+        )
+        .toPandas().sort_values("group").reset_index(drop=True)
+    )
+    # children c0..c5 all match 'child text': en x4, de x1, fr x1 —
+    # floor 2 keeps only en; size 2 can't resurrect dropped buckets
+    assert list(got["group"]) == ["en"]
+    assert list(got["n_docs"]) == [4]
+
+
+def test_terms_agg_order_by_rejects_after_key_combo(spark, pc_store):
+    with pytest.raises(EngineError):
+        search.search_terms_agg(
+            spark, pc_store, _q("child"), group_col="lang",
+            order_by="count_desc", after_key="a",
+        )
+
+
+def test_min_score_floors_at_presentation_precision(spark, pc_store):
+    full = search.search(
+        spark, pc_store, _q("child text"), k=10
+    ).toPandas()
+    floor = sorted(round(s, 6) for s in full["score"])[2]
+    got = search.search_min_score(
+        spark, pc_store, _q("child text"), min_score=floor, k=10
+    ).toPandas()
+    keep = [d for d, s in zip(full["doc_id"], full["score"])
+            if round(s, 6) >= floor]
+    assert sorted(got["doc_id"]) == sorted(keep)
+
+
+def test_suggest_completions_ctx_ranks_in_context(spark, pc_store):
+    pr = pd.DataFrame(
+        [(0, "c", "en"), (1, "c", "fr")],
+        columns=["qid", "prefix", "context"],
+    )
+    got = search.suggest_completions_ctx(
+        spark, pc_store, pr, context_col="lang", k=5
+    ).toPandas()
+    en = got[got["qid"] == 0].set_index("suggestion")["df_ctx"].to_dict()
+    # en-context docs: p0, c0, c2, c3, c5 — 'child' appears in c0,c2,c3,c5
+    assert en.get("child") == 4
+    fr = got[got["qid"] == 1].set_index("suggestion")["df_ctx"].to_dict()
+    assert fr.get("child") == 1  # only c4 is fr
