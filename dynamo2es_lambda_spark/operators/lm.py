@@ -297,3 +297,54 @@ def trigram_perplexity(
     ).localCheckpoint(eager=True)
     base.unpersist(blocking=False)
     return out
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = DEFAULT_K,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus-trained bigram LM, split the corpus at the ``cuts`` quantiles
+    of per-doc perplexity, and label docs head / middle / tail — the
+    standard "keep the head, maybe the middle, drop the tail" LM-data
+    triage (CCNet partitions Common Crawl exactly this way, with
+    KenLM where we use the deterministic add-k bigram model).
+
+    → (bucket, n_docs, avg_nll_r, min_nll_r, max_nll_r), one row per
+    non-empty bucket. Boundary discipline: both thresholds are exact
+    interpolated percentiles over the 6-dp-ROUNDED per-doc nll (round
+    first — oracle-replicable), themselves rounded to 6 dp; a doc goes
+    head when nll_r <= t1, middle when <= t2, else tail. The
+    thresholds are two scalars broadcast back — no corpus sort, one
+    extra aggregation over the doc-sized perplexity frame."""
+    from ..errors import EngineError
+
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise EngineError("cuts must satisfy 0 <= lo <= hi <= 1")
+    ppl = bigram_perplexity(
+        docs, id_col=id_col, text_col=text_col, k_smooth=k_smooth
+    )
+    thr = ppl.agg(
+        F.round(F.expr(f"percentile(nll_r, {lo!r})"), 6).alias("_t1"),
+        F.round(F.expr(f"percentile(nll_r, {hi!r})"), 6).alias("_t2"),
+    )
+    return (
+        ppl.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.when(F.col("nll_r") <= F.col("_t1"), "head")
+            .when(F.col("nll_r") <= F.col("_t2"), "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll_r"), 6).alias("avg_nll_r"),
+            F.round(F.min("nll_r"), 6).alias("min_nll_r"),
+            F.round(F.max("nll_r"), 6).alias("max_nll_r"),
+        )
+    )

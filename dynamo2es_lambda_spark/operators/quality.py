@@ -129,3 +129,52 @@ def quality_percentile_filter(
             F.round(F.avg("q_r"), 6).alias("avg_q_r"),
         )
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — boilerplate mining: the
+    n-grams a dedup / filtering pass should inspect first (repeated
+    headers, navigation chrome, license blurbs surface at the top).
+    → (rank, ngram, n_occurrences, n_docs): total occurrences and the
+    number of distinct docs containing the n-gram, ranked by
+    (occurrences desc, ngram asc — deterministic).
+
+    Plan: ONE explode of the already-tokenized stream into n-gram rows,
+    ONE hash aggregation computing both counts (partial map-side — the
+    shuffle carries only distinct (ngram, doc) partials), then a
+    top-k rank window over the aggregate. At 100 TB the aggregate is
+    vocabulary-sized (n-gram types), far below the corpus, and the
+    window sees only that aggregate — no corpus sort, no driver
+    collect beyond the k rows the caller asked for."""
+    if n < 1 or k < 1:
+        raise EngineError("top_ngrams needs n >= 1 and k >= 1")
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+    ).select(
+        "doc_id", F.explode(F.expr(_gram_expr(n))).alias("ngram")
+    )
+    agg = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject — per-partition
+    # top-k partials, never a global sort or a one-task window over the
+    # (potentially billions-of-types) n-gram vocabulary
+    cut = agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(int(k))
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    )
+    return (
+        cut.withColumn("rank", F.row_number().over(w))
+        .select("rank", "ngram", "n_occurrences", "n_docs")
+    )

@@ -2285,6 +2285,178 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+INNER_HITS_SIZE = 3
+
+
+def q_fts_has_child_inner(spark, sf_dir):
+    """ES has_child with inner_hits: parents ranked by best child
+    (score_mode max), each carrying its top matching children."""
+    store = _corpus_store_pc(spark, sf_dir)
+    qpdf = pd.DataFrame(PC_QUERY, columns=["qid", "query"])
+    return search.search_has_child_inner_hits(
+        spark, store, qpdf, k=FT_K, inner_size=INNER_HITS_SIZE
+    )
+
+
+def _has_child_inner_sql(queries, k: int, inner: int) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},{_PC_FAM},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+kids AS (
+  SELECT s.qid AS qid, f.parent AS parent, s.doc_id AS child_doc_id,
+         round(s.score, 6) AS child_score_r
+  FROM scored s
+  JOIN fam f ON f.doc_id = s.doc_id
+  WHERE f.parent IN (SELECT doc_id FROM fam)
+),
+rk AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY qid, parent
+           ORDER BY child_score_r DESC, child_doc_id ASC
+         ) AS INTEGER) AS child_rank,
+         max(child_score_r) OVER (PARTITION BY qid, parent) AS score_r
+  FROM kids
+),
+pr AS (
+  SELECT *, CAST(dense_rank() OVER (
+    PARTITION BY qid ORDER BY score_r DESC, parent ASC
+  ) AS INTEGER) AS rank
+  FROM rk WHERE child_rank <= {inner}
+)
+SELECT CAST(qid AS BIGINT) AS qid, rank, parent AS doc_id, score_r,
+       child_rank, child_doc_id, child_score_r
+FROM pr WHERE rank <= {k}
+"""
+
+
+PPL_CUTS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def q_corpus_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity triage: bigram-LM nll
+    quantile thresholds, per-bucket counts and nll stats."""
+    from ..operators import lm
+
+    return lm.perplexity_buckets(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        k_smooth=LM_K, cuts=PPL_CUTS,
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    lo, hi = PPL_CUTS
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(2, len(toks) + 1),
+                                    i -> toks[i - 1] || ' ' || toks[i])
+                ELSE [] END) AS b
+  FROM x
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM x)
+  GROUP BY w
+),
+v AS (SELECT count(*) AS v FROM uni),
+bic AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+nll AS (
+  SELECT bg.doc_id AS doc_id,
+         -log2((bic.c12 + {LM_K}) / (uni.c1 + {LM_K} * v.v)) AS nll
+  FROM bg
+  JOIN bic ON bic.b = bg.b
+  JOIN uni ON uni.w = split_part(bg.b, ' ', 1)
+  CROSS JOIN v
+),
+ppl AS (
+  SELECT doc_id, round(avg(nll), 6) AS nll_r FROM nll GROUP BY doc_id
+),
+thr AS (
+  SELECT round(quantile_cont(nll_r, {lo!r}), 6) AS t1,
+         round(quantile_cont(nll_r, {hi!r}), 6) AS t2
+  FROM ppl
+)
+SELECT CASE WHEN nll_r <= t1 THEN 'head'
+            WHEN nll_r <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nll_r), 6) AS avg_nll_r,
+       round(min(nll_r), 6) AS min_nll_r,
+       round(max(nll_r), 6) AS max_nll_r
+FROM ppl CROSS JOIN thr
+GROUP BY bucket
+"""
+
+
+TOP_NGRAM_N, TOP_NGRAM_K = 3, 15
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Boilerplate mining: corpus-wide most-frequent word trigrams with
+    occurrence and doc counts (distributed top-k, no global sort)."""
+    from ..operators import quality
+
+    return quality.top_ngrams(
+        _docs(spark, sf_dir), n=TOP_NGRAM_N, k=TOP_NGRAM_K
+    )
+
+
+def _top_ngrams_sql(n: int, k: int) -> str:
+    parts = " || ' ' || ".join(
+        f"toks[i - {n - 1 - j}]" for j in range(n)
+    )
+    return f"""
+WITH x AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {n}
+                THEN list_transform(range({n}, len(toks) + 1),
+                                    i -> {parts})
+                ELSE [] END) AS ngram
+  FROM x
+),
+agg AS (
+  SELECT ngram, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY ngram
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY n_occurrences DESC, ngram ASC
+  ) AS INTEGER) AS rank
+  FROM agg
+)
+SELECT rank, ngram, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # --------------- 4j2. children agg / parent_id (join-field family)
 
 PARENT_ID_QUERY = [(0, "7"), (1, "23")]
@@ -8658,6 +8830,9 @@ SPARK_QUERIES = {
     "fts_has_parent": q_fts_has_parent,
     "fts_has_child": q_fts_has_child,
     "fts_children_agg": q_fts_children_agg,
+    "fts_has_child_inner": q_fts_has_child_inner,
+    "corpus_perplexity_buckets": q_corpus_perplexity_buckets,
+    "corpus_top_ngrams": q_corpus_top_ngrams,
     "fts_parent_id": q_fts_parent_id,
     "fts_random_sampler": q_fts_random_sampler,
     "fts_percentile_ranks": q_fts_percentile_ranks,
@@ -8847,6 +9022,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_has_parent": _has_parent_sql(PC_QUERY, FT_K),
         "fts_has_child": _has_child_sql(PC_QUERY, FT_K),
         "fts_children_agg": _children_agg_sql(PC_QUERY),
+        "fts_has_child_inner": _has_child_inner_sql(
+            PC_QUERY, FT_K, INNER_HITS_SIZE
+        ),
+        "corpus_perplexity_buckets": _ppl_buckets_sql(),
+        "corpus_top_ngrams": _top_ngrams_sql(TOP_NGRAM_N, TOP_NGRAM_K),
         "fts_parent_id": _parent_id_sql(PARENT_ID_QUERY, FT_K),
         "fts_random_sampler": _random_sampler_sql(SORTED_QUERIES, SAMPLER_P),
         "fts_percentile_ranks": _percentile_ranks_sql(

@@ -8721,3 +8721,67 @@ def suggest_completions_ctx(
             F.col("_q").alias("qid"), "rank", "suggestion", "df_ctx"
         )
     )
+
+
+def search_has_child_inner_hits(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    inner_size: int = 3,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``has_child`` WITH ``inner_hits``: parents ranked by their
+    best-matching child (score_mode max), each parent row EXPLODED with
+    its top-``inner_size`` matching children — the "show me the thread
+    and its best replies" shape ES serves with one request. One
+    scored-match pass over the child query; the parent fold (max) and
+    both rank windows (children within parent, parents within query)
+    run on the same k-bounded aggregate — no second posting read.
+    Ranks use 6-dp-rounded scores with doc_id tiebreaks (presentation
+    discipline). → (qid, rank, doc_id, score_r, child_rank,
+    child_doc_id, child_score_r); doc_id is the parent."""
+    matched = _scored_or_match(spark, store, queries, field)
+    if matched is None:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id string, score_r double, "
+                "child_rank int, child_doc_id string, "
+                "child_score_r double"
+        )
+    kids = matched.join(
+        store.doc_stats(spark)
+        .filter(F.col("parent").isNotNull())
+        .select("doc_int", "doc_id", "parent"),
+        "doc_int",
+    ).select(
+        "qid", F.col("parent").alias("_parent"),
+        F.col("doc_id").alias("child_doc_id"),
+        F.round("score", 6).alias("child_score_r"),
+    )
+    # the parent must itself be a live doc in the store
+    pstats = store.doc_stats(spark).select(
+        F.col("doc_id").alias("_parent"), "doc_int"
+    )
+    kids = _drop_dead(spark, store, kids.join(pstats, "_parent"))
+    w_child = Window.partitionBy("qid", "_parent").orderBy(
+        F.col("child_score_r").desc(), F.col("child_doc_id").asc()
+    )
+    w_parent = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("_parent").asc()
+    )
+    return (
+        kids.withColumn("child_rank", F.row_number().over(w_child))
+        .withColumn(
+            "score_r",
+            F.max("child_score_r").over(
+                Window.partitionBy("qid", "_parent")
+            ),
+        )
+        .filter(F.col("child_rank") <= int(inner_size))
+        .withColumn("rank", F.dense_rank().over(w_parent))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "rank", F.col("_parent").alias("doc_id"), "score_r",
+            "child_rank", "child_doc_id", "child_score_r",
+        )
+    )

@@ -93,3 +93,96 @@ def test_trigram_perplexity_rare_trigrams_score_worse(spark):
     ])
     got = lm.trigram_perplexity(d).toPandas().set_index("doc_id")
     assert float(got.loc["r1", "nll_r"]) > float(got.loc["c1", "nll_r"])
+
+
+# ---------------- round-4 late additions: CCNet buckets / top n-grams
+
+
+def test_perplexity_buckets_partition_the_corpus(spark):
+    import pandas as pd
+    from dynamo2es_lambda_spark.operators import lm
+
+    rows = [
+        ("d%d" % i, "alpha beta gamma " * (i + 2)) for i in range(9)
+    ] + [("odd", "zeta eta theta iota kappa")]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = lm.perplexity_buckets(docs).toPandas().set_index("bucket")
+    # every doc lands in exactly one bucket
+    assert int(got["n_docs"].sum()) == 10
+    # the repetitive docs are low-nll (head), the unique-vocab doc is tail
+    assert got.loc["tail", "max_nll_r"] == got["max_nll_r"].max()
+    assert got.loc["head", "min_nll_r"] == got["min_nll_r"].min()
+
+
+def test_perplexity_buckets_rejects_bad_cuts(spark):
+    import pandas as pd
+    import pytest as _pt
+    from dynamo2es_lambda_spark.errors import EngineError
+    from dynamo2es_lambda_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([("d0", "a b")], columns=["doc_id", "text"])
+    )
+    with _pt.raises(EngineError):
+        lm.perplexity_buckets(docs, cuts=(0.9, 0.1))
+
+
+def test_top_ngrams_counts_and_rank(spark):
+    import pandas as pd
+    from dynamo2es_lambda_spark.operators import quality
+
+    rows = [
+        ("d0", "the quick fox jumps the quick fox"),
+        ("d1", "the quick fox sleeps"),
+        ("d2", "a lazy dog"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = quality.top_ngrams(docs, n=3, k=3).toPandas()
+    top = got.iloc[0]
+    assert top["ngram"] == "the quick fox"
+    assert top["n_occurrences"] == 3  # twice in d0, once in d1
+    assert top["n_docs"] == 2
+    assert list(got["rank"]) == [1, 2, 3]
+
+
+def test_has_child_inner_hits_shapes(spark, tmp_path):
+    import pandas as pd
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.plans import build, search
+
+    rows = [
+        ("p0", "parent stuff", "root"),
+        ("p1", "parent stuff", "root"),
+        ("c0", "alpha match strong alpha", "p0"),
+        ("c1", "alpha weak", "p0"),
+        ("c2", "alpha mid match", "p1"),
+        ("c3", "nothing here", "p1"),
+        ("c4", "alpha orphan", "zz"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content", "pref"])
+    )
+    path = str(tmp_path / "ih")
+    cfg = IndexerConfig(index="docs", id_field="doc_id",
+                        parent_field="pref")
+    build.build_index(corpus, cfg, path, segment_docs=8, num_buckets=4)
+    st = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    got = search.search_has_child_inner_hits(
+        spark, st, q, k=10, inner_size=1
+    ).toPandas()
+    # one inner hit per parent; orphan c4's parent 'zz' is not a doc
+    assert sorted(got["doc_id"]) == ["p0", "p1"]
+    assert set(got["child_rank"]) == {1}
+    by_parent = got.set_index("doc_id")
+    # best child of p0 is the double-alpha c0
+    assert by_parent.loc["p0", "child_doc_id"] == "c0"
+    # parent score = its best child's rounded score
+    assert (
+        by_parent.loc["p0", "score_r"]
+        == by_parent.loc["p0", "child_score_r"]
+    )
