@@ -420,6 +420,12 @@ def main() -> None:
         "text_perplexity_trigram",
         "corpus_chunk_windows",
         "bpe_pair_counts",
+        # round-4 late families: per-field positional multi_match, the
+        # join-field inner_hits fold, and corpus trigram mining (explode
+        # + one hash agg + distributed top-k, no global sort)
+        "fts_multi_match_phrase",
+        "fts_has_child_inner",
+        "corpus_top_ngrams",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))
