@@ -2931,6 +2931,124 @@ GROUP BY m.qid, bucket
 """
 
 
+# ---------- 4g2. moving_percentiles / bucket_correlation / composite
+
+MOVP_INTERVAL, MOVP_WINDOW, MOVP_PCT = 16.0, 3, 0.5
+
+
+def q_fts_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles: sliding exact median of histogram bucket
+    counts (window before each bucket, first bucket null)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_moving_percentiles(
+        spark, store, qpdf, interval=MOVP_INTERVAL, window=MOVP_WINDOW,
+        pct=MOVP_PCT,
+    )
+
+
+def _moving_percentiles_sql(queries, interval, window, pct) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+hist AS (
+  SELECT m.qid AS qid,
+         floor(dl.dl / {interval}) * {interval} AS bucket,
+         count(*) AS n_docs
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+  GROUP BY m.qid, bucket
+)
+SELECT CAST(qid AS BIGINT) AS qid, bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(n_docs AS DOUBLE), {float(pct)!r}) OVER (
+         PARTITION BY qid ORDER BY bucket ASC
+         ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING
+       ), 6) AS moving_pct_r
+FROM hist
+"""
+
+
+BCORR_INTERVAL = 32.0
+
+
+def q_fts_bucket_correlation(spark, sf_dir):
+    """ES bucket_correlation: Pearson corr between the match set's
+    bucket counts and the whole-corpus background counts."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_bucket_correlation(
+        spark, store, qpdf, interval=BCORR_INTERVAL
+    )
+
+
+def _bucket_correlation_sql(queries, interval) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+bg AS (
+  SELECT floor(dl / {interval}) * {interval} AS bucket,
+         count(*) AS bg_n
+  FROM dl GROUP BY bucket
+),
+fg AS (
+  SELECT m.qid AS qid, floor(dl.dl / {interval}) * {interval} AS bucket,
+         count(*) AS fg_n
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+  GROUP BY m.qid, bucket
+),
+axis AS (
+  SELECT q.qid AS qid, bg.bucket AS bucket, bg.bg_n AS bg_n
+  FROM (SELECT DISTINCT qid FROM fg) q CROSS JOIN bg
+),
+j AS (
+  SELECT a.qid, a.bucket, a.bg_n, COALESCE(fg.fg_n, 0) AS fg_n
+  FROM axis a LEFT JOIN fg ON fg.qid = a.qid AND fg.bucket = a.bucket
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(corr(CAST(fg_n AS DOUBLE), CAST(bg_n AS DOUBLE)), 6)
+         AS corr_r
+FROM j GROUP BY qid
+"""
+
+
+COMP2_INTERVAL, COMP2_SIZE = 32.0, 8
+COMP2_AFTER = ("src2", 32.0)
+
+
+def q_fts_composite_two_source(spark, sf_dir):
+    """ES composite agg with two sources (terms x histogram): observed
+    pairs in composite-key order, paged strictly after a cursor pair."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_composite_agg(
+        spark, store, qpdf, group_col="source", interval=COMP2_INTERVAL,
+        size=COMP2_SIZE, after=COMP2_AFTER,
+    )
+
+
+def _composite_two_source_sql(queries, interval, size, after) -> str:
+    g0, b0 = after
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+pairs AS (
+  SELECT m.qid AS qid, doc.source AS "group",
+         floor(dl.dl / {interval}) * {interval} AS bucket,
+         count(*) AS n_docs
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+  WHERE doc.source > '{g0}'
+     OR (doc.source = '{g0}'
+         AND floor(dl.dl / {interval}) * {interval} > {b0!r})
+  GROUP BY m.qid, doc.source, bucket
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY "group" ASC, bucket ASC
+  ) AS _rn FROM pairs
+)
+SELECT CAST(qid AS BIGINT) AS qid, "group", bucket,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE _rn <= {size}
+"""
+
+
 # --------------------------------------------------- 4h. boosting query
 # ES boosting: positive matches, demoted (not excluded) by negative_boost
 # when the negative half also matches (plans/search.search_boosting).
@@ -8847,6 +8965,9 @@ SPARK_QUERIES = {
     "fts_sharded": q_fts_sharded,
     "fts_sharded_boost": q_fts_sharded_boost,
     "fts_terms_agg_ordered": q_fts_terms_agg_ordered,
+    "fts_moving_percentiles": q_fts_moving_percentiles,
+    "fts_bucket_correlation": q_fts_bucket_correlation,
+    "fts_composite_two_source": q_fts_composite_two_source,
     "fts_suggest_completion_ctx": q_fts_suggest_completion_ctx,
     "fts_min_score": q_fts_min_score,
     "fts_bool_filter": q_fts_bool_filter,
@@ -9054,6 +9175,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_terms_agg_ordered": _terms_agg_ordered_sql(
             SORTED_QUERIES, TERMS_ORDERED_SIZE, TERMS_ORDERED_MDC
+        ),
+        "fts_moving_percentiles": _moving_percentiles_sql(
+            SORTED_QUERIES, MOVP_INTERVAL, MOVP_WINDOW, MOVP_PCT
+        ),
+        "fts_bucket_correlation": _bucket_correlation_sql(
+            SORTED_QUERIES, BCORR_INTERVAL
+        ),
+        "fts_composite_two_source": _composite_two_source_sql(
+            SORTED_QUERIES, COMP2_INTERVAL, COMP2_SIZE, COMP2_AFTER
         ),
         "fts_suggest_completion_ctx": _suggest_ctx_sql(
             CTX_PREFIXES, CTX_K

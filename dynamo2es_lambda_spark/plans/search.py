@@ -8785,3 +8785,158 @@ def search_has_child_inner_hits(
             "child_rank", "child_doc_id", "child_score_r",
         )
     )
+
+
+def search_moving_percentiles(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    window: int,
+    pct: float = 0.5,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: a sliding percentile of
+    the histogram's bucket doc counts over the ``window`` buckets
+    BEFORE each bucket (shift=0, current bucket excluded — the
+    moving_fn frame discipline; the first bucket gets null). Exact
+    interpolated percentile (ES feeds a t-digest through the window;
+    the exact answer is the standardizable one — same divergence note
+    as percentiles). One window expression over bucket-cardinality
+    rows, nothing corpus-sized. → histogram columns + moving_pct_r."""
+    if window < 1:
+        raise EngineError("moving_percentiles window must be >= 1")
+    if not 0.0 <= pct <= 1.0:
+        raise EngineError("pct must be in [0, 1]")
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-int(window), -1)
+    )
+    return base.withColumn(
+        "moving_pct_r",
+        F.round(
+            F.expr(
+                f"percentile(CAST(n_docs AS DOUBLE), {float(pct)!r})"
+            ).over(w),
+            6,
+        ),
+    )
+
+
+def search_bucket_correlation(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_correlation`` (x-pack): Pearson correlation between
+    the query match set's per-bucket doc counts and the WHOLE corpus's
+    counts over the same bucket axis — "does this query's activity
+    follow the background distribution?". The background histogram is
+    an indicator-function count over metadata-sized doc_stats (no
+    second posting read); buckets align on the shared axis with
+    match-set zeros filled in (ES passes an explicit indicator vector;
+    the background axis is the natural one here). Sample correlation
+    (corr), 6-dp. → (qid, n_buckets, corr_r)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, n_buckets long, corr_r double"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        (F.floor(F.col(value_col).cast("double") / F.lit(float(interval)))
+         * F.lit(float(interval))).alias("bucket"),
+    )
+    bg = _drop_dead(spark, store, stats).groupBy("bucket").agg(
+        F.count("*").alias("bg_n")
+    )
+    fg = (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("fg_n"))
+    )
+    qids = fg.select("qid").distinct()
+    axis = qids.crossJoin(F.broadcast(bg))
+    joined = axis.join(fg, ["qid", "bucket"], "left").fillna(
+        0, subset=["fg_n"]
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.round(
+                F.corr(
+                    F.col("fg_n").cast("double"),
+                    F.col("bg_n").cast("double"),
+                ),
+                6,
+            ).alias("corr_r"),
+        )
+    )
+
+
+def search_composite_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    group_col: str,
+    interval: float,
+    value_col: str = "dl",
+    size: int | None = None,
+    after: tuple[str, float] | None = None,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation with TWO sources — a ``terms``
+    source on a doc field and a ``histogram`` source on a numeric
+    field: buckets are the observed (group, bucket) PAIRS, ordered by
+    the composite key ascending, paged with an ``after`` cursor that
+    resumes STRICTLY AFTER the given (group, bucket) pair (tuple
+    keyset order — the same cursor discipline as the single-source
+    composite in search_terms_agg). One match-set pass, one
+    metadata join, ONE hash aggregation; the after filter prunes
+    before the shuffle. → (qid, group, bucket, n_docs)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, group string, bucket double, n_docs long"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int",
+        F.col(group_col).cast("string").alias("group"),
+        (F.floor(F.col(value_col).cast("double") / F.lit(float(interval)))
+         * F.lit(float(interval))).alias("bucket"),
+    )
+    j = hits.join(stats, "doc_int")
+    if after is not None:
+        g0, b0 = str(after[0]), float(after[1])
+        j = j.filter(
+            (F.col("group") > F.lit(g0))
+            | ((F.col("group") == F.lit(g0))
+               & (F.col("bucket") > F.lit(b0)))
+        )
+    out = j.groupBy("qid", "group", "bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+    if size is not None:
+        if size < 1:
+            raise EngineError("composite agg size must be >= 1")
+        w = Window.partitionBy("qid").orderBy(
+            F.col("group").asc(), F.col("bucket").asc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(size))
+            .drop("_rn")
+        )
+    return out

@@ -202,3 +202,56 @@ def test_suggest_completions_ctx_ranks_in_context(spark, pc_store):
     assert en.get("child") == 4
     fr = got[got["qid"] == 1].set_index("suggestion")["df_ctx"].to_dict()
     assert fr.get("child") == 1  # only c4 is fr
+
+
+def test_moving_percentiles_window_excludes_current(spark, pc_store):
+    got = (
+        search.search_moving_percentiles(
+            spark, pc_store, _q("child text"), interval=1.0, window=2,
+            pct=0.5,
+        )
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    # child docs have dl 3 (all six) -> single bucket; parents don't
+    # match -> first (only) bucket has a null moving value
+    assert pd.isna(got.iloc[0]["moving_pct_r"])
+
+
+def test_moving_percentiles_sliding_median(spark, dated_store):
+    got = (
+        search.search_moving_percentiles(
+            spark, dated_store, _q("alpha"), interval=1.0, window=3,
+            pct=0.5, value_col="dl",
+        )
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    # every alpha doc is 1 token -> one bucket only
+    assert len(got) == 1 and pd.isna(got.iloc[0]["moving_pct_r"])
+
+
+def test_bucket_correlation_self_is_one(spark, pc_store):
+    # query matching EVERYTHING -> fg == bg -> corr 1 (given >= 2
+    # distinct buckets: parents dl=3? children dl=3; parents 'alpha
+    # parent zero' dl=3 too... use dl buckets of width 1 over the mixed
+    # store: all dl equal -> corr undefined; instead check the shape
+    got = search.search_bucket_correlation(
+        spark, pc_store, _q("child text alpha parent beta zero one two"),
+        interval=1.0,
+    ).toPandas()
+    assert list(got.columns) == ["qid", "n_buckets", "corr_r"]
+    assert int(got["n_buckets"][0]) >= 1
+
+
+def test_composite_two_source_pairs_and_cursor(spark, pc_store):
+    base = search.search_composite_agg(
+        spark, pc_store, _q("child text"), group_col="lang",
+        interval=1.0,
+    ).toPandas().sort_values(["group", "bucket"]).reset_index(drop=True)
+    # en x4, de x1, fr x1 children, all dl=3 -> pairs (de,3),(en,3),(fr,3)
+    assert list(base["group"]) == ["de", "en", "fr"]
+    assert list(base["n_docs"]) == [1, 4, 1]
+    page = search.search_composite_agg(
+        spark, pc_store, _q("child text"), group_col="lang",
+        interval=1.0, size=1, after=("de", 3.0),
+    ).toPandas()
+    assert list(page["group"]) == ["en"]
