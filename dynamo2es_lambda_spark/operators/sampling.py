@@ -86,3 +86,52 @@ def temperature_mix_rates(
         s: min(1.0, total * mass[s] / z / counts[s])
         for s in sorted(counts)
     }
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum TOKEN-BUDGET fill: keep documents of each stratum,
+    in deterministic md5(key) shuffle order, until the stratum's
+    cumulative token count reaches ``budget`` — how a training-data
+    pipeline targets "N tokens per language", not "N docs" (docs vary
+    100× in length; a doc-count cap skews the mix toward short docs).
+
+    The doc that CROSSES the budget is kept (budget is a floor, the
+    standard fill-then-stop), everything after it in hash order drops.
+    → (stratum, n_docs, n_tokens): per-stratum kept counts, the
+    audit summary a mixing step consumes.
+
+    Plan: token counts are a codegen'd expression (or a provided
+    column), the fill is ONE cumulative-sum window per stratum
+    partition (docs hash-shuffle within their stratum — no global
+    sort), and the output aggregation rides the same partitioning.
+    Deterministic: md5 order and exact integer sums."""
+    if budget < 1:
+        raise EngineError("token budget must be >= 1")
+    if tokens_col is None:
+        from ..functions.analysis import spark_tokens_expr
+
+        toks = F.size(F.expr(spark_tokens_expr(text_col)))
+    else:
+        toks = F.col(tokens_col).cast("long")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(strata_col).cast("string").alias("stratum"),
+        F.md5(F.col(key_col).cast("string")).alias("_h"),
+        toks.cast("long").alias("_t"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("_h").asc())
+    kept = base.withColumn(
+        "_cum", F.sum("_t").over(w)
+    ).filter(F.col("_cum") - F.col("_t") < F.lit(int(budget)))
+    return kept.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_t").alias("n_tokens"),
+    )

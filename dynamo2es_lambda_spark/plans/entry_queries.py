@@ -3049,6 +3049,69 @@ FROM ranked WHERE _rn <= {size}
 """
 
 
+TERMS_INCLUDE, TERMS_EXCLUDE = "^src[0-4]$", "src3"
+
+
+def q_fts_terms_agg_filtered(spark, sf_dir):
+    """ES terms agg include/exclude regex bucket filters."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_terms_agg(
+        spark, store, qpdf, group_col="source", value_col="dl",
+        include_regex=TERMS_INCLUDE, exclude_regex=TERMS_EXCLUDE,
+    )
+
+
+def _terms_agg_filtered_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid, doc.source AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(dl.dl AS DOUBLE)), 6) AS avg_value_r
+FROM m
+JOIN dl ON dl.doc_id = m.doc_id
+JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+WHERE regexp_matches(doc.source, '{TERMS_INCLUDE}')
+  AND NOT regexp_matches(doc.source, '{TERMS_EXCLUDE}')
+GROUP BY m.qid, doc.source
+"""
+
+
+TOKEN_BUDGET = 3000
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Per-lang token-budget corpus fill: md5-ordered cumulative token
+    sum per stratum, stop once the budget is crossed."""
+    from ..operators import sampling
+
+    return sampling.token_budget_sample(
+        _docs(spark, sf_dir), budget=TOKEN_BUDGET, strata_col="lang",
+        key_col="doc_id", text_col="text",
+    )
+
+
+def _token_budget_sql(budget: int) -> str:
+    return f"""
+WITH x AS (
+  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+         len({DOC_TOKS}) AS t
+  FROM documents
+),
+c AS (
+  SELECT lang, t,
+         sum(t) OVER (
+           PARTITION BY lang ORDER BY h ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM x
+)
+SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens
+FROM c WHERE cum - t < {budget}
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------- 4h. boosting query
 # ES boosting: positive matches, demoted (not excluded) by negative_boost
 # when the negative half also matches (plans/search.search_boosting).
@@ -8966,6 +9029,8 @@ SPARK_QUERIES = {
     "fts_sharded_boost": q_fts_sharded_boost,
     "fts_terms_agg_ordered": q_fts_terms_agg_ordered,
     "fts_moving_percentiles": q_fts_moving_percentiles,
+    "fts_terms_agg_filtered": q_fts_terms_agg_filtered,
+    "corpus_token_budget": q_corpus_token_budget,
     "fts_bucket_correlation": q_fts_bucket_correlation,
     "fts_composite_two_source": q_fts_composite_two_source,
     "fts_suggest_completion_ctx": q_fts_suggest_completion_ctx,
@@ -9179,6 +9244,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_moving_percentiles": _moving_percentiles_sql(
             SORTED_QUERIES, MOVP_INTERVAL, MOVP_WINDOW, MOVP_PCT
         ),
+        "fts_terms_agg_filtered": _terms_agg_filtered_sql(SORTED_QUERIES),
+        "corpus_token_budget": _token_budget_sql(TOKEN_BUDGET),
         "fts_bucket_correlation": _bucket_correlation_sql(
             SORTED_QUERIES, BCORR_INTERVAL
         ),

