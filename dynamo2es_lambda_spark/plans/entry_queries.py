@@ -3079,7 +3079,7 @@ GROUP BY m.qid, doc.source
 TOKEN_BUDGET = 3000
 
 
-def q_corpus_token_budget(spark, sf_dir):
+def q_corpus_token_budget_fill(spark, sf_dir):
     """Per-lang token-budget corpus fill: md5-ordered cumulative token
     sum per stratum, stop once the budget is crossed."""
     from ..operators import sampling
@@ -9030,7 +9030,7 @@ SPARK_QUERIES = {
     "fts_terms_agg_ordered": q_fts_terms_agg_ordered,
     "fts_moving_percentiles": q_fts_moving_percentiles,
     "fts_terms_agg_filtered": q_fts_terms_agg_filtered,
-    "corpus_token_budget": q_corpus_token_budget,
+    "corpus_token_budget_fill": q_corpus_token_budget_fill,
     "fts_bucket_correlation": q_fts_bucket_correlation,
     "fts_composite_two_source": q_fts_composite_two_source,
     "fts_suggest_completion_ctx": q_fts_suggest_completion_ctx,
@@ -9245,7 +9245,7 @@ def oracle_sql() -> dict[str, str]:
             SORTED_QUERIES, MOVP_INTERVAL, MOVP_WINDOW, MOVP_PCT
         ),
         "fts_terms_agg_filtered": _terms_agg_filtered_sql(SORTED_QUERIES),
-        "corpus_token_budget": _token_budget_sql(TOKEN_BUDGET),
+        "corpus_token_budget_fill": _token_budget_sql(TOKEN_BUDGET),
         "fts_bucket_correlation": _bucket_correlation_sql(
             SORTED_QUERIES, BCORR_INTERVAL
         ),

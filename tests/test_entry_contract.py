@@ -52,3 +52,36 @@ def test_query_matches_oracle(spark, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     assert got.equals(want)
+
+
+def test_no_duplicate_keys_in_entry_dicts():
+    """A duplicate string key in a dict literal silently keeps the last
+    value — a new entry reusing an existing name would shadow it and the
+    gate would never run the newcomer. Walk the module AST and refuse
+    duplicates inside any dict literal with >= 5 string keys."""
+    import ast
+    import os
+
+    import dynamo2es_lambda_spark.plans.entry_queries as eq
+
+    path = os.path.abspath(eq.__file__)
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Dict):
+            continue
+        keys = [
+            k.value
+            for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        if len(keys) < 5:
+            continue
+        seen, dups = set(), []
+        for k in keys:
+            if k in seen:
+                dups.append(k)
+            seen.add(k)
+        assert not dups, (
+            f"duplicate keys in entry_queries dict literal at line "
+            f"{node.lineno}: {dups}"
+        )
