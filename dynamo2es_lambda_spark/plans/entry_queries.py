@@ -8927,6 +8927,170 @@ FROM scored
 """
 
 
+# ---------- 4g3. extended_stats_bucket / variable_width / categorize_text
+
+VWH_BUCKETS = 4
+CAT_MAX_TOKENS = 4
+CAT_SIZE = 5
+
+
+def q_fts_extended_stats_bucket(spark, sf_dir):
+    """ES extended_stats_bucket sibling pipeline agg: extended stats
+    (sum of squares, population variance/std, ±2σ bounds) over histogram
+    per-bucket doc counts."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_extended_stats_bucket(
+        spark, store, qpdf, interval=HIST_INTERVAL, value_col="dl"
+    )
+
+
+def _extended_stats_bucket_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+hist AS (
+  SELECT m.qid AS qid,
+         floor(dl.dl / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         count(*) AS n_docs
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+  GROUP BY m.qid, bucket
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n_docs) AS BIGINT) AS min_bucket,
+       CAST(max(n_docs) AS BIGINT) AS max_bucket,
+       round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_bucket_r,
+       CAST(sum(n_docs) AS BIGINT) AS sum_bucket,
+       CAST(sum(n_docs * n_docs) AS BIGINT) AS sum_sq_bucket,
+       round(var_pop(CAST(n_docs AS DOUBLE)), 6) AS variance_r,
+       round(stddev_pop(CAST(n_docs AS DOUBLE)), 6) AS std_dev_r,
+       round(avg(CAST(n_docs AS DOUBLE))
+             + 2.0 * stddev_pop(CAST(n_docs AS DOUBLE)), 6) AS std_upper_r,
+       round(avg(CAST(n_docs AS DOUBLE))
+             - 2.0 * stddev_pop(CAST(n_docs AS DOUBLE)), 6) AS std_lower_r
+FROM hist GROUP BY qid
+"""
+
+
+def q_fts_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram: equal-frequency deterministic variant
+    (pinned ntile clustering — ES's one-pass heuristic is shard-order
+    dependent by design; see search_variable_width_histogram)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_variable_width_histogram(
+        spark, store, qpdf, n_buckets=VWH_BUCKETS, value_col="dl"
+    )
+
+
+def _variable_width_histogram_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+tiles AS (
+  SELECT m.qid AS qid,
+         CAST(dl.dl AS DOUBLE) AS v,
+         ntile({VWH_BUCKETS}) OVER (
+           PARTITION BY m.qid ORDER BY dl.dl ASC, m.doc_id ASC
+         ) AS bucket
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(v) AS min_v, max(v) AS max_v,
+       round(avg(v), 6) AS avg_v_r
+FROM tiles GROUP BY qid, bucket
+"""
+
+
+def q_fts_categorize_text(spark, sf_dir):
+    """ES categorize_text agg: top log-pattern categories of the match
+    set (digit-free token prefix as the pinned deterministic key)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_categorize_text(
+        spark, store, qpdf, _docs(spark, sf_dir),
+        id_col="doc_id", text_col="text",
+        max_tokens=CAT_MAX_TOKENS, size=CAT_SIZE,
+    )
+
+
+def _categorize_text_sql(queries) -> str:
+    cat = (
+        f"array_to_string(list_slice(list_filter({DOC_TOKS}, "
+        f"t -> NOT regexp_matches(t, '[0-9]')), 1, {CAT_MAX_TOKENS}), ' ')"
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+cats AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {cat} AS category
+  FROM documents
+),
+counts AS (
+  SELECT m.qid AS qid, c.category AS category,
+         count(*) AS n_docs, min(m.doc_id) AS example_doc_id
+  FROM m JOIN cats c ON c.doc_id = m.doc_id
+  GROUP BY m.qid, c.category
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY n_docs DESC, category ASC
+         ) AS INTEGER) AS rank,
+         category, CAST(n_docs AS BIGINT) AS n_docs, example_doc_id
+  FROM counts
+)
+SELECT qid, rank, category, n_docs, example_doc_id
+FROM ranked WHERE rank <= {CAT_SIZE}
+"""
+
+
+# ---------- 4h. sparse_vector (ELSER-style learned sparse retrieval)
+
+SV_QUERIES: list[tuple[int, dict[str, float]]] = [
+    (0, {"spark": 2.0, "merge": 1.0, "window": 0.5}),
+    (1, {"customer": 1.5, "stream": 0.25}),
+    (2, {"absentzzz": 3.0, "key": 1.0}),
+]
+
+
+def q_fts_sparse_vector(spark, sf_dir):
+    """ES sparse_vector / text_expansion: term->weight query vectors dot
+    ln(1+tf) doc impacts over the inverted index."""
+    store = _corpus_store(spark, sf_dir)
+    rows = [
+        (qid, t, w) for qid, vec in SV_QUERIES for t, w in vec.items()
+    ]
+    qv = pd.DataFrame(rows, columns=["qid", "term", "w"])
+    res = search.search_sparse_vector(spark, store, qv, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _sparse_vector_sql(
+    queries: list[tuple[int, dict[str, float]]], k: int
+) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {w!r})"
+        for qid, vec in queries
+        for t, w in sorted(vec.items())
+    )
+    return f"""{_BM25_BODY},
+q(qid, term, w) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.w * ln(1.0 + p.tf)) AS score
+  FROM q JOIN posting p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -9058,6 +9222,10 @@ SPARK_QUERIES = {
     "fts_top_metrics": q_fts_top_metrics,
     "fts_histogram_pipeline": q_fts_histogram_pipeline,
     "fts_stats_bucket": q_fts_stats_bucket,
+    "fts_extended_stats_bucket": q_fts_extended_stats_bucket,
+    "fts_variable_width_histogram": q_fts_variable_width_histogram,
+    "fts_categorize_text": q_fts_categorize_text,
+    "fts_sparse_vector": q_fts_sparse_vector,
     "fts_bucket_sort": q_fts_bucket_sort,
     "fts_adjacency_matrix": q_fts_adjacency_matrix,
     "fts_sampler_terms": q_fts_sampler_terms,
@@ -9286,6 +9454,14 @@ def oracle_sql() -> dict[str, str]:
         "fts_top_metrics": _top_metrics_sql(SORTED_QUERIES),
         "fts_histogram_pipeline": _histogram_pipeline_sql(SORTED_QUERIES),
         "fts_stats_bucket": _stats_bucket_sql(SORTED_QUERIES),
+        "fts_extended_stats_bucket": _extended_stats_bucket_sql(
+            SORTED_QUERIES
+        ),
+        "fts_variable_width_histogram": _variable_width_histogram_sql(
+            SORTED_QUERIES
+        ),
+        "fts_categorize_text": _categorize_text_sql(SORTED_QUERIES),
+        "fts_sparse_vector": _sparse_vector_sql(SV_QUERIES, FT_K),
         "fts_bucket_sort": _bucket_sort_sql(SORTED_QUERIES),
         "fts_adjacency_matrix": _adjacency_matrix_sql(ADJ_FILTERS),
         "fts_sampler_terms": _sampler_terms_sql(

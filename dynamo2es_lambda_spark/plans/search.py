@@ -8950,3 +8950,232 @@ def search_composite_agg(
             .drop("_rn")
         )
     return out
+
+
+def search_extended_stats_bucket(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """ES SIBLING pipeline aggregation ``extended_stats_bucket``: the
+    extended statistics (sum of squares, POPULATION variance / std dev,
+    ±sigma std-deviation bounds — ES defaults) computed over a
+    histogram's per-bucket doc counts. Like :func:`search_stats_bucket`,
+    the second hop aggregates bucket-cardinality rows, so its cost is
+    the histogram's; variance comes from ONE hash aggregation via
+    ``var_pop`` (no second pass over buckets)."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    s = float(sigma)
+    return base.groupBy("qid").agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n_docs").cast("long").alias("min_bucket"),
+        F.max("n_docs").cast("long").alias("max_bucket"),
+        F.round(F.avg("n_docs"), 6).alias("avg_bucket_r"),
+        F.sum("n_docs").cast("long").alias("sum_bucket"),
+        F.sum(F.col("n_docs") * F.col("n_docs"))
+        .cast("long").alias("sum_sq_bucket"),
+        F.round(F.var_pop("n_docs"), 6).alias("variance_r"),
+        F.round(F.stddev_pop("n_docs"), 6).alias("std_dev_r"),
+        F.round(F.avg("n_docs") + s * F.stddev_pop("n_docs"), 6)
+        .alias("std_upper_r"),
+        F.round(F.avg("n_docs") - s * F.stddev_pop("n_docs"), 6)
+        .alias("std_lower_r"),
+    )
+
+
+def search_variable_width_histogram(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    n_buckets: int,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: cluster a numeric doc field of
+    the match set into at most ``n_buckets`` variable-width buckets,
+    reporting each bucket's min / max / centroid (avg) and doc count.
+
+    Pinned deterministic semantics (documented divergence): ES clusters
+    with an order-sensitive one-pass nearest-centroid heuristic whose
+    buckets depend on shard iteration order — unreproducible across
+    engines BY DESIGN. We pin the equal-frequency variant instead:
+    ``ntile(n_buckets)`` over the match set ordered by (value, doc_id),
+    which is deterministic, dialect-portable (DuckDB ntile), and keeps
+    ES's contract that buckets are value-contiguous, at most n_buckets,
+    and jointly cover the match set. Plan: one pruned posting read, one
+    metadata join, one per-qid window (ntile) + ONE hash aggregation —
+    the window sorts per qid, which is query-result-sized, not
+    corpus-sized."""
+    if n_buckets < 1:
+        raise EngineError("variable_width_histogram needs n_buckets >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, bucket int, n_docs long, min_v double, "
+            "max_v double, avg_v_r double",
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id", F.col(value_col).cast("double").alias("_v")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_v").asc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+        .groupBy("qid", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.round(F.avg("_v"), 6).alias("avg_v_r"),
+        )
+    )
+
+
+def search_categorize_text(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_tokens: int = 4,
+    size: int = 5,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation: group the match set's
+    documents into log-pattern categories and return the top ``size``
+    categories per query by doc count.
+
+    Category key (pinned deterministic variant of ES's ML-tokenized
+    drain-tree): the first ``max_tokens`` analyzer tokens that contain
+    NO digit (ES likewise drops numeric tokens as variable parts of a
+    log pattern), joined with single spaces. Docs whose digit-free
+    token list is empty fall into the '' category. Plan: the match set
+    (one pruned posting read) joins doc_id metadata then the corpus —
+    only matched docs are retokenized, with pure built-in array
+    expressions (filter / slice / array_join, all codegen); one hash
+    aggregation + a per-qid top-``size`` window on category counts.
+    Returns (qid, rank, category, n_docs, example_doc_id)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank int, category string, n_docs long, "
+            "example_doc_id string",
+        )
+    toks = analysis.spark_tokens_expr(text_col)
+    cat = (
+        f"array_join(slice(filter({toks}, "
+        f"t -> NOT t rlike '[0-9]'), 1, {int(max_tokens)}), ' ')"
+    )
+    docs = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(cat).alias("category"),
+    )
+    ids = store.doc_stats(spark).select("doc_int", "doc_id")
+    counts = (
+        hits.join(ids, "doc_int")
+        .join(docs, "doc_id")
+        .groupBy("qid", "category")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_docs").desc(), F.col("category").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("qid", "rank", "category", "n_docs", "example_doc_id")
+    )
+
+
+def search_sparse_vector(
+    spark: SparkSession,
+    store: IndexStore,
+    query_vectors: pd.DataFrame,
+    k: int,
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``sparse_vector`` / ``text_expansion`` query (ELSER-style
+    learned sparse retrieval): the query arrives as a sparse term→weight
+    vector — the output of a sparse encoder, already in index vocabulary
+    space, so NO analyzer runs — and each document's sparse vector is
+    derived from the index itself with the saturated impact
+    ``w_d(t) = ln(1 + tf(t, d))`` (the same shape Lucene's FeatureField
+    stores for learned-sparse fields). Score = Σ over overlapping terms
+    of ``q_w(t) · ln(1 + tf)``; docs sharing no term with the query
+    vector don't score, exactly like ES.
+
+    ``query_vectors``: pd.DataFrame (qid, term, w) — one row per nonzero
+    query dimension.
+
+    Plan: same skeleton as the BM25 exhaustive path — the weight table is
+    broadcast into a bucket-pruned posting-block read (only the blocks of
+    the query's nonzero terms are ever decoded), the dot product
+    accumulates in ONE hash aggregation, dead docs anti-join off, top-k
+    cuts with rank(). No length norm ⇒ no avgdl dependence ⇒ the score
+    is a pure posting-local product, trivially shard-invariant.
+    → (qid, doc_id, score)."""
+    if k < 1:
+        raise EngineError("sparse_vector needs k >= 1")
+    qt = query_vectors.copy()
+    if not {"qid", "term", "w"}.issubset(qt.columns):
+        raise EngineError("query_vectors needs (qid, term, w) columns")
+    prefix, _ = _field_of(store, field)
+    if prefix:
+        qt["term"] = prefix + qt["term"]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame(
+            [], "qid long, doc_id string, score double"
+        )
+    joined = _matched_blocks(spark, store, qt[["qid", "term", "w"]])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, _dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": row.qid,
+                            "doc_int": ids,
+                            "score": row.w * np.log1p(tfs),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = joined.select(
+        "qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInPandas(run, schema="qid long, doc_int long, score double")
+    agg = cand.groupBy("qid", "doc_int").agg(
+        F.sum("score").alias("score"), F.count("*").alias("nt")
+    )
+    agg = _drop_dead(spark, store, agg)
+    ids = store.doc_stats(spark).select("doc_int", "doc_id")
+    return _cut_topk(agg, k).join(ids, "doc_int").select(
+        "qid", "doc_id", "score"
+    )
