@@ -124,9 +124,15 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
     return paths, not built
 
 
+def _ip_hash():
+    """uint32 Knuth multiplicative hash of doc_id — the ip_range agg's
+    deterministic synthetic IPv4 source (both engines recompute it)."""
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+
+
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v11")
+    (path,), fresh = _cached_store_paths(sf_dir, "v12")
     if fresh:
         # synthetic-but-deterministic extra doc fields (geo point, a
         # sometimes-null tag, a date) — derived from doc_id so the DuckDB
@@ -147,13 +153,25 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
                 F.lit("2020-01-01").cast("date"),
                 (F.col("doc_id") % 400).cast("int"),
             ).cast("timestamp").alias("ts"),
+            # deterministic IPv4 (Knuth multiplicative hash of doc_id,
+            # dotted-quad) for the ip_range agg — the oracle recomputes
+            # the identical integer arithmetic from doc_id
+            F.format_string(
+                "%d.%d.%d.%d",
+                (_ip_hash() / 16777216).cast("long") % 256,
+                (_ip_hash() / 65536).cast("long") % 256,
+                (_ip_hash() / 256).cast("long") % 256,
+                _ip_hash() % 256,
+            ).alias("ip"),
             F.col("text").alias("content"),
         )
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
             num_buckets=32, resume=True, positions=True, lm_stats=True,
-            doc_meta_cols=("source", "n_chars", "opt_tag", "lat", "lon"),
+            doc_meta_cols=(
+                "source", "n_chars", "opt_tag", "lat", "lon", "ip",
+            ),
         )
     return search.load_store(path)
 
@@ -9091,6 +9109,81 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------- 4i. ip_range agg + partitioned terms agg
+
+IP_RANGES: list[tuple[str, str | None, str | None]] = [
+    ("low", None, "64.0.0.0"),
+    ("mid", "64.0.0.0", "192.0.0.0"),
+    ("high", "192.0.0.0", None),
+    ("pin", "10.0.0.0", "10.0.0.1"),
+]
+TERMS_PARTS = 3
+TERMS_PART = 1
+
+
+def q_fts_ip_range(spark, sf_dir):
+    """ES ip_range agg: [from, to) IPv4 buckets over the match set's ip
+    doc field (overlap allowed, zero buckets kept)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_ip_range_agg(
+        spark, store, qpdf, IP_RANGES, value_col="ip"
+    )
+
+
+def _ip_range_sql(queries, ranges) -> str:
+    rows = []
+    for key, lo, hi in ranges:
+        lo_i = -1 if lo is None else search._ip4_to_int(lo)
+        hi_i = (1 << 32) if hi is None else search._ip4_to_int(hi)
+        rows.append(f"('{key}', {lo_i}, {hi_i})")
+    qvals = ", ".join(f"({qid})" for qid, _ in queries)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+ips AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         (doc_id * 2654435761) % 4294967296 AS ip
+  FROM documents
+),
+r(range_key, lo, hi) AS (VALUES {", ".join(rows)}),
+qs(qid) AS (VALUES {qvals}),
+cnt AS (
+  SELECT m.qid AS qid, r.range_key AS range_key, count(*) AS n
+  FROM m
+  JOIN ips ON ips.doc_id = m.doc_id
+  JOIN r ON ips.ip >= r.lo AND ips.ip < r.hi
+  GROUP BY m.qid, r.range_key
+)
+SELECT CAST(qs.qid AS BIGINT) AS qid, r.range_key AS range_key,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_docs
+FROM qs CROSS JOIN r
+LEFT JOIN cnt ON cnt.qid = qs.qid AND cnt.range_key = r.range_key
+"""
+
+
+def q_fts_terms_agg_partition(spark, sf_dir):
+    """ES terms agg partitioned fetch: only buckets hashing into the
+    requested partition (md5-pinned assignment, disjoint + exhaustive
+    over partitions)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_terms_agg(
+        spark, store, qpdf, group_col="source",
+        partition=TERMS_PART, num_partitions=TERMS_PARTS,
+    )
+
+
+def _terms_agg_partition_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)}
+SELECT CAST(qid AS BIGINT) AS qid, source AS "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(dl AS DOUBLE)), 6) AS avg_value_r
+FROM md
+WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT % {TERMS_PARTS}
+      = {TERMS_PART}
+GROUP BY qid, source
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -9226,6 +9319,8 @@ SPARK_QUERIES = {
     "fts_variable_width_histogram": q_fts_variable_width_histogram,
     "fts_categorize_text": q_fts_categorize_text,
     "fts_sparse_vector": q_fts_sparse_vector,
+    "fts_ip_range": q_fts_ip_range,
+    "fts_terms_agg_partition": q_fts_terms_agg_partition,
     "fts_bucket_sort": q_fts_bucket_sort,
     "fts_adjacency_matrix": q_fts_adjacency_matrix,
     "fts_sampler_terms": q_fts_sampler_terms,
@@ -9462,6 +9557,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_categorize_text": _categorize_text_sql(SORTED_QUERIES),
         "fts_sparse_vector": _sparse_vector_sql(SV_QUERIES, FT_K),
+        "fts_ip_range": _ip_range_sql(SORTED_QUERIES, IP_RANGES),
+        "fts_terms_agg_partition": _terms_agg_partition_sql(
+            SORTED_QUERIES
+        ),
         "fts_bucket_sort": _bucket_sort_sql(SORTED_QUERIES),
         "fts_adjacency_matrix": _adjacency_matrix_sql(ADJ_FILTERS),
         "fts_sampler_terms": _sampler_terms_sql(

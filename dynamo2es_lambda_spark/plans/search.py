@@ -3720,6 +3720,8 @@ def search_terms_agg(
     min_doc_count: int | None = None,
     include_regex: str | None = None,
     exclude_regex: str | None = None,
+    partition: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation WITH a metric sub-aggregation — the most
     common agg combo (`terms` bucket + `avg`): per (qid, doc-field value)
@@ -3737,6 +3739,15 @@ def search_terms_agg(
     filters: keep buckets whose key matches include (when set) and
     doesn't match exclude — applied on the GROUP column BEFORE the
     aggregation, so filtered buckets never shuffle.
+
+    ``partition`` / ``num_partitions`` give ES's terms-agg partitioned
+    fetch (``include: {partition, num_partitions}``): keep only buckets
+    whose md5-hash of the key lands in the requested partition, so a
+    high-cardinality field is paged in ``num_partitions`` disjoint,
+    jointly-exhaustive passes. The hash is a pinned md5 prefix (not
+    Spark's internal hash) so any engine — and the DuckDB oracle —
+    computes the identical partition assignment; like the regex
+    filters it applies BEFORE aggregation, pruning the shuffle.
 
     ``size`` / ``after_key`` give ES ``composite`` aggregation paging:
     buckets order by group key ascending, ``after_key`` resumes STRICTLY
@@ -3759,6 +3770,15 @@ def search_terms_agg(
         )
     if order_by is not None and order_by not in ("count_desc", "avg_desc"):
         raise EngineError(f"unknown terms order: {order_by!r}")
+    if (partition is None) != (num_partitions is None):
+        raise EngineError(
+            "partition and num_partitions must be set together"
+        )
+    if partition is not None and not 0 <= partition < num_partitions:
+        raise EngineError(
+            f"partition {partition} out of range for "
+            f"num_partitions {num_partitions}"
+        )
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
@@ -3775,6 +3795,11 @@ def search_terms_agg(
         stats = stats.filter(F.col("group").rlike(include_regex))
     if exclude_regex is not None:
         stats = stats.filter(~F.col("group").rlike(exclude_regex))
+    if partition is not None:
+        h = F.conv(F.substring(F.md5(F.col("group")), 1, 8), 16, 10)
+        stats = stats.filter(
+            h.cast("long") % int(num_partitions) == int(partition)
+        )
     out = (
         hits.join(stats, "doc_int")
         .groupBy("qid", "group")
@@ -9178,4 +9203,84 @@ def search_sparse_vector(
     ids = store.doc_stats(spark).select("doc_int", "doc_id")
     return _cut_topk(agg, k).join(ids, "doc_int").select(
         "qid", "doc_id", "score"
+    )
+
+
+def _ip4_to_int(s: str) -> int:
+    parts = [int(p) for p in s.split(".")]
+    if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+        raise EngineError(f"bad IPv4 literal: {s!r}")
+    return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+
+def search_ip_range_agg(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    ranges: list[tuple[str, str | None, str | None]],
+    value_col: str = "ip",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``ip_range`` aggregation: bucket the match set by an IPv4 doc
+    field against [from, to) ranges — ``from`` inclusive, ``to``
+    exclusive, either side open when None, overlapping ranges allowed
+    (a doc counts in every range containing it), empty buckets kept at
+    zero — all exactly ES's contract.
+
+    ``ranges``: [(key, from_ip|None, to_ip|None)] with dotted-quad
+    literals. The doc field parses to a uint32 with built-in split/cast
+    arithmetic (codegen, no UDF); the range table is tiny and broadcast,
+    so the bucket join adds no shuffle beyond the single hash
+    aggregation every agg in this family pays. → (qid, range_key,
+    n_docs) with a zero row per (qid, range) that matched nothing."""
+    if not ranges:
+        raise EngineError("ip_range needs at least one range")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, range_key string, n_docs long"
+        )
+    bounds = pd.DataFrame(
+        [
+            {
+                "range_key": key,
+                "lo": -1 if lo is None else _ip4_to_int(lo),
+                "hi": 1 << 32 if hi is None else _ip4_to_int(hi),
+            }
+            for key, lo, hi in ranges
+        ]
+    )
+    rng = F.broadcast(spark.createDataFrame(bounds))
+    o = F.split(F.col(value_col).cast("string"), r"\.")
+    ip_int = (
+        o.getItem(0).cast("long") * 16777216
+        + o.getItem(1).cast("long") * 65536
+        + o.getItem(2).cast("long") * 256
+        + o.getItem(3).cast("long")
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int", ip_int.alias("_ip")
+    )
+    counted = (
+        hits.join(stats, "doc_int")
+        .join(
+            rng,
+            (F.col("_ip") >= F.col("lo")) & (F.col("_ip") < F.col("hi")),
+        )
+        .groupBy("qid", "range_key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    qids = spark.createDataFrame(
+        pd.DataFrame({"qid": sorted(set(queries["qid"].astype(int)))})
+    )
+    base = qids.crossJoin(rng.select("range_key"))
+    return (
+        base.join(counted, ["qid", "range_key"], "left")
+        .select(
+            "qid",
+            "range_key",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+        )
     )

@@ -168,3 +168,78 @@ def test_sparse_vector_rejects_bad_k(spark, log_store_corpus):
     qv = pd.DataFrame([(0, "alpha", 1.0)], columns=["qid", "term", "w"])
     with pytest.raises(EngineError):
         search.search_sparse_vector(spark, store, qv, k=0)
+
+
+_IPDOCS = [
+    ("i0", "alpha one", "10.0.0.5", "a"),
+    ("i1", "alpha two", "10.0.0.9", "b"),
+    ("i2", "alpha three", "192.168.1.1", "a"),
+    ("i3", "alpha four", "255.255.255.255", "c"),
+    ("i4", "beta x", "10.0.0.6", "a"),
+]
+
+
+@pytest.fixture(scope="module")
+def ip_store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_ip"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(_IPDOCS, columns=["doc_id", "content", "ip", "src"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=8, num_buckets=4,
+        doc_meta_cols=("ip", "src"),
+    )
+    return search.load_store(path)
+
+
+def test_ip_range_brackets_from_inclusive_to_exclusive(spark, ip_store):
+    out = search.search_ip_range_agg(
+        spark, ip_store, _q(), [
+            ("ten_low", "10.0.0.0", "10.0.0.9"),   # i0 only (to exclusive)
+            ("from_ten", "10.0.0.0", None),         # i0 i1 i2 i3
+            ("empty", "1.0.0.0", "1.0.0.1"),
+            ("all", None, None),
+        ], value_col="ip",
+    ).collect()
+    n = {r.range_key: r.n_docs for r in out}
+    assert n == {"ten_low": 1, "from_ten": 4, "empty": 0, "all": 4}
+
+
+def test_ip_range_rejects_bad_literal_and_empty_ranges(spark, ip_store):
+    with pytest.raises(EngineError):
+        search.search_ip_range_agg(
+            spark, ip_store, _q(), [("x", "300.0.0.1", None)],
+            value_col="ip",
+        ).collect()
+    with pytest.raises(EngineError):
+        search.search_ip_range_agg(spark, ip_store, _q(), [])
+
+
+def test_terms_partitions_are_disjoint_and_exhaustive(spark, ip_store):
+    full = search.search_terms_agg(
+        spark, ip_store, _q(), group_col="src"
+    ).collect()
+    parts = []
+    for p in range(2):
+        parts += search.search_terms_agg(
+            spark, ip_store, _q(), group_col="src",
+            partition=p, num_partitions=2,
+        ).collect()
+    assert sorted((r.group, r.n_docs) for r in parts) == sorted(
+        (r.group, r.n_docs) for r in full
+    )
+    keys = [r.group for r in parts]
+    assert len(keys) == len(set(keys))
+
+
+def test_terms_partition_argument_validation(spark, ip_store):
+    with pytest.raises(EngineError):
+        search.search_terms_agg(
+            spark, ip_store, _q(), group_col="src", partition=2,
+            num_partitions=2,
+        )
+    with pytest.raises(EngineError):
+        search.search_terms_agg(
+            spark, ip_store, _q(), group_col="src", partition=1,
+        )
