@@ -430,3 +430,103 @@ def duplicate_spans(
         )
         .select("doc_id", "start", "end")
     )
+
+
+# --------------------------------------------------------- Bloom filter
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> Column:
+    """k pinned md5 bit positions for a key: hash_i = md5(key || '#i')
+    prefix mod n_bits — the engine's portable hash family, so any
+    engine (and the DuckDB oracle) derives the identical filter."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    ref: DataFrame,
+    key_col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build the Bloom filter of a reference key set → one row per SET
+    bit position (≤ n_bits rows — the filter itself, by construction
+    metadata-sized regardless of |ref|). One pass over ref, one
+    distinct on at most n_bits values."""
+    return (
+        ref.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), n_bits, n_hashes)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(
+    df: DataFrame,
+    ref: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probabilistic set-membership dedup gate: flag every ``df`` row
+    whose key MAY be in ``ref``'s key set, with a Bloom filter — the
+    standard pre-filter for cross-corpus dedup at 100 TB (e.g. "was
+    this URL/sha already crawled?") where the exact semi-join is run
+    only on the Bloom-positive survivors.
+
+    Exact-by-construction semantics (so the oracle can replicate it):
+    maybe_dup(x) ⇔ all ``n_hashes`` pinned md5 bit positions of x are
+    set in the filter. False positives are REAL and intended — the
+    operator reports what a Bloom filter reports; calibrate n_bits /
+    n_hashes to the reference cardinality for the target FP rate
+    (classic 1%: n_bits ≈ 9.6·|ref|, k=7).
+
+    Plan: the filter (≤ n_bits rows) broadcast-joins into the probe
+    side's exploded (id, bit) stream; a doc is positive when its
+    matched-bit count equals n_hashes. The only shuffle is the per-doc
+    count — ref never shuffles and is never collected.
+    → (doc_id, maybe_dup)."""
+    bits = F.broadcast(bloom_bits(ref, key_col, n_bits, n_hashes))
+    probes = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            _bloom_positions(F.col(key_col), n_bits, n_hashes)
+        ).alias("bit"),
+    )
+    # count DISTINCT matched positions: two hashes of one key may
+    # collide on the same bit, and that key must still test positive
+    hit = (
+        probes.join(bits, "bit")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bit").alias("_hits"))
+    )
+    need = probes.groupBy("doc_id").agg(
+        F.count_distinct("bit").alias("_need")
+    )
+    return (
+        need.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)) == F.col("_need"))
+            .alias("maybe_dup"),
+        )
+    )

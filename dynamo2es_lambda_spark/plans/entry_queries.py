@@ -25,7 +25,9 @@ from pyspark.sql.window import Window
 from ..config import IndexerConfig
 from ..functions import analysis, text as T
 from ..functions.bm25 import B, K1
-from ..operators import ann, decontam, dedup, packing, quality, sampling
+from ..operators import (
+    ann, decontam, dedup, dsir, packing, quality, sampling,
+)
 from . import build, manage, search
 
 # ---------------------------------------------------------------- helpers
@@ -9184,6 +9186,176 @@ GROUP BY qid, source
 """
 
 
+# ---------- 4j. DSIR importance resampling (Xie et al. 2023)
+
+DSIR_K = 200
+DSIR_TARGET = "src1"
+DSIR_BUCKETS = 64
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR: top-k raw docs by hashed-ngram importance ratio against the
+    src1 'target domain' sample."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    return dsir.dsir_select(
+        spark, docs, target, k=DSIR_K, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _dsir_sql(k: int, target: str, n_buckets: int) -> str:
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, {DOC_TOKS} AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(toks) AS gram FROM tk
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(2, len(toks) + 1),
+                                    i -> toks[i - 1] || ' ' || toks[i])
+                ELSE [] END) AS gram
+  FROM tk
+),
+bc AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {n_buckets} AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY doc_id, source, bucket
+),
+dense AS (SELECT unnest(range(0, {n_buckets})) AS bucket),
+ptot AS (
+  SELECT bucket, sum(c) AS n_b FROM bc
+  WHERE source = '{target}' GROUP BY bucket
+),
+qtot AS (SELECT bucket, sum(c) AS n_b FROM bc GROUP BY bucket),
+lr AS (
+  SELECT d.bucket AS bucket,
+         ln((COALESCE(p.n_b, 0) + 1.0)
+            / ((SELECT count(*) FROM grams WHERE source = '{target}')
+               + {n_buckets}.0))
+       - ln((COALESCE(q.n_b, 0) + 1.0)
+            / ((SELECT count(*) FROM grams) + {n_buckets}.0)) AS lr
+  FROM dense d
+  LEFT JOIN ptot p ON p.bucket = d.bucket
+  LEFT JOIN qtot q ON q.bucket = d.bucket
+),
+w AS (
+  SELECT bc.doc_id AS doc_id, round(sum(bc.c * lr.lr), 6) AS logw_r
+  FROM bc JOIN lr ON lr.bucket = bc.bucket
+  GROUP BY bc.doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY logw_r DESC, doc_id ASC
+         ) AS INTEGER) AS rank, doc_id, logw_r
+  FROM w
+)
+SELECT rank, doc_id, logw_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------- 4k. Bloom-filter membership gate
+
+BLOOM_REF = "src2"
+BLOOM_N_BITS = 4096
+BLOOM_N_HASHES = 3
+
+
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter cross-corpus membership: flag docs whose normalized
+    fingerprint MAY appear in the src2 reference slice (false positives
+    are part of the contract — the oracle reproduces the same filter)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.fingerprint_md5("text").alias("fp")
+    )
+    ref = docs.filter(F.col("source") == BLOOM_REF)
+    return dedup.bloom_membership(
+        docs, ref, key_col="fp",
+        id_col="doc_id", n_bits=BLOOM_N_BITS, n_hashes=BLOOM_N_HASHES,
+    )
+
+
+def _bloom_sql(ref_src: str, n_bits: int, n_hashes: int) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         md5(array_to_string({DOC_TOKS}, ' ')) AS k
+  FROM documents
+),
+probe AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(k || '#' || CAST(t.i AS VARCHAR)), 1, 8))
+         ::BIGINT % {n_bits} AS bit
+  FROM keyed, range(0, {n_hashes}) t(i)
+),
+bits AS (
+  SELECT DISTINCT bit FROM probe WHERE source = '{ref_src}'
+),
+need AS (
+  SELECT doc_id, count(DISTINCT bit) AS need FROM probe GROUP BY doc_id
+),
+hits AS (
+  SELECT p.doc_id AS doc_id, count(DISTINCT p.bit) AS h
+  FROM probe p JOIN bits b ON b.bit = p.bit
+  GROUP BY p.doc_id
+)
+SELECT n.doc_id AS doc_id,
+       COALESCE(h.h, 0) = n.need AS maybe_dup
+FROM need n LEFT JOIN hits h ON h.doc_id = n.doc_id
+"""
+
+
+# ---------- 4l. frequent_item_sets (pair itemsets over indexed terms)
+
+FIS_MIN_SUPPORT = 20
+FIS_SIZE = 8
+
+
+def q_fts_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets (size-2): top co-occurring term pairs of
+    the match set, apriori-pruned via term_stats, items read from the
+    index's own postings."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_frequent_item_sets(
+        spark, store, qpdf, min_support=FIS_MIN_SUPPORT, size=FIS_SIZE
+    )
+
+
+def _frequent_item_sets_sql(queries, min_support: int, size: int) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+freq AS (SELECT term FROM dfreq WHERE df >= {min_support}),
+items AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id, p.term AS term
+  FROM m
+  JOIN posting p ON p.doc_id = m.doc_id
+  JOIN freq f ON f.term = p.term
+),
+pairs AS (
+  SELECT a.qid AS qid, a.term AS item1, b.term AS item2,
+         count(*) AS support
+  FROM items a
+  JOIN items b
+    ON a.qid = b.qid AND a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.qid, a.term, b.term
+  HAVING count(*) >= {min_support}
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY support DESC, item1 ASC, item2 ASC
+         ) AS INTEGER) AS rank,
+         item1, item2, CAST(support AS BIGINT) AS support
+  FROM pairs
+)
+SELECT qid, rank, item1, item2, support FROM ranked WHERE rank <= {size}
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -9321,6 +9493,9 @@ SPARK_QUERIES = {
     "fts_sparse_vector": q_fts_sparse_vector,
     "fts_ip_range": q_fts_ip_range,
     "fts_terms_agg_partition": q_fts_terms_agg_partition,
+    "dsir_select": q_dsir_select,
+    "dedup_bloom": q_dedup_bloom,
+    "fts_frequent_item_sets": q_fts_frequent_item_sets,
     "fts_bucket_sort": q_fts_bucket_sort,
     "fts_adjacency_matrix": q_fts_adjacency_matrix,
     "fts_sampler_terms": q_fts_sampler_terms,
@@ -9560,6 +9735,13 @@ def oracle_sql() -> dict[str, str]:
         "fts_ip_range": _ip_range_sql(SORTED_QUERIES, IP_RANGES),
         "fts_terms_agg_partition": _terms_agg_partition_sql(
             SORTED_QUERIES
+        ),
+        "dsir_select": _dsir_sql(DSIR_K, DSIR_TARGET, DSIR_BUCKETS),
+        "dedup_bloom": _bloom_sql(
+            BLOOM_REF, BLOOM_N_BITS, BLOOM_N_HASHES
+        ),
+        "fts_frequent_item_sets": _frequent_item_sets_sql(
+            SORTED_QUERIES, FIS_MIN_SUPPORT, FIS_SIZE
         ),
         "fts_bucket_sort": _bucket_sort_sql(SORTED_QUERIES),
         "fts_adjacency_matrix": _adjacency_matrix_sql(ADJ_FILTERS),

@@ -9284,3 +9284,101 @@ def search_ip_range_agg(
             .alias("n_docs"),
         )
     )
+
+
+def search_frequent_item_sets(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    min_support: int,
+    size: int = 10,
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation, size-2 itemsets: the top
+    co-occurring TERM PAIRS of the match set's documents with support ≥
+    ``min_support`` (support = number of matched docs containing both
+    terms). ES mines arbitrary-size sets over keyword fields with an
+    Eclat-style miner; the engine pins the pair case over the indexed
+    terms — the overwhelmingly common use — and documents the
+    divergence.
+
+    Apriori prune + index-native items: a pair can reach support s only
+    if BOTH items have corpus df ≥ s, so the candidate item set comes
+    from one metadata-sized ``term_stats`` read (df ≥ min_support), and
+    the (doc, item) relation comes from the INDEX's own posting blocks
+    for those terms — no corpus text is touched. The pair self-join is
+    per-(qid, doc); its width is bounded by the frequent-item count per
+    doc, which min_support controls. → (qid, rank, item1, item2,
+    support)."""
+    if min_support < 1:
+        raise EngineError("frequent_item_sets needs min_support >= 1")
+    if size < 1:
+        raise EngineError("frequent_item_sets needs size >= 1")
+    prefix, _ = _field_of(store, field)
+    ts = store.term_stats(spark).filter(F.col("df") >= int(min_support))
+    if prefix:
+        ts = ts.filter(F.col("term").startswith(prefix))
+    cand = ts.select("term", "df").toPandas()  # vocab-scale model state
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None or cand.empty:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank int, item1 string, item2 string, "
+            "support long",
+        )
+    qt = pd.DataFrame(
+        {"qid": 0, "term": cand["term"].tolist(), "w": 1.0}
+    )
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    ).dropna(subset=["df"])
+    blocks = _matched_blocks(spark, store, qt[["qid", "term", "w"]])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, _tfs, _dls = codec.decode_block(
+                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+                )
+                outs.append(
+                    pd.DataFrame({"term": row.term, "doc_int": ids})
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    items = blocks.select(
+        "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInPandas(run, schema="term string, doc_int long")
+    if prefix:
+        items = items.select(
+            F.expr(f"substring(term, {len(prefix) + 1})").alias("term"),
+            "doc_int",
+        )
+    qdocs = hits.join(items, "doc_int").select("qid", "doc_int", "term")
+    a = qdocs.alias("a")
+    b = qdocs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.doc_int") == F.col("b.doc_int"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.qid").alias("qid"),
+            F.col("a.term").alias("item1"),
+            F.col("b.term").alias("item2"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("support").desc(), F.col("item1").asc(), F.col("item2").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("qid", "rank", "item1", "item2", "support")
+    )
