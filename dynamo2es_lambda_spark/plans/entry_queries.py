@@ -9356,6 +9356,42 @@ SELECT qid, rank, item1, item2, support FROM ranked WHERE rank <= {size}
 """
 
 
+# ---------- 4m. geohash_grid (true base32 geohash buckets)
+
+GEOHASH_PRECISION = 3
+
+
+def q_fts_geohash_grid(spark, sf_dir):
+    """ES geohash_grid: true base32 geohash cells of the match set's
+    points (spec-validated encoder shared with the oracle)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geohash_grid(
+        spark, store, qpdf, precision=GEOHASH_PRECISION
+    )
+
+
+def _geohash_grid_sql(queries, precision: int) -> str:
+    lat_q, lon_q, cell, b32 = search.geohash_exprs(
+        f"CAST({_SQL_LAT.replace('doc.', '')} AS DOUBLE)",
+        f"CAST({_SQL_LON.replace('doc.', '')} AS DOUBLE)",
+        precision,
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+q1 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {lat_q} AS _latq, {lon_q} AS _lonq
+  FROM documents
+),
+q2 AS (SELECT doc_id, ({cell}) AS _cell FROM q1),
+q3 AS (SELECT doc_id, {b32} AS geohash FROM q2)
+SELECT CAST(m.qid AS BIGINT) AS qid, q3.geohash AS geohash,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN q3 ON q3.doc_id = m.doc_id
+GROUP BY m.qid, q3.geohash
+"""
+
+
 # ----------------------------------------------------------- registries
 
 SPARK_QUERIES = {
@@ -9496,6 +9532,7 @@ SPARK_QUERIES = {
     "dsir_select": q_dsir_select,
     "dedup_bloom": q_dedup_bloom,
     "fts_frequent_item_sets": q_fts_frequent_item_sets,
+    "fts_geohash_grid": q_fts_geohash_grid,
     "fts_bucket_sort": q_fts_bucket_sort,
     "fts_adjacency_matrix": q_fts_adjacency_matrix,
     "fts_sampler_terms": q_fts_sampler_terms,
@@ -9742,6 +9779,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_frequent_item_sets": _frequent_item_sets_sql(
             SORTED_QUERIES, FIS_MIN_SUPPORT, FIS_SIZE
+        ),
+        "fts_geohash_grid": _geohash_grid_sql(
+            SORTED_QUERIES, GEOHASH_PRECISION
         ),
         "fts_bucket_sort": _bucket_sort_sql(SORTED_QUERIES),
         "fts_adjacency_matrix": _adjacency_matrix_sql(ADJ_FILTERS),

@@ -9382,3 +9382,105 @@ def search_frequent_item_sets(
         .filter(F.col("rank") <= int(size))
         .select("qid", "rank", "item1", "item2", "support")
     )
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_exprs(
+    lat_sql: str, lon_sql: str, precision: int
+) -> tuple[str, str, str, str]:
+    """TRUE base32 geohash of (lat, lon) as four staged, portable SQL
+    expressions — identical text runs in Spark SQL and DuckDB
+    (floor/pow/substr arithmetic only, no dialect bit operators), so
+    the DuckDB oracle reproduces bucket keys bit-for-bit.
+
+    Returns (lat_q, lon_q, cell, b32): quantizers over the raw point,
+    ``cell`` over columns ``_latq``/``_lonq``, ``b32`` over ``_cell`` —
+    stage them through projections (Spark) or nested SELECTs (SQL).
+
+    Algorithm (the public geohash spec): quantize lon to ceil(5P/2)
+    bits and lat to floor(5P/2) bits, interleave MSB-first starting
+    with lon, base32-encode 5 bits per character. Validated against
+    the spec's published vectors ((42.605, -5.603) → 'ezs42',
+    (57.64911, 10.40744) → 'u4pruyd'). Each stage is a flat sum of
+    ≤ 5·P terms — wholly inside codegen, no UDF."""
+    if not 1 <= precision <= 9:
+        raise EngineError("geohash precision must be in [1, 9]")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lat_q = (
+        f"least(CAST(floor((({lat_sql}) + 90.0) / 180.0 "
+        f"* {1 << lat_bits}.0) AS BIGINT), {(1 << lat_bits) - 1})"
+    )
+    lon_q = (
+        f"least(CAST(floor((({lon_sql}) + 180.0) / 360.0 "
+        f"* {1 << lon_bits}.0) AS BIGINT), {(1 << lon_bits) - 1})"
+    )
+    terms = []
+    for i in range(total):
+        src, sb, sbits = (
+            ("_lonq", i // 2, lon_bits)
+            if i % 2 == 0
+            else ("_latq", i // 2, lat_bits)
+        )
+        shift = sbits - 1 - sb
+        weight = 1 << (total - 1 - i)
+        terms.append(
+            f"(CAST(floor({src} / {1 << shift}.0) AS BIGINT) % 2) "
+            f"* {weight}"
+        )
+    cell = " + ".join(terms)
+    chars = []
+    for j in range(precision):
+        shift = 5 * (precision - 1 - j)
+        chars.append(
+            f"substr('{_GEOHASH_B32}', "
+            f"CAST((CAST(floor(_cell / {1 << shift}.0) AS BIGINT) % 32) "
+            f"+ 1 AS INTEGER), 1)"
+        )
+    b32 = " || ".join(chars)
+    return lat_q, lon_q, cell, b32
+
+
+def search_geohash_grid(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    precision: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket the match set by the TRUE
+    base32 geohash cell of each doc's point at the given precision
+    (1-9), counting docs per cell; empty cells omitted, exactly ES.
+    Same plan as every grid agg here: match set → metadata join → ONE
+    hash aggregation on the cell key; the geohash itself is a flat
+    codegen expression (see :func:`geohash_exprs`)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, geohash string, n_docs long"
+        )
+    lat_q, lon_q, cell, b32 = geohash_exprs(
+        f"CAST({lat_col} AS DOUBLE)", f"CAST({lon_col} AS DOUBLE)",
+        precision,
+    )
+    stats = (
+        store.doc_stats(spark)
+        .select(
+            "doc_int",
+            F.expr(lat_q).alias("_latq"),
+            F.expr(lon_q).alias("_lonq"),
+        )
+        .select("doc_int", F.expr(cell).alias("_cell"))
+        .select("doc_int", F.expr(b32).alias("geohash"))
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "geohash")
+        .agg(F.count("*").alias("n_docs"))
+    )

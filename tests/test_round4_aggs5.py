@@ -243,3 +243,37 @@ def test_terms_partition_argument_validation(spark, ip_store):
         search.search_terms_agg(
             spark, ip_store, _q(), group_col="src", partition=1,
         )
+
+
+def test_geohash_exprs_match_spec_vectors(spark):
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat": [42.605, 57.64911, 90.0, -90.0],
+                "lon": [-5.603, 10.40744, 180.0, -180.0],
+                "want": ["ezs42", "u4pru", "zzzzz", "00000"],
+            }
+        )
+    )
+    lat_q, lon_q, cell, b32 = search.geohash_exprs("lat", "lon", 5)
+    got = (
+        pts.select(
+            "want",
+            F.expr(lat_q).alias("_latq"),
+            F.expr(lon_q).alias("_lonq"),
+        )
+        .select("want", F.expr(cell).alias("_cell"))
+        .select("want", F.expr(b32).alias("gh"))
+        .collect()
+    )
+    for r in got:
+        assert r.gh == r.want
+
+
+def test_geohash_grid_rejects_bad_precision(spark, ip_store):
+    with pytest.raises(EngineError):
+        search.search_geohash_grid(spark, ip_store, _q(), precision=0)
+    with pytest.raises(EngineError):
+        search.search_geohash_grid(spark, ip_store, _q(), precision=10)
