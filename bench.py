@@ -426,6 +426,16 @@ def main() -> None:
         "fts_multi_match_phrase",
         "fts_has_child_inner",
         "corpus_top_ngrams",
+        # round-4 continuation: learned-sparse retrieval (posting dot
+        # product), DSIR hashed-ngram importance resampling (two
+        # multinomials + broadcast log-ratio join), Bloom membership
+        # (broadcast bitset semi-join), index-native pair mining, and
+        # the true-geohash grid agg
+        "fts_sparse_vector",
+        "dsir_select",
+        "dedup_bloom",
+        "fts_frequent_item_sets",
+        "fts_geohash_grid",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))
@@ -437,6 +447,19 @@ def main() -> None:
     tasks = [
         (n, task_map[n]) for n in FROZEN_R1_TASKS
     ] + [t for t in tasks if t[0] not in set(FROZEN_R1_TASKS)]
+
+    # environment calibration probe: a FIXED pure-JVM job (range-sum,
+    # no engine code, plan identical every round) measured as the min of
+    # 3 reps. Round-over-round drift in this number is sandbox/VM drift,
+    # not engine drift — the denominator for reading the frozen-subset
+    # geomean (r4: tpch_q1's unchanged plan ran 1.8x its r1 time while
+    # this probe confirms the VM itself slowed; see BENCH/BASELINE.md).
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        cal = min(cal, time.monotonic() - t0)
+    extra["calibration_range_sum_sec"] = round(cal, 3)
 
     # interleaved passes: min per task across full-suite sweeps
     for _ in range(N_PASSES):
