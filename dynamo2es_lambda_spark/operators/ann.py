@@ -876,3 +876,86 @@ def cluster_label_stats(
             F.round(F.avg("cos_r"), 6).alias("avg_cos_r"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector that has a LOWER-id neighbor with cosine
+    ≥ ``tau`` — the keep-canonical policy the exact-dedup family uses,
+    applied to semantic duplicates a hash can never catch. Emits one
+    row per DROPPED vector: (vec_id, cluster, dup_of, best_cos_r) with
+    ``dup_of`` the smallest qualifying keeper id (deterministic).
+
+    Plan: centroids are the first ``k`` vectors in md5(id) order (the
+    oracle-replicable content-keyed sample shared with
+    cluster_label_stats); assignment is ONE broadcast max-cosine pass.
+    The pair test self-joins WITHIN a cluster only — with k sized ~n/m
+    for target cluster size m, pair work is O(n·m), not O(n²); the
+    paper's recipe (k ≈ n/100) keeps every cluster comparison local to
+    one shuffle partition. ``max_cluster`` excludes clusters above the
+    cap from pair generation (the max_bucket discipline from the LSH
+    path: a degenerate mega-cluster signals re-clustering, not an
+    n²-blowup)."""
+    from ..errors import EngineError
+
+    if k < 1:
+        raise EngineError("semantic_dedup wants k >= 1")
+    if not 0.0 < tau <= 1.0:
+        raise EngineError("semantic_dedup wants tau in (0, 1]")
+    cent = F.broadcast(
+        embeddings.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("_h", F.md5(F.col("cid")))
+        .orderBy("_h")
+        .limit(int(k))
+        .select("cid", "cvec")
+    )
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vvec"),
+    )
+    j = v.crossJoin(cent).withColumn(
+        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_r").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "vvec", F.col("cid").alias("cluster"))
+    )
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_cn"))
+        assigned = assigned.join(sizes, "cluster").filter(
+            F.col("_cn") <= int(max_cluster)
+        ).drop("_cn")
+    a = assigned.select(
+        "cluster", F.col("vid").alias("keep_id"),
+        F.col("vvec").alias("kv"),
+    )
+    b = assigned.select(
+        "cluster", F.col("vid").alias("vid"), F.col("vvec").alias("dv")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("vid"))
+        .withColumn("pcos_r", F.round(F.expr(cosine_expr("kv", "dv")), 6))
+        .filter(F.col("pcos_r") >= float(tau))
+    )
+    return pairs.groupBy("vid", "cluster").agg(
+        F.min("keep_id").alias("dup_of"),
+        F.max("pcos_r").alias("best_cos_r"),
+    ).select(
+        F.col("vid").alias("vec_id"), "cluster", "dup_of", "best_cos_r"
+    )

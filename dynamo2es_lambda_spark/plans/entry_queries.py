@@ -7848,6 +7848,168 @@ GROUP BY m.qid
 """
 
 
+GEO_POLY = [
+    (-30.1, -100.2),
+    (40.3, -80.1),
+    (60.2, 10.3),
+    (20.1, 90.2),
+    (-50.2, 30.1),
+]
+GEO_LINE_SIZE = 10
+CHANGE_INTERVAL = 64.0
+
+
+def q_fts_geo_polygon(spark, sf_dir):
+    """ES geo_polygon filter: match-set docs inside a pentagon — the
+    ray-casting parity predicate as one shared portable expression."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_polygon(spark, store, qpdf, polygon=GEO_POLY)
+
+
+def _geo_polygon_sql(queries) -> str:
+    cond = search.geo_polygon_expr(_SQL_LAT, _SQL_LON, GEO_POLY)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)}
+SELECT CAST(m.qid AS BIGINT) AS qid, m.doc_id AS doc_id
+FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+WHERE {cond}
+"""
+
+
+def q_fts_geo_line(spark, sf_dir):
+    """ES geo_line metric agg: the match set's points joined into a
+    LineString ordered by n_chars (doc_id tiebreak), first 10 points,
+    ES ``complete`` flag."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geo_line(
+        spark, store, qpdf, sort_col="n_chars", size=GEO_LINE_SIZE
+    )
+
+
+def _geo_line_sql(queries) -> str:
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+pts AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id,
+         CAST(doc.n_chars AS DOUBLE) AS s,
+         printf('%.2f %.2f', {_SQL_LON}, {_SQL_LAT}) AS pt
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+),
+r AS (
+  SELECT qid, pt,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY s ASC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY qid) AS np
+  FROM pts
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       string_agg(CASE WHEN rn <= {GEO_LINE_SIZE} THEN pt END,
+                  ', ' ORDER BY rn) AS line,
+       CAST(max(np) AS BIGINT) AS n_points,
+       max(np) <= {GEO_LINE_SIZE} AS complete
+FROM r GROUP BY qid
+"""
+
+
+def q_fts_change_point(spark, sf_dir):
+    """ES change_point pipeline agg (pinned largest-mean-shift split)
+    over the dl histogram of the match set."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_change_point(
+        spark, store, qpdf, interval=CHANGE_INTERVAL
+    )
+
+
+def _change_point_sql(queries) -> str:
+    return f"""{_doc_join_sql(queries)},
+base AS (
+  SELECT CAST(qid AS BIGINT) AS qid,
+         floor(dl / {CHANGE_INTERVAL}) * {CHANGE_INTERVAL} AS bucket,
+         count(*) AS n
+  FROM md GROUP BY qid, bucket
+),
+c AS (
+  SELECT qid, bucket, n,
+         row_number() OVER (PARTITION BY qid ORDER BY bucket) AS i,
+         sum(n) OVER (PARTITION BY qid ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY qid) AS tot,
+         count(*) OVER (PARTITION BY qid) AS nb,
+         lead(bucket) OVER (PARTITION BY qid ORDER BY bucket) AS cb
+  FROM base
+),
+s AS (
+  SELECT qid, cb, bucket,
+         cum * 1.0 / i AS lm,
+         (tot - cum) * 1.0 / (nb - i) AS rm,
+         round(abs(cum * 1.0 / i - (tot - cum) * 1.0 / (nb - i)), 6)
+           AS delta
+  FROM c WHERE i < nb
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY delta DESC, bucket ASC
+  ) AS r FROM s
+)
+SELECT qid, cb AS change_bucket,
+       round(lm, 6) AS left_mean_r, round(rm, 6) AS right_mean_r,
+       delta AS delta_r
+FROM rk WHERE r = 1
+"""
+
+
+SEMDEDUP_K, SEMDEDUP_TAU = 8, 0.3
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): md5-seeded clustering, then drop
+    every vector with a lower-id same-cluster neighbor at cosine ≥ τ."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup(emb, k=SEMDEDUP_K, tau=SEMDEDUP_TAU)
+
+
+def _dedup_semantic_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {SEMDEDUP_K}
+),
+v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS vvec
+  FROM embeddings
+),
+j AS (
+  SELECT v.vid AS vid, v.vvec AS vvec, cent.cid AS cid,
+         round(list_dot_product(v.vvec, cent.cvec)
+               / (sqrt(list_dot_product(v.vvec, v.vvec))
+                  * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6)
+           AS cos_r
+  FROM v CROSS JOIN cent
+),
+best AS (
+  SELECT vid, vvec, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vid ORDER BY cos_r DESC, cid ASC
+    ) AS rn FROM j
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vid AS vid, b.cid AS cluster, a.vid AS keep_id,
+         round(list_dot_product(a.vvec, b.vvec)
+               / (sqrt(list_dot_product(a.vvec, a.vvec))
+                  * sqrt(list_dot_product(b.vvec, b.vvec))), 6) AS pc
+  FROM best a JOIN best b ON a.cid = b.cid AND a.vid < b.vid
+)
+SELECT vid AS vec_id, cluster,
+       CAST(min(keep_id) AS BIGINT) AS dup_of,
+       max(pc) AS best_cos_r
+FROM pairs WHERE pc >= {SEMDEDUP_TAU}
+GROUP BY vid, cluster
+"""
+
+
 def q_fts_normalize_agg(spark, sf_dir):
     """ES normalize pipeline agg: lang bucket counts as share-of-total."""
     store = _corpus_store(spark, sf_dir)
@@ -9559,6 +9721,10 @@ SPARK_QUERIES = {
     "fts_diversified_sampler": q_fts_diversified_sampler,
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
+    "fts_geo_polygon": q_fts_geo_polygon,
+    "fts_geo_line": q_fts_geo_line,
+    "fts_change_point": q_fts_change_point,
+    "dedup_semantic": q_dedup_semantic,
     "fts_geo_bounds": q_fts_geo_bounds,
     "fts_geo_centroid": q_fts_geo_centroid,
     "fts_normalize_agg": q_fts_normalize_agg,
@@ -9812,6 +9978,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_diversified_sampler": _diversified_sampler_sql(SORTED_QUERIES),
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
+        "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
+        "fts_geo_line": _geo_line_sql(SORTED_QUERIES),
+        "fts_change_point": _change_point_sql(SORTED_QUERIES),
+        "dedup_semantic": _dedup_semantic_sql(),
         "fts_geo_bounds": _geo_bounds_sql(SORTED_QUERIES),
         "fts_geo_centroid": _geo_centroid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),

@@ -5346,6 +5346,223 @@ def search_geo_bounds_agg(
     )
 
 
+def geo_polygon_expr(
+    lat_sql: str, lon_sql: str, polygon: list[tuple[float, float]]
+) -> str:
+    """Even-odd ray-casting point-in-polygon test as ONE portable SQL
+    boolean expression — identical text runs in Spark SQL and DuckDB
+    (CASE/compare/multiply only, no dialect functions), so the oracle
+    reproduces the match bit-for-bit.
+
+    ``polygon``: [(lat, lon), ...] vertices (≥ 3, closing edge implied).
+    The standard crossing-number algorithm: for each edge (i, j), count
+    it when the horizontal ray from the point crosses it —
+    ``(lat_i > Y) != (lat_j > Y)`` and the point is left of the
+    intersection. The division-free form multiplies both sides by
+    ``(lat_j − lat_i)`` with a sign flip per edge (vertices are
+    literals, so the flip folds at build time), keeping the expression
+    exact for any edge slope. Points exactly ON an edge are
+    boundary-undefined (as in every even-odd implementation); callers
+    pick vertices off the data lattice."""
+    if len(polygon) < 3:
+        raise EngineError("geo_polygon wants >= 3 vertices")
+    x, y = f"({lon_sql})", f"({lat_sql})"
+    crossings = []
+    n = len(polygon)
+    for i in range(n):
+        yi, xi = (float(v) for v in polygon[i])
+        yj, xj = (float(v) for v in polygon[(i + 1) % n])
+        if yi == yj:
+            continue  # horizontal edge: a horizontal ray never crosses it
+        # X < xi + (Y - yi) * (xj - xi) / (yj - yi), division-free:
+        # multiply by (yj - yi), flipping the comparison when negative
+        lhs = f"({x} - ({xi})) * ({yj - yi})"
+        rhs = f"({y} - ({yi})) * ({xj - xi})"
+        op = "<" if (yj - yi) > 0 else ">"
+        crossings.append(
+            f"(CASE WHEN (({yi}) > {y}) != (({yj}) > {y}) "
+            f"AND {lhs} {op} {rhs} THEN 1 ELSE 0 END)"
+        )
+    if not crossings:
+        raise EngineError("geo_polygon is degenerate (all edges horizontal)")
+    return f"(({' + '.join(crossings)}) % 2 = 1)"
+
+
+def search_geo_polygon(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    polygon: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_polygon`` filter over the match set: docs whose point
+    lies inside the vertex list — the ray-casting parity test from
+    ``geo_polygon_expr`` as a single codegen predicate over
+    doc_meta_cols, pure column arithmetic (no UDF, no geometry lib)."""
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], "qid long, doc_id string")
+    cond = geo_polygon_expr(
+        f"CAST({lat_col} AS DOUBLE)", f"CAST({lon_col} AS DOUBLE)", polygon
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id", F.expr(cond).alias("_in")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .filter(F.col("_in"))
+        .select("qid", "doc_id")
+    )
+
+
+def search_geo_line(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    sort_col: str,
+    size: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_line`` metric agg: the match set's points joined into a
+    LineString ordered by ``sort_col`` (doc_id tiebreak), truncated to
+    the first ``size`` points with ES's ``complete`` flag (false when
+    points were dropped). The line renders as fixed-2-decimal "lon lat"
+    pairs so the text is engine-independent.
+
+    Plan: one window (row_number per qid over the sort) on the match
+    set joined to metadata-sized doc_stats, then ONE aggregation whose
+    collect_list keeps only the first ``size`` rows per qid — result
+    size is bounded by qids × size, never by match-set size."""
+    if size < 1:
+        raise EngineError("geo_line size must be >= 1")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, line string, n_points long, complete boolean"
+        )
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id",
+        F.col(sort_col).cast("double").alias("_s"),
+        F.format_string(
+            "%.2f %.2f",
+            F.col(lon_col).cast("double"),
+            F.col(lat_col).cast("double"),
+        ).alias("_pt"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_s").asc(), F.col("doc_id").asc()
+    )
+    pts = hits.join(stats, "doc_int").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return (
+        pts.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rn") <= size,
+                                    F.struct(F.col("_rn"), F.col("_pt")),
+                                )
+                            ),
+                            lambda s: s.isNotNull(),
+                        )
+                    ),
+                    lambda s: s["_pt"],
+                ),
+                ", ",
+            ).alias("line"),
+        )
+        .select(
+            "qid", "line",
+            F.col("n_points").cast("long").alias("n_points"),
+            (F.col("n_points") <= size).alias("complete"),
+        )
+    )
+
+
+def search_change_point(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    interval: float,
+    value_col: str = "dl",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``change_point`` pipeline agg over a histogram of the match
+    set, PINNED to a deterministic detector: the split that maximizes
+    the absolute difference of mean bucket doc-counts between the left
+    and right sides (earliest bucket wins ties). ES's detector is a
+    statistical model emitting a typed verdict (step_change/spike/…);
+    the pinned largest-mean-shift split keeps the contract — "where
+    does the series break" — reproducible in ANSI SQL, the documented
+    divergence. Emits the first bucket of the right side as the change
+    point plus both side means and the shift size.
+
+    Plan: parent buckets from the same plan as ``search_histogram``;
+    the detector is window cumulative sums over bucket-cardinality rows
+    (never doc rows) + one rank — a second hop that costs nothing at
+    any corpus size."""
+    base = search_histogram(
+        spark, store, queries, interval, value_col, mode, field
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bucket").asc())
+    whole = Window.partitionBy("qid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        base.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("n_docs").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_tot", F.sum("n_docs").over(whole))
+        .withColumn("_n", F.count("*").over(whole))
+        .withColumn("_cb", F.lead("bucket", 1).over(w))
+    )
+    # split AFTER bucket _i (1 <= _i < _n): left mean over the first _i
+    # buckets, right mean over the rest; the change point is the first
+    # right-side bucket
+    splits = (
+        cum.filter(F.col("_i") < F.col("_n"))
+        .withColumn("_lm", F.col("_cum") / F.col("_i"))
+        .withColumn(
+            "_rm",
+            (F.col("_tot") - F.col("_cum")) / (F.col("_n") - F.col("_i")),
+        )
+        .withColumn(
+            "_delta", F.round(F.abs(F.col("_lm") - F.col("_rm")), 6)
+        )
+    )
+    rw = Window.partitionBy("qid").orderBy(
+        F.col("_delta").desc(), F.col("bucket").asc()
+    )
+    return (
+        splits.withColumn("_rk", F.row_number().over(rw))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "qid",
+            F.col("_cb").alias("change_bucket"),
+            F.round("_lm", 6).alias("left_mean_r"),
+            F.round("_rm", 6).alias("right_mean_r"),
+            F.col("_delta").alias("delta_r"),
+        )
+    )
+
+
 def search_geo_centroid_agg(
     spark: SparkSession,
     store: IndexStore,
