@@ -3731,6 +3731,101 @@ GROUP BY m.qid, e.author
 """
 
 
+SFM_QUERIES = [
+    (0, "merge", "src1"),
+    (1, "spark", "src2"),
+    (2, "customer", "src3"),
+    (3, "absentzzz", "src1"),
+]
+SFM_SLOP = 6
+
+
+def q_fts_span_field_masking(spark, sf_dir):
+    """Lucene span_field_masking: a text-field token near a source-field
+    token as if both shared one position space (the source token sits at
+    the field's first position, so the window pins the text token near
+    the doc start AND the source value)."""
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, ta, "text", tb, "source") for qid, ta, tb in SFM_QUERIES],
+        columns=["qid", "term_a", "field_a", "term_b", "field_b"],
+    )
+    res = search.search_span_field_masking(
+        spark, store, qpdf, slop=SFM_SLOP, k=50
+    )
+    return _rerank_rounded(res.select("qid", "doc_id", "score"), FT_K)
+
+
+def _span_field_masking_sql(queries, slop: int, k: int) -> str:
+    win = 1 + slop
+    legs, qv = [], []
+    for qid, ta, tb in queries:
+        (ta_tok,) = analysis.tokenize_series(pd.Series([ta]))[0] or ("",)
+        (tb_tok,) = analysis.tokenize_series(pd.Series([tb]))[0] or ("",)
+        qv.append(f"({qid}, '{ta_tok}', '{tb_tok}')")
+        legs.append(f"""
+  SELECT DISTINCT {qid} AS qid, c.doc_id AS doc_id
+  FROM corpus c,
+       unnest(list_filter(range(1, len(c.tt) + 1),
+              i -> c.tt[i] = '{ta_tok}')) AS a(pa),
+       unnest(list_filter(range(1, len(c.ts) + 1),
+              j -> c.ts[j] = '{tb_tok}')) AS b(pb)
+  WHERE abs(pa - pb) <= {win}""")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt,
+         {SRC_TOKS} AS ts
+  FROM documents
+),
+dl_t AS (SELECT doc_id, len(tt) AS dl FROM corpus),
+dl_s AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n,
+                 (SELECT avg(dl) FROM dl_t) AS avg_t,
+                 (SELECT avg(dl) FROM dl_s) AS avg_s
+          FROM corpus),
+post_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+post_s AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY term),
+df_s AS (SELECT term, count(*) AS df FROM post_s GROUP BY term),
+q(qid, ta, tb) AS (VALUES {", ".join(qv)}),
+m AS ({" UNION ALL ".join(legs)}),
+scored AS (
+  SELECT m.qid AS qid, m.doc_id AS doc_id,
+         ln(1.0 + (s.n - dta.df + 0.5) / (dta.df + 0.5)) * ({K1} + 1.0)
+           * pt.tf / (pt.tf + {K1} * (1.0 - {B} + {B} * dlt.dl / s.avg_t))
+         + ln(1.0 + (s.n - dts.df + 0.5) / (dts.df + 0.5)) * ({K1} + 1.0)
+           * ps.tf / (ps.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avg_s))
+           AS score
+  FROM m
+  JOIN q ON q.qid = m.qid
+  JOIN post_t pt ON pt.doc_id = m.doc_id AND pt.term = q.ta
+  JOIN post_s ps ON ps.doc_id = m.doc_id AND ps.term = q.tb
+  JOIN df_t dta ON dta.term = q.ta
+  JOIN df_s dts ON dts.term = q.tb
+  JOIN dl_t dlt ON dlt.doc_id = m.doc_id
+  JOIN dl_s dls ON dls.doc_id = m.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_fts_multi_match(spark, sf_dir):
     store = _corpus_store_mf(spark, sf_dir)
     qpdf = pd.DataFrame(MM_QUERIES, columns=["qid", "query"])
@@ -9722,6 +9817,7 @@ SPARK_QUERIES = {
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
     "fts_geo_polygon": q_fts_geo_polygon,
+    "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,
     "fts_change_point": q_fts_change_point,
     "dedup_semantic": q_dedup_semantic,
@@ -9979,6 +10075,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
+        "fts_span_field_masking": _span_field_masking_sql(
+            SFM_QUERIES, SFM_SLOP, FT_K
+        ),
         "fts_geo_line": _geo_line_sql(SORTED_QUERIES),
         "fts_change_point": _change_point_sql(SORTED_QUERIES),
         "dedup_semantic": _dedup_semantic_sql(),

@@ -1798,6 +1798,128 @@ def search_span_or(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def search_span_field_masking(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene/ES ``span_field_masking``: compose span clauses from TWO
+    DIFFERENT fields of a multi-field store as if they shared one
+    position space — ES's documented trick for parallel fields (raw vs
+    stemmed text), where cross-field position comparison is meaningful
+    by construction. ``queries``: pandas (qid, term_a, field_a, term_b,
+    field_b), each term one analyzed token; a doc matches when some
+    position of a (in field_a) and some position of b (in field_b,
+    masked onto field_a) land within an unordered window of ``1 +
+    slop``. Scoring follows the span family: summed BM25 of both terms,
+    each against ITS OWN field's df and avgdl (Lucene keeps the masked
+    clause's own statistics).
+
+    Plan: same two-posting-read shape as span_near — the qualified
+    terms prune to their buckets, ONE cogrouped kernel pass runs the
+    existing unordered-window verifier (field-local position payloads
+    are exactly what masking compares), no extra scan for the second
+    field."""
+    if not store.meta.get("positions"):
+        raise EngineError(
+            "span_field_masking needs a store built with positions=True"
+        )
+    n_docs = float(store.meta["n_docs"])
+    rows, terms_by_qid = [], {}
+    for r in queries.itertuples(index=False):
+        pa, avg_a = _field_of(store, str(r.field_a))
+        pb, avg_b = _field_of(store, str(r.field_b))
+        ta = analysis.tokenize_series(pd.Series([str(r.term_a)]))[0]
+        tb = analysis.tokenize_series(pd.Series([str(r.term_b)]))[0]
+        if len(ta) != 1 or len(tb) != 1:
+            raise EngineError(
+                "span_field_masking wants one analyzed token per clause"
+            )
+        qa, qb = pa + ta[0], pb + tb[0]
+        if qa == qb:
+            raise EngineError(
+                "span_field_masking clauses must differ (same field+term)"
+            )
+        terms_by_qid[int(r.qid)] = [qa, qb]
+        rows.append((int(r.qid), qa, avg_a))
+        rows.append((int(r.qid), qb, avg_b))
+    qt = pd.DataFrame(rows, columns=["qid", "term", "avgdl"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    # AND semantics: a qid with an unindexed clause can never match
+    dead_qids = set(qt.loc[qt["df"].isna(), "qid"])
+    qt = qt[~qt["qid"].isin(dead_qids)]
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+
+    joined = _matched_blocks(spark, store, qt)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        pair = terms_by_qid[qid]
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_int": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        by_term = _decode_positional_terms(pdf)
+        if any(t not in by_term for t in pair):
+            return empty
+        cand = np.intersect1d(by_term[pair[0]][0], by_term[pair[1]][0])
+        if cand.size == 0:
+            return empty
+        maxpos = 1
+        for _ids, _tfs, _dls, flat, _starts in by_term.values():
+            if flat.size:
+                maxpos = max(maxpos, int(flat.max()) + 2)
+        stride = maxpos + 2
+        chunk = max(1, (2**62) // stride)
+        surv_l = []
+        for c0 in range(0, cand.size, chunk):
+            got = _span_unordered_survivors(
+                by_term, pair, cand[c0: c0 + chunk], stride, slop
+            )
+            if got.size:
+                surv_l.append(got)
+        if not surv_l:
+            return empty
+        surv = np.concatenate(surv_l)
+        meta = (
+            pdf[["term", "w", "avgdl"]]
+            .drop_duplicates()
+            .set_index("term")
+        )
+        scores = np.zeros(surv.size, dtype=np.float64)
+        for tok, (ids, tfs, dls, _f, _s) in by_term.items():
+            i = np.searchsorted(ids, surv)
+            scores += float(meta.loc[tok, "w"]) * bm25.tf_norm(
+                tfs[i], dls[i], float(meta.loc[tok, "avgdl"])
+            )
+        return pd.DataFrame(
+            {"qid": pd.Series(np.full(surv.size, qid), dtype="int64"),
+             "doc_int": pd.Series(surv, dtype="int64"),
+             "score": pd.Series(scores, dtype="float64")}
+        )
+
+    cols = ["qid", "seg", "term", "w", "avgdl", "doc_first", "doc_bytes",
+            "tf_bytes", "dl_bytes", "pos_bytes"]
+    scored = (
+        joined.select(*cols)
+        .groupBy("qid", "seg")
+        .applyInPandas(run, schema="qid long, doc_int long, score double")
+    )
+    agg = scored.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def _span_chain_starts(by_term, phrase, sub, stride):
     """Span-START keys (``cand_index * stride + start_pos``) of an exact
     in-order chain over candidates ``sub`` — None when a phrase term is
