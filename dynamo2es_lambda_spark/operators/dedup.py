@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..errors import EngineError
 from ..functions.analysis import spark_tokens_expr
 from ..functions.text import fingerprint_md5
 
@@ -528,5 +529,93 @@ def bloom_membership(
             "doc_id",
             (F.coalesce(F.col("_hits"), F.lit(0)) == F.col("_need"))
             .alias("maybe_dup"),
+        )
+    )
+
+
+def corpus_minhash_overlap(
+    docs: DataFrame,
+    side_col: Column,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-CORPUS overlap estimation: MinHash-estimated and exact
+    Jaccard between the shingle SETS of two corpus halves — the
+    "how much does dataset B overlap dataset A" question a training-data
+    pipeline asks before mixing sources (and the sketch version is how
+    it answers at scale, where the exact intersection is a luxury).
+
+    ``side_col``: boolean Column splitting docs into side a (true) /
+    b (false). ``k`` MinHash permutations h_i(s) = md5(i || '_' || s)
+    (the pinned portable hash family the LSH path uses); the estimator
+    is the classic single-hash-per-permutation sketch:
+    Ĵ = |{i : min_a(h_i) = min_b(h_i)}| / k.
+
+    Plan: ONE distinct over (side, shingle) — the only corpus-sized
+    shuffle — then the k-row signature per side is a map-side-partial
+    min aggregation over an exploded k×|types| stream (types =
+    DISTINCT shingles, vocabulary-sized, far below the corpus), and the
+    exact half is one more aggregation over the same distinct frame.
+    Nothing after the distinct touches a document row. → one row:
+    (n_a, n_b, n_inter, n_union, exact_j_r, minhash_matches, est_j_r).
+    """
+    if n < 1 or k < 1:
+        raise EngineError("corpus_minhash_overlap needs n >= 1 and k >= 1")
+    toked = docs.select(
+        side_col.cast("boolean").alias("_a"),
+        F.expr(spark_tokens_expr(text_col)).alias("_toks"),
+    )
+    sh = (
+        toked.select(
+            "_a",
+            F.explode(
+                F.expr(f"array_distinct({_shingles_of('_toks', n)})")
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    # exact half: per-shingle side membership -> set algebra in ONE agg
+    sets = sh.groupBy("sh").agg(
+        F.max(F.when(F.col("_a"), 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(~F.col("_a"), 1).otherwise(0)).alias("in_b"),
+    )
+    exact = sets.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    # sketch half: k md5 permutations, elementwise min per side
+    perms = sh.select(
+        "_a",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                f"i -> md5(concat(cast(i as string), '_', sh)))"
+            )
+        ).alias("i", "h"),
+    )
+    mins = perms.groupBy("_a", "i").agg(F.min("h").alias("mn"))
+    a = mins.filter(F.col("_a")).select("i", F.col("mn").alias("ma"))
+    b = mins.filter(~F.col("_a")).select("i", F.col("mn").alias("mb"))
+    sketch = (
+        a.join(b, "i")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("minhash_matches")
+        )
+    )
+    return (
+        exact.crossJoin(sketch)
+        .select(
+            "n_a", "n_b", "n_inter", "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6)
+            .alias("exact_j_r"),
+            "minhash_matches",
+            F.round(F.col("minhash_matches") / F.lit(float(k)), 6)
+            .alias("est_j_r"),
         )
     )

@@ -8054,6 +8054,71 @@ FROM rk WHERE r = 1
 """
 
 
+OVERLAP_N, OVERLAP_K = 3, 64
+
+
+def q_corpus_overlap_minhash(spark, sf_dir):
+    """Cross-corpus overlap estimation: MinHash-estimated + exact
+    Jaccard between the shingle sets of the even-id and odd-id halves
+    of the documents table."""
+    from ..operators import dedup
+
+    return dedup.corpus_minhash_overlap(
+        _docs(spark, sf_dir), side_col=(F.col("doc_id") % 2 == 0),
+        n=OVERLAP_N, k=OVERLAP_K,
+    )
+
+
+def _corpus_overlap_sql() -> str:
+    n, k = OVERLAP_N, OVERLAP_K
+    parts = " || ' ' || ".join(f"toks[i - {n - 1 - j}]" for j in range(n))
+    return f"""
+WITH x AS (
+  SELECT doc_id % 2 = 0 AS a, {DOC_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT a, sh FROM (
+    SELECT a,
+           unnest(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(range({n}, len(toks) + 1),
+                                      i -> {parts})
+                  ELSE [] END) AS sh
+    FROM x
+  )
+),
+sets AS (
+  SELECT sh,
+         max(CASE WHEN a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN NOT a THEN 1 ELSE 0 END) AS in_b
+  FROM g GROUP BY sh
+),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+         CAST(count(*) AS BIGINT) AS n_union
+  FROM sets
+),
+perms AS (
+  SELECT g.a AS a, r.i AS i,
+         md5(CAST(r.i AS VARCHAR) || '_' || g.sh) AS h
+  FROM g CROSS JOIN range(0, {k}) AS r(i)
+),
+mins AS (SELECT a, i, min(h) AS mn FROM perms GROUP BY a, i),
+sk AS (
+  SELECT CAST(sum(CASE WHEN ma.mn = mb.mn THEN 1 ELSE 0 END) AS BIGINT)
+           AS minhash_matches
+  FROM (SELECT i, mn FROM mins WHERE a) ma
+  JOIN (SELECT i, mn FROM mins WHERE NOT a) mb USING (i)
+)
+SELECT n_a, n_b, n_inter, n_union,
+       round(CAST(n_inter AS DOUBLE) / n_union, 6) AS exact_j_r,
+       minhash_matches,
+       round(CAST(minhash_matches AS DOUBLE) / {k}, 6) AS est_j_r
+FROM exact CROSS JOIN sk
+"""
+
+
 SEMDEDUP_K, SEMDEDUP_TAU = 8, 0.3
 
 
@@ -9821,6 +9886,7 @@ SPARK_QUERIES = {
     "fts_geo_line": q_fts_geo_line,
     "fts_change_point": q_fts_change_point,
     "dedup_semantic": q_dedup_semantic,
+    "corpus_overlap_minhash": q_corpus_overlap_minhash,
     "fts_geo_bounds": q_fts_geo_bounds,
     "fts_geo_centroid": q_fts_geo_centroid,
     "fts_normalize_agg": q_fts_normalize_agg,
@@ -10081,6 +10147,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_line": _geo_line_sql(SORTED_QUERIES),
         "fts_change_point": _change_point_sql(SORTED_QUERIES),
         "dedup_semantic": _dedup_semantic_sql(),
+        "corpus_overlap_minhash": _corpus_overlap_sql(),
         "fts_geo_bounds": _geo_bounds_sql(SORTED_QUERIES),
         "fts_geo_centroid": _geo_centroid_sql(SORTED_QUERIES),
         "fts_normalize_agg": _normalize_agg_sql(SORTED_QUERIES),
