@@ -436,6 +436,12 @@ def main() -> None:
         "dedup_bloom",
         "fts_frequent_item_sets",
         "fts_geohash_grid",
+        # final round-4 batch: SemDeDup within-cluster cosine dedup,
+        # corpus-half MinHash overlap (one distinct-shingle pass + k
+        # permutation mins), cross-field masked spans
+        "dedup_semantic",
+        "corpus_overlap_minhash",
+        "fts_span_field_masking",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))
