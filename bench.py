@@ -442,6 +442,10 @@ def main() -> None:
         "dedup_semantic",
         "corpus_overlap_minhash",
         "fts_span_field_masking",
+        # full-Lucene query_string (AND/OR/NOT, parens, field: clauses):
+        # one pruned posting read for every atom of every query, boolean
+        # tree evaluated as one generated codegen expression
+        "fts_lucene_query_string",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))

@@ -3316,6 +3316,116 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+# -------------------------------------------- 4g2. Lucene query_string
+# Full boolean syntax (AND/OR/NOT, parens, field:word, field:(...)) on
+# the MULTI-FIELD store — each atom scored with its field's df + avgdl.
+# The compiler (plans/search.lucene_query_plan) emits ONE portable match
+# predicate + score expression over per-atom score columns; the oracle
+# below runs the IDENTICAL generated strings over a per-field DuckDB
+# BM25 pivot — the boolean semantics live in exactly one place.
+
+LQS_QUERIES = [
+    (0, "spark AND merge"),
+    (1, "(spark OR customer) AND NOT window"),
+    (2, "source:src1 AND spark"),
+    (3, "spark AND NOT absentzzz"),
+    (4, "sparkMerge OR (fast AND key)"),   # camelCase leaf = OR of subtokens
+    (5, "source:(src2 OR src3) AND merge"),
+    (6, "fast key data"),                  # implicit adjacency = OR
+]
+
+
+def q_fts_lucene_qs(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(LQS_QUERIES, columns=["qid", "query"])
+    res = search.search_lucene_query_string(spark, store, qpdf, k=50)
+    return _rerank_rounded(res, FT_K)
+
+
+def _lucene_qs_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """Oracle for q_fts_lucene_qs: per-field BM25 atom scores pivoted to
+    s0..s{n-1} per (qid, doc), then the ENGINE-GENERATED match predicate
+    and score expression evaluated verbatim (plans/search.lucene_query_plan
+    is the single source of the boolean semantics)."""
+    from dynamo2es_lambda_spark.plans.search import lucene_query_plan
+
+    atoms, match_sql, score_sql, nbits = lucene_query_plan(queries)
+    vals = []
+    for r in atoms.itertuples(index=False):
+        fld = "text" if r.field is None else str(r.field)
+        vals.append(f"({int(r.qid)}, {int(r.bit)}, '{fld}', '{r.token}')")
+    bm_t = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_t))"
+    )
+    bm_s = bm_t.replace("s.avg_t", "s.avg_s")
+    pivots = ",\n         ".join(
+        f"sum(CASE WHEN bit = {i} THEN sc END) AS s{i}"
+        for i in range(nbits)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt,
+         {SRC_TOKS} AS ts
+  FROM documents
+),
+dl_t AS (SELECT doc_id, len(tt) AS dl FROM corpus),
+dl_s AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n,
+                 (SELECT avg(dl) FROM dl_t) AS avg_t,
+                 (SELECT avg(dl) FROM dl_s) AS avg_s
+          FROM corpus),
+post_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+post_s AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY term),
+df_s AS (SELECT term, count(*) AS df FROM post_s GROUP BY term),
+q(aqid, bit, fld, term) AS (VALUES {", ".join(vals)}),
+sc AS (
+  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_t} AS sc
+  FROM q
+  JOIN post_t p ON p.term = q.term AND q.fld = 'text'
+  JOIN df_t d ON d.term = q.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  UNION ALL
+  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_s} AS sc
+  FROM q
+  JOIN post_s p ON p.term = q.term AND q.fld = 'source'
+  JOIN df_s d ON d.term = q.term
+  JOIN dl_s dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+pv AS (
+  SELECT qid, doc_id,
+         {pivots}
+  FROM sc GROUP BY qid, doc_id
+),
+gated AS (
+  SELECT qid, doc_id, {score_sql} AS score
+  FROM pv
+  WHERE {match_sql}
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------- 4f. term-level + scoring wrappers (terms / exists /
 # function_score). ES term/terms = exact unanalyzed dictionary match;
 # exists = field-presence from marker metadata; function_score =
@@ -9787,6 +9897,7 @@ SPARK_QUERIES = {
     "fts_function_score": q_fts_function_score,
     "fts_exists": q_fts_exists,
     "fts_query_string": q_fts_query_string,
+    "fts_lucene_query_string": q_fts_lucene_qs,
     "fts_boosting": q_fts_boosting,
     "fts_sorted": q_fts_sorted,
     "fts_suggest": q_fts_suggest,
@@ -10000,6 +10111,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_exists": _exists_sql(FT_K),
         "fts_query_string": _query_string_sql(QS_QUERIES, FT_K),
+        "fts_lucene_query_string": _lucene_qs_sql(LQS_QUERIES, FT_K),
         "fts_boosting": _boosting_sql(BOOSTING_QUERIES, FT_K, BOOSTING_NB),
         "fts_sorted": _sorted_sql(SORTED_QUERIES, FT_K),
         "fts_suggest": _suggest_sql(SUGGEST_PROBES, SUGGEST_K, SUGGEST_EDITS),

@@ -9823,3 +9823,344 @@ def search_geohash_grid(
         .groupBy("qid", "geohash")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Lucene query_string (full boolean syntax: AND / OR / NOT, parentheses,
+# field-qualified clauses and field-scoped groups)
+# --------------------------------------------------------------------------
+# The reference makes every shipped document searchable through ES
+# (lib/handler.js:100); ES's `query_string` query is the full-Lucene-syntax
+# sibling of `simple_query_string` (search_query_string above). Supported
+# subset: uppercase AND/OR/NOT (and &&/||/!), parentheses, `field:word`
+# leaves and `field:(...)` scoped groups, implicit adjacency = OR (ES
+# default_operator=OR). Unsupported syntax raises loudly instead of
+# silently degrading: quoted phrases (use search_query_string /
+# search_phrase), wildcards/fuzzy/ranges/boosts (dedicated queries exist
+# for each), and `+`/`-` prefixes (use AND / AND NOT).
+#
+# Match AND score follow Lucene's BooleanQuery exactly (coord-free, as in
+# Lucene >= 7 where BM25 replaced TF-IDF): a leaf word analyzes into one
+# or more tokens (camelCase/snake_case splitting) combined with the
+# default operator (OR) — matched if ANY token present, scoring every
+# present token; an AND node matches iff all children match and scores
+# the sum of child scores (nothing when unmatched); an OR node matches if
+# any child matches and scores the sum of MATCHED children; NOT matches
+# the complement and never scores. Queries whose tree matches a document
+# containing NONE of its terms (pure-negative, e.g. `NOT x` or
+# `a OR NOT b`) are rejected at parse time: they are ES match_all
+# rewrites, and answering them from the index alone would require a
+# corpus scan (the same documented restriction simple_query_string makes
+# for negated phrases).
+#
+# Plan shape: the compiler numbers each distinct (field, token) atom of a
+# query with a bit index and emits ONE portable SQL match predicate and
+# ONE portable score expression over per-atom score columns s0..s{n-1}
+# (CASE/COALESCE/IS NOT NULL/AND/OR/NOT only — Spark SQL and DuckDB run
+# the SAME generated strings verbatim, the geo_polygon discipline). The
+# data path is the engine's standard single fused pass: one targeted
+# term_stats read, one pruned posting-block read serving every (query,
+# atom) pair via composite qids, one per-(qid, doc) aggregation pivoting
+# atom scores into the s_i columns, then the generated expressions gate
+# and score entirely inside whole-stage codegen.
+
+_LQS_STRIDE = 64          # composite qid stride: qid * 64 + atom bit
+_LQS_MAX_ATOMS = 60       # per-query atom cap (bit-addressable, sane)
+
+_LQS_WORD_FORBIDDEN = set('"\'^~*?[]{}\\+')
+
+
+def _lucene_lex(q: str) -> list[tuple[str, str | None, str | None]]:
+    """Lex a Lucene query string → [(kind, field, text)] tokens.
+
+    kinds: ``(`` ``)`` ``AND`` ``OR`` ``NOT`` ``WORD`` (field may be None)
+    and ``SCOPE`` (a ``field:`` immediately before a group). Forbidden
+    Lucene syntax (quotes, wildcards, fuzzy, boosts, ranges, +/-) raises
+    :class:`EngineError` naming the dedicated query to use instead."""
+    out: list[tuple[str, str | None, str | None]] = []
+    i, n = 0, len(str(q))
+    q = str(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()":
+            out.append((c, None, None))
+            i += 1
+            continue
+        j = i
+        while j < n and not q[j].isspace() and q[j] not in "()":
+            j += 1
+        w = q[i:j]
+        i = j
+        if w in ("AND", "&&"):
+            out.append(("AND", None, None))
+            continue
+        if w in ("OR", "||"):
+            out.append(("OR", None, None))
+            continue
+        if w in ("NOT", "!"):
+            out.append(("NOT", None, None))
+            continue
+        if w.startswith("!"):
+            out.append(("NOT", None, None))
+            w = w[1:]
+        if w.startswith(("+", "-")):
+            raise EngineError(
+                f"query_string: {w[0]!r} prefixes are not supported — "
+                "write AND / AND NOT (or use simple_query_string)"
+            )
+        bad = sorted(set(w) & _LQS_WORD_FORBIDDEN)
+        if bad:
+            raise EngineError(
+                f"query_string: unsupported Lucene syntax {bad} in {w!r} — "
+                "phrases: search_phrase/search_query_string; wildcards: "
+                "search_wildcard; fuzzy: search_fuzzy; ranges: search_range"
+            )
+        field: str | None = None
+        if ":" in w:
+            field, _, w = w.partition(":")
+            if not field or not all(
+                ch.isalnum() or ch in "._" for ch in field
+            ):
+                raise EngineError(f"query_string: bad field name {field!r}")
+        if not w:
+            if field is not None and i < n and q[i] == "(":
+                out.append(("SCOPE", field, None))
+                continue
+            raise EngineError("query_string: empty clause")
+        out.append(("WORD", field, w))
+    return out
+
+
+def parse_lucene_query(q: str) -> tuple:
+    """Parse full-Lucene boolean syntax → AST.
+
+    Nodes: ``("or", [children])``, ``("and", [children])``,
+    ``("not", child)``, ``("leaf", field_or_None, word)``. Precedence
+    NOT > AND > OR; adjacent clauses without an operator are OR
+    (ES default_operator=OR); ``field:(...)`` scopes the default field of
+    every leaf inside the group."""
+    toks = _lucene_lex(q)
+    pos = [0]
+
+    def peek() -> str | None:
+        return toks[pos[0]][0] if pos[0] < len(toks) else None
+
+    def take() -> tuple:
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_or(scope: str | None) -> tuple:
+        nodes = [parse_and(scope)]
+        while True:
+            p = peek()
+            if p == "OR":
+                take()
+                nodes.append(parse_and(scope))
+            elif p in ("WORD", "NOT", "(", "SCOPE"):
+                nodes.append(parse_and(scope))  # implicit OR
+            else:
+                break
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and(scope: str | None) -> tuple:
+        nodes = [parse_unary(scope)]
+        while peek() == "AND":
+            take()
+            nodes.append(parse_unary(scope))
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_unary(scope: str | None) -> tuple:
+        p = peek()
+        if p is None:
+            raise EngineError("query_string: unexpected end of query")
+        if p == "NOT":
+            take()
+            return ("not", parse_unary(scope))
+        if p == "SCOPE":
+            _, fld, _ = take()
+            if peek() != "(":
+                raise EngineError("query_string: field:( needs a group")
+            return parse_unary(fld)
+        if p == "(":
+            take()
+            node = parse_or(scope)
+            if peek() != ")":
+                raise EngineError("query_string: unbalanced parentheses")
+            take()
+            return node
+        if p == "WORD":
+            _, fld, w = take()
+            return ("leaf", fld if fld is not None else scope, w)
+        raise EngineError(f"query_string: unexpected {p!r}")
+
+    tree = parse_or(None)
+    if pos[0] != len(toks):
+        raise EngineError("query_string: unbalanced parentheses")
+    return tree
+
+
+def _lucene_matches_empty(node: tuple) -> bool:
+    """Would this tree match a document containing NONE of its terms?"""
+    kind = node[0]
+    if kind == "leaf":
+        return False
+    if kind == "not":
+        return not _lucene_matches_empty(node[1])
+    sub = [_lucene_matches_empty(c) for c in node[1]]
+    return all(sub) if kind == "and" else any(sub)
+
+
+def lucene_query_plan(
+    queries: list[tuple[int, str]],
+) -> tuple[pd.DataFrame, str, str, int]:
+    """Compile parsed Lucene queries → (atoms, match_sql, score_sql, nbits).
+
+    ``atoms`` is a pandas frame (qid, bit, field, token) — field None means
+    the store's default field. ``match_sql`` / ``score_sql`` are ONE
+    portable SQL boolean predicate / DOUBLE expression each (CASE over
+    qid) referencing columns ``qid`` and ``s0..s{nbits-1}`` where ``s_i``
+    is the BM25 score of query atom ``i`` for the doc (NULL = absent).
+    Spark and the DuckDB oracle evaluate these strings verbatim — the
+    boolean semantics exist in exactly one place."""
+    atoms_rows: list[tuple[int, int, str | None, str]] = []
+    m_cases: list[str] = []
+    s_cases: list[str] = []
+    nbits = 0
+    for qid, q in queries:
+        tree = parse_lucene_query(q)
+        if _lucene_matches_empty(tree):
+            raise EngineError(
+                f"query_string (qid={qid}): pure-negative query would "
+                "match documents containing none of its terms (ES "
+                "match_all rewrite) — unsupported"
+            )
+        bits: dict[tuple[str | None, str], int] = {}
+
+        def compile_node(node: tuple) -> tuple[str, str]:
+            kind = node[0]
+            if kind == "leaf":
+                _, fld, w = node
+                toks = list(analysis.tokenize_series(pd.Series([w]))[0])
+                if not toks:
+                    raise EngineError(
+                        f"query_string: {w!r} analyzed to zero tokens"
+                    )
+                terms = sorted(Counter(toks).items())
+                ms, ss = [], []
+                for t, qtf in terms:
+                    key = (fld, t)
+                    if key not in bits:
+                        if len(bits) >= _LQS_MAX_ATOMS:
+                            raise EngineError(
+                                f"query_string: more than {_LQS_MAX_ATOMS} "
+                                "distinct terms in one query"
+                            )
+                        bits[key] = len(bits)
+                        atoms_rows.append((qid, bits[key], fld, t))
+                    b = bits[key]
+                    ms.append(f"s{b} IS NOT NULL")
+                    coal = f"COALESCE(s{b}, 0.0)"
+                    ss.append(coal if qtf == 1 else f"{qtf} * {coal}")
+                return (
+                    "(" + " OR ".join(ms) + ")",
+                    "(" + " + ".join(ss) + ")",
+                )
+            if kind == "not":
+                cm, _cs = compile_node(node[1])
+                return f"(NOT {cm})", "0.0"
+            subs = [compile_node(c) for c in node[1]]
+            if kind == "and":
+                m = "(" + " AND ".join(cm for cm, _ in subs) + ")"
+                s = (
+                    f"(CASE WHEN {m} THEN "
+                    + " + ".join(cs for _, cs in subs)
+                    + " ELSE 0.0 END)"
+                )
+                return m, s
+            # or: matched children self-gate (leaf via COALESCE, and via
+            # its own CASE, not via nothing — a NOT child scores 0.0)
+            m = "(" + " OR ".join(cm for cm, _ in subs) + ")"
+            s = "(" + " + ".join(cs for _, cs in subs) + ")"
+            return m, s
+
+        m, s = compile_node(tree)
+        m_cases.append(f"WHEN qid = {int(qid)} THEN {m}")
+        s_cases.append(f"WHEN qid = {int(qid)} THEN {s}")
+        nbits = max(nbits, len(bits))
+    match_sql = "CASE " + " ".join(m_cases) + " ELSE FALSE END"
+    score_sql = "CASE " + " ".join(s_cases) + " ELSE 0.0 END"
+    atoms = pd.DataFrame(
+        atoms_rows, columns=["qid", "bit", "field", "token"]
+    )
+    return atoms, match_sql, score_sql, nbits
+
+
+def search_lucene_query_string(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    default_field: str | None = None,
+) -> DataFrame:
+    """ES ``query_string``: full Lucene boolean syntax per query string —
+    AND/OR/NOT with precedence NOT > AND > OR, parentheses,
+    ``field:word`` leaves and ``field:(...)`` groups on a multi-field
+    store (each atom scored with ITS field's df and avgdl), implicit
+    adjacency = OR. Match and score follow Lucene's coord-free
+    BooleanQuery exactly (module comment above).
+
+    ``queries``: pandas (qid, query). One targeted term_stats read + one
+    pruned posting read serve every atom of every query (composite qids);
+    the boolean tree evaluates as a generated codegen expression over the
+    per-(qid, doc) atom-score pivot — no per-row Python, no second pass,
+    and the identical expression string is what the DuckDB oracle runs."""
+    qlist = [(int(qid), str(q)) for qid, q in
+             zip(queries["qid"], queries["query"])]
+    if not qlist:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    atoms, match_sql, score_sql, nbits = lucene_query_plan(qlist)
+    if atoms.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = float(store.meta["n_docs"])
+
+    qt = atoms.copy()
+    prefixes, avgdls = [], []
+    for fld in qt["field"]:
+        pfx, ad = _field_of(store, fld if fld is None else str(fld))
+        prefixes.append(pfx)
+        avgdls.append(ad)
+    qt["term"] = [p + t for p, t in zip(prefixes, qt["token"])]
+    qt["avgdl"] = avgdls
+    qt["qid"] = qt["qid"] * _LQS_STRIDE + qt["bit"]
+    qt = qt[["qid", "term", "avgdl"]]
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    )
+    qt = qt.dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, 0.0)  # per-atom avgdl column rules
+    per_doc = cand.select(
+        F.shiftright("qid", 6).alias("qid"),
+        F.col("qid").bitwiseAND(F.lit(_LQS_STRIDE - 1)).alias("bit"),
+        "doc_int",
+        "score",
+    ).groupBy("qid", "doc_int").agg(
+        *[
+            F.sum(F.when(F.col("bit") == i, F.col("score"))).alias(f"s{i}")
+            for i in range(nbits)
+        ]
+    )
+    gated = per_doc.filter(F.expr(match_sql)).select(
+        "qid", "doc_int", F.expr(score_sql).alias("score")
+    )
+    gated = _drop_dead(spark, store, gated)
+    return _present(spark, store, _cut_topk(gated, k), k)

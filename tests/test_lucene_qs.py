@@ -1,0 +1,275 @@
+"""Full-Lucene query_string: parser precedence/errors, exact
+coord-free BooleanQuery match+score semantics fuzz-verified against a
+pure-Python recursive evaluator over a multi-field store.
+
+Reference context: the reference ships documents into ES
+(lib/handler.js:100) whose users query them with the full Lucene
+`query_string` syntax; this is its from-scratch Spark twin."""
+
+import random
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from dynamo2es_lambda_spark import IndexerConfig
+from dynamo2es_lambda_spark.errors import EngineError
+from dynamo2es_lambda_spark.functions import analysis, bm25
+from dynamo2es_lambda_spark.plans import build, search
+from dynamo2es_lambda_spark.plans.search import (
+    lucene_query_plan,
+    parse_lucene_query,
+)
+
+_DOCS = [
+    ("d00", "merge window open fast", "alpha"),
+    ("d01", "merged window close", "beta"),
+    ("d02", "merge pane window slow data", "alpha"),
+    ("d03", "window merge key", "gamma"),
+    ("d04", "spark rising fast key", "beta"),
+    ("d05", "slow merge window spark", "alpha"),
+    ("d06", "data data key fast", "gamma"),
+    ("d07", "spark spark merge", "beta"),
+    ("d08", "key value store window", "alpha"),
+    ("d09", "fast slow fast data", "gamma"),
+    ("d10", "spark window", "beta"),
+    ("d11", "open close open", "alpha"),
+]
+
+_VOCAB = ["merge", "window", "spark", "fast", "key", "data",
+          "slow", "open", "absentzzz"]
+_TAGS = ["alpha", "beta", "gamma", "absenttag"]
+
+
+# ------------------------------------------------------------- parser
+
+def test_parser_precedence_not_and_or():
+    assert parse_lucene_query("a OR b AND c") == (
+        "or",
+        [("leaf", None, "a"),
+         ("and", [("leaf", None, "b"), ("leaf", None, "c")])],
+    )
+    assert parse_lucene_query("a AND NOT b OR c") == (
+        "or",
+        [("and", [("leaf", None, "a"), ("not", ("leaf", None, "b"))]),
+         ("leaf", None, "c")],
+    )
+
+
+def test_parser_implicit_adjacency_is_or():
+    assert parse_lucene_query("a b") == (
+        "or", [("leaf", None, "a"), ("leaf", None, "b")]
+    )
+    # adjacency binds at the OR level: a (b AND c) == a OR (b AND c)
+    assert parse_lucene_query("a (b AND c)") == parse_lucene_query(
+        "a OR (b AND c)"
+    )
+
+
+def test_parser_field_scope_group():
+    assert parse_lucene_query("tag:(a OR b) AND c") == (
+        "and",
+        [("or", [("leaf", "tag", "a"), ("leaf", "tag", "b")]),
+         ("leaf", None, "c")],
+    )
+    # explicit field inside a scope wins over the scope
+    assert parse_lucene_query("tag:(a OR content:b)") == (
+        "or", [("leaf", "tag", "a"), ("leaf", "content", "b")]
+    )
+
+
+def test_parser_synonym_operators():
+    assert parse_lucene_query("a && b || ! c") == parse_lucene_query(
+        "a AND b OR NOT c"
+    )
+    assert parse_lucene_query("!c AND a") == parse_lucene_query(
+        "NOT c AND a"
+    )
+
+
+def test_parser_lowercase_keywords_are_terms():
+    assert parse_lucene_query("a and b") == (
+        "or",
+        [("leaf", None, "a"), ("leaf", None, "and"), ("leaf", None, "b")],
+    )
+
+
+@pytest.mark.parametrize("bad", [
+    '"a phrase"', "te?t", "wild*", "roam~2", "boost^2", "[a TO b]",
+    "+must x", "-not x", "(a", "a)", "a AND", "field:", "()",
+])
+def test_parser_rejects_unsupported_syntax(bad):
+    with pytest.raises(EngineError):
+        lucene_query_plan([(0, bad)])
+
+
+@pytest.mark.parametrize("neg", ["NOT x", "a OR NOT b", "NOT (a AND b)"])
+def test_compile_rejects_pure_negative(neg):
+    with pytest.raises(EngineError, match="pure-negative"):
+        lucene_query_plan([(0, neg)])
+
+
+def test_compile_atom_cap():
+    q = " OR ".join(f"w{i}" for i in range(61))
+    with pytest.raises(EngineError, match="distinct terms"):
+        lucene_query_plan([(0, q)])
+
+
+# ------------------------------------------- brute-force twin fixture
+
+@pytest.fixture(scope="module")
+def lqs_store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r4_lucene_qs"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(_DOCS, columns=["doc_id", "content", "tag"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(corpus, cfg, path, segment_docs=8, num_buckets=4,
+                      fields=("content", "tag"))
+    return search.load_store(path)
+
+
+def _brute_stats():
+    """Per-field postings + df + avgdl exactly as the engine defines them."""
+    stats = {}
+    for fi, fld in ((1, "content"), (2, "tag")):
+        toks = {d[0]: list(analysis.tokenize_series(pd.Series([d[fi]]))[0])
+                for d in _DOCS}
+        df = Counter(t for ts in toks.values() for t in set(ts))
+        avgdl = sum(len(ts) for ts in toks.values()) / len(_DOCS)
+        stats[fld] = (toks, df, avgdl)
+    return stats
+
+
+def _brute_scores(stats):
+    """doc -> {(field, token): bm25 score}."""
+    n = len(_DOCS)
+    out = {d[0]: {} for d in _DOCS}
+    for fld, (toks, df, avgdl) in stats.items():
+        for doc, ts in toks.items():
+            dl = len(ts)
+            for t, tf in Counter(ts).items():
+                import numpy as np
+
+                w = float(bm25.idf(n, np.array([float(df[t])]))[0])
+                s = w * (bm25.K1 + 1.0) * float(
+                    bm25.tf_norm(np.array([tf]), np.array([dl]), avgdl)[0]
+                )
+                out[doc][(fld, t)] = s
+    return out
+
+
+def _brute_eval(node, present, default_field="content"):
+    """(matched, score) per Lucene coord-free BooleanQuery semantics."""
+    kind = node[0]
+    if kind == "leaf":
+        _, fld, w = node
+        fld = fld or default_field
+        toks = list(analysis.tokenize_series(pd.Series([w]))[0])
+        m = any((fld, t) in present for t in toks)
+        s = sum(q * present.get((fld, t), 0.0)
+                for t, q in Counter(toks).items())
+        return m, s
+    if kind == "not":
+        cm, _ = _brute_eval(node[1], present, default_field)
+        return (not cm), 0.0
+    subs = [_brute_eval(c, present, default_field) for c in node[1]]
+    if kind == "and":
+        m = all(sm for sm, _ in subs)
+        return m, (sum(ss for _, ss in subs) if m else 0.0)
+    m = any(sm for sm, _ in subs)
+    return m, sum(ss for _, ss in subs)
+
+
+def _expected(queries):
+    stats = _brute_stats()
+    scores = _brute_scores(stats)
+    rows = []
+    for qid, q in queries:
+        tree = parse_lucene_query(q)
+        for doc, present in scores.items():
+            m, s = _brute_eval(tree, present)
+            if m:
+                rows.append((qid, doc, round(s, 6)))
+    return sorted(rows)
+
+
+def _got(spark, store, queries, k=50):
+    qpdf = pd.DataFrame(queries, columns=["qid", "query"])
+    res = search.search_lucene_query_string(
+        spark, store, qpdf, k=k
+    ).toPandas()
+    return sorted(
+        (int(r.qid), r.doc_id, round(float(r.score), 6))
+        for r in res.itertuples(index=False)
+    )
+
+
+def test_hand_cases_match_brute_force(spark, lqs_store):
+    queries = [
+        (0, "merge AND window"),
+        (1, "(merge OR spark) AND NOT slow"),
+        (2, "tag:alpha AND window"),
+        (3, "merge AND NOT absentzzz"),
+        (4, "tag:(alpha OR beta) AND fast"),
+        (5, "fast key data"),
+        (6, "mergeWindow OR (fast AND key)"),  # camelCase leaf
+    ]
+    assert _got(spark, lqs_store, queries) == _expected(queries)
+
+
+def test_multi_token_leaf_is_or_of_subtokens(spark, lqs_store):
+    # Lucene analyzes a leaf with default_operator=OR: 'mergeWindow'
+    # behaves exactly like (merge OR window)
+    a = _got(spark, lqs_store, [(0, "mergeWindow")])
+    b = _got(spark, lqs_store, [(0, "merge OR window")])
+    assert a == b and len(a) > 0
+
+
+def test_not_of_unindexed_term_keeps_all_candidates(spark, lqs_store):
+    a = _got(spark, lqs_store, [(0, "merge AND NOT absentzzz")])
+    b = _got(spark, lqs_store, [(0, "merge")])
+    assert a == b and len(a) > 0
+
+
+def test_unknown_field_raises(spark, lqs_store):
+    with pytest.raises(EngineError, match="unknown field"):
+        _got(spark, lqs_store, [(0, "nofield:merge")])
+
+
+def _rand_tree(rng, depth):
+    if depth == 0 or rng.random() < 0.4:
+        fld = rng.choice([None, None, "content", "tag"])
+        vocab = _TAGS if fld == "tag" else _VOCAB
+        return ("leaf", fld, rng.choice(vocab))
+    kind = rng.choice(["and", "or", "not"])
+    if kind == "not":
+        return ("not", _rand_tree(rng, depth - 1))
+    n = rng.randint(2, 3)
+    return (kind, [_rand_tree(rng, depth - 1) for _ in range(n)])
+
+
+def _to_string(node):
+    kind = node[0]
+    if kind == "leaf":
+        return (node[2] if node[1] is None else f"{node[1]}:{node[2]}")
+    if kind == "not":
+        return f"NOT ({_to_string(node[1])})"
+    op = " AND " if kind == "and" else " OR "
+    return "(" + op.join(_to_string(c) for c in node[1]) + ")"
+
+
+def test_fuzz_random_trees_match_brute_force(spark, lqs_store):
+    rng = random.Random(20260818)
+    queries = []
+    qid = 0
+    while len(queries) < 14:
+        t = _rand_tree(rng, 3)
+        q = _to_string(t)
+        try:
+            lucene_query_plan([(qid, q)])
+        except EngineError:
+            continue  # pure-negative draw
+        queries.append((qid, q))
+        qid += 1
+    assert _got(spark, lqs_store, queries, k=50) == _expected(queries)
