@@ -3332,6 +3332,10 @@ LQS_QUERIES = [
     (4, "sparkMerge OR (fast AND key)"),   # camelCase leaf = OR of subtokens
     (5, "source:(src2 OR src3) AND merge"),
     (6, "fast key data"),                  # implicit adjacency = OR
+    (7, '"spark merge" OR (customer AND NOT window)'),  # phrase leaf
+    (8, "merge^2.5 OR spark"),             # leaf boost
+    (9, 'source:src1^3 AND "table scan"'),  # boosted field leaf + phrase
+    (10, '(spark OR merge)^0.5 AND fast'),  # group boost
 ]
 
 
@@ -3343,17 +3347,33 @@ def q_fts_lucene_qs(spark, sf_dir):
 
 
 def _lucene_qs_sql(queries: list[tuple[int, str]], k: int) -> str:
-    """Oracle for q_fts_lucene_qs: per-field BM25 atom scores pivoted to
+    """Oracle for q_fts_lucene_qs: per-field BM25 atom scores (term atoms
+    from per-field postings; phrase atoms AND-scored and gated on
+    consecutive containment in THAT field's token stream) pivoted to
     s0..s{n-1} per (qid, doc), then the ENGINE-GENERATED match predicate
     and score expression evaluated verbatim (plans/search.lucene_query_plan
     is the single source of the boolean semantics)."""
     from dynamo2es_lambda_spark.plans.search import lucene_query_plan
 
     atoms, match_sql, score_sql, nbits = lucene_query_plan(queries)
-    vals = []
+    vals, ph_term_vals, ph_pat_vals = [], [], []
     for r in atoms.itertuples(index=False):
         fld = "text" if r.field is None else str(r.field)
-        vals.append(f"({int(r.qid)}, {int(r.bit)}, '{fld}', '{r.token}')")
+        if r.kind == "term":
+            vals.append(
+                f"({int(r.qid)}, {int(r.bit)}, '{fld}', '{r.text}')"
+            )
+        else:
+            ptoks = list(analysis.tokenize_series(pd.Series([r.text]))[0])
+            terms = sorted(Counter(ptoks).items())
+            ph_pat_vals.append(
+                f"({int(r.qid)}, {int(r.bit)}, '{fld}', "
+                f"' {' '.join(ptoks)} ', {len(terms)})"
+            )
+            for t, c in terms:
+                ph_term_vals.append(
+                    f"({int(r.qid)}, {int(r.bit)}, '{fld}', '{t}', {c})"
+                )
     bm_t = (
         f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
         f" * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avg_t))"
@@ -3362,6 +3382,72 @@ def _lucene_qs_sql(queries: list[tuple[int, str]], k: int) -> str:
     pivots = ",\n         ".join(
         f"sum(CASE WHEN bit = {i} THEN sc END) AS s{i}"
         for i in range(nbits)
+    )
+    term_branch = f"""
+  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_t} AS sc
+  FROM q
+  JOIN post_t p ON p.term = q.term AND q.fld = 'text'
+  JOIN df_t d ON d.term = q.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  UNION ALL
+  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_s} AS sc
+  FROM q
+  JOIN post_s p ON p.term = q.term AND q.fld = 'source'
+  JOIN df_s d ON d.term = q.term
+  JOIN dl_s dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s""" if vals else ""
+    phrase_ctes = phrase_branch = ""
+    if ph_pat_vals:
+        phrase_ctes = f"""
+cs_t AS (SELECT doc_id, ' ' || array_to_string(tt, ' ') || ' ' AS s
+         FROM corpus),
+cs_s AS (SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS s
+         FROM corpus),
+pq(aqid, bit, fld, term, qtf) AS (VALUES {", ".join(ph_term_vals)}),
+pp(aqid, bit, fld, pat, needt) AS (VALUES {", ".join(ph_pat_vals)}),
+php AS (
+  SELECT pq.aqid AS aqid, pq.bit AS bit, pq.fld AS fld,
+         p.doc_id AS doc_id, sum(pq.qtf * {bm_t}) AS sc, count(*) AS nt
+  FROM pq
+  JOIN post_t p ON p.term = pq.term AND pq.fld = 'text'
+  JOIN df_t d ON d.term = pq.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY pq.aqid, pq.bit, pq.fld, p.doc_id
+  UNION ALL
+  SELECT pq.aqid AS aqid, pq.bit AS bit, pq.fld AS fld,
+         p.doc_id AS doc_id, sum(pq.qtf * {bm_s}) AS sc, count(*) AS nt
+  FROM pq
+  JOIN post_s p ON p.term = pq.term AND pq.fld = 'source'
+  JOIN df_s d ON d.term = pq.term
+  JOIN dl_s dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY pq.aqid, pq.bit, pq.fld, p.doc_id
+),"""
+        phrase_branch = """
+  SELECT php.aqid AS qid, php.bit AS bit, php.doc_id AS doc_id,
+         php.sc AS sc
+  FROM php
+  JOIN pp ON pp.aqid = php.aqid AND pp.bit = php.bit
+         AND pp.fld = php.fld AND php.nt = pp.needt
+  JOIN cs_t ON php.fld = 'text' AND cs_t.doc_id = php.doc_id
+           AND contains(cs_t.s, pp.pat)
+  UNION ALL
+  SELECT php.aqid AS qid, php.bit AS bit, php.doc_id AS doc_id,
+         php.sc AS sc
+  FROM php
+  JOIN pp ON pp.aqid = php.aqid AND pp.bit = php.bit
+         AND pp.fld = php.fld AND php.nt = pp.needt
+  JOIN cs_s ON php.fld = 'source' AND cs_s.doc_id = php.doc_id
+           AND contains(cs_s.s, pp.pat)"""
+    q_cte = (
+        f"q(aqid, bit, fld, term) AS (VALUES {', '.join(vals)}),"
+        if vals else ""
+    )
+    branches = term_branch + (
+        ("\n  UNION ALL" if term_branch else "") + phrase_branch
+        if phrase_branch else ""
     )
     return f"""
 WITH corpus AS (
@@ -3387,21 +3473,8 @@ post_s AS (
 ),
 df_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY term),
 df_s AS (SELECT term, count(*) AS df FROM post_s GROUP BY term),
-q(aqid, bit, fld, term) AS (VALUES {", ".join(vals)}),
-sc AS (
-  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_t} AS sc
-  FROM q
-  JOIN post_t p ON p.term = q.term AND q.fld = 'text'
-  JOIN df_t d ON d.term = q.term
-  JOIN dl_t dl ON dl.doc_id = p.doc_id
-  CROSS JOIN stats s
-  UNION ALL
-  SELECT q.aqid AS qid, q.bit AS bit, p.doc_id AS doc_id, {bm_s} AS sc
-  FROM q
-  JOIN post_s p ON p.term = q.term AND q.fld = 'source'
-  JOIN df_s d ON d.term = q.term
-  JOIN dl_s dl ON dl.doc_id = p.doc_id
-  CROSS JOIN stats s
+{q_cte}{phrase_ctes}
+sc AS ({branches}
 ),
 pv AS (
   SELECT qid, doc_id,

@@ -9833,20 +9833,25 @@ def search_geohash_grid(
 # (lib/handler.js:100); ES's `query_string` query is the full-Lucene-syntax
 # sibling of `simple_query_string` (search_query_string above). Supported
 # subset: uppercase AND/OR/NOT (and &&/||/!), parentheses, `field:word`
-# leaves and `field:(...)` scoped groups, implicit adjacency = OR (ES
-# default_operator=OR). Unsupported syntax raises loudly instead of
-# silently degrading: quoted phrases (use search_query_string /
-# search_phrase), wildcards/fuzzy/ranges/boosts (dedicated queries exist
-# for each), and `+`/`-` prefixes (use AND / AND NOT).
+# leaves, `field:(...)` scoped groups, quoted phrases (`"a b"`,
+# `field:"a b"`), `^n` boosts on words/phrases/groups, implicit
+# adjacency = OR (ES default_operator=OR). Unsupported syntax raises
+# loudly instead of silently degrading: phrase slop (use
+# search_phrase(slop=...)), wildcards/fuzzy/ranges (dedicated queries
+# exist for each), and `+`/`-` prefixes (use AND / AND NOT).
 #
 # Match AND score follow Lucene's BooleanQuery exactly (coord-free, as in
 # Lucene >= 7 where BM25 replaced TF-IDF): a leaf word analyzes into one
 # or more tokens (camelCase/snake_case splitting) combined with the
 # default operator (OR) — matched if ANY token present, scoring every
-# present token; an AND node matches iff all children match and scores
-# the sum of child scores (nothing when unmatched); an OR node matches if
-# any child matches and scores the sum of MATCHED children; NOT matches
-# the complement and never scores. Queries whose tree matches a document
+# present token; a phrase leaf matches iff the analyzed tokens occur
+# consecutively in its field and scores the phrase's AND score (the
+# summed BM25 of its terms, the search_phrase contract); a boost
+# multiplies its subtree's score and never changes matching; an AND node
+# matches iff all children match and scores the sum of child scores
+# (nothing when unmatched); an OR node matches if any child matches and
+# scores the sum of MATCHED children; NOT matches the complement and
+# never scores. Queries whose tree matches a document
 # containing NONE of its terms (pure-negative, e.g. `NOT x` or
 # `a OR NOT b`) are rejected at parse time: they are ES match_all
 # rewrites, and answering them from the index alone would require a
@@ -9867,30 +9872,71 @@ def search_geohash_grid(
 _LQS_STRIDE = 64          # composite qid stride: qid * 64 + atom bit
 _LQS_MAX_ATOMS = 60       # per-query atom cap (bit-addressable, sane)
 
-_LQS_WORD_FORBIDDEN = set('"\'^~*?[]{}\\+')
+_LQS_WORD_FORBIDDEN = set("\"'~*?[]{}\\+")
+
+
+def _lqs_boost(q: str, i: int, out: list) -> int:
+    """Consume an optional ``^<number>`` boost suffix at ``q[i]``."""
+    if i < len(q) and q[i] == "^":
+        j = i + 1
+        while j < len(q) and not q[j].isspace() and q[j] not in '()"':
+            j += 1
+        raw = q[i + 1:j]
+        try:
+            val = float(raw)
+        except ValueError:
+            raise EngineError(f"query_string: bad boost {raw!r}")
+        if val < 0:
+            raise EngineError(f"query_string: negative boost {raw!r}")
+        out.append(("BOOST", None, repr(val)))
+        return j
+    return i
 
 
 def _lucene_lex(q: str) -> list[tuple[str, str | None, str | None]]:
     """Lex a Lucene query string → [(kind, field, text)] tokens.
 
-    kinds: ``(`` ``)`` ``AND`` ``OR`` ``NOT`` ``WORD`` (field may be None)
-    and ``SCOPE`` (a ``field:`` immediately before a group). Forbidden
-    Lucene syntax (quotes, wildcards, fuzzy, boosts, ranges, +/-) raises
-    :class:`EngineError` naming the dedicated query to use instead."""
+    kinds: ``(`` ``)`` ``AND`` ``OR`` ``NOT`` ``WORD`` ``PHRASE`` (field
+    may be None on either), ``SCOPE`` (a ``field:`` immediately before a
+    group) and ``BOOST`` (a ``^n`` suffix, emitted right after the token
+    it boosts). Forbidden Lucene syntax (wildcards, fuzzy, phrase slop,
+    ranges, +/-) raises :class:`EngineError` naming the dedicated query
+    to use instead."""
     out: list[tuple[str, str | None, str | None]] = []
-    i, n = 0, len(str(q))
     q = str(q)
+    i, n = 0, len(q)
+
+    def grab_phrase(idx: int, field: str | None) -> int:
+        j = q.find('"', idx + 1)
+        if j < 0:
+            raise EngineError("query_string: unterminated phrase quote")
+        out.append(("PHRASE", field, q[idx + 1:j]))
+        j += 1
+        if j < n and q[j] == "~":
+            raise EngineError(
+                "query_string: phrase slop is not supported — "
+                "use search_phrase(slop=...)"
+            )
+        return _lqs_boost(q, j, out)
+
     while i < n:
         c = q[i]
         if c.isspace():
             i += 1
             continue
-        if c in "()":
+        if c == "(":
             out.append((c, None, None))
             i += 1
             continue
+        if c == ")":
+            out.append((c, None, None))
+            i = _lqs_boost(q, i + 1, out)
+            continue
+        if c == '"':
+            i = grab_phrase(i, None)
+            continue
         j = i
-        while j < n and not q[j].isspace() and q[j] not in "()":
+        while j < n and not q[j].isspace() and q[j] not in '()"':
             j += 1
         w = q[i:j]
         i = j
@@ -9911,12 +9957,24 @@ def _lucene_lex(q: str) -> list[tuple[str, str | None, str | None]]:
                 f"query_string: {w[0]!r} prefixes are not supported — "
                 "write AND / AND NOT (or use simple_query_string)"
             )
+        boost_raw: str | None = None
+        if "^" in w:
+            w, _, boost_raw = w.partition("^")
+            try:
+                bval = float(boost_raw)
+            except ValueError:
+                raise EngineError(f"query_string: bad boost {boost_raw!r}")
+            if bval < 0:
+                raise EngineError(
+                    f"query_string: negative boost {boost_raw!r}"
+                )
+            boost_raw = repr(bval)
         bad = sorted(set(w) & _LQS_WORD_FORBIDDEN)
         if bad:
             raise EngineError(
                 f"query_string: unsupported Lucene syntax {bad} in {w!r} — "
-                "phrases: search_phrase/search_query_string; wildcards: "
-                "search_wildcard; fuzzy: search_fuzzy; ranges: search_range"
+                "wildcards: search_wildcard; fuzzy: search_fuzzy; "
+                "ranges: search_range"
             )
         field: str | None = None
         if ":" in w:
@@ -9926,11 +9984,17 @@ def _lucene_lex(q: str) -> list[tuple[str, str | None, str | None]]:
             ):
                 raise EngineError(f"query_string: bad field name {field!r}")
         if not w:
-            if field is not None and i < n and q[i] == "(":
-                out.append(("SCOPE", field, None))
-                continue
+            if field is not None and boost_raw is None and i < n:
+                if q[i] == "(":
+                    out.append(("SCOPE", field, None))
+                    continue
+                if q[i] == '"':
+                    i = grab_phrase(i, field)
+                    continue
             raise EngineError("query_string: empty clause")
         out.append(("WORD", field, w))
+        if boost_raw is not None:
+            out.append(("BOOST", None, boost_raw))
     return out
 
 
@@ -9938,10 +10002,12 @@ def parse_lucene_query(q: str) -> tuple:
     """Parse full-Lucene boolean syntax → AST.
 
     Nodes: ``("or", [children])``, ``("and", [children])``,
-    ``("not", child)``, ``("leaf", field_or_None, word)``. Precedence
-    NOT > AND > OR; adjacent clauses without an operator are OR
-    (ES default_operator=OR); ``field:(...)`` scopes the default field of
-    every leaf inside the group."""
+    ``("not", child)``, ``("leaf", field_or_None, word)``,
+    ``("phrase", field_or_None, text)`` and ``("boost", factor, child)``.
+    Precedence NOT > AND > OR; adjacent clauses without an operator are
+    OR (ES default_operator=OR); ``field:(...)`` scopes the default
+    field of every leaf inside the group; ``^n`` boosts the word,
+    phrase, or parenthesized group it follows."""
     toks = _lucene_lex(q)
     pos = [0]
 
@@ -9953,6 +10019,12 @@ def parse_lucene_query(q: str) -> tuple:
         pos[0] += 1
         return t
 
+    def with_boost(node: tuple) -> tuple:
+        while peek() == "BOOST":
+            _, _, raw = take()
+            node = ("boost", float(raw), node)
+        return node
+
     def parse_or(scope: str | None) -> tuple:
         nodes = [parse_and(scope)]
         while True:
@@ -9960,7 +10032,7 @@ def parse_lucene_query(q: str) -> tuple:
             if p == "OR":
                 take()
                 nodes.append(parse_and(scope))
-            elif p in ("WORD", "NOT", "(", "SCOPE"):
+            elif p in ("WORD", "PHRASE", "NOT", "(", "SCOPE"):
                 nodes.append(parse_and(scope))  # implicit OR
             else:
                 break
@@ -9991,10 +10063,17 @@ def parse_lucene_query(q: str) -> tuple:
             if peek() != ")":
                 raise EngineError("query_string: unbalanced parentheses")
             take()
-            return node
+            return with_boost(node)
         if p == "WORD":
             _, fld, w = take()
-            return ("leaf", fld if fld is not None else scope, w)
+            return with_boost(
+                ("leaf", fld if fld is not None else scope, w)
+            )
+        if p == "PHRASE":
+            _, fld, text = take()
+            return with_boost(
+                ("phrase", fld if fld is not None else scope, text)
+            )
         raise EngineError(f"query_string: unexpected {p!r}")
 
     tree = parse_or(None)
@@ -10006,10 +10085,12 @@ def parse_lucene_query(q: str) -> tuple:
 def _lucene_matches_empty(node: tuple) -> bool:
     """Would this tree match a document containing NONE of its terms?"""
     kind = node[0]
-    if kind == "leaf":
+    if kind in ("leaf", "phrase"):
         return False
     if kind == "not":
         return not _lucene_matches_empty(node[1])
+    if kind == "boost":
+        return _lucene_matches_empty(node[2])
     sub = [_lucene_matches_empty(c) for c in node[1]]
     return all(sub) if kind == "and" else any(sub)
 
@@ -10019,14 +10100,17 @@ def lucene_query_plan(
 ) -> tuple[pd.DataFrame, str, str, int]:
     """Compile parsed Lucene queries → (atoms, match_sql, score_sql, nbits).
 
-    ``atoms`` is a pandas frame (qid, bit, field, token) — field None means
-    the store's default field. ``match_sql`` / ``score_sql`` are ONE
-    portable SQL boolean predicate / DOUBLE expression each (CASE over
-    qid) referencing columns ``qid`` and ``s0..s{nbits-1}`` where ``s_i``
-    is the BM25 score of query atom ``i`` for the doc (NULL = absent).
-    Spark and the DuckDB oracle evaluate these strings verbatim — the
-    boolean semantics exist in exactly one place."""
-    atoms_rows: list[tuple[int, int, str | None, str]] = []
+    ``atoms`` is a pandas frame (qid, bit, kind, field, text) — kind is
+    ``"term"`` or ``"phrase"``, field None means the store's default
+    field, text is the analyzer token (term) or the raw phrase.
+    ``match_sql`` / ``score_sql`` are ONE portable SQL boolean predicate /
+    DOUBLE expression each (CASE over qid) referencing columns ``qid``
+    and ``s0..s{nbits-1}`` where ``s_i`` is the BM25 score of query atom
+    ``i`` for the doc (a phrase atom's score is its AND score, present
+    only when the phrase occurs; NULL = absent). Spark and the DuckDB
+    oracle evaluate these strings verbatim — the boolean semantics exist
+    in exactly one place."""
+    atoms_rows: list[tuple[int, int, str, str | None, str]] = []
     m_cases: list[str] = []
     s_cases: list[str] = []
     nbits = 0
@@ -10038,7 +10122,18 @@ def lucene_query_plan(
                 "match documents containing none of its terms (ES "
                 "match_all rewrite) — unsupported"
             )
-        bits: dict[tuple[str | None, str], int] = {}
+        bits: dict[tuple, int] = {}
+
+        def new_bit(key: tuple, row: tuple) -> int:
+            if key not in bits:
+                if len(bits) >= _LQS_MAX_ATOMS:
+                    raise EngineError(
+                        f"query_string: more than {_LQS_MAX_ATOMS} "
+                        "distinct atoms in one query"
+                    )
+                bits[key] = len(bits)
+                atoms_rows.append((qid, bits[key]) + row)
+            return bits[key]
 
         def compile_node(node: tuple) -> tuple[str, str]:
             kind = node[0]
@@ -10052,16 +10147,7 @@ def lucene_query_plan(
                 terms = sorted(Counter(toks).items())
                 ms, ss = [], []
                 for t, qtf in terms:
-                    key = (fld, t)
-                    if key not in bits:
-                        if len(bits) >= _LQS_MAX_ATOMS:
-                            raise EngineError(
-                                f"query_string: more than {_LQS_MAX_ATOMS} "
-                                "distinct terms in one query"
-                            )
-                        bits[key] = len(bits)
-                        atoms_rows.append((qid, bits[key], fld, t))
-                    b = bits[key]
+                    b = new_bit(("t", fld, t), ("term", fld, t))
                     ms.append(f"s{b} IS NOT NULL")
                     coal = f"COALESCE(s{b}, 0.0)"
                     ss.append(coal if qtf == 1 else f"{qtf} * {coal}")
@@ -10069,9 +10155,24 @@ def lucene_query_plan(
                     "(" + " OR ".join(ms) + ")",
                     "(" + " + ".join(ss) + ")",
                 )
+            if kind == "phrase":
+                _, fld, text = node
+                toks = tuple(
+                    analysis.tokenize_series(pd.Series([text]))[0]
+                )
+                if not toks:
+                    raise EngineError(
+                        f"query_string: phrase {text!r} analyzed to "
+                        "zero tokens"
+                    )
+                b = new_bit(("ph", fld, toks), ("phrase", fld, text))
+                return f"(s{b} IS NOT NULL)", f"(COALESCE(s{b}, 0.0))"
             if kind == "not":
                 cm, _cs = compile_node(node[1])
                 return f"(NOT {cm})", "0.0"
+            if kind == "boost":
+                cm, cs = compile_node(node[2])
+                return cm, f"({node[1]!r} * {cs})"
             subs = [compile_node(c) for c in node[1]]
             if kind == "and":
                 m = "(" + " AND ".join(cm for cm, _ in subs) + ")"
@@ -10094,7 +10195,7 @@ def lucene_query_plan(
     match_sql = "CASE " + " ".join(m_cases) + " ELSE FALSE END"
     score_sql = "CASE " + " ".join(s_cases) + " ELSE 0.0 END"
     atoms = pd.DataFrame(
-        atoms_rows, columns=["qid", "bit", "field", "token"]
+        atoms_rows, columns=["qid", "bit", "kind", "field", "text"]
     )
     return atoms, match_sql, score_sql, nbits
 
@@ -10109,15 +10210,18 @@ def search_lucene_query_string(
     """ES ``query_string``: full Lucene boolean syntax per query string —
     AND/OR/NOT with precedence NOT > AND > OR, parentheses,
     ``field:word`` leaves and ``field:(...)`` groups on a multi-field
-    store (each atom scored with ITS field's df and avgdl), implicit
-    adjacency = OR. Match and score follow Lucene's coord-free
-    BooleanQuery exactly (module comment above).
+    store (each atom scored with ITS field's df and avgdl), quoted
+    phrases (positional stores), ``^n`` boosts, implicit adjacency = OR.
+    Match and score follow Lucene's coord-free BooleanQuery exactly
+    (module comment above).
 
     ``queries``: pandas (qid, query). One targeted term_stats read + one
-    pruned posting read serve every atom of every query (composite qids);
-    the boolean tree evaluates as a generated codegen expression over the
-    per-(qid, doc) atom-score pivot — no per-row Python, no second pass,
-    and the identical expression string is what the DuckDB oracle runs."""
+    pruned posting read serve every TERM atom of every query (composite
+    qids); phrase atoms ride the shared positional phrase kernel (one
+    pass per distinct phrase field, all phrases packed into composite
+    qids); the boolean tree evaluates as a generated codegen expression
+    over the per-(qid, doc) atom-score pivot — no per-row Python, and
+    the identical expression string is what the DuckDB oracle runs."""
     qlist = [(int(qid), str(q)) for qid, q in
              zip(queries["qid"], queries["query"])]
     if not qlist:
@@ -10127,27 +10231,53 @@ def search_lucene_query_string(
         return spark.createDataFrame([], RESULT_SCHEMA)
     n_docs = float(store.meta["n_docs"])
 
-    qt = atoms.copy()
-    prefixes, avgdls = [], []
-    for fld in qt["field"]:
-        pfx, ad = _field_of(store, fld if fld is None else str(fld))
-        prefixes.append(pfx)
-        avgdls.append(ad)
-    qt["term"] = [p + t for p, t in zip(prefixes, qt["token"])]
-    qt["avgdl"] = avgdls
-    qt["qid"] = qt["qid"] * _LQS_STRIDE + qt["bit"]
-    qt = qt[["qid", "term", "avgdl"]]
-    qt = _join_term_stats(
-        spark, store, qt, sorted(qt["term"].unique().tolist())
-    )
-    qt = qt.dropna(subset=["df"])
-    if qt.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    qt = qt.copy()
-    qt["w"] = bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+    cands: list[DataFrame] = []
 
-    joined = _matched_blocks(spark, store, qt)
-    cand = _score_exhaustive(joined, 0.0)  # per-atom avgdl column rules
+    tq = atoms[atoms["kind"] == "term"]
+    if len(tq):
+        qt = tq.copy()
+        prefixes, avgdls = [], []
+        for fld in qt["field"]:
+            pfx, ad = _field_of(store, fld if fld is None else str(fld))
+            prefixes.append(pfx)
+            avgdls.append(ad)
+        qt["term"] = [p + t for p, t in zip(prefixes, qt["text"])]
+        qt["avgdl"] = avgdls
+        qt["qid"] = qt["qid"] * _LQS_STRIDE + qt["bit"]
+        qt = qt[["qid", "term", "avgdl"]]
+        qt = _join_term_stats(
+            spark, store, qt, sorted(qt["term"].unique().tolist())
+        )
+        qt = qt.dropna(subset=["df"])
+        if not qt.empty:
+            qt = qt.copy()
+            qt["w"] = (
+                bm25.idf(n_docs, qt["df"].to_numpy()) * (bm25.K1 + 1.0)
+            )
+            joined = _matched_blocks(spark, store, qt)
+            # per-atom avgdl column rules the length norm
+            cands.append(_score_exhaustive(joined, 0.0))
+
+    pq = atoms[atoms["kind"] == "phrase"]
+    for fld in sorted(pq["field"].unique(), key=lambda f: (f is None, f)):
+        sel = pq[pq["field"].isna()] if fld is None else (
+            pq[pq["field"] == fld]
+        )
+        probes = pd.DataFrame({
+            "qid": sel["qid"] * _LQS_STRIDE + sel["bit"],
+            "query": sel["text"],
+        })
+        ps = _phrase_scores(
+            spark, store, probes, fld if fld is None else str(fld)
+        )
+        if ps is not None:
+            cands.append(ps.select("qid", "doc_int", "score"))
+
+    if not cands:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    cand = cands[0]
+    for extra in cands[1:]:
+        cand = cand.unionByName(extra)
     per_doc = cand.select(
         F.shiftright("qid", 6).alias("qid"),
         F.col("qid").bitwiseAND(F.lit(_LQS_STRIDE - 1)).alias("bit"),

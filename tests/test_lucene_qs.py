@@ -95,12 +95,33 @@ def test_parser_lowercase_keywords_are_terms():
 
 
 @pytest.mark.parametrize("bad", [
-    '"a phrase"', "te?t", "wild*", "roam~2", "boost^2", "[a TO b]",
+    "te?t", "wild*", "roam~2", "[a TO b]", '"a b"~2', '"unterminated',
     "+must x", "-not x", "(a", "a)", "a AND", "field:", "()",
+    "a^x", "a^-2",
 ])
 def test_parser_rejects_unsupported_syntax(bad):
     with pytest.raises(EngineError):
         lucene_query_plan([(0, bad)])
+
+
+def test_parser_phrase_and_boost_nodes():
+    assert parse_lucene_query('"a b" AND tag:"c d"') == (
+        "and",
+        [("phrase", None, "a b"), ("phrase", "tag", "c d")],
+    )
+    assert parse_lucene_query("a^2 OR (b AND c)^0.5") == (
+        "or",
+        [("boost", 2.0, ("leaf", None, "a")),
+         ("boost", 0.5,
+          ("and", [("leaf", None, "b"), ("leaf", None, "c")]))],
+    )
+    assert parse_lucene_query('"a b"^3') == (
+        "boost", 3.0, ("phrase", None, "a b")
+    )
+    # scope applies to phrases inside a group too
+    assert parse_lucene_query('tag:(a OR "b c")') == (
+        "or", [("leaf", "tag", "a"), ("phrase", "tag", "b c")]
+    )
 
 
 @pytest.mark.parametrize("neg", ["NOT x", "a OR NOT b", "NOT (a AND b)"])
@@ -111,7 +132,7 @@ def test_compile_rejects_pure_negative(neg):
 
 def test_compile_atom_cap():
     q = " OR ".join(f"w{i}" for i in range(61))
-    with pytest.raises(EngineError, match="distinct terms"):
+    with pytest.raises(EngineError, match="distinct atoms"):
         lucene_query_plan([(0, q)])
 
 
@@ -125,7 +146,7 @@ def lqs_store(spark, tmp_path_factory):
     )
     cfg = IndexerConfig(index="docs", id_field="doc_id")
     build.build_index(corpus, cfg, path, segment_docs=8, num_buckets=4,
-                      fields=("content", "tag"))
+                      fields=("content", "tag"), positions=True)
     return search.load_store(path)
 
 
@@ -159,7 +180,17 @@ def _brute_scores(stats):
     return out
 
 
-def _brute_eval(node, present, default_field="content"):
+def _phrase_in(doc, fld, text):
+    """Consecutive containment of the analyzed phrase in the doc field."""
+    fi = {"content": 1, "tag": 2}[fld]
+    row = next(d for d in _DOCS if d[0] == doc)
+    dts = list(analysis.tokenize_series(pd.Series([row[fi]]))[0])
+    pts = list(analysis.tokenize_series(pd.Series([text]))[0])
+    return any(dts[i:i + len(pts)] == pts
+               for i in range(len(dts) - len(pts) + 1))
+
+
+def _brute_eval(node, doc, present, default_field="content"):
     """(matched, score) per Lucene coord-free BooleanQuery semantics."""
     kind = node[0]
     if kind == "leaf":
@@ -170,10 +201,25 @@ def _brute_eval(node, present, default_field="content"):
         s = sum(q * present.get((fld, t), 0.0)
                 for t, q in Counter(toks).items())
         return m, s
+    if kind == "phrase":
+        _, fld, text = node
+        fld = fld or default_field
+        m = _phrase_in(doc, fld, text)
+        if not m:
+            return False, 0.0
+        s = sum(q * present.get((fld, t), 0.0)
+                for t, q in Counter(
+                    analysis.tokenize_series(pd.Series([text]))[0]
+                ).items())
+        return True, s
     if kind == "not":
-        cm, _ = _brute_eval(node[1], present, default_field)
+        cm, _ = _brute_eval(node[1], doc, present, default_field)
         return (not cm), 0.0
-    subs = [_brute_eval(c, present, default_field) for c in node[1]]
+    if kind == "boost":
+        cm, cs = _brute_eval(node[2], doc, present, default_field)
+        return cm, node[1] * cs
+    subs = [_brute_eval(c, doc, present, default_field)
+            for c in node[1]]
     if kind == "and":
         m = all(sm for sm, _ in subs)
         return m, (sum(ss for _, ss in subs) if m else 0.0)
@@ -188,7 +234,7 @@ def _expected(queries):
     for qid, q in queries:
         tree = parse_lucene_query(q)
         for doc, present in scores.items():
-            m, s = _brute_eval(tree, present)
+            m, s = _brute_eval(tree, doc, present)
             if m:
                 rows.append((qid, doc, round(s, 6)))
     return sorted(rows)
@@ -214,8 +260,29 @@ def test_hand_cases_match_brute_force(spark, lqs_store):
         (4, "tag:(alpha OR beta) AND fast"),
         (5, "fast key data"),
         (6, "mergeWindow OR (fast AND key)"),  # camelCase leaf
+        (7, '"merge window" OR (spark AND NOT slow)'),
+        (8, 'tag:alpha AND "slow merge window"'),
+        (9, "merge^2.5 OR spark"),
+        (10, '(merge OR spark)^0.5 AND fast'),
+        (11, '"merge window"^3 AND NOT tag:gamma'),
     ]
     assert _got(spark, lqs_store, queries) == _expected(queries)
+
+
+def test_phrase_leaf_requires_consecutive_tokens(spark, lqs_store):
+    # d02 'merge pane window' has both terms but not the phrase
+    got = _got(spark, lqs_store, [(0, '"merge window"')])
+    docs = {d for _, d, _ in got}
+    assert "d00" in docs and "d02" not in docs
+
+
+def test_boost_scales_score_not_matching(spark, lqs_store):
+    base = _got(spark, lqs_store, [(0, "merge")])
+    boosted = _got(spark, lqs_store, [(0, "merge^2")])
+    assert {d for _, d, _ in base} == {d for _, d, _ in boosted}
+    bm = {d: s for _, d, s in base}
+    for _, d, s in boosted:
+        assert abs(s - round(2 * bm[d], 6)) < 2e-6
 
 
 def test_multi_token_leaf_is_or_of_subtokens(spark, lqs_store):
@@ -237,22 +304,40 @@ def test_unknown_field_raises(spark, lqs_store):
         _got(spark, lqs_store, [(0, "nofield:merge")])
 
 
+_PHRASES = ["merge window", "fast key", "window merge", "data data",
+            "spark window", "key fast", "absentzzz window"]
+
+
 def _rand_tree(rng, depth):
     if depth == 0 or rng.random() < 0.4:
-        fld = rng.choice([None, None, "content", "tag"])
-        vocab = _TAGS if fld == "tag" else _VOCAB
-        return ("leaf", fld, rng.choice(vocab))
+        if rng.random() < 0.2:
+            node = ("phrase", None, rng.choice(_PHRASES))
+        else:
+            fld = rng.choice([None, None, "content", "tag"])
+            vocab = _TAGS if fld == "tag" else _VOCAB
+            node = ("leaf", fld, rng.choice(vocab))
+        if rng.random() < 0.2:
+            node = ("boost", rng.choice([0.5, 2.0, 3.0]), node)
+        return node
     kind = rng.choice(["and", "or", "not"])
     if kind == "not":
         return ("not", _rand_tree(rng, depth - 1))
     n = rng.randint(2, 3)
-    return (kind, [_rand_tree(rng, depth - 1) for _ in range(n)])
+    node = (kind, [_rand_tree(rng, depth - 1) for _ in range(n)])
+    if rng.random() < 0.15:
+        node = ("boost", rng.choice([0.5, 2.0]), node)
+    return node
 
 
 def _to_string(node):
     kind = node[0]
     if kind == "leaf":
         return (node[2] if node[1] is None else f"{node[1]}:{node[2]}")
+    if kind == "phrase":
+        body = f'"{node[2]}"'
+        return body if node[1] is None else f"{node[1]}:{body}"
+    if kind == "boost":
+        return f"({_to_string(node[2])})^{node[1]}"
     if kind == "not":
         return f"NOT ({_to_string(node[1])})"
     op = " AND " if kind == "and" else " OR "
