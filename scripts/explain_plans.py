@@ -357,6 +357,30 @@ def main() -> None:
         )),
     ))
 
+    # --- 12. full-Lucene query_string: one posting read + codegen tree ---
+    import pandas as _pd
+
+    mf_store = entry_queries._corpus_store_mf(spark, SF_DIR)
+    lqs = _pd.DataFrame(
+        [(0, "(spark OR customer) AND NOT window"),
+         (1, 'source:src1 AND "table scan"^2')],
+        columns=["qid", "query"],
+    )
+    sections.append((
+        "Lucene query_string (boolean tree as one codegen expression)",
+        "Term atoms of every query share ONE pruned posting-block read "
+        "(composite qids; PartitionFilters on term_bucket below); phrase "
+        "atoms ride the positional phrase kernel once per phrase field. "
+        "The boolean tree itself — match predicate and Lucene "
+        "BooleanQuery score — is a generated CASE/COALESCE expression "
+        "over the per-(qid, doc) atom-score pivot, evaluated entirely "
+        "inside whole-stage codegen; the DuckDB oracle runs the "
+        "identical generated strings.",
+        plan_of(search.search_lucene_query_string(
+            spark, mf_store, lqs, k=10
+        )),
+    ))
+
     # Manually-authored sections (plan evidence captured once with
     # bespoke setup — index-statistics suggester, chunk dedup, RRF) are
     # preserved across regeneration by carrying them over from the
