@@ -3338,6 +3338,19 @@ LQS_QUERIES = [
     (10, '(spark OR merge)^0.5 AND fast'),  # group boost
 ]
 
+# default_operator=AND + minimum_should_match variant: adjacency and
+# multi-token leaves become conjunctions; the top-level OR of qid 4
+# requires >= 2 of its 3 clauses (ES parameters of the same names)
+LQS_AND_QUERIES = [
+    (0, "spark merge"),                      # adjacency = AND
+    (1, "fast key data"),                    # all three required
+    (2, "sparkMerge"),                       # camelCase leaf = AND now
+    (3, "spark merge OR customer window"),   # (a AND b) OR (c AND d)
+    (4, "spark OR customer OR window"),      # top OR gated by msm=2
+    (5, 'source:src1 "table scan"'),         # adjacency across kinds
+]
+LQS_AND_MSM = 2
+
 
 def q_fts_lucene_qs(spark, sf_dir):
     store = _corpus_store_mf(spark, sf_dir)
@@ -3346,7 +3359,22 @@ def q_fts_lucene_qs(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
-def _lucene_qs_sql(queries: list[tuple[int, str]], k: int) -> str:
+def q_fts_lucene_qs_and(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(LQS_AND_QUERIES, columns=["qid", "query"])
+    res = search.search_lucene_query_string(
+        spark, store, qpdf, k=50,
+        default_operator="AND", minimum_should_match=LQS_AND_MSM,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
+def _lucene_qs_sql(
+    queries: list[tuple[int, str]],
+    k: int,
+    default_operator: str = "OR",
+    minimum_should_match: int | None = None,
+) -> str:
     """Oracle for q_fts_lucene_qs: per-field BM25 atom scores (term atoms
     from per-field postings; phrase atoms AND-scored and gated on
     consecutive containment in THAT field's token stream) pivoted to
@@ -3355,7 +3383,9 @@ def _lucene_qs_sql(queries: list[tuple[int, str]], k: int) -> str:
     is the single source of the boolean semantics)."""
     from dynamo2es_lambda_spark.plans.search import lucene_query_plan
 
-    atoms, match_sql, score_sql, nbits = lucene_query_plan(queries)
+    atoms, match_sql, score_sql, nbits = lucene_query_plan(
+        queries, default_operator, minimum_should_match
+    )
     vals, ph_term_vals, ph_pat_vals = [], [], []
     for r in atoms.itertuples(index=False):
         fld = "text" if r.field is None else str(r.field)
@@ -9971,6 +10001,7 @@ SPARK_QUERIES = {
     "fts_exists": q_fts_exists,
     "fts_query_string": q_fts_query_string,
     "fts_lucene_query_string": q_fts_lucene_qs,
+    "fts_lucene_qs_and": q_fts_lucene_qs_and,
     "fts_boosting": q_fts_boosting,
     "fts_sorted": q_fts_sorted,
     "fts_suggest": q_fts_suggest,
@@ -10185,6 +10216,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_exists": _exists_sql(FT_K),
         "fts_query_string": _query_string_sql(QS_QUERIES, FT_K),
         "fts_lucene_query_string": _lucene_qs_sql(LQS_QUERIES, FT_K),
+        "fts_lucene_qs_and": _lucene_qs_sql(
+            LQS_AND_QUERIES, FT_K, "AND", LQS_AND_MSM
+        ),
         "fts_boosting": _boosting_sql(BOOSTING_QUERIES, FT_K, BOOSTING_NB),
         "fts_sorted": _sorted_sql(SORTED_QUERIES, FT_K),
         "fts_suggest": _suggest_sql(SUGGEST_PROBES, SUGGEST_K, SUGGEST_EDITS),

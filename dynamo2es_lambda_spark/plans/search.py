@@ -9998,16 +9998,22 @@ def _lucene_lex(q: str) -> list[tuple[str, str | None, str | None]]:
     return out
 
 
-def parse_lucene_query(q: str) -> tuple:
+def parse_lucene_query(q: str, default_operator: str = "OR") -> tuple:
     """Parse full-Lucene boolean syntax → AST.
 
     Nodes: ``("or", [children])``, ``("and", [children])``,
     ``("not", child)``, ``("leaf", field_or_None, word)``,
     ``("phrase", field_or_None, text)`` and ``("boost", factor, child)``.
-    Precedence NOT > AND > OR; adjacent clauses without an operator are
-    OR (ES default_operator=OR); ``field:(...)`` scopes the default
-    field of every leaf inside the group; ``^n`` boosts the word,
-    phrase, or parenthesized group it follows."""
+    Precedence NOT > AND > OR; adjacent clauses without an operator
+    combine with ``default_operator`` (ES parameter of the same name,
+    default OR) at that operator's precedence level; ``field:(...)``
+    scopes the default field of every leaf inside the group; ``^n``
+    boosts the word, phrase, or parenthesized group it follows."""
+    if default_operator not in ("OR", "AND"):
+        raise EngineError(
+            f"query_string: bad default_operator {default_operator!r}"
+        )
+    adjacency_is_and = default_operator == "AND"
     toks = _lucene_lex(q)
     pos = [0]
 
@@ -10032,7 +10038,9 @@ def parse_lucene_query(q: str) -> tuple:
             if p == "OR":
                 take()
                 nodes.append(parse_and(scope))
-            elif p in ("WORD", "PHRASE", "NOT", "(", "SCOPE"):
+            elif not adjacency_is_and and p in (
+                "WORD", "PHRASE", "NOT", "(", "SCOPE"
+            ):
                 nodes.append(parse_and(scope))  # implicit OR
             else:
                 break
@@ -10040,9 +10048,17 @@ def parse_lucene_query(q: str) -> tuple:
 
     def parse_and(scope: str | None) -> tuple:
         nodes = [parse_unary(scope)]
-        while peek() == "AND":
-            take()
-            nodes.append(parse_unary(scope))
+        while True:
+            p = peek()
+            if p == "AND":
+                take()
+                nodes.append(parse_unary(scope))
+            elif adjacency_is_and and p in (
+                "WORD", "PHRASE", "NOT", "(", "SCOPE"
+            ):
+                nodes.append(parse_unary(scope))  # implicit AND
+            else:
+                break
         return nodes[0] if len(nodes) == 1 else ("and", nodes)
 
     def parse_unary(scope: str | None) -> tuple:
@@ -10097,6 +10113,8 @@ def _lucene_matches_empty(node: tuple) -> bool:
 
 def lucene_query_plan(
     queries: list[tuple[int, str]],
+    default_operator: str = "OR",
+    minimum_should_match: int | None = None,
 ) -> tuple[pd.DataFrame, str, str, int]:
     """Compile parsed Lucene queries → (atoms, match_sql, score_sql, nbits).
 
@@ -10109,13 +10127,23 @@ def lucene_query_plan(
     ``i`` for the doc (a phrase atom's score is its AND score, present
     only when the phrase occurs; NULL = absent). Spark and the DuckDB
     oracle evaluate these strings verbatim — the boolean semantics exist
-    in exactly one place."""
+    in exactly one place.
+
+    ``default_operator`` (ES parameter): how operator-less adjacency AND
+    a multi-token word leaf combine — ``"OR"`` (ES default) or
+    ``"AND"``. ``minimum_should_match`` (ES parameter): when a query's
+    top-level node is an OR (a bool of should clauses after the Lucene
+    rewrite), require at least that many children to match; scoring is
+    unchanged (every matched child still scores). Queries whose top
+    level is not an OR ignore it, exactly ES."""
+    if minimum_should_match is not None and minimum_should_match < 1:
+        raise EngineError("query_string: minimum_should_match must be >= 1")
     atoms_rows: list[tuple[int, int, str, str | None, str]] = []
     m_cases: list[str] = []
     s_cases: list[str] = []
     nbits = 0
     for qid, q in queries:
-        tree = parse_lucene_query(q)
+        tree = parse_lucene_query(q, default_operator)
         if _lucene_matches_empty(tree):
             raise EngineError(
                 f"query_string (qid={qid}): pure-negative query would "
@@ -10135,6 +10163,22 @@ def lucene_query_plan(
                 atoms_rows.append((qid, bits[key]) + row)
             return bits[key]
 
+        def comb_and(subs: list[tuple[str, str]]) -> tuple[str, str]:
+            m = "(" + " AND ".join(cm for cm, _ in subs) + ")"
+            s = (
+                f"(CASE WHEN {m} THEN "
+                + " + ".join(cs for _, cs in subs)
+                + " ELSE 0.0 END)"
+            )
+            return m, s
+
+        def comb_or(subs: list[tuple[str, str]]) -> tuple[str, str]:
+            # matched children self-gate (leaf via COALESCE, and via its
+            # own CASE; a NOT child scores 0.0)
+            m = "(" + " OR ".join(cm for cm, _ in subs) + ")"
+            s = "(" + " + ".join(cs for _, cs in subs) + ")"
+            return m, s
+
         def compile_node(node: tuple) -> tuple[str, str]:
             kind = node[0]
             if kind == "leaf":
@@ -10145,16 +10189,23 @@ def lucene_query_plan(
                         f"query_string: {w!r} analyzed to zero tokens"
                     )
                 terms = sorted(Counter(toks).items())
-                ms, ss = [], []
+                pairs = []
                 for t, qtf in terms:
                     b = new_bit(("t", fld, t), ("term", fld, t))
-                    ms.append(f"s{b} IS NOT NULL")
                     coal = f"COALESCE(s{b}, 0.0)"
-                    ss.append(coal if qtf == 1 else f"{qtf} * {coal}")
-                return (
-                    "(" + " OR ".join(ms) + ")",
-                    "(" + " + ".join(ss) + ")",
-                )
+                    pairs.append((
+                        f"s{b} IS NOT NULL",
+                        coal if qtf == 1 else f"{qtf} * {coal}",
+                    ))
+                if len(pairs) == 1:
+                    m, s = pairs[0]
+                    return f"({m})", f"({s})"
+                # a multi-token word is a sub-boolean of its subtokens
+                # under the default operator (ES analyzes the leaf and
+                # combines with default_operator)
+                if default_operator == "AND":
+                    return comb_and(pairs)
+                return comb_or(pairs)
             if kind == "phrase":
                 _, fld, text = node
                 toks = tuple(
@@ -10174,21 +10225,32 @@ def lucene_query_plan(
                 cm, cs = compile_node(node[2])
                 return cm, f"({node[1]!r} * {cs})"
             subs = [compile_node(c) for c in node[1]]
-            if kind == "and":
-                m = "(" + " AND ".join(cm for cm, _ in subs) + ")"
-                s = (
-                    f"(CASE WHEN {m} THEN "
-                    + " + ".join(cs for _, cs in subs)
-                    + " ELSE 0.0 END)"
-                )
-                return m, s
-            # or: matched children self-gate (leaf via COALESCE, and via
-            # its own CASE, not via nothing — a NOT child scores 0.0)
-            m = "(" + " OR ".join(cm for cm, _ in subs) + ")"
-            s = "(" + " + ".join(cs for _, cs in subs) + ")"
-            return m, s
+            return comb_and(subs) if kind == "and" else comb_or(subs)
 
-        m, s = compile_node(tree)
+        # minimum_should_match gates the TOP-LEVEL should list (an OR,
+        # possibly boost-wrapped): >= msm children must match; scoring
+        # stays the plain matched-children sum
+        base, factors = tree, []
+        while base[0] == "boost":
+            factors.append(base[1])
+            base = base[2]
+        if minimum_should_match is not None and base[0] == "or":
+            subs = [compile_node(c) for c in base[1]]
+            if minimum_should_match > len(subs):
+                raise EngineError(
+                    f"query_string (qid={qid}): minimum_should_match="
+                    f"{minimum_should_match} exceeds the "
+                    f"{len(subs)} top-level clauses"
+                )
+            cnt = "(" + " + ".join(
+                f"CASE WHEN {cm} THEN 1 ELSE 0 END" for cm, _ in subs
+            ) + ")"
+            m = f"({cnt} >= {int(minimum_should_match)})"
+            s = "(" + " + ".join(cs for _, cs in subs) + ")"
+            for f_ in reversed(factors):
+                s = f"({f_!r} * {s})"
+        else:
+            m, s = compile_node(tree)
         m_cases.append(f"WHEN qid = {int(qid)} THEN {m}")
         s_cases.append(f"WHEN qid = {int(qid)} THEN {s}")
         nbits = max(nbits, len(bits))
@@ -10206,6 +10268,8 @@ def search_lucene_query_string(
     queries: pd.DataFrame,
     k: int = 10,
     default_field: str | None = None,
+    default_operator: str = "OR",
+    minimum_should_match: int | None = None,
 ) -> DataFrame:
     """ES ``query_string``: full Lucene boolean syntax per query string —
     AND/OR/NOT with precedence NOT > AND > OR, parentheses,
@@ -10226,7 +10290,9 @@ def search_lucene_query_string(
              zip(queries["qid"], queries["query"])]
     if not qlist:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    atoms, match_sql, score_sql, nbits = lucene_query_plan(qlist)
+    atoms, match_sql, score_sql, nbits = lucene_query_plan(
+        qlist, default_operator, minimum_should_match
+    )
     if atoms.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     n_docs = float(store.meta["n_docs"])
@@ -10238,7 +10304,9 @@ def search_lucene_query_string(
         qt = tq.copy()
         prefixes, avgdls = [], []
         for fld in qt["field"]:
-            pfx, ad = _field_of(store, fld if fld is None else str(fld))
+            pfx, ad = _field_of(
+                store, default_field if fld is None else str(fld)
+            )
             prefixes.append(pfx)
             avgdls.append(ad)
         qt["term"] = [p + t for p, t in zip(prefixes, qt["text"])]
@@ -10268,7 +10336,8 @@ def search_lucene_query_string(
             "query": sel["text"],
         })
         ps = _phrase_scores(
-            spark, store, probes, fld if fld is None else str(fld)
+            spark, store, probes,
+            default_field if fld is None else str(fld),
         )
         if ps is not None:
             cands.append(ps.select("qid", "doc_int", "score"))

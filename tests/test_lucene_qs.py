@@ -358,3 +358,73 @@ def test_fuzz_random_trees_match_brute_force(spark, lqs_store):
         queries.append((qid, q))
         qid += 1
     assert _got(spark, lqs_store, queries, k=50) == _expected(queries)
+
+
+# -------------------------- default_operator=AND + minimum_should_match
+
+def test_default_operator_and_adjacency():
+    assert parse_lucene_query("a b AND c", "AND") == (
+        "and",
+        [("leaf", None, "a"), ("leaf", None, "b"), ("leaf", None, "c")],
+    )
+    assert parse_lucene_query("a b OR c d", "AND") == (
+        "or",
+        [("and", [("leaf", None, "a"), ("leaf", None, "b")]),
+         ("and", [("leaf", None, "c"), ("leaf", None, "d")])],
+    )
+
+
+def _got_opts(spark, store, queries, **kw):
+    qpdf = pd.DataFrame(queries, columns=["qid", "query"])
+    res = search.search_lucene_query_string(
+        spark, store, qpdf, k=50, **kw
+    ).toPandas()
+    return sorted(
+        (int(r.qid), r.doc_id, round(float(r.score), 6))
+        for r in res.itertuples(index=False)
+    )
+
+
+def test_and_operator_equals_explicit_and(spark, lqs_store):
+    a = _got_opts(spark, lqs_store, [(0, "merge window fast")],
+                  default_operator="AND")
+    b = _got(spark, lqs_store, [(0, "merge AND window AND fast")])
+    assert a == b and len(a) > 0
+
+
+def test_and_operator_multi_token_leaf(spark, lqs_store):
+    a = _got_opts(spark, lqs_store, [(0, "mergeWindow")],
+                  default_operator="AND")
+    b = _got(spark, lqs_store, [(0, "merge AND window")])
+    assert a == b and len(a) > 0
+
+
+def test_minimum_should_match_gates_top_or(spark, lqs_store):
+    got = _got_opts(spark, lqs_store, [(0, "merge OR spark OR fast")],
+                    minimum_should_match=2)
+    stats = _brute_stats()
+    scores = _brute_scores(stats)
+    exp = []
+    for doc, present in scores.items():
+        hits = [t for t in ("merge", "spark", "fast")
+                if ("content", t) in present]
+        if len(hits) >= 2:
+            exp.append((0, doc, round(
+                sum(present[("content", t)] for t in hits), 6)))
+    assert got == sorted(exp) and len(got) > 0
+
+
+def test_minimum_should_match_ignored_without_top_or(spark, lqs_store):
+    a = _got_opts(spark, lqs_store, [(0, "merge AND window")],
+                  minimum_should_match=3)
+    b = _got(spark, lqs_store, [(0, "merge AND window")])
+    assert a == b and len(a) > 0
+
+
+def test_minimum_should_match_validation(spark, lqs_store):
+    with pytest.raises(EngineError, match="exceeds"):
+        _got_opts(spark, lqs_store, [(0, "a OR b")],
+                  minimum_should_match=3)
+    with pytest.raises(EngineError, match=">= 1"):
+        _got_opts(spark, lqs_store, [(0, "a OR b")],
+                  minimum_should_match=0)
