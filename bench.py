@@ -446,6 +446,7 @@ def main() -> None:
         # one pruned posting read for every atom of every query, boolean
         # tree evaluated as one generated codegen expression
         "fts_lucene_query_string",
+        "fts_ip_prefix",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))

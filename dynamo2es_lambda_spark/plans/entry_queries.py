@@ -9697,6 +9697,46 @@ LEFT JOIN cnt ON cnt.qid = qs.qid AND cnt.range_key = r.range_key
 """
 
 
+IP_PREFIX_LEN = 6
+IP_PREFIX_MIN = 2
+
+
+def q_fts_ip_prefix(spark, sf_dir):
+    """ES ip_prefix agg: match-set docs bucketed by the /6 network of
+    the derived IPv4 field, buckets under min_doc_count dropped."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_ip_prefix(
+        spark, store, qpdf, IP_PREFIX_LEN, value_col="ip",
+        min_doc_count=IP_PREFIX_MIN,
+    )
+
+
+def _ip_prefix_sql(queries, prefix_length, min_doc_count) -> str:
+    shift = 1 << (32 - prefix_length)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+ips AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         (doc_id * 2654435761) % 4294967296 AS ip
+  FROM documents
+),
+nets AS (
+  SELECT doc_id,
+         CAST(floor(ip / {shift}) * {shift} AS BIGINT) AS net
+  FROM ips
+)
+SELECT CAST(m.qid AS BIGINT) AS qid,
+       CAST(floor(n.net / 16777216) % 256 AS BIGINT) || '.' ||
+       CAST(floor(n.net / 65536) % 256 AS BIGINT) || '.' ||
+       CAST(floor(n.net / 256) % 256 AS BIGINT) || '.' ||
+       CAST(n.net % 256 AS BIGINT) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN nets n ON n.doc_id = m.doc_id
+GROUP BY m.qid, prefix
+HAVING count(*) >= {min_doc_count}
+"""
+
+
 def q_fts_terms_agg_partition(spark, sf_dir):
     """ES terms agg partitioned fetch: only buckets hashing into the
     requested partition (md5-pinned assignment, disjoint + exhaustive
@@ -10065,6 +10105,7 @@ SPARK_QUERIES = {
     "fts_categorize_text": q_fts_categorize_text,
     "fts_sparse_vector": q_fts_sparse_vector,
     "fts_ip_range": q_fts_ip_range,
+    "fts_ip_prefix": q_fts_ip_prefix,
     "fts_terms_agg_partition": q_fts_terms_agg_partition,
     "dsir_select": q_dsir_select,
     "dedup_bloom": q_dedup_bloom,
@@ -10317,6 +10358,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_categorize_text": _categorize_text_sql(SORTED_QUERIES),
         "fts_sparse_vector": _sparse_vector_sql(SV_QUERIES, FT_K),
         "fts_ip_range": _ip_range_sql(SORTED_QUERIES, IP_RANGES),
+        "fts_ip_prefix": _ip_prefix_sql(
+            SORTED_QUERIES, IP_PREFIX_LEN, IP_PREFIX_MIN
+        ),
         "fts_terms_agg_partition": _terms_agg_partition_sql(
             SORTED_QUERIES
         ),

@@ -9625,6 +9625,63 @@ def search_ip_range_agg(
     )
 
 
+def search_ip_prefix(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    prefix_length: int,
+    value_col: str = "ip",
+    mode: str = "or",
+    field: str | None = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``ip_prefix`` aggregation (IPv4): bucket the match set by the
+    network prefix of an IPv4 doc field at ``prefix_length`` bits; bucket
+    key = the network address rendered dotted-quad (ES's key), empty
+    buckets omitted, ``min_doc_count`` filters small buckets — ES's
+    contract for the keyed-off default.
+
+    Same plan as the whole grid-agg family: match set → one metadata
+    join → ONE hash aggregation on the bucket key; the prefix mask is
+    non-negative integer arithmetic (floor-div/mult — portable to the
+    DuckDB oracle verbatim), fully codegen, no UDF. → (qid, prefix,
+    n_docs)."""
+    if not 1 <= int(prefix_length) <= 32:
+        raise EngineError("ip_prefix: prefix_length must be in 1..32")
+    if min_doc_count < 0:
+        raise EngineError("ip_prefix: min_doc_count must be >= 0")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, prefix string, n_docs long"
+        )
+    shift = 1 << (32 - int(prefix_length))
+    o = F.split(F.col(value_col).cast("string"), r"\.")
+    ip_int = (
+        o.getItem(0).cast("long") * 16777216
+        + o.getItem(1).cast("long") * 65536
+        + o.getItem(2).cast("long") * 256
+        + o.getItem(3).cast("long")
+    )
+    net = F.floor(ip_int / shift) * shift
+    prefix = F.concat_ws(
+        ".",
+        F.floor(net / 16777216).cast("long") % 256,
+        F.floor(net / 65536).cast("long") % 256,
+        F.floor(net / 256).cast("long") % 256,
+        net.cast("long") % 256,
+    )
+    stats = store.doc_stats(spark).select(
+        "doc_int", prefix.alias("prefix")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "prefix")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_doc_count))
+    )
+
+
 def search_frequent_item_sets(
     spark: SparkSession,
     store: IndexStore,
