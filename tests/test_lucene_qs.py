@@ -428,3 +428,96 @@ def test_minimum_should_match_validation(spark, lqs_store):
     with pytest.raises(EngineError, match=">= 1"):
         _got_opts(spark, lqs_store, [(0, "a OR b")],
                   minimum_should_match=0)
+
+
+# --------------------------- fuzz: AND operator + msm semantics twins
+
+_AND_VOCAB = _VOCAB + ["mergeWindow", "fastKey", "sparkData"]
+
+
+def _brute_eval_op(node, doc, present, default_operator):
+    """Brute twin honoring default_operator for multi-token leaves."""
+    kind = node[0]
+    if kind == "leaf" and default_operator == "AND":
+        _, fld, w = node
+        fld = fld or "content"
+        toks = list(analysis.tokenize_series(pd.Series([w]))[0])
+        m = all((fld, t) in present for t in toks)
+        if not m:
+            return False, 0.0
+        return True, sum(q * present[(fld, t)]
+                         for t, q in Counter(toks).items())
+    if kind in ("leaf", "phrase"):
+        return _brute_eval(node, doc, present)
+    if kind == "not":
+        cm, _ = _brute_eval_op(node[1], doc, present, default_operator)
+        return (not cm), 0.0
+    if kind == "boost":
+        cm, cs = _brute_eval_op(node[2], doc, present, default_operator)
+        return cm, node[1] * cs
+    subs = [_brute_eval_op(c, doc, present, default_operator)
+            for c in node[1]]
+    if kind == "and":
+        m = all(sm for sm, _ in subs)
+        return m, (sum(ss for _, ss in subs) if m else 0.0)
+    return any(sm for sm, _ in subs), sum(ss for _, ss in subs)
+
+
+def test_fuzz_and_operator_matches_brute_force(spark, lqs_store):
+    rng = random.Random(4160818)
+    queries = []
+    qid = 0
+    while len(queries) < 10:
+        t = _rand_tree(rng, 2)
+        q = _to_string(t)
+        try:
+            lucene_query_plan([(qid, q)], default_operator="AND")
+        except EngineError:
+            continue
+        queries.append((qid, q))
+        qid += 1
+    # add explicit camelCase-leaf queries (the case AND changes)
+    for extra in ("mergeWindow", "fastKey OR sparkData",
+                  "mergeWindow AND NOT tag:gamma"):
+        queries.append((qid, extra))
+        qid += 1
+    got = _got_opts(spark, lqs_store, queries, default_operator="AND")
+    scores = _brute_scores(_brute_stats())
+    exp = []
+    for q_id, q in queries:
+        tree = parse_lucene_query(q, "AND")
+        for doc, present in scores.items():
+            m, s = _brute_eval_op(tree, doc, present, "AND")
+            if m:
+                exp.append((q_id, doc, round(s, 6)))
+    assert got == sorted(exp)
+
+
+def test_fuzz_msm_matches_brute_force(spark, lqs_store):
+    rng = random.Random(90818)
+    queries = []
+    qid = 0
+    while len(queries) < 8:
+        kids = [_rand_tree(rng, 1) for _ in range(rng.randint(3, 4))]
+        q = " OR ".join(f"({_to_string(k)})" for k in kids)
+        try:
+            lucene_query_plan([(qid, q)], minimum_should_match=2)
+        except EngineError:
+            continue
+        queries.append((qid, q))
+        qid += 1
+    got = _got_opts(spark, lqs_store, queries, minimum_should_match=2)
+    scores = _brute_scores(_brute_stats())
+    exp = []
+    for q_id, q in queries:
+        tree = parse_lucene_query(q)
+        kids = tree[1] if tree[0] == "or" else [tree]
+        for doc, present in scores.items():
+            subs = [_brute_eval(k, doc, present) for k in kids]
+            matched = sum(1 for sm, _ in subs if sm)
+            gate = matched >= 2 if tree[0] == "or" else all(
+                sm for sm, _ in subs)
+            if gate:
+                exp.append((q_id, doc,
+                            round(sum(ss for _, ss in subs), 6)))
+    assert got == sorted(exp)
