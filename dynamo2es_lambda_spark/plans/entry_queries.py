@@ -3351,6 +3351,17 @@ LQS_AND_QUERIES = [
 ]
 LQS_AND_MSM = 2
 
+# fields variant: unqualified clauses fan across text + boosted source
+# as a per-atom best_fields dis_max (ES `fields: ["text", "source^2.5"]`)
+LQS_FIELDS_QUERIES = [
+    (0, "spark AND src1"),          # src1 only matches via source field
+    (1, "src2 OR src3"),
+    (2, '"spark merge" AND src4'),  # unqualified phrase fans too
+    (3, "source:src5 AND merge"),   # qualified leaf ignores fields
+    (4, "sparkMerge src6"),
+]
+LQS_FIELDS = {"text": 1.0, "source": 2.5}
+
 
 def q_fts_lucene_qs(spark, sf_dir):
     store = _corpus_store_mf(spark, sf_dir)
@@ -3369,11 +3380,21 @@ def q_fts_lucene_qs_and(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+def q_fts_lucene_qs_fields(spark, sf_dir):
+    store = _corpus_store_mf(spark, sf_dir)
+    qpdf = pd.DataFrame(LQS_FIELDS_QUERIES, columns=["qid", "query"])
+    res = search.search_lucene_query_string(
+        spark, store, qpdf, k=50, fields=LQS_FIELDS,
+    )
+    return _rerank_rounded(res, FT_K)
+
+
 def _lucene_qs_sql(
     queries: list[tuple[int, str]],
     k: int,
     default_operator: str = "OR",
     minimum_should_match: int | None = None,
+    fields: dict[str, float] | None = None,
 ) -> str:
     """Oracle for q_fts_lucene_qs: per-field BM25 atom scores (term atoms
     from per-field postings; phrase atoms AND-scored and gated on
@@ -3384,7 +3405,7 @@ def _lucene_qs_sql(
     from dynamo2es_lambda_spark.plans.search import lucene_query_plan
 
     atoms, match_sql, score_sql, nbits = lucene_query_plan(
-        queries, default_operator, minimum_should_match
+        queries, default_operator, minimum_should_match, fields
     )
     vals, ph_term_vals, ph_pat_vals = [], [], []
     for r in atoms.itertuples(index=False):
@@ -10042,6 +10063,7 @@ SPARK_QUERIES = {
     "fts_query_string": q_fts_query_string,
     "fts_lucene_query_string": q_fts_lucene_qs,
     "fts_lucene_qs_and": q_fts_lucene_qs_and,
+    "fts_lucene_qs_fields": q_fts_lucene_qs_fields,
     "fts_boosting": q_fts_boosting,
     "fts_sorted": q_fts_sorted,
     "fts_suggest": q_fts_suggest,
@@ -10259,6 +10281,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_lucene_query_string": _lucene_qs_sql(LQS_QUERIES, FT_K),
         "fts_lucene_qs_and": _lucene_qs_sql(
             LQS_AND_QUERIES, FT_K, "AND", LQS_AND_MSM
+        ),
+        "fts_lucene_qs_fields": _lucene_qs_sql(
+            LQS_FIELDS_QUERIES, FT_K, fields=LQS_FIELDS
         ),
         "fts_boosting": _boosting_sql(BOOSTING_QUERIES, FT_K, BOOSTING_NB),
         "fts_sorted": _sorted_sql(SORTED_QUERIES, FT_K),

@@ -10172,6 +10172,7 @@ def lucene_query_plan(
     queries: list[tuple[int, str]],
     default_operator: str = "OR",
     minimum_should_match: int | None = None,
+    fields: dict[str, float] | list[str] | None = None,
 ) -> tuple[pd.DataFrame, str, str, int]:
     """Compile parsed Lucene queries → (atoms, match_sql, score_sql, nbits).
 
@@ -10192,9 +10193,26 @@ def lucene_query_plan(
     top-level node is an OR (a bool of should clauses after the Lucene
     rewrite), require at least that many children to match; scoring is
     unchanged (every matched child still scores). Queries whose top
-    level is not an OR ignore it, exactly ES."""
+    level is not an OR ignore it, exactly ES.
+
+    ``fields`` (ES parameter): run UNQUALIFIED clauses against several
+    fields with optional ``^boost`` weights (``{"text": 1.0,
+    "source": 2.5}`` or a plain list). Each unqualified token/phrase
+    expands to one atom per field; it matches when ANY field matches
+    and scores the per-field maximum of boost × BM25 — ES's
+    ``type: best_fields`` dis_max (tie_breaker 0, the default).
+    ``field:``-qualified clauses ignore ``fields``, exactly ES."""
     if minimum_should_match is not None and minimum_should_match < 1:
         raise EngineError("query_string: minimum_should_match must be >= 1")
+    if isinstance(fields, dict):
+        targets_default = [(str(f), float(b)) for f, b in
+                           sorted(fields.items())]
+    elif fields is not None:
+        targets_default = [(str(f), 1.0) for f in sorted(fields)]
+    else:
+        targets_default = [(None, 1.0)]
+    if not targets_default:
+        raise EngineError("query_string: fields must not be empty")
     atoms_rows: list[tuple[int, int, str, str | None, str]] = []
     m_cases: list[str] = []
     s_cases: list[str] = []
@@ -10236,6 +10254,30 @@ def lucene_query_plan(
             s = "(" + " + ".join(cs for _, cs in subs) + ")"
             return m, s
 
+        def atom_pair(
+            fld: str | None, keykind: str, rowkind: str, keytext, rowtext
+        ) -> tuple[str, str]:
+            """(m, s) for one token/phrase across its target fields —
+            an unqualified atom under ``fields`` matches when ANY field
+            matches and scores the per-field max of boost × BM25
+            (best_fields dis_max, tie_breaker 0)."""
+            targets = (
+                [(fld, 1.0)] if fld is not None else targets_default
+            )
+            parts = []
+            for f, bst in targets:
+                b = new_bit((keykind, f, keytext), (rowkind, f, rowtext))
+                coal = f"COALESCE(s{b}, 0.0)"
+                parts.append((
+                    f"s{b} IS NOT NULL",
+                    coal if bst == 1.0 else f"{bst!r} * {coal}",
+                ))
+            if len(parts) == 1:
+                return parts[0]
+            m = "(" + " OR ".join(pm for pm, _ in parts) + ")"
+            s = "GREATEST(" + ", ".join(ps for _, ps in parts) + ")"
+            return m, s
+
         def compile_node(node: tuple) -> tuple[str, str]:
             kind = node[0]
             if kind == "leaf":
@@ -10248,11 +10290,9 @@ def lucene_query_plan(
                 terms = sorted(Counter(toks).items())
                 pairs = []
                 for t, qtf in terms:
-                    b = new_bit(("t", fld, t), ("term", fld, t))
-                    coal = f"COALESCE(s{b}, 0.0)"
+                    m_t, s_t = atom_pair(fld, "t", "term", t, t)
                     pairs.append((
-                        f"s{b} IS NOT NULL",
-                        coal if qtf == 1 else f"{qtf} * {coal}",
+                        m_t, s_t if qtf == 1 else f"({qtf} * {s_t})"
                     ))
                 if len(pairs) == 1:
                     m, s = pairs[0]
@@ -10273,8 +10313,8 @@ def lucene_query_plan(
                         f"query_string: phrase {text!r} analyzed to "
                         "zero tokens"
                     )
-                b = new_bit(("ph", fld, toks), ("phrase", fld, text))
-                return f"(s{b} IS NOT NULL)", f"(COALESCE(s{b}, 0.0))"
+                m, s = atom_pair(fld, "ph", "phrase", toks, text)
+                return f"({m})", f"({s})"
             if kind == "not":
                 cm, _cs = compile_node(node[1])
                 return f"(NOT {cm})", "0.0"
@@ -10327,6 +10367,7 @@ def search_lucene_query_string(
     default_field: str | None = None,
     default_operator: str = "OR",
     minimum_should_match: int | None = None,
+    fields: dict[str, float] | list[str] | None = None,
 ) -> DataFrame:
     """ES ``query_string``: full Lucene boolean syntax per query string —
     AND/OR/NOT with precedence NOT > AND > OR, parentheses,
@@ -10348,7 +10389,7 @@ def search_lucene_query_string(
     if not qlist:
         return spark.createDataFrame([], RESULT_SCHEMA)
     atoms, match_sql, score_sql, nbits = lucene_query_plan(
-        qlist, default_operator, minimum_should_match
+        qlist, default_operator, minimum_should_match, fields
     )
     if atoms.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -521,3 +521,49 @@ def test_fuzz_msm_matches_brute_force(spark, lqs_store):
                 exp.append((q_id, doc,
                             round(sum(ss for _, ss in subs), 6)))
     assert got == sorted(exp)
+
+
+# ----------------------------------------- fields (best_fields dis_max)
+
+def test_fields_unqualified_leaf_is_dismax(spark, lqs_store):
+    # 'alpha' only exists in tag; with fields it matches via tag at
+    # boost x its tag BM25; 'merge' matches via content (content score
+    # > boosted-absent tag)
+    got = _got_opts(
+        spark, lqs_store, [(0, "alpha AND merge")],
+        fields={"content": 1.0, "tag": 2.0},
+    )
+    scores = _brute_scores(_brute_stats())
+    exp = []
+    for doc, present in scores.items():
+        a = max(present.get(("content", "alpha"), 0.0),
+                2.0 * present.get(("tag", "alpha"), 0.0))
+        m_a = ("content", "alpha") in present or ("tag", "alpha") in present
+        mg = max(present.get(("content", "merge"), 0.0),
+                 2.0 * present.get(("tag", "merge"), 0.0))
+        m_m = ("content", "merge") in present or ("tag", "merge") in present
+        if m_a and m_m:
+            exp.append((0, doc, round(a + mg, 6)))
+    assert got == sorted(exp) and len(got) > 0
+
+
+def test_fields_qualified_leaf_ignores_fields(spark, lqs_store):
+    a = _got_opts(spark, lqs_store, [(0, "tag:alpha")],
+                  fields={"content": 1.0, "tag": 5.0})
+    b = _got(spark, lqs_store, [(0, "tag:alpha")])
+    assert a == b and len(a) > 0
+
+
+def test_fields_single_field_boost_applies(spark, lqs_store):
+    base = _got(spark, lqs_store, [(0, "merge")])
+    boosted = _got_opts(spark, lqs_store, [(0, "merge")],
+                        fields={"content": 3.0})
+    bm = {d: s for _, d, s in base}
+    assert {d for _, d, _ in boosted} == set(bm)
+    for _, d, s in boosted:
+        assert abs(s - round(3 * bm[d], 6)) < 2e-6
+
+
+def test_fields_empty_raises(spark, lqs_store):
+    with pytest.raises(EngineError, match="fields"):
+        _got_opts(spark, lqs_store, [(0, "merge")], fields={})
