@@ -517,19 +517,60 @@ def main() -> None:
     shutil.rmtree(mf_store_path, ignore_errors=True)
     shutil.rmtree(cdc_base, ignore_errors=True)
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "engine_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "cpus": cpus,
-                "extra": extra,
-            }
-        )
+    extra["task_count"] = len(queries)
+
+    # Full per-task detail goes to a file; the FINAL stdout line stays
+    # compact. The driver's artifact capture keeps only the last ~2000
+    # chars of stdout — round 4's 58-task one-line JSON overflowed it and
+    # shipped as ``"parsed": null`` (VERDICT r4, finding 1). The printed
+    # ``queries`` map therefore carries ONLY the frozen 15-task drift
+    # subset; everything else lives in BENCH/bench_detail_latest.json.
+    detail = {
+        "metric": "engine_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "extra": extra,
+    }
+    detail_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH"
     )
+    os.makedirs(detail_dir, exist_ok=True)
+    detail_path = os.path.join(detail_dir, "bench_detail_latest.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    sys.stderr.write(f"full per-task detail -> {detail_path}\n")
+
+    compact_extra = {
+        k: extra[k]
+        for k in (
+            "frozen_subset_geomean_vs_r1",
+            "frozen_subset_sec",
+            "bm25_qps",
+            "synth_docs_per_sec",
+            "synth_postings_per_sec",
+            "calibration_range_sum_sec",
+            "bench_passes",
+            "task_count",
+        )
+        if k in extra
+    }
+    compact_extra["detail_file"] = "BENCH/bench_detail_latest.json"
+    line = json.dumps(
+        {
+            "metric": "engine_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: queries[n] for n in FROZEN_R1_TASKS},
+            "sf": sf,
+            "cpus": cpus,
+            "extra": compact_extra,
+        }
+    )
+    assert len(line) < 1900, f"final bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

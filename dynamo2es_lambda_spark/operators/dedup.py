@@ -600,10 +600,17 @@ def corpus_minhash_overlap(
     mins = perms.groupBy("_a", "i").agg(F.min("h").alias("mn"))
     a = mins.filter(F.col("_a")).select("i", F.col("mn").alias("ma"))
     b = mins.filter(~F.col("_a")).select("i", F.col("mn").alias("mb"))
+    # coalesce guards (ADVICE r4): when either corpus half contributes no
+    # shingles the inner join on i is empty and sum() → NULL, and an empty
+    # union makes n_inter/n_union NULL — the documented contract is one
+    # fully-numeric row, so empty cases pin to 0 matches / 0.0 Jaccard
     sketch = (
         a.join(b, "i")
         .agg(
-            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("minhash_matches")
         )
@@ -611,8 +618,13 @@ def corpus_minhash_overlap(
     return (
         exact.crossJoin(sketch)
         .select(
-            "n_a", "n_b", "n_inter", "n_union",
-            F.round(F.col("n_inter") / F.col("n_union"), 6)
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            "n_union",
+            F.when(F.col("n_union") > 0,
+                   F.round(F.col("n_inter") / F.col("n_union"), 6))
+            .otherwise(F.lit(0.0))
             .alias("exact_j_r"),
             "minhash_matches",
             F.round(F.col("minhash_matches") / F.lit(float(k)), 6)

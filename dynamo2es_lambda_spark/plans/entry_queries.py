@@ -13,6 +13,7 @@ ROUNDED score with doc-id tie-break, making orderings bit-deterministic.
 from __future__ import annotations
 
 import hashlib
+import re
 import os
 import tempfile
 from collections import Counter
@@ -128,8 +129,18 @@ def _cached_store_paths(sf_dir: str, tag: str, count: int = 1):
 
 def _ip_hash():
     """uint32 Knuth multiplicative hash of doc_id — the ip_range agg's
-    deterministic synthetic IPv4 source (both engines recompute it)."""
-    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    deterministic synthetic IPv4 source (both engines recompute it).
+
+    Split-multiply form: 2654435761 = 40503*65536 + 31153, so
+    d*C mod 2^32 = (d*31153 + ((d*40503) mod 65536)*65536) mod 2^32 with
+    every intermediate < 2^48 — no BIGINT overflow in either engine at
+    any doc_id (the naive d*C wraps silently in Spark but RAISES in
+    DuckDB once doc_id exceeds ~3.5e9; ADVICE r4)."""
+    d = F.pmod(F.col("doc_id"), F.lit(4294967296))
+    return F.pmod(
+        d * F.lit(31153) + F.pmod(d * F.lit(40503), F.lit(65536)) * F.lit(65536),
+        F.lit(4294967296),
+    )
 
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
@@ -3389,6 +3400,280 @@ def q_fts_lucene_qs_fields(spark, sf_dir):
     return _rerank_rounded(res, FT_K)
 
 
+_ORACLE_LQ_TOKEN = re.compile(r'"([^"]*)"|([()])|([^\s()"]+)')
+
+
+def _oracle_lucene_parse(q: str, default_operator: str = "OR") -> tuple:
+    """INDEPENDENT re-implementation of the Lucene query_string grammar
+    for the DuckDB oracle (ADVICE r4: the oracle previously evaluated
+    the engine compiler's own generated SQL, so a parser/compiler bug
+    would self-verify). Written from the documented grammar — regex
+    lexer + precedence-climbing parser, sharing NO code with
+    plans/search.parse_lucene_query. Handles the valid-query subset the
+    gate queries use (no error-path parity needed: gate queries are
+    fixed and valid). Node shapes match the engine's AST contract:
+    ("or"/"and", [ch]), ("not", ch), ("boost", f, ch),
+    ("leaf", field, word), ("phrase", field, text)."""
+    raw: list[tuple] = []
+    for mt in _ORACLE_LQ_TOKEN.finditer(str(q)):
+        ph, par, w = mt.group(1), mt.group(2), mt.group(3)
+        if ph is not None:
+            raw.append(("PHRASE", None, ph))
+        elif par:
+            raw.append((par, None, None))
+        else:
+            raw.append(("RAW", None, w))
+    toks: list[tuple] = []
+    i = 0
+    while i < len(raw):
+        kind, _f, w = raw[i]
+        if kind != "RAW":
+            toks.append(raw[i])
+            i += 1
+            continue
+        if w in ("AND", "&&"):
+            toks.append(("ANDOP", None, None))
+        elif w in ("OR", "||"):
+            toks.append(("OROP", None, None))
+        elif w in ("NOT", "!"):
+            toks.append(("NOTOP", None, None))
+        elif w.startswith("^"):
+            # boost trailing a ')' or a closing quote lexes as its own word
+            toks.append(("BOOST", None, float(w[1:])))
+        else:
+            if w.startswith("!"):
+                toks.append(("NOTOP", None, None))
+                w = w[1:]
+            boost = None
+            if "^" in w:
+                w, _, braw = w.partition("^")
+                boost = float(braw)
+            field = None
+            if ":" in w:
+                field, _, w = w.partition(":")
+            if w == "":
+                nxt = raw[i + 1] if i + 1 < len(raw) else None
+                if field and nxt and nxt[0] == "(":
+                    toks.append(("SCOPE", field, None))
+                    i += 1
+                    continue
+                if field and nxt and nxt[0] == "PHRASE":
+                    toks.append(("PHRASE", field, nxt[2]))
+                    i += 2
+                    if boost is not None:
+                        toks.append(("BOOST", None, boost))
+                    continue
+                raise ValueError("oracle lucene: empty clause")
+            toks.append(("WORD", field, w))
+            if boost is not None:
+                toks.append(("BOOST", None, boost))
+        i += 1
+
+    pos = [0]
+    START = ("WORD", "PHRASE", "NOTOP", "(", "SCOPE")
+    adj_and = default_operator == "AND"
+
+    def peek():
+        return toks[pos[0]][0] if pos[0] < len(toks) else None
+
+    def take():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def wrap_boosts(node):
+        while peek() == "BOOST":
+            node = ("boost", take()[2], node)
+        return node
+
+    def p_or(scope):
+        ch = [p_and(scope)]
+        while True:
+            k = peek()
+            if k == "OROP":
+                take()
+                ch.append(p_and(scope))
+            elif not adj_and and k in START:
+                ch.append(p_and(scope))
+            else:
+                break
+        return ch[0] if len(ch) == 1 else ("or", ch)
+
+    def p_and(scope):
+        ch = [p_unary(scope)]
+        while True:
+            k = peek()
+            if k == "ANDOP":
+                take()
+                ch.append(p_unary(scope))
+            elif adj_and and k in START:
+                ch.append(p_unary(scope))
+            else:
+                break
+        return ch[0] if len(ch) == 1 else ("and", ch)
+
+    def p_unary(scope):
+        k = peek()
+        if k == "NOTOP":
+            take()
+            return ("not", p_unary(scope))
+        if k == "SCOPE":
+            _, fld, _ = take()
+            if peek() != "(":
+                raise ValueError("oracle lucene: field:( needs a group")
+            return p_unary(fld)
+        if k == "(":
+            take()
+            node = p_or(scope)
+            if peek() != ")":
+                raise ValueError("oracle lucene: unbalanced parens")
+            take()
+            return wrap_boosts(node)
+        if k == "WORD":
+            _, fld, w = take()
+            return wrap_boosts(("leaf", fld if fld is not None else scope, w))
+        if k == "PHRASE":
+            _, fld, text = take()
+            return wrap_boosts(
+                ("phrase", fld if fld is not None else scope, text)
+            )
+        raise ValueError(f"oracle lucene: unexpected {k!r}")
+
+    tree = p_or(None)
+    if pos[0] != len(toks):
+        raise ValueError("oracle lucene: trailing tokens")
+    return tree
+
+
+def _oracle_lucene_plan(
+    queries: list[tuple[int, str]],
+    default_operator: str = "OR",
+    minimum_should_match: int | None = None,
+    fields: dict[str, float] | None = None,
+):
+    """INDEPENDENT compile of parsed Lucene trees → (atoms, match_sql,
+    score_sql, nbits) over per-atom score columns s0..s{n-1}. Second
+    implementation of the Lucene BooleanQuery semantics (coord-free:
+    AND gates the sum, OR sums self-gated children, NOT matches-not and
+    scores 0, boost multiplies, unqualified atoms fan across ``fields``
+    as best_fields dis_max, top-level-OR minimum_should_match counts
+    matching children). Shares only the analyzer with the engine — the
+    index itself is built with that analyzer, so sharing it is the
+    contract, not self-verification."""
+    if isinstance(fields, dict):
+        tgt_default = [(str(f), float(b)) for f, b in sorted(fields.items())]
+    elif fields is not None:
+        tgt_default = [(str(f), 1.0) for f in sorted(fields)]
+    else:
+        tgt_default = [(None, 1.0)]
+    atoms_rows: list[tuple] = []
+    m_cases: list[str] = []
+    s_cases: list[str] = []
+    nbits = 0
+    for qid, q in queries:
+        tree = _oracle_lucene_parse(q, default_operator)
+        bitmap: dict[tuple, int] = {}
+
+        def bit_of(kind, fld, key, rawtext):
+            bk = (kind, fld, key)
+            if bk not in bitmap:
+                bitmap[bk] = len(bitmap)
+                atoms_rows.append((qid, bitmap[bk], kind, fld, rawtext))
+            return bitmap[bk]
+
+        def across_fields(fld, kind, key, rawtext):
+            targets = [(fld, 1.0)] if fld is not None else tgt_default
+            parts = []
+            for f, bst in targets:
+                b = bit_of(kind, f, key, rawtext)
+                sc = f"COALESCE(s{b}, 0.0)"
+                if bst != 1.0:
+                    sc = f"{bst!r} * {sc}"
+                parts.append((f"s{b} IS NOT NULL", sc))
+            if len(parts) == 1:
+                return parts[0]
+            return (
+                "(" + " OR ".join(pm for pm, _ in parts) + ")",
+                "GREATEST(" + ", ".join(ps for _, ps in parts) + ")",
+            )
+
+        def gate_and(subs):
+            m = "(" + " AND ".join(cm for cm, _ in subs) + ")"
+            s = (
+                f"(CASE WHEN {m} THEN "
+                + " + ".join(cs for _, cs in subs)
+                + " ELSE 0.0 END)"
+            )
+            return m, s
+
+        def emit(node):
+            kind = node[0]
+            if kind == "leaf":
+                _, fld, w = node
+                wtoks = list(analysis.tokenize_series(pd.Series([w]))[0])
+                if not wtoks:
+                    raise ValueError(f"oracle lucene: {w!r} → no tokens")
+                pairs = []
+                for t, qtf in sorted(Counter(wtoks).items()):
+                    m_t, s_t = across_fields(fld, "term", t, t)
+                    pairs.append(
+                        (m_t, s_t if qtf == 1 else f"({qtf} * {s_t})")
+                    )
+                if len(pairs) == 1:
+                    return f"({pairs[0][0]})", f"({pairs[0][1]})"
+                if default_operator == "AND":
+                    return gate_and(pairs)
+                return (
+                    "(" + " OR ".join(pm for pm, _ in pairs) + ")",
+                    "(" + " + ".join(ps for _, ps in pairs) + ")",
+                )
+            if kind == "phrase":
+                _, fld, text = node
+                ptoks = tuple(analysis.tokenize_series(pd.Series([text]))[0])
+                if not ptoks:
+                    raise ValueError("oracle lucene: empty phrase")
+                m, s = across_fields(fld, "phrase", ptoks, text)
+                return f"({m})", f"({s})"
+            if kind == "not":
+                cm, _ = emit(node[1])
+                return f"(NOT {cm})", "0.0"
+            if kind == "boost":
+                cm, cs = emit(node[2])
+                return cm, f"({node[1]!r} * {cs})"
+            subs = [emit(c) for c in node[1]]
+            if kind == "and":
+                return gate_and(subs)
+            return (
+                "(" + " OR ".join(cm for cm, _ in subs) + ")",
+                "(" + " + ".join(cs for _, cs in subs) + ")",
+            )
+
+        base, factors = tree, []
+        while base[0] == "boost":
+            factors.append(base[1])
+            base = base[2]
+        if minimum_should_match is not None and base[0] == "or":
+            subs = [emit(c) for c in base[1]]
+            cnt = "(" + " + ".join(
+                f"CASE WHEN {cm} THEN 1 ELSE 0 END" for cm, _ in subs
+            ) + ")"
+            m = f"({cnt} >= {int(minimum_should_match)})"
+            s = "(" + " + ".join(cs for _, cs in subs) + ")"
+            for f_ in reversed(factors):
+                s = f"({f_!r} * {s})"
+        else:
+            m, s = emit(tree)
+        m_cases.append(f"WHEN qid = {int(qid)} THEN {m}")
+        s_cases.append(f"WHEN qid = {int(qid)} THEN {s}")
+        nbits = max(nbits, len(bitmap))
+    atoms = pd.DataFrame(
+        atoms_rows, columns=["qid", "bit", "kind", "field", "text"]
+    )
+    match_sql = "CASE " + " ".join(m_cases) + " ELSE FALSE END"
+    score_sql = "CASE " + " ".join(s_cases) + " ELSE 0.0 END"
+    return atoms, match_sql, score_sql, nbits
+
+
 def _lucene_qs_sql(
     queries: list[tuple[int, str]],
     k: int,
@@ -3399,12 +3684,12 @@ def _lucene_qs_sql(
     """Oracle for q_fts_lucene_qs: per-field BM25 atom scores (term atoms
     from per-field postings; phrase atoms AND-scored and gated on
     consecutive containment in THAT field's token stream) pivoted to
-    s0..s{n-1} per (qid, doc), then the ENGINE-GENERATED match predicate
-    and score expression evaluated verbatim (plans/search.lucene_query_plan
-    is the single source of the boolean semantics)."""
-    from dynamo2es_lambda_spark.plans.search import lucene_query_plan
-
-    atoms, match_sql, score_sql, nbits = lucene_query_plan(
+    s0..s{n-1} per (qid, doc), then an INDEPENDENTLY-parsed and
+    INDEPENDENTLY-compiled match predicate + score expression evaluated
+    on them (``_oracle_lucene_parse`` / ``_oracle_lucene_plan`` above —
+    the engine's plans/search.lucene_query_plan is NOT consulted, per
+    ADVICE r4)."""
+    atoms, match_sql, score_sql, nbits = _oracle_lucene_plan(
         queries, default_operator, minimum_should_match, fields
     )
     vals, ph_term_vals, ph_pat_vals = [], [], []
@@ -9699,7 +9984,7 @@ def _ip_range_sql(queries, ranges) -> str:
     return f"""{_BM25_BODY},{_match_m_cte(queries)},
 ips AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         (doc_id * 2654435761) % 4294967296 AS ip
+         ((doc_id % 4294967296) * 31153 + (((doc_id % 4294967296) * 40503) % 65536) * 65536) % 4294967296 AS ip
   FROM documents
 ),
 r(range_key, lo, hi) AS (VALUES {", ".join(rows)}),
@@ -9738,7 +10023,7 @@ def _ip_prefix_sql(queries, prefix_length, min_doc_count) -> str:
     return f"""{_BM25_BODY},{_match_m_cte(queries)},
 ips AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         (doc_id * 2654435761) % 4294967296 AS ip
+         ((doc_id % 4294967296) * 31153 + (((doc_id % 4294967296) * 40503) % 65536) * 65536) % 4294967296 AS ip
   FROM documents
 ),
 nets AS (

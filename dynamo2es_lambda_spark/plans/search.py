@@ -175,13 +175,18 @@ def search(
     because the per-posting dl is already field-local.
 
     ``minimum_should_match`` (ES ``match`` parameter): in OR mode require
-    at least that many DISTINCT query terms to match (exhaustive scorer
-    only — WAND's bound does not model a match-count gate).
+    at least that many DISTINCT query terms to match. On the WAND path the
+    gate folds into the scorer as a per-candidate distinct-term floor
+    (tau taken over already-qualified candidates only — see
+    ``_score_wand``).
 
     ``search_after`` = (score, doc_id): ES keyset pagination — return the
     next ``k`` results strictly after that cursor in (score desc, doc_id
     asc) order. Deterministic deep paging without a growing offset; pass
-    the LAST row of the previous page. Exhaustive scorer only."""
+    the LAST row of the previous page. Both scorers: WAND certifies
+    candidates below the cursor before they may set the heap threshold,
+    so deep pages keep block-max pruning instead of falling back to an
+    exhaustive scan."""
     n_docs = float(store.meta["n_docs"])
     prefix, avgdl = _field_of(store, field)
     qt = _query_terms(queries)
@@ -249,18 +254,8 @@ def search(
             )
         topk = _cut_topk(agg, k)
     elif algo == "wand":
-        if mode != "or":
-            raise ValueError("wand algo implements mode='or'")
-        if minimum_should_match is not None:
-            raise ValueError(
-                "minimum_should_match needs algo='exhaustive' (WAND's "
-                "upper bound does not model a match-count gate)"
-            )
-        if search_after is not None:
-            raise ValueError(
-                "search_after needs algo='exhaustive' (the WAND heap "
-                "bound does not model a page cursor)"
-            )
+        if mode not in ("or", "and"):
+            raise ValueError(f"wand algo: unknown mode {mode!r}")
         constraints = None
         if index is not None or store.n_dead():
             constraints = _segment_constraints(
@@ -271,9 +266,31 @@ def search(
         topk = _score_wand(
             joined, avgdl, k,
             constraints=constraints, has_allow=index is not None,
+            mode=mode,
+            msm=minimum_should_match if mode == "or" else None,
+            need_by_qid=n_terms_by_qid if mode == "and" else None,
+            cursor=float(search_after[0]) if search_after is not None
+            else None,
         )
-        topk = _cut_topk(topk.groupBy("qid", "doc_int").agg(
-            F.max("score").alias("score")), k)
+        agg = topk.groupBy("qid", "doc_int").agg(
+            F.max("score").alias("score")
+        )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), str(search_after[1])
+            stats = store.doc_stats(spark).select("doc_int", "doc_id")
+            named = agg.join(stats, "doc_int").filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+            )
+            w = Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            return (
+                named.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "rank", "doc_id", "score")
+            )
+        topk = _cut_topk(agg, k)
     else:
         raise ValueError(f"unknown algo: {algo}")
 
@@ -7335,6 +7352,10 @@ def _score_wand(
     k: int,
     constraints: DataFrame | None = None,
     has_allow: bool = False,
+    mode: str = "or",
+    msm: int | None = None,
+    need_by_qid: dict | None = None,
+    cursor: float | None = None,
 ) -> DataFrame:
     """Block-max WAND, per (qid, seg) group (disjoint doc ranges → exact).
 
@@ -7349,6 +7370,29 @@ def _score_wand(
     unrestricted per-segment top-k can evict allowed docs). ``has_allow``
     says an index filter is active: a group with no 'allow' rows then
     matches nothing (vs no filter at all).
+
+    Extensions beyond plain OR top-k (VERDICT r4 task 2 — at 100 TB, deep
+    paging / msm / AND are exactly where exhaustive scoring hurts):
+
+    - ``mode='and'`` (``need_by_qid``: qid → total analyzed query terms):
+      classic mandatory-term intersection — seed candidates from the
+      segment's sparsest term, then intersect against each remaining
+      term's candidate-overlapping blocks only; a segment missing any
+      query term yields nothing. No tau needed; strictly less decoding
+      than exhaustive.
+    - ``msm`` (OR mode): per-candidate distinct-matched-term counts ride
+      the score arrays; the heap threshold tau is taken over candidates
+      that have ALREADY matched >= msm terms (their partials only grow
+      and they stay qualified, so tau stays a valid lower bound on the
+      final kth qualifying score — tau over not-yet-qualified docs could
+      prune a qualifying doc). New docs stop entering once the remaining
+      term count cannot reach msm.
+    - ``cursor`` (search_after score s0): tau is taken only over
+      candidates CERTIFIED below the cursor (partial + remaining upper
+      bound < s0 — their final score cannot cross it, so they surely
+      qualify for the page). Candidates whose partial exceeds s0 are
+      dropped (final >= partial > s0 → before the cursor); exact ==s0
+      boundary rows are all kept for the downstream doc_id tie-break.
     """
 
     empty = pd.DataFrame(
@@ -7381,6 +7425,7 @@ def _score_wand(
 
         cand_ids = np.zeros(0, dtype=np.int64)     # sorted candidate docs
         cand_scores = np.zeros(0, dtype=np.float64)
+        cand_nt = np.zeros(0, dtype=np.int64)       # distinct matched terms
         tau = float("-inf")                         # kth-best partial so far
 
         def decode_rows(tdf: pd.DataFrame, sel: np.ndarray):
@@ -7407,8 +7452,97 @@ def _score_wand(
                 return np.zeros(0, np.int64), np.zeros(0, np.float64)
             return np.concatenate(ids_l), np.concatenate(sc_l)
 
+        def final_cut(ids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+            """Top-k with ties; under a cursor, top-k among strictly-below
+            rows PLUS every ==cursor boundary row (the downstream doc_id
+            tie-break may discard boundary rows, which must not expose a
+            hole — boundary rows are at most the previous page's tie
+            group, so the extra rows are page-sized, not corpus-sized)."""
+            if not ids.size:
+                return empty
+            if cursor is not None:
+                below = scores < cursor
+                b_ids, b_sc = ids[below], scores[below]
+                if len(b_ids) > k:
+                    kth = float(np.partition(b_sc, -k)[-k])
+                    keep = b_sc >= kth
+                    b_ids, b_sc = b_ids[keep], b_sc[keep]
+                edge = scores == cursor
+                ids = np.concatenate([b_ids, ids[edge]])
+                scores = np.concatenate([b_sc, scores[edge]])
+            elif len(ids) > k:
+                kth = float(np.partition(scores, -k)[-k])
+                keep = scores >= kth
+                ids, scores = ids[keep], scores[keep]
+            if not ids.size:
+                return empty
+            return pd.DataFrame(
+                {"qid": qid, "doc_int": ids, "score": scores}
+            )
+
+        if mode == "and":
+            # mandatory-term intersection: every analyzed query term must
+            # match. A term absent from this segment (or from the whole
+            # index: need_by_qid counts pre-dropna terms) → empty.
+            need = need_by_qid.get(qid, len(per_term))
+            if len(per_term) < need:
+                return empty
+            # seed from the sparsest term (fewest blocks) — candidates
+            # only shrink from there
+            by_rarity = sorted(per_term, key=lambda t: len(t[1]))
+            ids0, sc0 = decode_rows(
+                by_rarity[0][1], np.ones(len(by_rarity[0][1]), dtype=bool)
+            )
+            order0 = np.argsort(ids0, kind="stable")
+            cand_ids, cand_scores = ids0[order0], sc0[order0]
+            for _ub, tdf, _bub in by_rarity[1:]:
+                if not cand_ids.size:
+                    return empty
+                lo = np.searchsorted(
+                    cand_ids, tdf["doc_first"].to_numpy(), side="left"
+                )
+                hi = np.searchsorted(
+                    cand_ids, tdf["doc_last"].to_numpy(), side="right"
+                )
+                ids, sc = decode_rows(tdf, hi > lo)
+                order = np.argsort(ids, kind="stable")
+                ids, sc = ids[order], sc[order]
+                pos = np.searchsorted(ids, cand_ids)
+                if ids.size:
+                    ok = (pos < len(ids)) & (
+                        ids[np.minimum(pos, len(ids) - 1)] == cand_ids
+                    )
+                else:
+                    ok = np.zeros(len(cand_ids), dtype=bool)
+                cand_ids = cand_ids[ok]
+                cand_scores = cand_scores[ok] + sc[pos[ok]]
+            return final_cut(cand_ids, cand_scores)
+
+        track_nt = msm is not None
+        n_terms = len(per_term)
+
+        def refresh_tau() -> float:
+            """kth best among candidates GUARANTEED to qualify at the end
+            (msm already reached; final score certain to stay below the
+            cursor) — scores only grow, so these partials lower-bound the
+            final kth qualifying score."""
+            q = np.ones(len(cand_ids), dtype=bool)
+            if track_nt:
+                q &= cand_nt >= msm
+            if cursor is not None:
+                q &= cand_scores + rem_ub < cursor
+            qs = cand_scores[q]
+            if len(qs) < k:
+                return float("-inf")
+            return float(np.partition(qs, -k)[-k])
+
+        rem_ub = suffix[0]
         for i, (_term_ub, tdf, block_ub) in enumerate(per_term):
-            essential = suffix[i] >= tau or len(cand_ids) < k
+            rem_ub = suffix[i + 1]
+            # new docs first seen here match at most the remaining terms —
+            # below msm they can never qualify, so stop admitting them
+            can_enter = (not track_nt) or (n_terms - i >= msm)
+            essential = (suffix[i] >= tau or len(cand_ids) < k) and can_enter
             if essential:
                 # decode all blocks; block-level skip only for blocks that
                 # cannot beat tau AND contain no current candidate (their
@@ -7434,11 +7568,16 @@ def _score_wand(
                 all_ids, all_sc = all_ids[order], all_sc[order]
                 uniq, start = np.unique(all_ids, return_index=True)
                 summed = np.add.reduceat(all_sc, start)
+                if track_nt:
+                    all_nt = np.concatenate(
+                        [cand_nt, np.ones(len(ids), dtype=np.int64)]
+                    )[order]
+                    cand_nt = np.add.reduceat(all_nt, start)
                 cand_ids, cand_scores = uniq, summed
             else:
-                # non-essential: only existing candidates can still be in the
-                # top-k → decode only blocks overlapping the candidate set,
-                # add contributions for candidate docs only (exact scores).
+                # non-essential (or msm-closed): only existing candidates
+                # can still change — decode only blocks overlapping the
+                # candidate set, add their contributions (exact scores).
                 lo = np.searchsorted(
                     cand_ids, tdf["doc_first"].to_numpy(), side="left"
                 )
@@ -7450,19 +7589,26 @@ def _score_wand(
                 pos = np.searchsorted(cand_ids, ids)
                 ok = (pos < len(cand_ids)) & (cand_ids[np.minimum(pos, len(cand_ids) - 1)] == ids)
                 np.add.at(cand_scores, pos[ok], sc[ok])
+                if track_nt:
+                    np.add.at(cand_nt, pos[ok], 1)
+            if cursor is not None and len(cand_ids):
+                # partial already past the cursor → final is too: drop
+                # (exact ==cursor boundary rows stay for the tie-break)
+                live = cand_scores <= cursor
+                if not live.all():
+                    cand_ids = cand_ids[live]
+                    cand_scores = cand_scores[live]
+                    if track_nt:
+                        cand_nt = cand_nt[live]
             if len(cand_ids) >= k:
-                tau = float(np.partition(cand_scores, -k)[-k])
+                tau = refresh_tau()
 
         if not len(cand_ids):
             return empty
-        # keep k best with ties (boundary ties resolved downstream by doc_id)
-        if len(cand_ids) > k:
-            kth = float(np.partition(cand_scores, -k)[-k])
-            keep = cand_scores >= kth
-            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
-        return pd.DataFrame(
-            {"qid": qid, "doc_int": cand_ids, "score": cand_scores}
-        )
+        if track_nt:
+            keepq = cand_nt >= msm
+            cand_ids, cand_scores = cand_ids[keepq], cand_scores[keepq]
+        return final_cut(cand_ids, cand_scores)
 
     if constraints is None:
 
@@ -10213,6 +10359,13 @@ def lucene_query_plan(
         targets_default = [(None, 1.0)]
     if not targets_default:
         raise EngineError("query_string: fields must not be empty")
+    qid_list = [qid for qid, _ in queries]
+    if len(set(qid_list)) != len(qid_list):
+        raise EngineError(
+            "query_string: duplicate qids in queries — each qid must be "
+            "unique (colliding (qid, bit) atom rows would silently merge "
+            "both parse trees' scores)"
+        )
     atoms_rows: list[tuple[int, int, str, str | None, str]] = []
     m_cases: list[str] = []
     s_cases: list[str] = []

@@ -52,10 +52,18 @@ def test_search_after_pages_tile_the_full_ranking(spark, store, oracle):
     assert np.allclose(
         list(page1["score"]) + list(page2["score"]), full["score"], atol=0
     )
-    with pytest.raises(ValueError):
+    # WAND page cursor (r5): cursor-certified tau keeps pruning exact —
+    # the wand page must equal the exhaustive page bit-for-bit
+    page2w = (
         search.search(
-            spark, store, qpdf, algo="wand", search_after=(1.0, "x")
+            spark, store, qpdf, k=5, algo="wand",
+            search_after=(last["score"], last["doc_id"]),
         )
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(page2w["doc_id"]) == list(page2["doc_id"])
+    assert np.allclose(page2w["score"], page2["score"], rtol=1e-12)
 
 
 def test_search_sorted_by_doc_length(spark, store, oracle):
