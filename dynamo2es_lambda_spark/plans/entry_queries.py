@@ -145,7 +145,7 @@ def _ip_hash():
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v12")
+    (path,), fresh = _cached_store_paths(sf_dir, "v13")
     if fresh:
         # synthetic-but-deterministic extra doc fields (geo point, a
         # sometimes-null tag, a date) — derived from doc_id so the DuckDB
@@ -176,6 +176,13 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
                 (_ip_hash() / 256).cast("long") % 256,
                 _ip_hash() % 256,
             ).alias("ip"),
+            # deterministic IPv6 (same hash split into groups 3 and 8,
+            # written with :: compression) for the dual-stack ip aggs
+            F.format_string(
+                "2001:db8:%x::%x",
+                (_ip_hash() / 65536).cast("long"),
+                _ip_hash() % 65536,
+            ).alias("ip6"),
             F.col("text").alias("content"),
         )
         cfg = IndexerConfig(index="docs", id_field="docid")
@@ -184,6 +191,7 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             num_buckets=32, resume=True, positions=True, lm_stats=True,
             doc_meta_cols=(
                 "source", "n_chars", "opt_tag", "lat", "lon", "ip",
+                "ip6",
             ),
         )
     return search.load_store(path)
@@ -10043,6 +10051,111 @@ HAVING count(*) >= {min_doc_count}
 """
 
 
+IP6_RANGES: list[tuple[str, str | None, str | None]] = [
+    ("low", None, "2001:db8:4000::"),
+    ("mid", "2001:db8:4000::", "2001:db8:c000::"),
+    ("high", "2001:db8:c000::", None),
+    ("v4", "0.0.0.0", None),          # v4-mapped space: no native-v6 doc
+]
+IP6_PREFIX_LEN = 36                   # 2 full groups + 4 bits of group 3
+IP6_PREFIX_MIN = 2
+
+
+def q_fts_ip_range_v6(spark, sf_dir):
+    """Dual-stack ip_range: [from, to) buckets over the synthetic IPv6
+    doc field (normalized-hex string compare), with a v4-mapped range
+    proving the two stacks never cross."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_ip_range_agg(
+        spark, store, qpdf, IP6_RANGES, value_col="ip6"
+    )
+
+
+def _ip6_hex(lit: str) -> str:
+    """Independent bound normalization for the oracle (stdlib only)."""
+    import ipaddress
+
+    a = ipaddress.ip_address(lit)
+    n = int(a) if a.version == 6 else (0xFFFF00000000 | int(a))
+    return format(n, "032x")
+
+
+def _ip6_doc_hex_sql() -> str:
+    """The v6 doc value '2001:db8:h1::h2' normalized to 32-hex, derived
+    in DuckDB from doc_id arithmetic (independent of the engine's
+    string-normalization path)."""
+    h = ("((doc_id % 4294967296) * 31153 + (((doc_id % 4294967296) "
+         "* 40503) % 65536) * 65536) % 4294967296")
+    return (
+        f"'20010db8' || lpad(lower(to_hex(CAST(floor({h} / 65536) "
+        f"AS BIGINT))), 4, '0') || '0000000000000000' || "
+        f"lpad(lower(to_hex(CAST({h} % 65536 AS BIGINT))), 4, '0')"
+    )
+
+
+def _ip6_range_sql(queries, ranges) -> str:
+    rows = []
+    for key, lo, hi in ranges:
+        lo_h = "" if lo is None else _ip6_hex(lo)
+        hi_h = "g" if hi is None else _ip6_hex(hi)
+        rows.append(f"('{key}', '{lo_h}', '{hi_h}')")
+    qvals = ", ".join(f"({qid})" for qid, _ in queries)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+ips AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_ip6_doc_hex_sql()} AS hx
+  FROM documents
+),
+r(range_key, lo, hi) AS (VALUES {", ".join(rows)}),
+qs(qid) AS (VALUES {qvals}),
+cnt AS (
+  SELECT m.qid AS qid, r.range_key AS range_key, count(*) AS n
+  FROM m
+  JOIN ips ON ips.doc_id = m.doc_id
+  JOIN r ON ips.hx >= r.lo AND ips.hx < r.hi
+  GROUP BY m.qid, r.range_key
+)
+SELECT CAST(qs.qid AS BIGINT) AS qid, r.range_key AS range_key,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_docs
+FROM qs CROSS JOIN r
+LEFT JOIN cnt ON cnt.qid = qs.qid AND cnt.range_key = r.range_key
+"""
+
+
+def q_fts_ip_prefix_v6(spark, sf_dir):
+    """Dual-stack ip_prefix: /36 network buckets of the IPv6 doc field
+    (nibble-masked hex arithmetic), keys rendered as all 8 groups with
+    leading zeros stripped."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_ip_prefix(
+        spark, store, qpdf, IP6_PREFIX_LEN, value_col="ip6",
+        min_doc_count=IP6_PREFIX_MIN, is_ipv6=True,
+    )
+
+
+def _ip6_prefix_sql(queries, prefix_length, min_doc_count) -> str:
+    # /36 ⇒ groups 1-2 fixed ('2001', 'db8'), group 3 = h1 masked to its
+    # top 4 bits, groups 4-8 zero — recomputed numerically from doc_id
+    assert prefix_length == 36
+    h = ("((doc_id % 4294967296) * 31153 + (((doc_id % 4294967296) "
+         "* 40503) % 65536) * 65536) % 4294967296")
+    g3 = (f"lower(to_hex(CAST(floor(floor({h} / 65536) / 4096) * 4096 "
+          f"AS BIGINT)))")
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+nets AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         '2001:db8:' || {g3} || ':0:0:0:0:0' AS prefix
+  FROM documents
+)
+SELECT CAST(m.qid AS BIGINT) AS qid, n.prefix AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN nets n ON n.doc_id = m.doc_id
+GROUP BY m.qid, n.prefix
+HAVING count(*) >= {min_doc_count}
+"""
+
+
 def q_fts_terms_agg_partition(spark, sf_dir):
     """ES terms agg partitioned fetch: only buckets hashing into the
     requested partition (md5-pinned assignment, disjoint + exhaustive
@@ -10413,6 +10526,8 @@ SPARK_QUERIES = {
     "fts_sparse_vector": q_fts_sparse_vector,
     "fts_ip_range": q_fts_ip_range,
     "fts_ip_prefix": q_fts_ip_prefix,
+    "fts_ip_range_v6": q_fts_ip_range_v6,
+    "fts_ip_prefix_v6": q_fts_ip_prefix_v6,
     "fts_terms_agg_partition": q_fts_terms_agg_partition,
     "dsir_select": q_dsir_select,
     "dedup_bloom": q_dedup_bloom,
@@ -10670,6 +10785,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_ip_range": _ip_range_sql(SORTED_QUERIES, IP_RANGES),
         "fts_ip_prefix": _ip_prefix_sql(
             SORTED_QUERIES, IP_PREFIX_LEN, IP_PREFIX_MIN
+        ),
+        "fts_ip_range_v6": _ip6_range_sql(SORTED_QUERIES, IP6_RANGES),
+        "fts_ip_prefix_v6": _ip6_prefix_sql(
+            SORTED_QUERIES, IP6_PREFIX_LEN, IP6_PREFIX_MIN
         ),
         "fts_terms_agg_partition": _terms_agg_partition_sql(
             SORTED_QUERIES

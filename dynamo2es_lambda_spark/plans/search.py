@@ -9698,6 +9698,52 @@ def _ip4_to_int(s: str) -> int:
     return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
 
 
+def _ip_to_hex(s: str) -> str:
+    """Any IPv4/IPv6 literal → its 32-hex-digit IPv6 address, IPv4
+    mapped into ``::ffff:a.b.c.d`` (the ES ip type's internal form), so
+    ONE lexicographic compare orders the whole dual-stack space.
+    Driver-side only (range bounds / prefixes — query-sized)."""
+    import ipaddress
+
+    try:
+        a = ipaddress.ip_address(s)
+    except ValueError as e:
+        raise EngineError(f"bad IP literal: {s!r}") from e
+    if a.version == 4:
+        return format(0xFFFF00000000 | int(a), "032x")
+    return format(int(a), "032x")
+
+
+def ip_norm_sql(col_sql: str) -> str:
+    """Portable Spark-SQL expression normalizing an IP doc column —
+    dotted-quad IPv4 or colon-hex IPv6 (``::`` compression supported) —
+    to the 32-hex-digit form of :func:`_ip_to_hex`. Pure codegen
+    (split / transform / lpad / conv), no UDF, so the scan path stays
+    JVM-side at corpus scale. Mixed v4-in-v6 literals
+    (``::ffff:1.2.3.4``) are out of scope (write the hex groups)."""
+    s = f"lower(trim({col_sql}))"
+    oct_ = [f"split({s}, '\\\\.')[{i}]" for i in range(4)]
+    v4 = (
+        "concat('00000000000000000000ffff', "
+        + ", ".join(f"lpad(lower(conv({o}, 10, 16)), 2, '0')" for o in oct_)
+        + ")"
+    )
+    lg = f"filter(split(substring_index({s}, '::', 1), ':'), x -> x != '')"
+    rg = f"filter(split(substring_index({s}, '::', -1), ':'), x -> x != '')"
+    expanded = (
+        f"concat({lg}, array_repeat('0', 8 - size({lg}) - size({rg})), {rg})"
+    )
+    groups = (
+        f"CASE WHEN {s} LIKE '%::%' THEN {expanded} "
+        f"ELSE split({s}, ':') END"
+    )
+    return (
+        f"CASE WHEN {s} NOT LIKE '%:%' THEN {v4} "
+        f"ELSE array_join(transform({groups}, g -> lpad(g, 4, '0')), '') "
+        f"END"
+    )
+
+
 def search_ip_range_agg(
     spark: SparkSession,
     store: IndexStore,
@@ -9707,17 +9753,20 @@ def search_ip_range_agg(
     mode: str = "or",
     field: str | None = None,
 ) -> DataFrame:
-    """ES ``ip_range`` aggregation: bucket the match set by an IPv4 doc
-    field against [from, to) ranges — ``from`` inclusive, ``to``
-    exclusive, either side open when None, overlapping ranges allowed
-    (a doc counts in every range containing it), empty buckets kept at
-    zero — all exactly ES's contract.
+    """ES ``ip_range`` aggregation, dual-stack: bucket the match set by
+    an IPv4/IPv6 doc field against [from, to) ranges — ``from``
+    inclusive, ``to`` exclusive, either side open when None, overlapping
+    ranges allowed (a doc counts in every range containing it), empty
+    buckets kept at zero — all exactly ES's contract.
 
-    ``ranges``: [(key, from_ip|None, to_ip|None)] with dotted-quad
-    literals. The doc field parses to a uint32 with built-in split/cast
-    arithmetic (codegen, no UDF); the range table is tiny and broadcast,
-    so the bucket join adds no shuffle beyond the single hash
-    aggregation every agg in this family pays. → (qid, range_key,
+    ``ranges``: [(key, from_ip|None, to_ip|None)] with dotted-quad or
+    colon-hex literals (mixable — the ES ip type maps IPv4 into
+    ``::ffff:0:0/96``, so v4 ranges never capture native-v6 docs and
+    vice versa). Doc values and bounds both normalize to 32-hex-digit
+    IPv6 (:func:`ip_norm_sql` — codegen, no UDF), and one lexicographic
+    string compare orders the whole space; the range table is tiny and
+    broadcast, so the bucket join adds no shuffle beyond the single
+    hash aggregation every agg in this family pays. → (qid, range_key,
     n_docs) with a zero row per (qid, range) that matched nothing."""
     if not ranges:
         raise EngineError("ip_range needs at least one range")
@@ -9730,22 +9779,15 @@ def search_ip_range_agg(
         [
             {
                 "range_key": key,
-                "lo": -1 if lo is None else _ip4_to_int(lo),
-                "hi": 1 << 32 if hi is None else _ip4_to_int(hi),
+                "lo": "" if lo is None else _ip_to_hex(lo),
+                "hi": "g" if hi is None else _ip_to_hex(hi),
             }
             for key, lo, hi in ranges
         ]
     )
     rng = F.broadcast(spark.createDataFrame(bounds))
-    o = F.split(F.col(value_col).cast("string"), r"\.")
-    ip_int = (
-        o.getItem(0).cast("long") * 16777216
-        + o.getItem(1).cast("long") * 65536
-        + o.getItem(2).cast("long") * 256
-        + o.getItem(3).cast("long")
-    )
     stats = store.doc_stats(spark).select(
-        "doc_int", ip_int.alias("_ip")
+        "doc_int", F.expr(ip_norm_sql(f"`{value_col}`")).alias("_ip")
     )
     counted = (
         hits.join(stats, "doc_int")
@@ -9780,43 +9822,75 @@ def search_ip_prefix(
     mode: str = "or",
     field: str | None = None,
     min_doc_count: int = 1,
+    is_ipv6: bool = False,
 ) -> DataFrame:
-    """ES ``ip_prefix`` aggregation (IPv4): bucket the match set by the
-    network prefix of an IPv4 doc field at ``prefix_length`` bits; bucket
-    key = the network address rendered dotted-quad (ES's key), empty
-    buckets omitted, ``min_doc_count`` filters small buckets — ES's
-    contract for the keyed-off default.
+    """ES ``ip_prefix`` aggregation, dual-stack: bucket the match set by
+    the network prefix of an IP doc field at ``prefix_length`` bits;
+    empty buckets omitted, ``min_doc_count`` filters small buckets —
+    ES's contract for the keyed-off default, including its ``is_ipv6``
+    parameter: v4 mode (default) buckets dotted-quad values at 1..32
+    bits with dotted-quad network keys; v6 mode buckets colon-hex
+    values at 1..128 bits, keyed by the network address rendered as all
+    8 groups with per-group leading zeros stripped (ES compresses the
+    longest zero run to ``::`` — documented divergence; group values
+    are identical).
 
     Same plan as the whole grid-agg family: match set → one metadata
-    join → ONE hash aggregation on the bucket key; the prefix mask is
-    non-negative integer arithmetic (floor-div/mult — portable to the
-    DuckDB oracle verbatim), fully codegen, no UDF. → (qid, prefix,
-    n_docs)."""
-    if not 1 <= int(prefix_length) <= 32:
-        raise EngineError("ip_prefix: prefix_length must be in 1..32")
+    join → ONE hash aggregation on the bucket key; the mask is
+    non-negative integer/nibble arithmetic (floor-div/mult + hex conv
+    — portable SQL), fully codegen, no UDF. → (qid, prefix, n_docs)."""
     if min_doc_count < 0:
         raise EngineError("ip_prefix: min_doc_count must be >= 0")
+    if is_ipv6:
+        if not 1 <= int(prefix_length) <= 128:
+            raise EngineError(
+                "ip_prefix: ipv6 prefix_length must be in 1..128"
+            )
+    elif not 1 <= int(prefix_length) <= 32:
+        raise EngineError("ip_prefix: prefix_length must be in 1..32")
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
             [], "qid long, prefix string, n_docs long"
         )
-    shift = 1 << (32 - int(prefix_length))
-    o = F.split(F.col(value_col).cast("string"), r"\.")
-    ip_int = (
-        o.getItem(0).cast("long") * 16777216
-        + o.getItem(1).cast("long") * 65536
-        + o.getItem(2).cast("long") * 256
-        + o.getItem(3).cast("long")
-    )
-    net = F.floor(ip_int / shift) * shift
-    prefix = F.concat_ws(
-        ".",
-        F.floor(net / 16777216).cast("long") % 256,
-        F.floor(net / 65536).cast("long") % 256,
-        F.floor(net / 256).cast("long") % 256,
-        net.cast("long") % 256,
-    )
+    if is_ipv6:
+        plen = int(prefix_length)
+        full, rem = plen // 4, plen % 4
+        hx = ip_norm_sql(f"`{value_col}`")
+        parts = [f"substring({hx}, 1, {full})"]
+        if rem:
+            m = 1 << (4 - rem)
+            nib = f"CAST(conv(substring({hx}, {full + 1}, 1), 16, 10) AS INT)"
+            parts.append(
+                f"lower(conv(CAST(floor({nib} / {m}) * {m} AS STRING), "
+                f"10, 16))"
+            )
+        pad = 32 - full - (1 if rem else 0)
+        if pad:
+            parts.append(f"repeat('0', {pad})")
+        net_hex = "concat(" + ", ".join(parts) + ")"
+        grp = ", ".join(
+            f"lower(conv(substring({net_hex}, {1 + 4 * i}, 4), 16, 16))"
+            for i in range(8)
+        )
+        prefix = F.expr(f"concat_ws(':', {grp})")
+    else:
+        shift = 1 << (32 - int(prefix_length))
+        o = F.split(F.col(value_col).cast("string"), r"\.")
+        ip_int = (
+            o.getItem(0).cast("long") * 16777216
+            + o.getItem(1).cast("long") * 65536
+            + o.getItem(2).cast("long") * 256
+            + o.getItem(3).cast("long")
+        )
+        net = F.floor(ip_int / shift) * shift
+        prefix = F.concat_ws(
+            ".",
+            F.floor(net / 16777216).cast("long") % 256,
+            F.floor(net / 65536).cast("long") % 256,
+            F.floor(net / 256).cast("long") % 256,
+            net.cast("long") % 256,
+        )
     stats = store.doc_stats(spark).select(
         "doc_int", prefix.alias("prefix")
     )
@@ -9846,13 +9920,16 @@ def search_frequent_item_sets(
     divergence.
 
     Apriori prune + index-native items: a pair can reach support s only
-    if BOTH items have corpus df ≥ s, so the candidate item set comes
-    from one metadata-sized ``term_stats`` read (df ≥ min_support), and
-    the (doc, item) relation comes from the INDEX's own posting blocks
-    for those terms — no corpus text is touched. The pair self-join is
-    per-(qid, doc); its width is bounded by the frequent-item count per
-    doc, which min_support controls. → (qid, rank, item1, item2,
-    support)."""
+    if BOTH items have corpus df ≥ s, so the candidate item set is the
+    ``term_stats`` rows with df ≥ min_support — kept as a DISTRIBUTED
+    frame and semi-joined into the posting scan (never materialized on
+    the driver: at 100 TB with a proportionally low min_support the
+    frequent-term dictionary is millions of rows — VERDICT r4 finding
+    2). The (doc, item) relation comes from the INDEX's own posting
+    blocks for those terms — no corpus text is touched. The pair
+    self-join is per-(qid, doc); its width is bounded by the
+    frequent-item count per doc, which min_support controls.
+    → (qid, rank, item1, item2, support)."""
     if min_support < 1:
         raise EngineError("frequent_item_sets needs min_support >= 1")
     if size < 1:
@@ -9861,21 +9938,16 @@ def search_frequent_item_sets(
     ts = store.term_stats(spark).filter(F.col("df") >= int(min_support))
     if prefix:
         ts = ts.filter(F.col("term").startswith(prefix))
-    cand = ts.select("term", "df").toPandas()  # vocab-scale model state
     hits = _match_set(spark, store, queries, mode, field)
-    if hits is None or cand.empty:
+    if hits is None:
         return spark.createDataFrame(
             [],
             "qid long, rank int, item1 string, item2 string, "
             "support long",
         )
-    qt = pd.DataFrame(
-        {"qid": 0, "term": cand["term"].tolist(), "w": 1.0}
+    blocks = store.postings(spark).join(
+        ts.select("term"), "term", "left_semi"
     )
-    qt = _join_term_stats(
-        spark, store, qt, sorted(qt["term"].unique().tolist())
-    ).dropna(subset=["df"])
-    blocks = _matched_blocks(spark, store, qt[["qid", "term", "w"]])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
