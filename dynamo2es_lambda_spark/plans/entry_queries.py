@@ -8240,7 +8240,7 @@ FROM cells
 KNN_K = 5
 DIV_SHARD, DIV_MAX_PER = 6, 2
 GEO_RINGS = [(0.0, 3000.0), (3000.0, 8000.0), (8000.0, 15000.0)]
-GEOTILE_DEG = 30.0
+GEOTILE_ZOOM = 6
 
 
 def _corpus_store_knn(spark: SparkSession, sf_dir: str) -> search.IndexStore:
@@ -8414,22 +8414,82 @@ FROM base LEFT JOIN cnt ON cnt.qid = base.qid AND cnt.ring = base.ring
 
 
 def q_fts_geotile_grid(spark, sf_dir):
-    """Grid aggregation (geotile_grid simplified to a degree grid)."""
+    """ES geotile_grid: true web-mercator z/x/y tile buckets."""
     store = _corpus_store(spark, sf_dir)
     qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
     return search.search_geotile_grid(
-        spark, store, qpdf, cell_deg=GEOTILE_DEG
+        spark, store, qpdf, zoom=GEOTILE_ZOOM
     )
 
 
 def _geotile_grid_sql(queries) -> str:
+    # independently-written mercator tiling over the doc lat/lon
+    n = 1 << GEOTILE_ZOOM
+    mx = 85.0511287798066
+    latc = f"least(greatest({_SQL_LAT}, {-mx}), {mx})"
+    x = (f"least(greatest(CAST(floor(({_SQL_LON} + 180.0) / 360.0 "
+         f"* {n}) AS BIGINT), 0), {n - 1})")
+    y = (f"least(greatest(CAST(floor((1.0 - ln(tan(radians({latc})) "
+         f"+ 1.0 / cos(radians({latc}))) / pi()) / 2.0 * {n}) "
+         f"AS BIGINT), 0), {n - 1})")
     return f"""{_BM25_BODY},{_match_m_cte(queries)}
 SELECT CAST(m.qid AS BIGINT) AS qid,
-       CAST(floor({_SQL_LON} / {GEOTILE_DEG}) AS BIGINT) AS cell_x,
-       CAST(floor({_SQL_LAT} / {GEOTILE_DEG}) AS BIGINT) AS cell_y,
+       '{GEOTILE_ZOOM}' || '/' || {x} || '/' || {y} AS key,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
-GROUP BY m.qid, cell_x, cell_y
+GROUP BY m.qid, key
+"""
+
+
+GEOHEX_RES = 3
+
+
+def q_fts_geohex_grid(spark, sf_dir):
+    """Hex-grid aggregation (geohex_grid, pinned planar axial variant)."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    return search.search_geohex_grid(
+        spark, store, qpdf, resolution=GEOHEX_RES
+    )
+
+
+def _geohex_grid_sql(queries) -> str:
+    # independently-written cube-rounding hex indexer (same published
+    # algorithm, authored separately from the engine's Column chain)
+    size = 60.0 / (1 << GEOHEX_RES)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+pts AS (
+  SELECT m.qid AS qid,
+         (0.5773502691896258 * {_SQL_LON} - {_SQL_LAT} / 3.0) / {size}
+           AS qf,
+         (2.0 * {_SQL_LAT} / 3.0) / {size} AS rf
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.doc_id
+),
+cube AS (
+  SELECT qid, qf, rf, -qf - rf AS yf,
+         floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry,
+         floor(rf + 0.5) AS rz
+  FROM pts
+),
+fixed AS (
+  SELECT qid,
+         CASE WHEN abs(rx - qf) > abs(ry - yf)
+                   AND abs(rx - qf) > abs(rz - rf)
+              THEN -ry - rz ELSE rx END AS hq,
+         CASE WHEN abs(rx - qf) > abs(ry - yf)
+                   AND abs(rx - qf) > abs(rz - rf)
+              THEN rz
+              WHEN abs(ry - yf) > abs(rz - rf)
+              THEN rz
+              ELSE -rx - ry END AS hr
+  FROM cube
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       '{GEOHEX_RES}' || '/' || CAST(hq AS BIGINT) || '/' ||
+         CAST(hr AS BIGINT) AS key,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM fixed
+GROUP BY qid, key
 """
 
 
@@ -10559,6 +10619,7 @@ SPARK_QUERIES = {
     "fts_diversified_sampler": q_fts_diversified_sampler,
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
+    "fts_geohex_grid": q_fts_geohex_grid,
     "fts_geo_polygon": q_fts_geo_polygon,
     "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,
@@ -10832,6 +10893,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_diversified_sampler": _diversified_sampler_sql(SORTED_QUERIES),
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
+        "fts_geohex_grid": _geohex_grid_sql(SORTED_QUERIES),
         "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
         "fts_span_field_masking": _span_field_masking_sql(
             SFM_QUERIES, SFM_SLOP, FT_K

@@ -5412,38 +5412,154 @@ def search_geo_distance_agg(
     )
 
 
+_MERC_MAX_LAT = 85.0511287798066
+
+
+def geotile_key_sql(lat_sql: str, lon_sql: str, zoom: int) -> str:
+    """TRUE ES ``geotile_grid`` bucket key — web-mercator ``z/x/y``
+    (OpenStreetMap tile scheme, what map UIs consume verbatim) as ONE
+    portable SQL expression: ``x = floor((lon+180)/360 · 2^z)``,
+    ``y = floor((1 − asinh(tan(lat))/π)/2 · 2^z)`` with latitude
+    clamped to ±85.0511287798066 (the mercator square) and both
+    coordinates clamped to [0, 2^z−1] — matching ES's edge handling.
+    ln/tan/cos/radians/floor only, identical math in Spark and
+    DuckDB."""
+    if not 0 <= int(zoom) <= 29:
+        raise EngineError("geotile_grid zoom must be in 0..29")
+    n = 1 << int(zoom)
+    lat_c = (
+        f"least(greatest(CAST({lat_sql} AS DOUBLE), "
+        f"{-_MERC_MAX_LAT!r}), {_MERC_MAX_LAT!r})"
+    )
+    x = (
+        f"least(greatest(CAST(floor((CAST({lon_sql} AS DOUBLE) + 180.0)"
+        f" / 360.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+    merc = (
+        f"ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+    )
+    y = (
+        f"least(greatest(CAST(floor((1.0 - {merc} / pi()) / 2.0 "
+        f"* {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+    return f"concat('{int(zoom)}', '/', {x}, '/', {y})"
+
+
 def search_geotile_grid(
     spark: SparkSession,
     store: IndexStore,
     queries: pd.DataFrame,
-    cell_deg: float,
+    zoom: int = 7,
     lat_col: str = "lat",
     lon_col: str = "lon",
     mode: str = "or",
     field: str | None = None,
 ) -> DataFrame:
-    """ES ``geotile_grid``-style grid aggregation, simplified to a fixed
-    lat/lon degree grid (ES tiles in web-mercator zoom levels; the
-    equal-degree cell is the documented divergence — same plan shape,
-    different projection). One hash aggregation keyed on the (cell_x,
-    cell_y) pair; empty cells are omitted like ES."""
-    if cell_deg <= 0:
-        raise EngineError("geotile_grid cell_deg must be positive")
+    """ES ``geotile_grid`` aggregation: bucket the match set's points by
+    web-mercator tile at ``zoom`` (``precision`` in ES, 0..29), bucket
+    key = the ES/OSM ``"z/x/y"`` string. One hash aggregation keyed on
+    the tile; empty cells are omitted like ES. → (qid, key, n_docs)."""
+    key = geotile_key_sql(f"`{lat_col}`", f"`{lon_col}`", zoom)
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
-            [], "qid long, cell_x long, cell_y long, n_docs long"
+            [], "qid long, key string, n_docs long"
         )
     stats = store.doc_stats(spark).select(
-        "doc_int",
-        F.floor(F.col(lon_col).cast("double") / float(cell_deg))
-        .alias("cell_x"),
-        F.floor(F.col(lat_col).cast("double") / float(cell_deg))
-        .alias("cell_y"),
+        "doc_int", F.expr(key).alias("key")
     )
     return (
         hits.join(stats, "doc_int")
-        .groupBy("qid", "cell_x", "cell_y")
+        .groupBy("qid", "key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def search_geohex_grid(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    resolution: int = 4,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geohex_grid``-style aggregation: bucket the match set's
+    points into a HEXAGONAL grid at ``resolution`` (0..15), one hash
+    aggregation keyed on the hex cell, empty cells omitted.
+
+    Cell scheme (pinned, documented divergence): pointy-top hexagons of
+    size ``60/2^res`` degrees on the equirectangular lon/lat plane,
+    indexed by axial coordinates via the published cube-rounding
+    algorithm (fractional axial ``q = (√3/3·lon − lat/3)/s``,
+    ``r = (2lat/3)/s``; round cube coords, repair the axis with the
+    largest rounding error so ``x+y+z = 0`` holds). ES's geohex_grid
+    keys by Uber H3 cell ids — geodesic icosahedral hexes with an
+    aperture-7 hierarchy — which have no closed-form SQL encoding; the
+    planar variant keeps the hex-neighborhood semantics (every bucket
+    has ≤ 6 equidistant neighbors, equal-area cells away from poles)
+    with keys ``"res/q/r"``. Rounding is ``floor(x+0.5)`` written out
+    explicitly so Spark and the DuckDB oracle agree on exact .5
+    boundaries. All codegen arithmetic — no UDF.
+    → (qid, key, n_docs)."""
+    if not 0 <= int(resolution) <= 15:
+        raise EngineError("geohex_grid resolution must be in 0..15")
+    s = 60.0 / (1 << int(resolution))
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "qid long, key string, n_docs long"
+        )
+    px = F.col(lon_col).cast("double")
+    py = F.col(lat_col).cast("double")
+    stats = (
+        store.doc_stats(spark)
+        .select("doc_int", px.alias("_px"), py.alias("_py"))
+        .withColumn(
+            "_qf",
+            (F.lit(0.5773502691896258) * F.col("_px")
+             - F.col("_py") / 3.0) / F.lit(s),
+        )
+        .withColumn("_rf", (F.col("_py") * 2.0 / 3.0) / F.lit(s))
+        .withColumn("_yf", -F.col("_qf") - F.col("_rf"))
+        .withColumn("_rx", F.floor(F.col("_qf") + 0.5))
+        .withColumn("_ry", F.floor(F.col("_yf") + 0.5))
+        .withColumn("_rz", F.floor(F.col("_rf") + 0.5))
+        .withColumn("_dx", F.abs(F.col("_rx") - F.col("_qf")))
+        .withColumn("_dy", F.abs(F.col("_ry") - F.col("_yf")))
+        .withColumn("_dz", F.abs(F.col("_rz") - F.col("_rf")))
+        .withColumn(
+            "_hq",
+            F.when(
+                (F.col("_dx") > F.col("_dy"))
+                & (F.col("_dx") > F.col("_dz")),
+                -F.col("_ry") - F.col("_rz"),
+            ).otherwise(F.col("_rx")),
+        )
+        .withColumn(
+            "_hr",
+            F.when(
+                (F.col("_dx") > F.col("_dy"))
+                & (F.col("_dx") > F.col("_dz")),
+                F.col("_rz"),
+            )
+            .when(F.col("_dy") > F.col("_dz"), F.col("_rz"))
+            .otherwise(-F.col("_hq") - F.col("_ry")),
+        )
+        .select(
+            "doc_int",
+            F.concat_ws(
+                "/",
+                F.lit(int(resolution)),
+                F.col("_hq").cast("long"),
+                F.col("_hr").cast("long"),
+            ).alias("key"),
+        )
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .groupBy("qid", "key")
         .agg(F.count("*").alias("n_docs"))
     )
 

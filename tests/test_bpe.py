@@ -85,3 +85,29 @@ def test_learn_merges_stops_when_dry(spark):
         pd.DataFrame({"doc_id": [0], "text": "a b c d"}, index=[0])
     )
     assert bpe.bpe_learn_merges(docs, 5) == []
+
+
+@pytest.mark.parametrize("bs", [1, 3, 8, 32])
+def test_batched_merges_equal_sequential(spark, bs):
+    """The batch rule must be invisible: any batch_size produces the
+    exact sequential merge list (r5 — one job per batch, not per
+    merge)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(_TEXTS)), "text": _TEXTS})
+    )
+    got = bpe.bpe_learn_merges(docs, 16, min_count=2, batch_size=bs)
+    want = _ref_bpe(_TEXTS, 16, min_count=2)
+    assert got == want, f"batch_size={bs}"
+
+
+def test_batched_merges_tie_heavy_corpus(spark):
+    """Adversarial ties: many pairs share counts and symbols — the
+    barrier rule must fall back toward sequential without diverging."""
+    texts = ["ab ab cd cd ac bd", "abcd abcd dcba", "aa bb cc dd aa bb"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for bs in (2, 4, 16):
+        got = bpe.bpe_learn_merges(docs, 10, min_count=2, batch_size=bs)
+        want = _ref_bpe(texts, 10, min_count=2)
+        assert got == want, f"batch_size={bs}"

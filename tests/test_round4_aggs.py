@@ -490,14 +490,30 @@ def test_geotile_grid_cells(spark, agg_store, tmp_path_factory):
         doc_meta_cols=("lat", "lon"),
     )
     st = search.load_store(path)
-    got = {
-        (r["cell_x"], r["cell_y"]): r["n_docs"]
-        for r in search.search_geotile_grid(
-            spark, st, _q("alpha"), cell_deg=30.0
-        ).collect()
-    }
-    # t0,t1 share cell (0,0); t2 lands in (3,-2)
-    assert got == {(0, 0): 2, (3, -2): 1}
+
+    def osm_tile(lat, lon, z):
+        # reference implementation: the published OSM slippy-map formula
+        import math
+
+        lat = max(min(lat, 85.0511287798066), -85.0511287798066)
+        n = 2 ** z
+        x = min(max(int((lon + 180.0) / 360.0 * n), 0), n - 1)
+        rad = math.radians(lat)
+        y = int((1.0 - math.asinh(math.tan(rad)) / math.pi) / 2.0 * n)
+        return f"{z}/{x}/{min(max(y, 0), n - 1)}"
+
+    for z in (0, 2, 7):
+        got = {
+            r["key"]: r["n_docs"]
+            for r in search.search_geotile_grid(
+                spark, st, _q("alpha"), zoom=z
+            ).collect()
+        }
+        want = {}
+        for lat, lon in [(10.0, 20.0), (15.0, 25.0), (-40.0, 100.0)]:
+            k = osm_tile(lat, lon, z)
+            want[k] = want.get(k, 0) + 1
+        assert got == want, f"zoom={z}"
 
 
 def test_normalize_agg_methods(spark, agg_store):

@@ -227,3 +227,66 @@ def test_semantic_dedup_guards(spark):
     assert ann.semantic_dedup(
         emb, k=1, tau=0.99, max_cluster=1
     ).count() == 0
+
+
+# ------------------------------------------------- geohex_grid (r5)
+
+def _py_hex_key(lat, lon, res):
+    """Independent reference: published axial cube-rounding algorithm."""
+    import math
+
+    s = 60.0 / (1 << res)
+    qf = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / s
+    rf = (2.0 * lat / 3.0) / s
+    yf = -qf - rf
+    rx, ry, rz = (math.floor(v + 0.5) for v in (qf, yf, rf))
+    dx, dy, dz = abs(rx - qf), abs(ry - yf), abs(rz - rf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    return f"{res}/{int(rx)}/{int(rz)}"
+
+
+def test_geohex_grid_matches_reference(spark, tmp_path_factory):
+    import pandas as pd
+
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.plans import build, search
+
+    path = str(tmp_path_factory.mktemp("r5_geohex"))
+    pts = [
+        (f"h{i}", "alpha point",
+         ((i * 37) % 170) - 85 + 0.21, ((i * 91) % 360) - 180 + 0.43)
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["doc_id", "content", "lat", "lon"])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(corpus, cfg, path, segment_docs=16, num_buckets=4,
+                      doc_meta_cols=("lat", "lon"))
+    st = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    for res in (0, 2, 5):
+        got = {
+            r["key"]: r["n_docs"]
+            for r in search.search_geohex_grid(
+                spark, st, q, resolution=res
+            ).collect()
+        }
+        want = {}
+        for _d, _t, lat, lon in pts:
+            k = _py_hex_key(lat, lon, res)
+            want[k] = want.get(k, 0) + 1
+        assert got == want, f"res={res}"
+    # cube invariant: every key's implied y = -q-r is an integer by
+    # construction; resolution bump only splits cells (monotone refine)
+    coarse = {
+        r["key"] for r in search.search_geohex_grid(
+            spark, st, q, resolution=0
+        ).collect()
+    }
+    assert len(coarse) <= 60
