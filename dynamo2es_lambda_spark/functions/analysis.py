@@ -197,3 +197,78 @@ def duckdb_tokens_sql(col: str) -> str:
         f"list_filter(string_split_regex({duckdb_normalize_sql(col)}, "
         f"'{TOKEN_SPLIT}'), t -> t != '')"
     )
+
+
+# ----------------------------------------- search_as_you_type subfields
+# ES's search_as_you_type field type materializes word-shingle subfields
+# (._2gram/._3gram) and an edge-n-gram prefix subfield (._index_prefix)
+# at INDEX time so type-ahead queries are pure term lookups. The engine
+# derives the same streams from the root tokens — vectorized numpy over
+# the flat token array, no per-token Python in the build kernel's hot
+# path beyond the object-dtype joins numpy itself performs.
+
+def _flat_tokens(token_lists: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lens = token_lists.map(len).to_numpy(dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return np.empty(0, dtype=object), np.empty(0, np.int64), lens
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in token_lists]
+    )
+    doc_ord = np.repeat(np.arange(len(token_lists), dtype=np.int64), lens)
+    return flat, doc_ord, lens
+
+
+def sayt_shingle_tokens(
+    token_lists: pd.Series, g: int
+) -> tuple[pd.Series, np.ndarray]:
+    """Per-doc ``g``-gram word shingles ('w1_w2') from root token lists.
+    Windows never cross document boundaries. → (Series[list], dl)."""
+    flat, doc_ord, lens = _flat_tokens(token_lists)
+    out_lens = np.maximum(lens - (g - 1), 0)
+    n = flat.size
+    if n < g:
+        empty = pd.Series(
+            [np.empty(0, dtype=object)] * len(token_lists),
+            index=token_lists.index,
+        )
+        return empty, out_lens
+    w = n - g + 1
+    sh = flat[:w]
+    valid = np.ones(w, dtype=bool)
+    for j in range(1, g):
+        sh = sh + "_" + flat[j:w + j]
+        valid &= doc_ord[:w] == doc_ord[j:w + j]
+    sh = sh[valid]
+    parts = np.split(sh, np.cumsum(out_lens)[:-1])
+    return pd.Series(parts, index=token_lists.index), out_lens
+
+
+def sayt_prefix_tokens(
+    token_lists: pd.Series, max_chars: int
+) -> tuple[pd.Series, np.ndarray]:
+    """Per-doc edge-n-gram streams: every token contributes its prefixes
+    of length 1..min(len, max_chars) (so a typed prefix of ≤ max_chars
+    is an EXACT dictionary term). → (Series[list], dl)."""
+    flat, doc_ord, lens = _flat_tokens(token_lists)
+    if flat.size == 0:
+        empty = pd.Series(
+            [np.empty(0, dtype=object)] * len(token_lists),
+            index=token_lists.index,
+        )
+        return empty, np.zeros(len(token_lists), dtype=np.int64)
+    s = pd.Series(flat, dtype=object)
+    tlen = s.str.len().to_numpy()
+    parts, ords = [], []
+    for p in range(1, int(max_chars) + 1):
+        m = tlen >= p
+        if not m.any():
+            break
+        parts.append(s.str.slice(0, p).to_numpy(dtype=object)[m])
+        ords.append(doc_ord[m])
+    allp = np.concatenate(parts)
+    allo = np.concatenate(ords)
+    order = np.argsort(allo, kind="stable")
+    allp = allp[order]
+    out_lens = np.bincount(allo, minlength=len(token_lists)).astype(np.int64)
+    pieces = np.split(allp, np.cumsum(out_lens)[:-1])
+    return pd.Series(pieces, index=token_lists.index), out_lens

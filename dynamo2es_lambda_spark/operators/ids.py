@@ -121,6 +121,8 @@ def assign_tokenize_count(
     batch_name: str = "b0",
     positions: bool = False,
     fields: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
+    prefix_max: int = 10,
 ) -> DataFrame:
     """Maximally-fused build pass: ONE Python crossing emits everything the
     index build needs — term rows (doc_int, term, tf, dl) interleaved with
@@ -151,7 +153,10 @@ def assign_tokenize_count(
     with_id = df.withColumn(
         "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
     )
-    return tokenize_count_rows(with_id, content_col, positions, fields=fields)
+    return tokenize_count_rows(
+        with_id, content_col, positions, fields=fields,
+        edge_ngrams=edge_ngrams, prefix_max=prefix_max,
+    )
 
 
 def tokenize_count_rows(
@@ -159,6 +164,8 @@ def tokenize_count_rows(
     content_col: str = "content",
     positions: bool = False,
     fields: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
+    prefix_max: int = 10,
 ) -> DataFrame:
     """The fused tokenize/count pass over a frame that ALREADY carries
     ``doc_int`` (hash- or dense-assigned): one Python crossing emitting term
@@ -173,8 +180,19 @@ def tokenize_count_rows(
     therefore every BM25 length norm, is field-local for free. Doc markers
     carry ``dl`` = total tokens plus ``field_dls`` (per-field counts in
     ``fields`` order) for the per-field avgdl aggregation at finalize.
+
+    ``edge_ngrams``: search_as_you_type mode — ``fields`` is then the
+    SYNTHETIC tuple ``(root, root._2gram, ..., root._index_prefix)``
+    where only the root is a corpus column; shingle and edge-prefix
+    token streams are derived from the root's tokens in the same fused
+    pass (functions/analysis.sayt_shingle_tokens / sayt_prefix_tokens)
+    and indexed as ordinary qualified per-field postings — so the
+    type-ahead subfields get field-local dl/avgdl/BM25 for free and a
+    typed prefix of ≤ ``prefix_max`` chars is ONE exact term lookup.
     """
     from ..functions.analysis import (
+        sayt_prefix_tokens,
+        sayt_shingle_tokens,
         term_freqs_from_tokens,
         term_freqs_positions_from_tokens,
         tokenize_series,
@@ -191,6 +209,8 @@ def tokenize_count_rows(
         # the sibling struct and silently drops the projection (observed on
         # Spark 4.1).
         for i, fld in enumerate(fields):
+            if edge_ngrams and i > 0:
+                continue  # synthetic subfield: derived, not a column
             if "." in fld:
                 safe = f"_fld_{i}"
                 while safe in with_id.columns:
@@ -247,10 +267,22 @@ def tokenize_count_rows(
             if fields:
                 frames = []
                 per_field_dl = []
+                root_toks = None
                 for fld in fields:
-                    toks = tokenize_series(pdf[fld_cols[fld]].fillna(""))
-                    dl_f = toks.map(len).to_numpy(dtype=np.int64)
-                    per_field_dl.append(dl_f)
+                    if edge_ngrams and root_toks is not None:
+                        if fld.endswith("._index_prefix"):
+                            toks, dl_f = sayt_prefix_tokens(
+                                root_toks, prefix_max
+                            )
+                        else:
+                            g = int(fld.rsplit("._", 1)[1][:-4])
+                            toks, dl_f = sayt_shingle_tokens(root_toks, g)
+                    else:
+                        toks = tokenize_series(pdf[fld_cols[fld]].fillna(""))
+                        dl_f = toks.map(len).to_numpy(dtype=np.int64)
+                        if edge_ngrams:
+                            root_toks = toks
+                    per_field_dl.append(np.asarray(dl_f, dtype=np.int64))
                     tr = kernel(doc_int, toks, dl_f)
                     if len(tr):
                         tr = tr.copy()
@@ -300,6 +332,8 @@ def assign_dense_tokenize_count(
     positions: bool = False,
     num_partitions: int | None = None,
     fields: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
+    prefix_max: int = 10,
 ) -> tuple[DataFrame, int]:
     """Dense-id variant of the build pass: ``doc_int = (batch_idx << 44) +
     rank(doc_id)``. Rank-dense ids make posting deltas ~N/df instead of
@@ -323,4 +357,7 @@ def assign_dense_tokenize_count(
             "doc_int",
             F.col("doc_int") + F.lit(batch_idx << DENSE_BATCH_SHIFT),
         )
-    return tokenize_count_rows(with_id, content_col, positions, fields=fields), n
+    return tokenize_count_rows(
+        with_id, content_col, positions, fields=fields,
+        edge_ngrams=edge_ngrams, prefix_max=prefix_max,
+    ), n

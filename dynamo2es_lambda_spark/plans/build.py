@@ -144,6 +144,7 @@ def build_index(
     fields: tuple[str, ...] | None = None,
     lm_stats: bool | None = None,
     doc_meta_cols: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
 ) -> BuildResult:
     """Build the full inverted index from a corpus DataFrame.
 
@@ -167,6 +168,18 @@ def build_index(
     them — they are collection statistics, not postings). ``None``
     inherits an existing store's flag (default off), same discipline as
     ``positions``.
+
+    ``edge_ngrams``: search_as_you_type mode (ES field type of that
+    name) — additionally materialize word-shingle subfields
+    ``<content>._<g>gram`` for each listed size plus an edge-prefix
+    subfield ``<content>._index_prefix`` (every token's 1..10-char
+    prefixes), all as ordinary qualified per-field postings in the one
+    shared namespace — so type-ahead queries
+    (plans/search.search_as_you_type) are pure index hits: the typed
+    prefix is an exact dictionary term, no term_stats scan. Costs extra
+    postings at build time (≈ |edge_ngrams| + prefix_max tokens per
+    root token); mutually exclusive with ``fields``; same
+    inherit-or-conflict discipline.
 
     ``fields``: multi-field mode — tokenize each listed column into ONE
     shared posting namespace as ``"<field>:<token>"`` terms (ES multi-field
@@ -258,6 +271,40 @@ def build_index(
             "explicit conflicting value would mix qualified and unqualified "
             "term namespaces — rebuild or omit the value to inherit"
         )
+    prev_eg = tuple(prev.get("edge_ngrams") or ()) or None
+    if edge_ngrams is None:
+        edge_ngrams = prev_eg
+    else:
+        if fields is not None and not prev_eg:
+            raise EngineError(
+                "edge_ngrams is mutually exclusive with fields= — the "
+                "search_as_you_type subfields are synthesized from the "
+                "single content column"
+            )
+        edge_ngrams = tuple(sorted({int(g) for g in edge_ngrams}))
+        if not edge_ngrams or any(not 2 <= g <= 4 for g in edge_ngrams):
+            raise EngineError(
+                "edge_ngrams: shingle sizes must be distinct ints in 2..4"
+            )
+        if committed and prev and prev_eg != edge_ngrams:
+            raise EngineError(
+                f"store at {store_path} was built with edge_ngrams="
+                f"{prev_eg}; an explicit conflicting value would change "
+                "the subfield set mid-store — rebuild or omit to inherit"
+            )
+    if edge_ngrams:
+        sayt_fields = (
+            content_col,
+            *(f"{content_col}._{g}gram" for g in edge_ngrams),
+            f"{content_col}._index_prefix",
+        )
+        if fields is None:
+            fields = sayt_fields
+        elif fields != sayt_fields:
+            raise EngineError(
+                f"store at {store_path}: fields={fields} conflicts with "
+                f"the edge_ngrams subfield set {sayt_fields}"
+            )
     prev_dmc = tuple(prev.get("doc_meta_cols") or ()) or None
     if doc_meta_cols is None:
         doc_meta_cols = prev_dmc
@@ -324,10 +371,12 @@ def build_index(
         mapped = fieldmap.apply_field_mapping(
             corpus, cfg, key_cols=key_cols, content_col=content_col
         )
-        if fields:
+        if fields and not edge_ngrams:
             # multi-field: the north-rule sha covers EVERY indexed field
             # (deterministic field order, unit-separator joined) — not just
             # content_col, which may not even exist on a fields corpus
+            # (search_as_you_type subfields are DERIVED — the root content
+            # sha already covers them)
             mapped = mapped.withColumn(
                 "content_sha256", _fields_sha(fields)
             )
@@ -402,6 +451,7 @@ def build_index(
                 fields=fields,
                 lm_stats=lm_stats,
                 doc_meta_cols=doc_meta_cols or (),
+                edge_ngrams=edge_ngrams,
             )
             total_docs += nd
             total_blocks += nb
@@ -410,6 +460,7 @@ def build_index(
             spark, store_path, segment_docs, num_buckets,
             positions=positions, id_mode=id_mode, fields=fields,
             lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
+            edge_ngrams=edge_ngrams,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -461,6 +512,7 @@ def _build_batch(
     fields: tuple[str, ...] | None = None,
     lm_stats: bool = False,
     doc_meta_cols: tuple[str, ...] = (),
+    edge_ngrams: tuple[int, ...] | None = None,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → [LM grams] →
     lineage → checkpoint marker. Whole-batch retry mirrors
@@ -476,6 +528,7 @@ def _build_batch(
                 id_mode=id_mode, dense_partitions=dense_partitions,
                 sink_options=sink_options, fields=fields,
                 lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
+                edge_ngrams=edge_ngrams,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -500,6 +553,7 @@ def _build_batch_once(
     fields: tuple[str, ...] | None = None,
     lm_stats: bool = False,
     doc_meta_cols: tuple[str, ...] = (),
+    edge_ngrams: tuple[int, ...] | None = None,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -519,7 +573,7 @@ def _build_batch_once(
         rows, n_est = ids.assign_dense_tokenize_count(
             docs, content_col=content_col, batch_idx=batch_idx,
             positions=positions, num_partitions=dense_partitions,
-            fields=fields,
+            fields=fields, edge_ngrams=edge_ngrams,
         )
         # dense ids are contiguous → segments are exact 2^shift-doc slices
         seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
@@ -529,7 +583,7 @@ def _build_batch_once(
         n_est = docs.count()
         rows = ids.assign_tokenize_count(
             docs, content_col=content_col, batch_name=batch_name,
-            positions=positions, fields=fields,
+            positions=positions, fields=fields, edge_ngrams=edge_ngrams,
         )
         seg_shift = postings.seg_shift_for(n_est, segment_docs)
     mark("count_docs")
@@ -577,7 +631,9 @@ def _build_batch_once(
         from ..operators import lm as lm_ops
 
         grams = lm_ops.gram_counts(
-            docs, fields or (content_col,), qualify=bool(fields)
+            docs,
+            (content_col,) if edge_ngrams else (fields or (content_col,)),
+            qualify=bool(fields),
         )
         store_io.write_parquet(
             grams.sortWithinPartitions("gram"),
@@ -668,6 +724,7 @@ def _finalize_store(
     fields: tuple[str, ...] | None = None,
     lm_stats: bool | None = None,
     doc_meta_cols: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs — per field in
@@ -681,6 +738,12 @@ def _finalize_store(
         # a finalize without the flag (CDC apply / compact) must still
         # recompute the per-field stats of a multi-field store
         fields = tuple(store_io.read_meta(store_path)["fields"])
+    if edge_ngrams is None:
+        # CDC apply / compact finalizes without the flag — preserve it
+        edge_ngrams = (
+            tuple(store_io.read_meta(store_path).get("edge_ngrams") or ())
+            or None
+        )
     if doc_meta_cols is None:
         # CDC apply / compact finalizes without the flag — preserve it
         doc_meta_cols = (
@@ -830,6 +893,8 @@ def _finalize_store(
         meta["avgdl_fields"] = avgdl_fields
     if doc_meta_cols:
         meta["doc_meta_cols"] = list(doc_meta_cols)
+    if edge_ngrams:
+        meta["edge_ngrams"] = list(edge_ngrams)
     with open(os.path.join(store_path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

@@ -4070,6 +4070,129 @@ def _corpus_store_mf(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     return search.load_store(path)
 
 
+def _corpus_store_sayt(spark: SparkSession, sf_dir: str) -> search.IndexStore:
+    """search_as_you_type engine index over documents text: shingle
+    subfields (2,3) + edge-prefix subfield materialized at build time
+    (build_index(edge_ngrams=...))."""
+    (path,), fresh = _cached_store_paths(sf_dir, "sayt1")
+    if fresh:
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+        )
+        cfg = IndexerConfig(index="docs", id_field="docid")
+        build.build_index(
+            corpus, cfg, path,
+            num_buckets=32, resume=True, edge_ngrams=(2, 3),
+        )
+    return search.load_store(path)
+
+
+# type-ahead queries: the last token is a typed PREFIX
+SAYT_QUERIES = [
+    (0, "stream dat"),
+    (1, "merge win"),
+    (2, "par"),
+    (3, "sort query col"),
+    (4, "value spar"),
+]
+SAYT_PFX_MAX = 10
+
+
+def q_fts_search_as_you_type(spark, sf_dir):
+    """ES search_as_you_type: bool_prefix over root + shingle subfields,
+    last term = one exact hit on the index-time edge-prefix subfield."""
+    store = _corpus_store_sayt(spark, sf_dir)
+    qpdf = pd.DataFrame(SAYT_QUERIES, columns=["qid", "query"])
+    return _rerank_rounded(
+        search.search_as_you_type(spark, store, qpdf, k=50), FT_K
+    )
+
+
+def _sayt_sql(queries, k) -> str:
+    """Oracle: recompute the four subfield token streams from the raw
+    text in DuckDB (shingles via list_transform over 1-based ranges,
+    prefixes via nested list_transform + flatten), per-field
+    posting/df/dl/avgdl stats, then BM25-sum the same clause set."""
+    clause_rows = []
+    for qid, q in queries:
+        toks = list(analysis.tokenize_series(pd.Series([q]))[0])
+        if not toks:
+            continue
+        for t, c in sorted(Counter(toks[:-1]).items()):
+            clause_rows.append((qid, "f0", t, c))
+        last = toks[-1]
+        assert len(last) <= SAYT_PFX_MAX
+        clause_rows.append((qid, "fp", last, 1))
+        for g in (2, 3):
+            shs = ["_".join(toks[i:i + g])
+                   for i in range(len(toks) - g + 1)]
+            for t, c in sorted(Counter(shs).items()):
+                clause_rows.append((qid, f"f{g}", t, c))
+    vals = ", ".join(
+        f"({qid}, '{fld}', '{t}', {c})" for qid, fld, t, c in clause_rows
+    )
+    bm = (
+        f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)"
+        f" * q.qtf * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl"
+        f" / s.avg_dl))"
+    )
+    branches = []
+    for f in ("f0", "f2", "f3", "fp"):
+        branches.append(f"""
+  SELECT q.qid AS qid, p.doc_id AS doc_id, {bm} AS sc
+  FROM q
+  JOIN post_{f} p ON p.term = q.term AND q.fld = '{f}'
+  JOIN df_{f} d ON d.term = q.term
+  JOIN dl_{f} dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats_{f} s""")
+    field_ctes = []
+    toks_of = {
+        "f0": "tt",
+        "f2": ("list_transform(range(1, greatest(len(tt), 1)), "
+               "i -> tt[i] || '_' || tt[i+1])"),
+        "f3": ("list_transform(range(1, greatest(len(tt) - 1, 1)), "
+               "i -> tt[i] || '_' || tt[i+1] || '_' || tt[i+2])"),
+        "fp": (f"flatten(list_transform(tt, t -> list_transform("
+               f"range(1, least(length(t), {SAYT_PFX_MAX}) + 1), "
+               f"p -> substring(t, 1, p))))"),
+    }
+    for f, expr in toks_of.items():
+        field_ctes.append(f"""
+c_{f} AS (SELECT doc_id, {expr} AS toks FROM corpus),
+post_{f} AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM c_{f})
+  GROUP BY doc_id, term
+),
+df_{f} AS (SELECT term, count(*) AS df FROM post_{f} GROUP BY term),
+dl_{f} AS (SELECT doc_id, len(toks) AS dl FROM c_{f}),
+stats_{f} AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                     (SELECT avg(dl) FROM dl_{f}) AS avg_dl)""")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DOC_TOKS} AS tt
+  FROM documents
+),{",".join(field_ctes)},
+q(qid, fld, term, qtf) AS (VALUES {vals}),
+sc AS ({" UNION ALL".join(branches)}
+),
+agg AS (
+  SELECT qid, doc_id, sum(sc) AS score FROM sc GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM agg
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 NESTED_QUERIES = [(0, "src1"), (1, "src7 src3"), (2, "absentzzz")]
 
 
@@ -10587,6 +10710,7 @@ SPARK_QUERIES = {
     "fts_ip_range": q_fts_ip_range,
     "fts_ip_prefix": q_fts_ip_prefix,
     "fts_ip_range_v6": q_fts_ip_range_v6,
+    "fts_search_as_you_type": q_fts_search_as_you_type,
     "fts_ip_prefix_v6": q_fts_ip_prefix_v6,
     "fts_terms_agg_partition": q_fts_terms_agg_partition,
     "dsir_select": q_dsir_select,
@@ -10848,6 +10972,7 @@ def oracle_sql() -> dict[str, str]:
             SORTED_QUERIES, IP_PREFIX_LEN, IP_PREFIX_MIN
         ),
         "fts_ip_range_v6": _ip6_range_sql(SORTED_QUERIES, IP6_RANGES),
+        "fts_search_as_you_type": _sayt_sql(SAYT_QUERIES, FT_K),
         "fts_ip_prefix_v6": _ip6_prefix_sql(
             SORTED_QUERIES, IP6_PREFIX_LEN, IP6_PREFIX_MIN
         ),

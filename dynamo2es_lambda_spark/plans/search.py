@@ -1272,6 +1272,113 @@ def search_match_bool_prefix(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+SAYT_PREFIX_MAX = 10  # pinned with operators/ids.tokenize_count_rows
+
+
+def search_as_you_type(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """Type-ahead over a ``search_as_you_type`` store (built with
+    ``build_index(edge_ngrams=...)``) — ES's ``multi_match
+    type: bool_prefix`` over ``[root, root._2gram, root._3gram]``:
+
+    - every query term scores as a should clause on the ROOT field;
+    - complete query word-shingles score on their shingle subfield
+      (each with ITS field-local df/dl/avgdl);
+    - the LAST term matches as a prefix via ONE exact dictionary term
+      on the ``._index_prefix`` subfield — the index-time edge n-grams
+      make type-ahead a pure index hit, no term_stats scan (ES's whole
+      point for the field type). Last terms longer than the indexed
+      prefix length (10 chars) fall back to the capped dictionary
+      expansion ``match_bool_prefix`` uses.
+
+    Scoring is the bool sum of all clause scores (ES bool_prefix ≡
+    most_fields semantics). One pruned posting read + one exhaustive
+    pass serves every clause of every query — same plan as
+    multi_match."""
+    eg = tuple(store.meta.get("edge_ngrams") or ())
+    if not eg:
+        raise EngineError(
+            "search_as_you_type needs a store built with edge_ngrams=..."
+        )
+    flds = tuple(store.meta["fields"])
+    root = flds[0]
+    pfx_field = f"{root}._index_prefix"
+    avgdls = store.meta["avgdl_fields"]
+    n_docs = float(store.meta["n_docs"])
+    rows: list[tuple] = []
+    long_last: list[tuple[int, str]] = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        toks = list(analysis.tokenize_series(pd.Series([str(q)]))[0])
+        if not toks:
+            continue
+        qid = int(qid)
+        for t, c in sorted(Counter(toks[:-1]).items()):
+            rows.append((qid, f"{root}:{t}", c, float(avgdls[root])))
+        last = toks[-1]
+        if len(last) <= SAYT_PREFIX_MAX:
+            rows.append(
+                (qid, f"{pfx_field}:{last}", 1, float(avgdls[pfx_field]))
+            )
+        else:
+            long_last.append((qid, f"{root}:{last}"))
+        for g in eg:
+            fname = f"{root}._{g}gram"
+            shs = [
+                "_".join(toks[i:i + g]) for i in range(len(toks) - g + 1)
+            ]
+            for t, c in sorted(Counter(shs).items()):
+                rows.append(
+                    (qid, f"{fname}:{t}", c, float(avgdls[fname]))
+                )
+    parts = []
+    if rows:
+        parts.append(
+            pd.DataFrame(rows, columns=["qid", "term", "qtf", "avgdl"])
+        )
+    if long_last:
+        # >10-char typed prefix: capped dictionary expansion on the root
+        # (rare by construction; identical shape to match_bool_prefix)
+        pats = pd.DataFrame(
+            long_last, columns=["qid", "prefix"]
+        ).drop_duplicates()
+        hit = store.term_stats(spark).join(
+            F.broadcast(spark.createDataFrame(pats)),
+            F.col("term").startswith(F.col("prefix")),
+        )
+        exp = _collect_expansion(
+            hit, "prefix", [F.col("term").asc()], max_expansions
+        ).drop_duplicates(subset=["qid", "term"])
+        if not exp.empty:
+            exp = exp.copy()
+            exp["qtf"] = 1
+            exp["avgdl"] = float(avgdls[root])
+            parts.append(exp[["qid", "term", "qtf", "avgdl"]])
+    if not parts:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = pd.concat(parts, ignore_index=True)
+    qt = _join_term_stats(
+        spark, store, qt, sorted(qt["term"].unique().tolist())
+    ).dropna(subset=["df"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt = qt.copy()
+    qt["w"] = (
+        bm25.idf(n_docs, qt["df"].to_numpy())
+        * (bm25.K1 + 1.0)
+        * qt["qtf"].to_numpy()
+    )
+    joined = _matched_blocks(spark, store, qt)
+    cand = _score_exhaustive(joined, 0.0)  # per-term avgdl column
+    agg = cand.groupBy("qid", "doc_int").agg(F.sum("score").alias("score"))
+    agg = _drop_dead(spark, store, agg)
+    return _present(spark, store, _cut_topk(agg, k), k)
+
+
 def highlight(
     results: DataFrame,
     corpus: DataFrame,
