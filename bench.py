@@ -447,6 +447,18 @@ def main() -> None:
         # tree evaluated as one generated codegen expression
         "fts_lucene_query_string",
         "fts_ip_prefix",
+        # round-5 families: WAND-path msm + score-cursor paging (the
+        # scale-critical queries that used to fall back to exhaustive),
+        # dual-stack IPv6 range buckets, mercator + hex grid aggs, and
+        # the search_as_you_type store (edge-ngram subfield build is
+        # inside the entry's cached-store cost; the query here is the
+        # pure-index-hit bool_prefix)
+        "fts_wand_msm",
+        "fts_wand_after",
+        "fts_ip_range_v6",
+        "fts_geotile_grid",
+        "fts_geohex_grid",
+        "fts_search_as_you_type",
     ):
         fn = entry_queries.SPARK_QUERIES[name]
         tasks.append((name, lambda f=fn: f(spark, sf_dir).collect()))

@@ -145,7 +145,7 @@ def _ip_hash():
 
 def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
     """Build (once per sf_dir+mtime) the engine index over documents."""
-    (path,), fresh = _cached_store_paths(sf_dir, "v13")
+    (path,), fresh = _cached_store_paths(sf_dir, "v14")
     if fresh:
         # synthetic-but-deterministic extra doc fields (geo point, a
         # sometimes-null tag, a date) — derived from doc_id so the DuckDB
@@ -185,13 +185,24 @@ def _corpus_store(spark: SparkSession, sf_dir: str) -> search.IndexStore:
             ).alias("ip6"),
             F.col("text").alias("content"),
         )
+        # envelope shape columns (geo_shape, ES envelope type): a box
+        # around the point with doc_id-derived spans — the oracle
+        # recomputes the identical arithmetic
+        did = F.col("docid").cast("long")
+        corpus = (
+            corpus
+            .withColumn("min_lon", F.col("lon") - ((did % 7) + 1) / 2.0)
+            .withColumn("max_lon", F.col("lon") + ((did % 5) + 1) / 2.0)
+            .withColumn("min_lat", F.col("lat") - ((did % 3) + 1) / 2.0)
+            .withColumn("max_lat", F.col("lat") + ((did % 4) + 1) / 2.0)
+        )
         cfg = IndexerConfig(index="docs", id_field="docid")
         build.build_index(
             corpus, cfg, path,
             num_buckets=32, resume=True, positions=True, lm_stats=True,
             doc_meta_cols=(
                 "source", "n_chars", "opt_tag", "lat", "lon", "ip",
-                "ip6",
+                "ip6", "min_lon", "min_lat", "max_lon", "max_lat",
             ),
         )
     return search.load_store(path)
@@ -2768,6 +2779,117 @@ def q_fts_sorted(spark, sf_dir):
 
 
 SORT_AFTER = (55.0, "250")  # keyset cursor: page past (dl, doc_id)
+
+
+# WAND-path msm / score-cursor pagination gates (r5): the same queries
+# the exhaustive gates use, forced onto algo='wand' — the pruned scorer
+# must reproduce the oracle's exhaustive semantics exactly.
+WAND_MSM_QUERIES = [
+    (0, "spark merge window"),
+    (1, "customer stream sort data"),
+    (2, "query fast key"),
+]
+WAND_MSM = 2
+WAND_AFTER = (1.2, "")  # score-desc page strictly below 1.2
+
+
+def q_fts_wand_msm(spark, sf_dir):
+    """minimum_should_match on the block-max WAND path: >= 2 distinct
+    query terms must match; tau only over already-qualified candidates."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(WAND_MSM_QUERIES, columns=["qid", "query"])
+    return _rerank_rounded(
+        search.search(
+            spark, store, qpdf, k=50, algo="wand",
+            minimum_should_match=WAND_MSM,
+        ),
+        FT_K,
+    )
+
+
+def _wand_msm_sql(queries, msm, k) -> str:
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored WHERE nt >= {msm}
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_fts_wand_after(spark, sf_dir):
+    """search_after on the WAND path: the BM25 page strictly below the
+    pinned (score, doc_id) cursor — cursor-certified tau keeps block-max
+    pruning live on deep pages."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    res = search.search(
+        spark, store, qpdf, k=FT_K, algo="wand", search_after=WAND_AFTER,
+    )
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def _wand_after_sql(queries, k) -> str:
+    s0, d0 = WAND_AFTER
+    vals = []
+    for qid, q in queries:
+        toks = analysis.tokenize_series(pd.Series([q]))[0]
+        for t, qtf in sorted(Counter(toks).items()):
+            vals.append(f"({qid}, '{t}', {qtf})")
+    return f"""{_BM25_BODY},
+q(qid, term, qtf) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.qid AS qid, p.doc_id AS doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+  WHERE score < {s0} OR (score = {s0} AND doc_id > '{d0}')
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_fts_sorted_after(spark, sf_dir):
@@ -8616,6 +8738,52 @@ GROUP BY qid, key
 """
 
 
+GEO_SHAPE_ENV = (-60.0, -30.0, 60.0, 45.0)  # (min_lon, min_lat, max_lon, max_lat)
+
+
+def q_fts_geo_shape(spark, sf_dir):
+    """ES geo_shape (envelope subset): all four spatial relations of the
+    match set's doc envelopes vs a fixed query envelope, unioned with a
+    relation column."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    out = None
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        part = search.search_geo_shape(
+            spark, store, qpdf, GEO_SHAPE_ENV, relation=rel,
+        ).select(F.lit(rel).alias("relation"), "qid", "doc_id")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _geo_shape_sql(queries) -> str:
+    qxl, qyl, qxh, qyh = GEO_SHAPE_ENV
+    env = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {_SQL_LON} - ((doc_id % 7) + 1) / 2.0 AS xl,
+         {_SQL_LON} + ((doc_id % 5) + 1) / 2.0 AS xh,
+         {_SQL_LAT} - ((doc_id % 3) + 1) / 2.0 AS yl,
+         {_SQL_LAT} + ((doc_id % 4) + 1) / 2.0 AS yh
+  FROM documents doc"""
+    rels = {
+        "intersects": f"(xl <= {qxh} AND xh >= {qxl} AND yl <= {qyh} AND yh >= {qyl})",
+        "within": f"(xl >= {qxl} AND xh <= {qxh} AND yl >= {qyl} AND yh <= {qyh})",
+        "contains": f"(xl <= {qxl} AND xh >= {qxh} AND yl <= {qyl} AND yh >= {qyh})",
+        "disjoint": f"NOT (xl <= {qxh} AND xh >= {qxl} AND yl <= {qyh} AND yh >= {qyl})",
+    }
+    branches = " UNION ALL".join(
+        f"""
+  SELECT '{rel}' AS relation, CAST(m.qid AS BIGINT) AS qid,
+         m.doc_id AS doc_id
+  FROM m JOIN env ON env.doc_id = m.doc_id AND {cond}"""
+        for rel, cond in rels.items()
+    )
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+env AS ({env})
+{branches}
+"""
+
+
 def q_fts_geo_bounds(spark, sf_dir):
     """ES geo_bounds metric agg: match-set bounding box."""
     store = _corpus_store(spark, sf_dir)
@@ -10690,6 +10858,8 @@ SPARK_QUERIES = {
     "fts_decay": q_fts_decay,
     "fts_span_near": q_fts_span_near,
     "fts_sorted_after": q_fts_sorted_after,
+    "fts_wand_msm": q_fts_wand_msm,
+    "fts_wand_after": q_fts_wand_after,
     "fts_terms_agg_avg": q_fts_terms_agg,
     "fts_terms_agg_after": q_fts_terms_agg_after,
     "fts_combined_fields": q_fts_combined_fields,
@@ -10744,6 +10914,7 @@ SPARK_QUERIES = {
     "fts_geo_distance_agg": q_fts_geo_distance_agg,
     "fts_geotile_grid": q_fts_geotile_grid,
     "fts_geohex_grid": q_fts_geohex_grid,
+    "fts_geo_shape": q_fts_geo_shape,
     "fts_geo_polygon": q_fts_geo_polygon,
     "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,
@@ -10944,6 +11115,8 @@ def oracle_sql() -> dict[str, str]:
             SPAN_NEAR_QUERIES, FT_K, SPAN_NEAR_SLOP
         ),
         "fts_sorted_after": _sorted_after_sql(SORTED_QUERIES, FT_K),
+        "fts_wand_msm": _wand_msm_sql(WAND_MSM_QUERIES, WAND_MSM, FT_K),
+        "fts_wand_after": _wand_after_sql(SORTED_QUERIES, FT_K),
         "fts_terms_agg_avg": _terms_agg_sql(SORTED_QUERIES),
         "fts_terms_agg_after": _terms_agg_after_sql(SORTED_QUERIES),
         "fts_combined_fields": _combined_fields_sql(
@@ -11019,6 +11192,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_geo_distance_agg": _geo_distance_agg_sql(SORTED_QUERIES),
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_geohex_grid": _geohex_grid_sql(SORTED_QUERIES),
+        "fts_geo_shape": _geo_shape_sql(SORTED_QUERIES),
         "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
         "fts_span_field_masking": _span_field_masking_sql(
             SFM_QUERIES, SFM_SLOP, FT_K

@@ -5780,6 +5780,68 @@ def search_geo_polygon(
     )
 
 
+_GEO_SHAPE_RELATIONS = ("intersects", "within", "contains", "disjoint")
+
+
+def search_geo_shape(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    envelope: tuple[float, float, float, float],
+    relation: str = "intersects",
+    bounds_cols: tuple[str, str, str, str] = (
+        "min_lon", "min_lat", "max_lon", "max_lat",
+    ),
+    mode: str = "or",
+    field: str | None = None,
+) -> DataFrame:
+    """ES ``geo_shape`` query, ENVELOPE subset: documents carry an
+    indexed shape as its bounding envelope (four doc_meta_cols —
+    min_lon/min_lat/max_lon/max_lat, the ES ``envelope`` shape type) and
+    the query supplies an envelope plus one of ES's four spatial
+    relations — ``intersects`` (default), ``within`` (doc shape wholly
+    inside the query shape), ``contains`` (doc shape wholly contains the
+    query shape), ``disjoint``. ES additionally indexes arbitrary
+    polygons via BKD triangle trees; the engine pins the envelope
+    subset (documented divergence — relations on envelopes are exact
+    interval algebra, one codegen predicate, no geometry lib; point
+    fields already have geo_polygon / geo_bbox / geo_distance).
+
+    Plan: match set → metadata-sized doc_stats join → codegen interval
+    comparisons. No dateline wrapping (ES default envelopes likewise
+    assume min ≤ max). → (qid, doc_id)."""
+    if relation not in _GEO_SHAPE_RELATIONS:
+        raise EngineError(
+            f"geo_shape: unknown relation {relation!r} "
+            f"(one of {_GEO_SHAPE_RELATIONS})"
+        )
+    qxl, qyl, qxh, qyh = (float(v) for v in envelope)
+    if qxl > qxh or qyl > qyh:
+        raise EngineError("geo_shape: envelope must be (min_lon, "
+                          "min_lat, max_lon, max_lat) with min <= max")
+    hits = _match_set(spark, store, queries, mode, field)
+    if hits is None:
+        return spark.createDataFrame([], "qid long, doc_id string")
+    xl, yl, xh, yh = (F.col(c).cast("double") for c in bounds_cols)
+    inter = (xl <= qxh) & (xh >= qxl) & (yl <= qyh) & (yh >= qyl)
+    if relation == "intersects":
+        cond = inter
+    elif relation == "disjoint":
+        cond = ~inter
+    elif relation == "within":
+        cond = (xl >= qxl) & (xh <= qxh) & (yl >= qyl) & (yh <= qyh)
+    else:  # contains
+        cond = (xl <= qxl) & (xh >= qxh) & (yl <= qyl) & (yh >= qyh)
+    stats = store.doc_stats(spark).select(
+        "doc_int", "doc_id", cond.alias("_rel")
+    )
+    return (
+        hits.join(stats, "doc_int")
+        .filter(F.col("_rel"))
+        .select("qid", "doc_id")
+    )
+
+
 def search_geo_line(
     spark: SparkSession,
     store: IndexStore,

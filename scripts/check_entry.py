@@ -119,7 +119,11 @@ def main() -> int:
     n = len(results)
     print(f"{n - failures}/{n} queries pass ({sf_dir})")
     if run_all and not only:
-        out = os.path.join(REPO_ROOT, "CORRECTNESS_local.json")
+        # one artifact PER scale factor (VERDICT r4 task 8): an sf0.001
+        # run must not overwrite the sf0.01 evidence — scale-sensitive
+        # regressions (row-count-dependent bugs) would hide
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+        out = os.path.join(REPO_ROOT, f"CORRECTNESS_local_{tag}.json")
         with open(out, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "total": n, "failures": failures,

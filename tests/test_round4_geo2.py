@@ -290,3 +290,52 @@ def test_geohex_grid_matches_reference(spark, tmp_path_factory):
         ).collect()
     }
     assert len(coarse) <= 60
+
+
+# ------------------------------------------------- geo_shape (r5)
+
+def test_geo_shape_envelope_relations(spark, tmp_path_factory):
+    import pandas as pd
+
+    from dynamo2es_lambda_spark import IndexerConfig
+    from dynamo2es_lambda_spark.errors import EngineError
+    from dynamo2es_lambda_spark.plans import build, search
+
+    path = str(tmp_path_factory.mktemp("r5_geoshape"))
+    # doc envelopes: (min_lon, min_lat, max_lon, max_lat)
+    rows = [
+        ("inside",   "alpha", 1.0, 1.0, 2.0, 2.0),     # within q
+        ("overlap",  "alpha", -15.0, -5.0, 1.0, 1.0),  # straddles q edge
+        ("covers",   "alpha", -20.0, -20.0, 20.0, 20.0),  # contains q
+        ("outside",  "alpha", 50.0, 50.0, 60.0, 60.0),  # disjoint
+        ("touch",    "alpha", 10.0, 0.0, 30.0, 5.0),    # edge-touches q
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "doc_id", "content", "min_lon", "min_lat", "max_lon",
+            "max_lat",
+        ])
+    )
+    cfg = IndexerConfig(index="docs", id_field="doc_id")
+    build.build_index(
+        corpus, cfg, path, segment_docs=4, num_buckets=4,
+        doc_meta_cols=("min_lon", "min_lat", "max_lon", "max_lat"),
+    )
+    st = search.load_store(path)
+    q = pd.DataFrame([(0, "alpha")], columns=["qid", "query"])
+    env = (-10.0, -10.0, 10.0, 10.0)
+
+    def rel(r):
+        return set(
+            search.search_geo_shape(spark, st, q, env, relation=r)
+            .toPandas()["doc_id"]
+        )
+
+    assert rel("within") == {"inside"}
+    assert rel("contains") == {"covers"}
+    assert rel("disjoint") == {"outside"}
+    assert rel("intersects") == {"inside", "overlap", "covers", "touch"}
+    with pytest.raises(EngineError, match="unknown relation"):
+        search.search_geo_shape(spark, st, q, env, relation="crosses")
+    with pytest.raises(EngineError, match="min <= max"):
+        search.search_geo_shape(spark, st, q, (5.0, 0.0, -5.0, 1.0))
