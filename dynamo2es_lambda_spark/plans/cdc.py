@@ -178,6 +178,11 @@ def apply_changes(
         # multi-field stores qualify terms per field — an incremental batch
         # must tokenize the same columns under the same qualifiers
         mf_fields = tuple(meta["fields"]) if meta.get("fields") else None
+        # search_as_you_type stores: the subfields are SYNTHESIZED from
+        # the root content — the batch must re-derive them (edge_ngrams
+        # rides to _build_batch) and the multi-field sha override below
+        # must NOT run (the subfields are not image columns)
+        eg = tuple(meta.get("edge_ngrams") or ()) or None
         # a store built with doc_meta_cols writes those columns on every
         # marker; an incremental batch must carry them too or its docs
         # read back null meta (and mixed marker schemas break the
@@ -195,7 +200,7 @@ def apply_changes(
                 "pmod() layout would break term_bucket pruning — omit the "
                 "value to inherit"
             )
-        if mf_fields:
+        if mf_fields and not eg:
             # the multi-field sha covers every indexed field (same rule as
             # build_index) — override the content_col-only sha the CDC
             # field mapping computed
@@ -241,6 +246,7 @@ def apply_changes(
                 id_mode=id_mode,
                 sink_options=cfg.sink_options,
                 fields=mf_fields,
+                edge_ngrams=eg,
                 # a store built with LM statistics must extend them per CDC
                 # batch, or the suggester's counts silently go stale
                 lm_stats=bool(meta.get("lm_stats", False)),

@@ -134,3 +134,75 @@ def test_plain_search_on_root_still_works(spark, sayt_store):
     assert set(res["doc_id"]) >= {"d0", "d3"}
     scores = res.set_index("doc_id")["score"]
     assert np.all(np.isfinite(list(scores)))
+
+
+def test_cdc_incremental_equals_rebuild_on_sayt_store(
+    spark, tmp_path_factory
+):
+    """A CDC batch on an edge_ngrams store must re-derive the synthetic
+    subfields: incremental apply ≡ from-scratch rebuild, compared on the
+    type-ahead ranking itself."""
+    from dynamo2es_lambda_spark.plans import cdc
+
+    cfg = IndexerConfig(index="docs", id_field="doc_id",
+                        version_field="version")
+    base = _DOCS.assign(version=0)
+    inc_path = str(tmp_path_factory.mktemp("sayt_inc"))
+    build.build_index(
+        spark.createDataFrame(base), cfg, inc_path,
+        segment_docs=4, num_buckets=4, edge_ngrams=(2,),
+    )
+    events = pd.DataFrame(
+        [
+            ("INSERT", {"doc_id": "d9"},
+             {"doc_id": "d9", "content": "sparkling merge window",
+              "version": 1}, None),
+            ("MODIFY", {"doc_id": "d0"},
+             {"doc_id": "d0", "content": "spark merge replaced text",
+              "version": 1},
+             {"doc_id": "d0", "content": _DOCS.iloc[0]["content"],
+              "version": 0}),
+            ("REMOVE", {"doc_id": "d4"}, None,
+             {"doc_id": "d4", "content": _DOCS.iloc[4]["content"],
+              "version": 0}),
+        ],
+        columns=["event_name", "keys", "new_image", "old_image"],
+    )
+    schema = (
+        "event_name string, keys struct<doc_id:string>, "
+        "new_image struct<doc_id:string,content:string,version:long>, "
+        "old_image struct<doc_id:string,content:string,version:long>"
+    )
+    # compact so collection statistics (df) drop the tombstoned docs —
+    # only then is incremental ≡ rebuild exact (ES semantics: deleted
+    # docs pollute stats until merge)
+    cdc.apply_changes(
+        spark.createDataFrame(events, schema=schema),
+        cfg, inc_path, segment_docs=4, compact=True,
+    )
+    # from-scratch twin
+    final = pd.DataFrame(
+        [
+            ("d0", "spark merge replaced text", 1),
+            ("d1", _DOCS.iloc[1]["content"], 0),
+            ("d2", _DOCS.iloc[2]["content"], 0),
+            ("d3", _DOCS.iloc[3]["content"], 0),
+            ("d5", _DOCS.iloc[5]["content"], 0),
+            ("d9", "sparkling merge window", 1),
+        ],
+        columns=["doc_id", "content", "version"],
+    )
+    rb_path = str(tmp_path_factory.mktemp("sayt_rb"))
+    build.build_index(
+        spark.createDataFrame(final), cfg, rb_path,
+        segment_docs=4, num_buckets=4, edge_ngrams=(2,),
+    )
+    st_inc = search.load_store(inc_path)
+    st_rb = search.load_store(rb_path)
+    q = _q("spark mer", "merge win", "spar")
+    a = (search.search_as_you_type(spark, st_inc, q, k=10).toPandas()
+         .sort_values(["qid", "rank"]).reset_index(drop=True))
+    b = (search.search_as_you_type(spark, st_rb, q, k=10).toPandas()
+         .sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert np.allclose(a["score"], b["score"], rtol=1e-9)
