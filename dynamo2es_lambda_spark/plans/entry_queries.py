@@ -8533,6 +8533,28 @@ def q_fts_knn_filtered(spark, sf_dir):
     return search.search_knn(spark, store, qpdf, qv, k=KNN_K)
 
 
+KNN_SIM_FLOOR = 0.31
+
+
+def q_fts_knn_radius(spark, sf_dir):
+    """ES knn similarity threshold (radius search): cosine floor drops
+    distant candidates BEFORE the top-k cut."""
+    store = _corpus_store_knn(spark, sf_dir)
+    qpdf = pd.DataFrame(SORTED_QUERIES, columns=["qid", "query"])
+    ev = (
+        _tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .collect()
+    )
+    qv = pd.DataFrame(
+        {"qid": [r["vec_id"] for r in ev],
+         "vec": [list(r["embedding"]) for r in ev]}
+    )
+    return search.search_knn(
+        spark, store, qpdf, qv, k=KNN_K, similarity=KNN_SIM_FLOOR
+    )
+
+
 def _knn_sql(queries) -> str:
     return f"""
 WITH corpus AS (
@@ -8570,6 +8592,16 @@ ranked AS (
 )
 SELECT qid, rank, doc_id, cos_r FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+def _knn_radius_sql(queries) -> str:
+    base = _knn_sql(queries)
+    out = base.replace(
+        "FROM scored\n)",
+        f"FROM scored WHERE cos_r >= {KNN_SIM_FLOOR}\n)",
+    )
+    assert out != base
+    return out
 
 
 def q_fts_diversified_sampler(spark, sf_dir):
@@ -10915,6 +10947,7 @@ SPARK_QUERIES = {
     "fts_geotile_grid": q_fts_geotile_grid,
     "fts_geohex_grid": q_fts_geohex_grid,
     "fts_geo_shape": q_fts_geo_shape,
+    "fts_knn_radius": q_fts_knn_radius,
     "fts_geo_polygon": q_fts_geo_polygon,
     "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,
@@ -11193,6 +11226,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_geotile_grid": _geotile_grid_sql(SORTED_QUERIES),
         "fts_geohex_grid": _geohex_grid_sql(SORTED_QUERIES),
         "fts_geo_shape": _geo_shape_sql(SORTED_QUERIES),
+        "fts_knn_radius": _knn_radius_sql(SORTED_QUERIES),
         "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
         "fts_span_field_masking": _span_field_masking_sql(
             SFM_QUERIES, SFM_SLOP, FT_K

@@ -5362,6 +5362,7 @@ def search_knn(
     vec_col: str = "embedding",
     mode: str = "or",
     field: str | None = None,
+    similarity: float | None = None,
 ) -> DataFrame:
     """ES filtered kNN search: cosine top-k among the docs MATCHING the
     filter query — vectors live on the doc markers as an ordinary
@@ -5376,7 +5377,12 @@ def search_knn(
     rank window. This is ES's post-filter-exact semantics: with a
     selective filter, exact scoring of the match set beats an ANN graph
     walk that must over-fetch past filtered docs; for unfiltered
-    corpus-wide kNN use operators/ann's IVF/PQ/LSH paths."""
+    corpus-wide kNN use operators/ann's IVF/PQ/LSH paths.
+
+    ``similarity`` (ES 8.13 knn parameter): a cosine floor — candidates
+    below it are dropped BEFORE the top-k cut, so a radius query
+    returns fewer than k rows rather than padding with distant
+    neighbors."""
     from ..operators.ann import cosine_expr
 
     if k < 1:
@@ -5406,6 +5412,10 @@ def search_knn(
         .join(qv, "qid")
         .withColumn(
             "cos_r", F.round(F.expr(cosine_expr("_qvec", "_dvec")), 6)
+        )
+        .filter(
+            F.lit(True) if similarity is None
+            else F.col("cos_r") >= float(similarity)
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))

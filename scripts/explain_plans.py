@@ -381,6 +381,54 @@ def main() -> None:
         )),
     ))
 
+    # --- r5: WAND msm / cursor (the pruned path, no exhaustive fallback)
+    sections.append((
+        "WAND with minimum_should_match (pruned scorer, no fallback)",
+        "msm rides INSIDE the block-max scorer (one FlatMapGroupsInPandas "
+        "over (qid, seg) block groups): the posting scan is still bucket- "
+        "and term-pruned (PartitionFilters on part/term_bucket), the "
+        "query-term table still broadcasts, and no exhaustive decode "
+        "appears — at 100 TB, msm and deep paging keep skipping blocks "
+        "instead of scanning everything.",
+        plan_of(search.search(
+            spark, store, qpdf, k=10, algo="wand",
+            minimum_should_match=2,
+        )),
+    ))
+
+    # --- r5: search_as_you_type (typed prefix = exact dictionary term)
+    sayt_path = "/tmp/d2es_plans_sayt"
+    if not os.path.exists(os.path.join(sayt_path, "meta.json")):
+        build.build_index(corpus, cfg, sayt_path, key_cols=("docid",),
+                          num_buckets=32, edge_ngrams=(2, 3))
+    sayt_store = search.load_store(sayt_path)
+    sections.append((
+        "search_as_you_type (typed prefix is ONE exact posting lookup)",
+        "The type-ahead query never scans term_stats: the typed prefix "
+        "is an exact term on the ._index_prefix subfield, so the whole "
+        "query is the standard pruned posting read (PartitionFilters on "
+        "term_bucket, broadcast query-term table) + one aggregation — "
+        "same plan as plain BM25, which is the point of paying for the "
+        "subfields at index time.",
+        plan_of(search.search_as_you_type(
+            spark, sayt_store,
+            pd.DataFrame({"qid": [0], "query": ["spark mer"]}), k=10,
+        )),
+    ))
+
+    # --- r5: mercator geotile + hex grid aggs (codegen keys, 1 hash agg)
+    sections.append((
+        "geotile_grid web-mercator (codegen tile key, one hash agg)",
+        "The z/x/y mercator key is pure codegen arithmetic on the "
+        "metadata-sized doc_stats; the plan is match set → broadcast-"
+        "friendly metadata join → ONE hash aggregation keyed on the "
+        "tile — no UDF, no extra exchange beyond the aggregation's own.",
+        plan_of(search.search_geotile_grid(
+            spark, entry_queries._corpus_store(spark, SF_DIR),
+            pd.DataFrame({"qid": [0], "query": ["spark merge"]}), zoom=6,
+        )),
+    ))
+
     # Manually-authored sections (plan evidence captured once with
     # bespoke setup — index-statistics suggester, chunk dedup, RRF) are
     # preserved across regeneration by carrying them over from the

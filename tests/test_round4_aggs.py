@@ -544,3 +544,20 @@ def test_normalize_agg_methods(spark, agg_store):
         search.search_normalize_agg(
             spark, agg_store, _q(), group_col="src", method="softmax"
         )
+
+
+def test_knn_similarity_radius(spark, knn_store):
+    """r5: the similarity floor drops distant candidates BEFORE the
+    top-k cut — radius queries return fewer than k rows."""
+    qv = pd.DataFrame({"qid": [0], "vec": [[1.0, 0.0]]})
+    full = search.search_knn(
+        spark, knn_store, _q("alpha"), qv, k=10, vec_col="vec"
+    ).toPandas().sort_values("rank")
+    # alpha matches k0 (cos 1.0), k1 (cos .8), k2 (cos 0.0)
+    assert len(full) == 3
+    rad = search.search_knn(
+        spark, knn_store, _q("alpha"), qv, k=10, vec_col="vec",
+        similarity=0.5,
+    ).toPandas().sort_values("rank")
+    assert list(rad["doc_id"]) == ["k0", "k1"]
+    assert list(rad["rank"]) == [1, 2]

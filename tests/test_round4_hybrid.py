@@ -192,3 +192,4 @@ def test_rank_eval_validates(spark, hybrid_store):
     )
     with pytest.raises(EngineError):
         search.rank_eval(spark, hybrid_store, _q(), ratings, k=0)
+
