@@ -167,3 +167,71 @@ def bpe_learn_merges(
             vocab = vocab.withColumn("syms", F.expr(_merge_expr(a, b)))
         vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """APPLY a learned merge list: per ``group_cols`` stratum, the corpus
+    token count under the trained BPE tokenizer plus fertility (BPE
+    tokens per whitespace-analyzer word) — the budget numbers a training
+    pipeline reads after training a tokenizer.
+
+    Scale shape: the corpus is touched once (word-frequency agg, the
+    same pass training used); encoding runs on the DISTINCT-word
+    vocabulary via one Arrow-batched pandas crossing (model-sized work:
+    |vocab| × |merges|, zero per-document Python), and the per-stratum
+    totals are ONE hash aggregation weighting each word's BPE length by
+    its frequency. → (group..., n_words, n_bpe_tokens, fertility_r)."""
+    if not merges:
+        raise EngineError("bpe_encode_tokens wants a non-empty merge list")
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def encode_words(batches):
+        import pandas as pd  # noqa: F401 (schema hints)
+
+        for pdf in batches:
+            out_len = []
+            for w in pdf["w"]:
+                syms = list(w)
+                # reference greedy-rank loop: repeatedly fuse the
+                # best-ranked adjacent pair (Sennrich apply order)
+                while len(syms) > 1:
+                    best, bi = None, -1
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bi = r, i
+                    if best is None:
+                        break
+                    syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+                out_len.append(len(syms))
+            pdf = pdf.copy()
+            pdf["n_sub"] = out_len
+            yield pdf[["w", "n_sub"]]
+
+    spark_words = (
+        docs.select(
+            *group_cols,
+            F.explode(F.expr(spark_tokens_expr(text_col))).alias("w"),
+        )
+        .groupBy(*group_cols, "w")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = spark_words.select("w").distinct()
+    encoded = vocab.mapInPandas(encode_words, schema="w string, n_sub long")
+    return (
+        spark_words.join(encoded, "w")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).cast("long")
+            .alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_sub")) / F.sum("n"), 6
+            ).alias("fertility_r"),
+        )
+    )

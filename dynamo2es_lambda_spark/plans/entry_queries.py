@@ -7354,6 +7354,26 @@ FROM s
 BPE_MIN_COUNT = 3
 
 
+BPE_ENC_MERGES = 24
+
+
+def q_corpus_bpe_fertility(spark, sf_dir):
+    """Train a small BPE on the corpus, then APPLY it: per-lang token
+    budget + fertility under the learned tokenizer. Non-SQL-expressible
+    (the greedy merge application has no DuckDB twin) — rows-only gate;
+    equality with the sequential reference encoder is pytest-proven
+    (tests/test_bpe.py::test_encode_fertility_matches_reference)."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_learn_merges(
+        docs, BPE_ENC_MERGES, text_col="text", min_count=2
+    )
+    return bpe.bpe_encode_tokens(
+        docs, merges, text_col="text", group_cols=("lang",)
+    ).orderBy("lang")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     from ..operators import bpe
 
@@ -10948,6 +10968,7 @@ SPARK_QUERIES = {
     "fts_geohex_grid": q_fts_geohex_grid,
     "fts_geo_shape": q_fts_geo_shape,
     "fts_knn_radius": q_fts_knn_radius,
+    "corpus_bpe_fertility": q_corpus_bpe_fertility,
     "fts_geo_polygon": q_fts_geo_polygon,
     "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,

@@ -111,3 +111,53 @@ def test_batched_merges_tie_heavy_corpus(spark):
         got = bpe.bpe_learn_merges(docs, 10, min_count=2, batch_size=bs)
         want = _ref_bpe(texts, 10, min_count=2)
         assert got == want, f"batch_size={bs}"
+
+
+def _ref_encode(word, merges):
+    """Reference apply (Sennrich order): each merge in sequence, greedy
+    left-to-right across the word."""
+    syms = list(word)
+    for a, b, *_ in merges:
+        acc = []
+        for x in syms:
+            if acc and acc[-1] == a and x == b:
+                acc[-1] = a + b
+            else:
+                acc.append(x)
+        syms = acc
+    return syms
+
+
+def test_encode_fertility_matches_reference(spark):
+    """bpe_encode_tokens (rank-greedy apply on the distinct-word vocab)
+    must reproduce the sequential reference encoding's token counts."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(len(_TEXTS)),
+            "text": _TEXTS,
+            "lang": ["a", "a", "b", "b"],
+        })
+    )
+    merges = bpe.bpe_learn_merges(docs, 12, min_count=2)
+    got = {
+        r["lang"]: (r["n_words"], r["n_bpe_tokens"], r["fertility_r"])
+        for r in bpe.bpe_encode_tokens(docs, merges).collect()
+    }
+    want = {}
+    for lang in ("a", "b"):
+        texts = [t for t, g in zip(_TEXTS, ["a", "a", "b", "b"])
+                 if g == lang]
+        words = []
+        for t in texts:
+            words.extend(analysis.tokenize_series(pd.Series([t]))[0])
+        n_bpe = sum(len(_ref_encode(w, merges)) for w in words)
+        want[lang] = (len(words), n_bpe, round(n_bpe / len(words), 6))
+    assert got == want
+
+
+def test_encode_rejects_empty_merges(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b"], "lang": ["x"]})
+    )
+    with pytest.raises(EngineError):
+        bpe.bpe_encode_tokens(docs, [])
