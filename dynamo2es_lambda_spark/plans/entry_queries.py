@@ -1965,6 +1965,69 @@ def q_fts_significant_terms(spark, sf_dir):
     )
 
 
+SIG_BG_FILTER = "customer"
+
+
+def q_fts_significant_terms_bg(spark, sf_dir):
+    """ES significant_terms with background_filter: over-representation
+    vs the docs matching another query, not vs the whole index."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(SIG_QUERIES, columns=["qid", "query"])
+    corpus = _docs(spark, sf_dir)
+    return search.significant_terms(
+        spark, store, qpdf, corpus, text_col="text", id_col="doc_id",
+        k=SIG_K, min_doc_count=SIG_MIN_DC,
+        background_filter=SIG_BG_FILTER,
+    )
+
+
+def _significant_terms_bg_sql(
+    queries: list[tuple[int, str]], k: int, min_dc: int, bg_query: str
+) -> str:
+    bts = sorted(set(analysis.tokenize_series(pd.Series([bg_query]))[0]))
+    bvals = ", ".join(f"('{t}')" for t in bts)
+    return f"""{_BM25_BODY},{_match_m_cte(queries)},
+bq(term) AS (VALUES {bvals}),
+bm AS (
+  SELECT DISTINCT p.doc_id AS doc_id
+  FROM posting p JOIN bq ON bq.term = p.term
+),
+nb AS (SELECT count(*) AS n_bg FROM bm),
+bgc AS (
+  SELECT p.term AS term, count(*) AS bg
+  FROM bm JOIN posting p ON p.doc_id = bm.doc_id
+  GROUP BY p.term
+),
+nm AS (SELECT qid, count(*) AS n_fg FROM m GROUP BY qid),
+fg AS (
+  SELECT m.qid AS qid, p.term AS term, count(*) AS fg
+  FROM m JOIN posting p ON p.doc_id = m.doc_id
+  GROUP BY m.qid, p.term
+  HAVING count(*) >= {min_dc}
+),
+sc AS (
+  SELECT fg.qid AS qid, fg.term AS term, fg.fg AS fg, bgc.bg AS bg,
+         ((fg.fg * 1.0 / nm.n_fg) - (bgc.bg * 1.0 / nb.n_bg))
+           * (fg.fg * 1.0 / nm.n_fg) / (bgc.bg * 1.0 / nb.n_bg) AS score
+  FROM fg
+  JOIN bgc ON bgc.term = fg.term
+  JOIN nm ON nm.qid = fg.qid
+  CROSS JOIN nb
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, term,
+         CAST(fg AS BIGINT) AS fg, CAST(bg AS BIGINT) AS bg,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 9) DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT qid, rank, term, fg, bg, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 SIGTXT_SAMPLE_K, SIGTXT_K, SIGTXT_MIN_DC = 30, 10, 2
 
 
@@ -10885,6 +10948,7 @@ SPARK_QUERIES = {
     "fts_date_range": q_fts_date_range,
     "fts_rescore": q_fts_rescore,
     "fts_significant_terms": q_fts_significant_terms,
+    "fts_significant_terms_bg": q_fts_significant_terms_bg,
     "fts_significant_text": q_fts_significant_text,
     "fts_scripted_metric": q_fts_scripted_metric,
     "fts_search_template": q_fts_search_template,
@@ -11129,6 +11193,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_significant_terms": _significant_terms_sql(
             SIG_QUERIES, SIG_K, SIG_MIN_DC
+        ),
+        "fts_significant_terms_bg": _significant_terms_bg_sql(
+            SIG_QUERIES, SIG_K, SIG_MIN_DC, SIG_BG_FILTER
         ),
         "fts_percolate": _percolate_sql(PERC_QUERIES),
         "fts_collapse": _collapse_sql(COLLAPSE_QUERIES, FT_K),

@@ -3056,17 +3056,25 @@ def significant_terms(
     min_doc_count: int = 3,
     mode: str = "or",
     field: str | None = None,
+    background_filter: str | None = None,
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation: terms over-represented in the
-    query's match set relative to the whole corpus, scored with ES's JLH
+    query's match set relative to the background, scored with ES's JLH
     (``(fg_rate − bg_rate) × fg_rate / bg_rate``), ``min_doc_count``
     noise gate, top ``k`` per query by (score desc, term asc).
 
     Foreground counts re-tokenize ONLY the matched documents — the match
     set is semi-joined into the corpus scan and tokenization is a pure
     JVM expression (array_distinct over the pinned tokenizer's SQL form,
-    no Python). Background rates come from the store's term_stats / meta —
-    no second corpus pass. Returns (qid, rank, term, fg, bg, score_r)."""
+    no Python). The default background is the whole index, served from
+    term_stats / meta — no second corpus pass.
+
+    ``background_filter`` (ES parameter of the same name): scope the
+    background to the docs matching another query — "what distinguishes
+    this match set from that slice" instead of "from everything". The
+    background set is one more pruned match-set pass; its term counts
+    re-tokenize only ITS docs (same semi-join shape as the foreground).
+    Returns (qid, rank, term, fg, bg, score_r)."""
     hits = _match_set(spark, store, queries, mode, field)
     if hits is None:
         return spark.createDataFrame(
@@ -3099,9 +3107,30 @@ def significant_terms(
         .agg(F.count("*").alias("fg"))
         .filter(F.col("fg") >= int(min_doc_count))
     )
-    bg = store.term_stats(spark).select(
-        "term", F.col("df").alias("bg")
-    )
+    if background_filter is not None:
+        bq = pd.DataFrame(
+            [(0, str(background_filter))], columns=["qid", "query"]
+        )
+        bhits = _match_set(spark, store, bq, mode, field)
+        if bhits is None:
+            return spark.createDataFrame(
+                [],
+                "qid long, rank int, term string, fg long, bg long, "
+                "score_r double",
+            )
+        bmatched = bhits.join(ids, "doc_int").select("doc_id")
+        n_docs = float(bmatched.count())
+        bg = (
+            bmatched.join(src, "doc_id")
+            .select(F.explode("_toks").alias("_tok"))
+            .select(F.concat(F.lit(prefix), F.col("_tok")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("bg"))
+        )
+    else:
+        bg = store.term_stats(spark).select(
+            "term", F.col("df").alias("bg")
+        )
     joined = (
         fg.join(bg, "term")
         .join(F.broadcast(n_matched), "qid")

@@ -371,3 +371,40 @@ def test_histogram_agg(spark, store, oracle):
             spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
             interval=0,
         )
+
+
+def test_significant_terms_background_filter(spark, store, oracle, corpus_df):
+    """r5: background_filter scopes the bg rates to another query's
+    match set instead of the whole index."""
+    from pyspark.sql import functions as F
+
+    q = " ".join(oracle.toks[1][:2])
+    bgq = oracle.toks[2][0]
+    corpus = corpus_df.select(
+        F.concat_ws(".", "repo", "path", "commit").alias("cid"), "content"
+    )
+    res = search.significant_terms(
+        spark, store, pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        corpus, text_col="content", id_col="cid", k=10, min_doc_count=3,
+        background_filter=bgq,
+    ).toPandas().sort_values("rank")
+    matched = [d for d, _ in oracle.topk(q, k=10**9)]
+    bset = [d for d, _ in oracle.topk(bgq, k=10**9)]
+    n_fg, n_bg = len(matched), len(bset)
+    fg, bg = {}, {}
+    for d in matched:
+        for t in set(oracle.toks[oracle.doc_ids.index(d)]):
+            fg[t] = fg.get(t, 0) + 1
+    for d in bset:
+        for t in set(oracle.toks[oracle.doc_ids.index(d)]):
+            bg[t] = bg.get(t, 0) + 1
+    cands = []
+    for t, c in fg.items():
+        if c < 3 or t not in bg:
+            continue
+        fr, br = c / n_fg, bg[t] / n_bg
+        cands.append((round((fr - br) * fr / br, 9), t, c, bg[t]))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    want = cands[:10]
+    assert list(res["term"]) == [t for _, t, _, _ in want]
+    assert list(res["bg"]) == [b for _, _, _, b in want]
