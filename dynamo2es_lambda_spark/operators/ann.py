@@ -959,3 +959,70 @@ def semantic_dedup(
     ).select(
         F.col("vid").alias("vec_id"), "cluster", "dup_of", "best_cos_r"
     )
+
+
+def prune_prototypes(
+    embeddings: DataFrame,
+    k: int,
+    prune_frac: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): per cluster, drop the ``prune_frac`` MOST
+    PROTOTYPICAL members — the ones closest to their centroid — keeping
+    the hard/diverse examples that drive scaling past power laws.
+
+    Same deterministic clustering as :func:`cluster_label_stats`
+    (md5-seeded centroids, broadcast max-cosine assignment — one pass,
+    oracle-replicable); the prune cut is integer arithmetic
+    (``n_prune = floor(prune_frac · |cluster|)`` highest-cosine members,
+    (cos desc, id asc) tie-break), so both engines agree exactly.
+    → (vec_id, cluster, cos_r, pruned)."""
+    from ..errors import EngineError
+
+    if k < 1:
+        raise EngineError("prune_prototypes wants k >= 1")
+    if not 0.0 <= float(prune_frac) < 1.0:
+        raise EngineError("prune_prototypes wants 0 <= prune_frac < 1")
+    cent = F.broadcast(
+        embeddings.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("_h", F.md5(F.col("cid")))
+        .orderBy("_h")
+        .limit(int(k))
+        .select("cid", "cvec")
+    )
+    v = embeddings.select(
+        F.col(id_col).cast("string").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vvec"),
+    )
+    j = v.crossJoin(cent).withColumn(
+        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_r").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "cid", "cos_r")
+    )
+    wc = Window.partitionBy("cid").orderBy(
+        F.col("cos_r").desc(), F.col("vid").asc()
+    )
+    return (
+        assigned
+        .withColumn("_pr", F.row_number().over(wc))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("cid")))
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cid").alias("cluster"),
+            "cos_r",
+            (F.col("_pr")
+             <= F.floor(F.col("_n") * F.lit(float(prune_frac))))
+            .alias("pruned"),
+        )
+    )

@@ -178,3 +178,44 @@ def top_ngrams(
         cut.withColumn("rank", F.row_number().over(w))
         .select("rank", "ngram", "n_occurrences", "n_docs")
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the public C4
+    recipe): keep lines that END IN TERMINAL PUNCTUATION (. ! ? ") and
+    have at least ``min_words_per_line`` words and do not mention
+    "javascript"; drop the whole document when fewer than
+    ``min_kept_lines`` lines survive, or it contains "lorem ipsum" or a
+    curly brace (template/boilerplate markers).
+
+    Everything is one codegen projection (split / filter lambdas /
+    rlike) — no shuffle, no UDF; at 100 TB this is a map-only pass.
+    → (doc_id, n_lines, n_kept, keep_doc, clean_text) with clean_text
+    NULL for dropped docs."""
+    if min_words_per_line < 1 or min_kept_lines < 1:
+        raise EngineError("c4_clean wants positive line/word minimums")
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(ln), " +")) >= int(min_words_per_line))
+        & ~F.lower(ln).contains("javascript"),
+    )
+    doc_bad = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+    )
+    keep_doc = (~doc_bad) & (F.size(kept) >= int(min_kept_lines))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep_doc.alias("keep_doc"),
+        F.when(keep_doc, F.array_join(kept, "\n")).alias("clean_text"),
+    )

@@ -10135,6 +10135,138 @@ FROM best GROUP BY cid, label
 """
 
 
+C4_WPL, C4_MINLINES = 3, 2
+
+
+def q_text_c4_clean(spark, sf_dir):
+    """C4-style line cleaning over a deterministically line-structured
+    view of the corpus (4-word lines, every 3rd line unpunctuated,
+    lorem-ipsum / brace markers on doc_id strata) — both engines derive
+    the identical structure from (text, doc_id)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("did"),
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+    )
+    lines = (
+        "transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) "
+        "/ 4) AS INT)), i -> concat(array_join(slice(split(text, ' '), "
+        "i * 4 + 1, 4), ' '), CASE WHEN i % 3 = 0 THEN '' "
+        "ELSE '.' END))"
+    )
+    with_markers = (
+        f"CASE WHEN did % 17 = 0 THEN concat({lines}, "
+        "array('lorem ipsum dolor sit amet.')) "
+        f"WHEN did % 23 = 0 THEN concat({lines}, "
+        "array('config { x } done here.')) "
+        f"ELSE {lines} END"
+    )
+    structured = docs.select(
+        "doc_id",
+        F.expr(f"array_join({with_markers}, '\n')").alias("text"),
+    )
+    return quality.c4_clean(
+        structured, min_words_per_line=C4_WPL, min_kept_lines=C4_MINLINES
+    )
+
+
+def _c4_clean_sql() -> str:
+    lines = (
+        "list_transform(range(0, CAST(floor((len(tk) - 1) / 4) "
+        "AS BIGINT) + 1), i -> array_to_string(list_slice(tk, "
+        "i * 4 + 1, i * 4 + 4), ' ') || CASE WHEN i % 3 = 0 THEN '' "
+        "ELSE '.' END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS tk
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CASE WHEN did % 17 = 0
+              THEN list_append({lines}, 'lorem ipsum dolor sit amet.')
+              WHEN did % 23 = 0
+              THEN list_append({lines}, 'config {{ x }} done here.')
+              ELSE {lines} END AS lines
+  FROM base
+),
+f AS (
+  SELECT doc_id, lines,
+         array_to_string(lines, chr(10)) AS full_text,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]\s*$')
+           AND len(regexp_split_to_array(trim(l), ' +')) >= {C4_WPL}
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM st
+),
+o AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         (NOT contains(lower(full_text), 'lorem ipsum')
+          AND NOT contains(full_text, '{{')
+          AND len(kept) >= {C4_MINLINES}) AS keep_doc,
+         kept
+  FROM f
+)
+SELECT doc_id, n_lines, n_kept, keep_doc,
+       CASE WHEN keep_doc THEN array_to_string(kept, chr(10)) END
+         AS clean_text
+FROM o
+"""
+
+
+PRUNE_K, PRUNE_FRAC = 8, 0.3
+
+
+def q_prune_prototypes(spark, sf_dir):
+    """SSL-prototypes pruning: drop the 30% most prototypical members
+    of each md5-seeded cosine cluster (keep the hard/diverse tail)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return ann.prune_prototypes(emb, k=PRUNE_K, prune_frac=PRUNE_FRAC)
+
+
+def _prune_prototypes_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PRUNE_K}
+),
+v AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vid, embedding::DOUBLE[] AS vvec
+  FROM embeddings
+),
+j AS (
+  SELECT v.vid AS vid, cent.cid AS cid,
+         round(list_dot_product(v.vvec, cent.cvec)
+               / (sqrt(list_dot_product(v.vvec, v.vvec))
+                  * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6)
+           AS cos_r
+  FROM v CROSS JOIN cent
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vid ORDER BY cos_r DESC, cid ASC
+    ) AS rn FROM j
+  ) WHERE rn = 1
+),
+sized AS (
+  SELECT vid, cid, cos_r,
+         row_number() OVER (
+           PARTITION BY cid ORDER BY cos_r DESC, vid ASC
+         ) AS pr,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM best
+)
+SELECT vid AS vec_id, cid AS cluster, cos_r,
+       pr <= floor(n * {PRUNE_FRAC}) AS pruned
+FROM sized
+"""
+
+
 def q_documents_quality_pct(spark, sf_dir):
     """Percentile-threshold adaptive quality gate: keep docs at or
     above the corpus P25 quality score; per-lang kept counts."""
@@ -11033,6 +11165,8 @@ SPARK_QUERIES = {
     "fts_geo_shape": q_fts_geo_shape,
     "fts_knn_radius": q_fts_knn_radius,
     "corpus_bpe_fertility": q_corpus_bpe_fertility,
+    "text_c4_clean": q_text_c4_clean,
+    "prune_prototypes": q_prune_prototypes,
     "fts_geo_polygon": q_fts_geo_polygon,
     "fts_span_field_masking": q_fts_span_field_masking,
     "fts_geo_line": q_fts_geo_line,
@@ -11315,6 +11449,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_geohex_grid": _geohex_grid_sql(SORTED_QUERIES),
         "fts_geo_shape": _geo_shape_sql(SORTED_QUERIES),
         "fts_knn_radius": _knn_radius_sql(SORTED_QUERIES),
+        "text_c4_clean": _c4_clean_sql(),
+        "prune_prototypes": _prune_prototypes_sql(),
         "fts_geo_polygon": _geo_polygon_sql(SORTED_QUERIES),
         "fts_span_field_masking": _span_field_masking_sql(
             SFM_QUERIES, SFM_SLOP, FT_K

@@ -172,3 +172,72 @@ def test_scrub_pii_planted_cases(spark):
     assert tuple(got.loc[1, ["ne", "ni", "np"]]) == (2, 1, 0)
     assert got.loc[2, "clean"] == "nothing sensitive here"
     assert tuple(got.loc[2, ["ne", "ni", "np"]]) == (0, 0, 0)
+
+
+# ---------------------------------------------------- r5: C4 + pruning
+
+def test_c4_clean_rules(spark):
+    import pandas as pd
+
+    from dynamo2es_lambda_spark.errors import EngineError
+    from dynamo2es_lambda_spark.operators import quality
+
+    docs = pd.DataFrame(
+        [
+            ("keep", "one two three four.\nfive six seven eight!\n"
+                     "no punct line here"),
+            ("short_lines", "a b.\nc d.\ne f."),           # <3 words/line
+            ("js", 'check the Javascript console now.\n'
+                   "one two three four.\nfive six seven eight."),
+            ("lorem", "one two three four.\nfive six seven eight.\n"
+                      "Lorem Ipsum dolor sit."),
+            ("brace", "one two three four.\nfive { six } seven eight."),
+            ("few_kept", "one two three four.\nbare words only"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality.c4_clean(
+            spark.createDataFrame(docs), min_words_per_line=3,
+            min_kept_lines=2,
+        ).collect()
+    }
+    assert got["keep"]["keep_doc"] and got["keep"]["n_kept"] == 2
+    assert got["keep"]["clean_text"] == (
+        "one two three four.\nfive six seven eight!"
+    )
+    assert not got["short_lines"]["keep_doc"]   # every line < 3 words
+    # the javascript line drops but the doc keeps its 2 other lines
+    assert got["js"]["keep_doc"] and got["js"]["n_kept"] == 2
+    assert not got["lorem"]["keep_doc"]         # lorem ipsum marker
+    assert not got["brace"]["keep_doc"]         # curly brace marker
+    assert not got["few_kept"]["keep_doc"]      # only 1 kept line
+    with pytest.raises(EngineError):
+        quality.c4_clean(spark.createDataFrame(docs), min_kept_lines=0)
+
+
+def test_prune_prototypes_cuts_per_cluster(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dynamo2es_lambda_spark.operators import ann
+
+    rng = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(8)], "x")
+           for i in range(60)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rng, columns=["vec_id", "embedding", "label"])
+    )
+    res = ann.prune_prototypes(emb, k=4, prune_frac=0.25).toPandas()
+    assert len(res) == 60
+    by_c = res.groupby("cluster")
+    for cid, grp in by_c:
+        n = len(grp)
+        want_pruned = int(np.floor(n * 0.25))
+        assert int(grp["pruned"].sum()) == want_pruned, cid
+        if want_pruned:
+            # pruned = the highest-cosine (most prototypical) members
+            cut = grp.sort_values(
+                ["cos_r", "vec_id"], ascending=[False, True]
+            )
+            assert list(cut["pruned"][:want_pruned]) == [True] * want_pruned
