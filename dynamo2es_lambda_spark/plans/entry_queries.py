@@ -10195,7 +10195,7 @@ f AS (
   SELECT doc_id, lines,
          array_to_string(lines, chr(10)) AS full_text,
          list_filter(lines, l ->
-           regexp_matches(l, '[.!?"]\s*$')
+           regexp_matches(l, '[.!?"]\\s*$')
            AND len(regexp_split_to_array(trim(l), ' +')) >= {C4_WPL}
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM st

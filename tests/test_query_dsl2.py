@@ -445,12 +445,16 @@ def test_match_minimum_should_match(spark, pos_store, oracle):
         _assert_rank_identical(
             list(zip(got["doc_id"], got["score"])), want, f"msm={msm}"
         )
-    with pytest.raises(ValueError):
-        search.search(
-            spark, pos_store,
-            pd.DataFrame([(0, q)], columns=["qid", "query"]),
-            algo="wand", minimum_should_match=2,
-        )
+    # r5: the WAND path supports msm natively — must equal exhaustive
+    resw = search.search(
+        spark, pos_store,
+        pd.DataFrame([(0, q)], columns=["qid", "query"]),
+        k=10, algo="wand", minimum_should_match=2,
+    ).toPandas().sort_values("rank")
+    want = oracle.topk(q, k=10, minimum_should_match=2)
+    _assert_rank_identical(
+        list(zip(resw["doc_id"], resw["score"])), want, "wand msm=2"
+    )
 
 
 # ----------------------------------------------------------- query_string
