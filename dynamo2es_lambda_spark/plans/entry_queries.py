@@ -10986,6 +10986,22 @@ GROUP BY m.qid, q3.geohash
 
 # ----------------------------------------------------------- registries
 
+
+# Oracles that evaluate an ENGINE-GENERATED expression verbatim instead of
+# an independent re-derivation (ADVICE r4: such gates self-verify the
+# shared expression; they are annotated here and in the local correctness
+# artifact, and each is independently validated another way):
+#   - fts_geo_polygon: shares search.geo_polygon_expr — fuzz-verified
+#     against a pure-Python even-odd ray-caster (tests/test_round4_geo2.py)
+#   - fts_geohash_grid: shares search.geohash_exprs — validated against
+#     the geohash spec's PUBLISHED vectors (tests)
+# The Lucene query_string gates were de-shared in r5 (independent parser +
+# compiler in _oracle_lucene_parse/_oracle_lucene_plan above).
+COMPILER_SHARED_ORACLES = {
+    "fts_geo_polygon": "shares geo_polygon_expr; fuzzed vs pure-Python",
+    "fts_geohash_grid": "shares geohash_exprs; spec-vector validated",
+}
+
 SPARK_QUERIES = {
     "fts_pit_counts": q_fts_pit_counts,
     "fts_scroll_sliced": q_fts_scroll_sliced,

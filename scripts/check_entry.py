@@ -124,6 +124,13 @@ def main() -> int:
         # regressions (row-count-dependent bugs) would hide
         tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
         out = os.path.join(REPO_ROOT, f"CORRECTNESS_local_{tag}.json")
+        from dynamo2es_lambda_spark.plans.entry_queries import (
+            COMPILER_SHARED_ORACLES,
+        )
+
+        for nm, why in COMPILER_SHARED_ORACLES.items():
+            if nm in results:
+                results[nm]["compiler_shared_oracle"] = why
         with open(out, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "total": n, "failures": failures,
