@@ -861,6 +861,71 @@ SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+MATCH_FUZZY_QUERIES = [
+    (0, "spak merge"),          # typo + exact
+    (1, "window functoin"),     # two typos
+    (2, "customer"),            # pure exact (fuzzy includes distance 0)
+    (3, "zzzzzz qqqqqq"),       # nothing within budget
+]
+
+
+def q_fts_match_fuzzy(spark, sf_dir):
+    """ES match + fuzziness=AUTO: per-term fuzzy expansion of free text,
+    folded union, OR-scored BM25."""
+    store = _corpus_store(spark, sf_dir)
+    qpdf = pd.DataFrame(MATCH_FUZZY_QUERIES, columns=["qid", "query"])
+    return _rerank_rounded(
+        search.search_match_fuzzy(
+            spark, store, qpdf, k=50, fuzziness="AUTO",
+        ),
+        FT_K,
+    )
+
+
+def _match_fuzzy_sql(queries, k) -> str:
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(analysis.tokenize_series(pd.Series([q]))[0])):
+            me = 0 if len(t) < 3 else (1 if len(t) < 6 else 2)
+            rows.append(f"({qid}, '{t}', {me})")
+    vals = ", ".join(rows)
+    return f"""{_BM25_BODY},
+exp AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT v.qid AS qid, d.term AS term,
+           row_number() OVER (
+             PARTITION BY v.qid, v.probe
+             ORDER BY levenshtein(d.term, v.probe), d.term
+           ) AS rn
+    FROM (VALUES {vals}) v(qid, probe, me)
+    JOIN dfreq d ON levenshtein(d.term, v.probe) <= v.me
+  ) WHERE rn <= 50
+),
+scored AS (
+  SELECT e.qid AS qid, p.doc_id AS doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ({K1} + 1.0)
+             * p.tf / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM exp e
+  JOIN posting p ON p.term = e.term
+  JOIN dfreq d ON d.term = e.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         round(score, 6) AS score_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 # probes across the three AUTO bands: len<3 → 0 edits, 3–5 → 1, ≥6 → 2
 FUZZY_AUTO_QUERIES = [
     (0, "sp"),        # 0 edits: only exact 'sp' (absent) — no rows
@@ -11040,6 +11105,7 @@ SPARK_QUERIES = {
     "fts_span_first": q_fts_span_first,
     "fts_prefix": q_fts_prefix,
     "fts_fuzzy": q_fts_fuzzy,
+    "fts_match_fuzzy": q_fts_match_fuzzy,
     "fts_wildcard": q_fts_wildcard,
     "fts_regexp": q_fts_regexp,
     "fts_phrase_prefix": q_fts_phrase_prefix,
@@ -11251,6 +11317,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_prefix": _prefix_sql(PREFIX_QUERIES, FT_K),
         "fts_fuzzy": _fuzzy_sql(FUZZY_QUERIES, FT_K),
+        "fts_match_fuzzy": _match_fuzzy_sql(MATCH_FUZZY_QUERIES, FT_K),
         "fts_wildcard": _wildcard_sql(WILDCARD_QUERIES, FT_K),
         "fts_regexp": _regexp_sql(REGEXP_QUERIES, FT_K),
         "fts_phrase_prefix": _phrase_prefix_sql(

@@ -1667,6 +1667,40 @@ def search_fuzzy(
     return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
+def search_match_fuzzy(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: pd.DataFrame,
+    k: int = 10,
+    fuzziness: int | str = "AUTO",
+    max_expansions: int | None = 50,
+    field: str | None = None,
+    prefix_length: int = 0,
+) -> DataFrame:
+    """ES ``match`` with ``fuzziness`` — the typo-tolerant match query:
+    analyze the query text, expand EVERY term through the fuzzy
+    dictionary machinery (per-term AUTO edit budgets, per-(qid, term)
+    expansion caps, optional ``prefix_length`` band), union the
+    expansions (a dictionary term reached by two query terms folds
+    once, like ES's bool-of-fuzzy rewrite) and OR-score with per-term
+    BM25 idf weights. One dictionary scan + one pruned posting read
+    serve all terms of all queries (the plan is search_fuzzy's —
+    ``queries`` here is (qid, query) free text instead of single
+    probes)."""
+    rows = []
+    for qid, q in zip(queries["qid"], queries["query"]):
+        for t in analysis.tokenize_series(pd.Series([str(q)]))[0]:
+            rows.append((int(qid), t))
+    if not rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    probes = pd.DataFrame(rows, columns=["qid", "term"]).drop_duplicates()
+    return search_fuzzy(
+        spark, store, probes, k=k, max_edits=fuzziness,
+        max_expansions=max_expansions, field=field,
+        prefix_length=prefix_length,
+    )
+
+
 def _decode_positional_terms(pdf: pd.DataFrame) -> dict[str, tuple]:
     """Decode every (term, seg) posting-block group of ``pdf`` into sorted
     numpy arrays: term -> (ids, tfs, dls, flat_positions, starts)."""
