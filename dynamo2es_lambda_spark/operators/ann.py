@@ -873,7 +873,15 @@ def cluster_label_stats(
         .groupBy(F.col("cid").alias("cluster"), "label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("cos_r"), 6).alias("avg_cos_r"),
+            # exact integer-micro mean: cos_r is already 6-dp rounded, so
+            # summing round(cos_r·1e6) as BIGINT is order-independent —
+            # a float avg() here flipped a 6-dp rounding boundary
+            # nondeterministically between runs (partial-agg order)
+            F.round(
+                F.sum(F.round(F.col("cos_r") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6)),
+                6,
+            ).alias("avg_cos_r"),
         )
     )
 

@@ -10195,7 +10195,8 @@ best AS (
   ) WHERE rn = 1
 )
 SELECT cid AS cluster, label, CAST(count(*) AS BIGINT) AS n,
-       round(avg(cos_r), 6) AS avg_cos_r
+       round(sum(CAST(round(cos_r * 1e6) AS BIGINT))
+             / (count(*) * 1e6), 6) AS avg_cos_r
 FROM best GROUP BY cid, label
 """
 
