@@ -855,7 +855,13 @@ def _finalize_store(
             else {}
         )
     blocks = store_io.read_blocks(spark, store_path)
-    ts = postings.term_stats(blocks)
+    # sortWithinPartitions("term"): no extra exchange (sorts the agg's own
+    # output partitions), but each output file becomes term-ordered, so its
+    # parquet row-group min/max stats are tight — the query side's
+    # driver-side term lookup (plans/search._term_stats_lookup) then prunes
+    # to the row groups containing the probed terms instead of scanning
+    # the vocabulary (guide §6: make min/max statistics effective).
+    ts = postings.term_stats(blocks).sortWithinPartitions("term")
     store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
     lm_root = os.path.join(store_path, "lm")
     if lm_stats is None:

@@ -63,15 +63,64 @@ class IndexStore:
     meta: dict
     _n_dead: int | None = None
 
-    def postings(self, spark: SparkSession) -> DataFrame:
+    def _segments(self, spark: SparkSession) -> DataFrame:
+        """The store's segment tree as ONE lazily-resolved DataFrame,
+        memoized per (handle, session). A query path touches the tree
+        several times (postings + doc stats + constraint routing); each
+        fresh ``spark.read`` re-lists the partition directories, and past
+        32 leaf dirs that listing is its own distributed Spark job —
+        reusing the resolved plan does the listing once per handle. This
+        memoizes file METADATA only (never rows or results); reload the
+        store after apply_changes/compact_store, as for n_dead."""
         from ..sources import store_io
 
-        return store_io.read_blocks(spark, self.path)
+        cache = self.__dict__.setdefault("_seg_cache", {})
+        key = spark.sparkContext.applicationId
+        df = cache.get(key)
+        if df is None:
+            df = store_io.read_store(
+                spark, store_io.segments_path(self.path)
+            )
+            cache[key] = df
+        return df
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        block_cols = [
+            "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
+            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+            "pos_bytes", "term_bucket", "batch",
+        ]
+        df = self._segments(spark).filter(F.col("part") == "block")
+        return df.select(*[c for c in block_cols if c in df.columns])
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
-        from ..sources import store_io
+        extra = tuple(self.meta.get("doc_meta_cols") or ())
+        df = self._segments(spark).filter(F.col("part") == "doc")
+        keep = [
+            c
+            for c in ("doc_int", "doc_id", "index_name", "doc_type",
+                      "parent", "version", "dl", "field_dls",
+                      "content_sha256", "lang", "ts", "batch", *extra)
+            if c in df.columns
+        ]
+        return df.select(*keep)
 
-        return store_io.read_doc_stats(spark, self.path)
+    def doc_rows(self, spark: SparkSession,
+                 cols: tuple = ("doc_int", "seg")) -> DataFrame:
+        """read_doc_rows twin over the memoized segment frame (see
+        sources/store_io.read_doc_rows for the doc_seg contract)."""
+        df = self._segments(spark).filter(F.col("part") == "doc")
+        if "doc_seg" not in df.columns:
+            raise EngineError(
+                f"store at {self.path} predates the doc_seg marker column "
+                "— rebuild the index to enable segment-routed constraints"
+            )
+        sel = [
+            F.col("doc_seg").alias("seg") if c == "seg" else F.col(c)
+            for c in cols
+            if c == "seg" or c in df.columns
+        ]
+        return df.select(*sel)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "term_stats"))
@@ -727,17 +776,15 @@ def _segment_constraints(
 
     parts = []
     if index is not None:
-        doc_rows = store_io.read_doc_rows(
-            spark, store.path, cols=("doc_int", "seg", "index_name")
+        doc_rows = store.doc_rows(
+            spark, cols=("doc_int", "seg", "index_name")
         )
         parts.append(
             doc_rows.filter(F.col("index_name") == index)
             .select("seg", "doc_int", F.lit("allow").alias("kind"))
         )
     if store.n_dead():
-        doc_rows = store_io.read_doc_rows(
-            spark, store.path, cols=("doc_int", "seg")
-        )
+        doc_rows = store.doc_rows(spark, cols=("doc_int", "seg"))
         parts.append(
             doc_rows.join(store.dead_df(spark), "doc_int", "left_semi")
             .select("seg", "doc_int", F.lit("dead").alias("kind"))
@@ -1052,6 +1099,42 @@ def search_more_like_this(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
+def _term_stats_lookup(
+    spark: SparkSession, store: IndexStore, terms: list[str]
+) -> pd.DataFrame:
+    """Point lookup of ≤|query terms| rows from the term_stats table.
+
+    Driver-side pyarrow read (no Spark job): term_stats is written sorted
+    by term within its files (plans/build._finalize_store), so parquet
+    row-group min/max statistics prune the read down to the row groups
+    that can contain the probed terms — the same point-read shape at any
+    store size. Every query path used to spend one whole Spark job here
+    (scan + filter + toPandas ≈ a scheduling floor per query); the arrow
+    read is single-digit milliseconds. Falls back to the Spark read for
+    non-parquet stores (Iceberg) or any arrow-side surprise."""
+    path = os.path.join(store.path, "term_stats")
+    try:
+        import pyarrow.dataset as pads
+
+        files = []
+        for root, _dirs, fns in os.walk(path):
+            files.extend(
+                os.path.join(root, f) for f in fns if f.endswith(".parquet")
+            )
+        dset = pads.dataset(sorted(files), format="parquet")
+        cols = [c for c in ("term", "df", "term_bucket")
+                if c in dset.schema.names]
+        return dset.to_table(
+            columns=cols, filter=pads.field("term").isin(terms)
+        ).to_pandas()
+    except Exception:  # noqa: BLE001 — fall back to the Spark read
+        return (
+            store.term_stats(spark)
+            .filter(F.col("term").isin(terms))
+            .toPandas()
+        )
+
+
 def _join_term_stats(
     spark: SparkSession,
     store: IndexStore,
@@ -1061,12 +1144,7 @@ def _join_term_stats(
     """Attach df(t) and the storage bucket to the query-term table via one
     targeted term_stats read (metadata-sized). Terms absent from the index
     get df = NaN. Tolerates legacy stores without the term_bucket column."""
-    ts = (
-        store.term_stats(spark)
-        .filter(F.col("term").isin(terms))
-        .toPandas()
-        .set_index("term")
-    )
+    ts = _term_stats_lookup(spark, store, terms).set_index("term")
     qt = qt.copy()
     qt["df"] = qt["term"].map(ts["df"]) if len(ts) else float("nan")
     if "term_bucket" in ts.columns and len(ts):
@@ -1100,7 +1178,36 @@ def _matched_blocks(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(live_terms))
     )
-    keep = ["qid", "term", "w"] + (["avgdl"] if "avgdl" in qt.columns else [])
+    has_avgdl = "avgdl" in qt.columns
+    if len(qt) <= 1000:
+        # query-sized term table → a LITERAL map term -> [(qid, w[, avgdl])]
+        # exploded against the pruned block read. Same rows as the former
+        # broadcast join of a createDataFrame'd pandas frame, minus the
+        # driver->JVM frame conversion and the BroadcastExchange job every
+        # single query paid (the build of a broadcast relation is its own
+        # Spark job under AQE).
+        entries = []
+        for term, grp in qt.groupby("term", sort=True):
+            structs = [
+                F.struct(
+                    F.lit(int(r.qid)).cast("long").alias("qid"),
+                    F.lit(float(r.w)).alias("w"),
+                    *(
+                        [F.lit(float(r.avgdl)).alias("avgdl")]
+                        if has_avgdl
+                        else []
+                    ),
+                )
+                for r in grp.itertuples(index=False)
+            ]
+            entries.extend([F.lit(term), F.array(*structs)])
+        qmap = F.create_map(*entries)
+        exploded = blocks.withColumn("_q", F.explode(qmap[F.col("term")]))
+        cols = [F.col("_q.qid").alias("qid"), F.col("_q.w").alias("w")] + (
+            [F.col("_q.avgdl").alias("avgdl")] if has_avgdl else []
+        )
+        return exploded.select(*blocks.columns, *cols)
+    keep = ["qid", "term", "w"] + (["avgdl"] if has_avgdl else [])
     qterms_df = spark.createDataFrame(qt[keep])
     return blocks.join(F.broadcast(qterms_df), "term")
 
@@ -5062,9 +5169,7 @@ def termvectors(
         raise EngineError("termvectors needs at least one doc id")
     ids = [str(d) for d in doc_ids]
     tgt = (
-        store_io.read_doc_rows(
-            spark, store.path, cols=("doc_id", "doc_int", "seg")
-        )
+        store.doc_rows(spark, cols=("doc_id", "doc_int", "seg"))
         .filter(F.col("doc_id").isin(ids))
     )
     tgt = _drop_dead(spark, store, tgt)
