@@ -382,21 +382,72 @@ def build_index(
             )
 
         # --- per-record error channel (lib/handler.js:41,127-133) ---
+        # ONE column-pruned aggregation answers every control question the
+        # build used to spend separate jobs on: how many records error
+        # (quarantine count / strict-mode probe), whether any good records
+        # exist (empty-batch short-circuit), and each batch's good-record
+        # count (the per-batch segment sizing that _build_batch re-counted
+        # from scratch). Three corpus passes fold into one; the fold is
+        # only a COUNT oracle, so it stays exact when no hook can change
+        # cardinality downstream (transform_record_hook / dedup_versions
+        # fall back to the explicit probes below).
         bad = mapped.filter(F.col("error").isNotNull())
         good = mapped.filter(F.col("error").isNull())
+        counts_exact = (
+            cfg.transform_record_hook is None and not dedup_versions
+        )
+        good_flag = F.col("error").isNull().cast("long")
+        if num_batches == 1:
+            probe = mapped.agg(
+                F.count("*").alias("n"),
+                F.sum(good_flag).alias("n_good"),
+                F.min("error").alias("sample_err"),
+            ).first()
+            batch_counts = {0: int(probe["n_good"] or 0)}
+        else:
+            rows_p = (
+                mapped.groupBy(
+                    F.when(
+                        F.col("error").isNull(),
+                        F.pmod(
+                            F.abs(F.xxhash64("doc_id")), F.lit(num_batches)
+                        ),
+                    ).alias("_b")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(good_flag).alias("n_good"),
+                    F.min("error").alias("sample_err"),
+                )
+                .collect()
+            )
+            probe = {
+                "n": sum(r["n"] for r in rows_p),
+                "n_good": sum(int(r["n_good"] or 0) for r in rows_p),
+                "sample_err": min(
+                    (r["sample_err"] for r in rows_p
+                     if r["sample_err"] is not None),
+                    default=None,
+                ),
+            }
+            batch_counts = {
+                int(r["_b"]): int(r["n_good"] or 0)
+                for r in rows_p
+                if r["_b"] is not None
+            }
+        n_bad = int(probe["n"]) - int(probe["n_good"] or 0)
         quarantined = 0
         if cfg.record_error_hook is not None:
-            quarantined = bad.count()
+            quarantined = n_bad
             if quarantined:
                 store_io.write_parquet(
                     bad, os.path.join(store_path, "quarantine"), mode="append"
                 )
                 cfg.record_error_hook(bad)
-        else:
-            # strict mode: any record error fails the whole batch
-            first = bad.select("error").first()
-            if first is not None:
-                raise EngineError(first["error"])
+        elif n_bad:
+            # strict mode: any record error fails the whole batch (min() =
+            # a deterministic sample of the error messages)
+            raise EngineError(probe["sample_err"])
 
         # --- transform hook: DataFrame→DataFrame, falsy-drop ≡ filter
         # (lib/handler.js:89-93) ---
@@ -410,7 +461,7 @@ def build_index(
         good = fieldmap.pick_document_fields(good, cfg)
 
         # --- empty-batch short-circuit (lib/handler.js:138-147) ---
-        if good.isEmpty():
+        if (int(probe["n_good"] or 0) == 0) if counts_exact else good.isEmpty():
             result = BuildResult(
                 took_sec=0.0, n_docs=0, n_blocks=0,
                 quarantined=quarantined, batches=[],
@@ -425,11 +476,23 @@ def build_index(
         total_docs = 0
         total_blocks = 0
         skipped = 0
+        # fresh single-batch fast path: the store's doc_stats after the loop
+        # are exactly this batch's rows, so the batch's own read-back
+        # aggregation can double as the finalize audit (one job instead of
+        # two full doc-stat scans)
+        audit_sink: dict | None = (
+            {}
+            if (num_batches == 1 and not committed
+                and not os.path.isdir(os.path.join(store_path, "tombstones")))
+            else None
+        )
         for b in range(num_batches):
             name = f"b{b}"
             batch_names.append(name)
             if resume and store_io.checkpoint_exists(store_path, name):
                 skipped += 1
+                if audit_sink is not None:
+                    audit_sink = None  # store ≠ this run's batch
                 continue
             part = (
                 good
@@ -452,6 +515,10 @@ def build_index(
                 lm_stats=lm_stats,
                 doc_meta_cols=doc_meta_cols or (),
                 edge_ngrams=edge_ngrams,
+                n_docs_hint=(
+                    batch_counts.get(b) if counts_exact else None
+                ),
+                audit_sink=audit_sink,
             )
             total_docs += nd
             total_blocks += nb
@@ -461,6 +528,7 @@ def build_index(
             positions=positions, id_mode=id_mode, fields=fields,
             lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
             edge_ngrams=edge_ngrams,
+            precomputed_audit=audit_sink or None,
         )
         result = BuildResult(
             took_sec=time.monotonic() - t0,
@@ -513,6 +581,8 @@ def _build_batch(
     lm_stats: bool = False,
     doc_meta_cols: tuple[str, ...] = (),
     edge_ngrams: tuple[int, ...] | None = None,
+    n_docs_hint: int | None = None,
+    audit_sink: dict | None = None,
 ) -> tuple[int, int]:
     """One resumable unit: dense IDs → doc_stats → postings → [LM grams] →
     lineage → checkpoint marker. Whole-batch retry mirrors
@@ -528,7 +598,8 @@ def _build_batch(
                 id_mode=id_mode, dense_partitions=dense_partitions,
                 sink_options=sink_options, fields=fields,
                 lm_stats=lm_stats, doc_meta_cols=doc_meta_cols,
-                edge_ngrams=edge_ngrams,
+                edge_ngrams=edge_ngrams, n_docs_hint=n_docs_hint,
+                audit_sink=audit_sink,
             )
         except Exception:  # noqa: BLE001
             attempt += 1
@@ -554,6 +625,8 @@ def _build_batch_once(
     lm_stats: bool = False,
     doc_meta_cols: tuple[str, ...] = (),
     edge_ngrams: tuple[int, ...] | None = None,
+    n_docs_hint: int | None = None,
+    audit_sink: dict | None = None,
 ) -> tuple[int, int]:
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -578,9 +651,10 @@ def _build_batch_once(
         # dense ids are contiguous → segments are exact 2^shift-doc slices
         seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
     else:
-        # JVM-only count (no Python stage upstream): sizes the hash-range
-        # segments so they average ~segment_docs docs
-        n_est = docs.count()
+        # segment sizing count: the caller's fused control aggregation
+        # already knows this batch's row count (n_docs_hint) — a separate
+        # count job only runs when a hook made the count unknowable
+        n_est = n_docs_hint if n_docs_hint is not None else docs.count()
         rows = ids.assign_tokenize_count(
             docs, content_col=content_col, batch_name=batch_name,
             positions=positions, fields=fields, edge_ngrams=edge_ngrams,
@@ -649,7 +723,27 @@ def _build_batch_once(
     spark = docs.sparkSession
     import pandas as pd
 
-    batch_df = spark.read.parquet(seg_batch_path)
+    # explicit schema (the frame we just wrote): skips the footer-sampling
+    # schema-inference job a bare spark.read.parquet spends per read
+    batch_df = spark.read.schema(segments.schema).parquet(seg_batch_path)
+    # Audit fusion (fresh single-batch builds): the finalize audit —
+    # distinct doc_int / doc_id, avg dl, per-field length sums — rides the
+    # SAME read-back aggregation. Summing per-(part, seg) countDistinct is
+    # exact here because equal doc_ints (and equal doc_ids, whose doc_int
+    # is a pure function of doc_id within one batch) always land in the
+    # same marker group by construction.
+    audit_aggs = []
+    n_fields = len(fields or ())
+    if audit_sink is not None:
+        audit_aggs = [
+            F.countDistinct("doc_int").alias("_a_ids"),
+            F.countDistinct("doc_id").alias("_a_doc_ids"),
+            F.sum("dl").alias("_a_dl"),
+            *[
+                F.sum(F.col("field_dls")[i]).alias(f"_a_f{i}")
+                for i in range(n_fields)
+            ],
+        ]
     stats = (
         batch_df.groupBy("part", "seg")
         .agg(
@@ -659,10 +753,35 @@ def _build_batch_once(
                 F.length("doc_bytes") + F.length("tf_bytes")
                 + F.length("dl_bytes")
             ).alias("compressed_bytes"),
+            *audit_aggs,
         )
         .toPandas()
     )
     n_docs = int(stats.loc[stats["part"] == "doc", "rows"].sum())
+    if audit_sink is not None:
+        dp = stats[stats["part"] == "doc"]
+        # hand the already-resolved batch frame to the finalize so its
+        # term_stats pass reuses this read (schema + file listing) instead
+        # of re-resolving the segment tree (one 'load' job per read)
+        audit_sink["segments_df"] = batch_df
+        audit_sink.update(
+            {
+                "n": n_docs,
+                "n_ids": int(dp["_a_ids"].sum()),
+                "n_doc_ids": int(dp["_a_doc_ids"].sum()),
+                "avgdl": (
+                    float(dp["_a_dl"].sum()) / n_docs if n_docs else 0.0
+                ),
+                "avgdl_fields": {
+                    f_: (
+                        float(dp[f"_a_f{i}"].sum()) / n_docs
+                        if n_docs
+                        else 0.0
+                    )
+                    for i, f_ in enumerate(fields or ())
+                },
+            }
+        )
     bp = stats[stats["part"] == "block"]
     n_blocks = int(bp["rows"].sum())
     took = time.monotonic() - t0
@@ -725,14 +844,38 @@ def _finalize_store(
     lm_stats: bool | None = None,
     doc_meta_cols: tuple[str, ...] | None = None,
     edge_ngrams: tuple[int, ...] | None = None,
+    precomputed_audit: dict | None = None,
+    derived_stats: bool = True,
+    segments_df: DataFrame | None = None,
+    assume_unique: bool = False,
 ) -> None:
     """Resolve liveness (external versioning + tombstones → ``dead`` doc_int
     list), recompute global stats (N, avgdl over LIVE docs — per field in
     multi-field stores) and term_stats; write meta.json. Aggregates touch
-    doc_stats and block metadata columns only — never the posting bytes."""
+    doc_stats and block metadata columns only — never the posting bytes.
+
+    ``precomputed_audit``: fused audit stats from the batch read-back
+    (fresh single-batch builds only — the caller guarantees the store's
+    doc_stats are exactly that batch); skips the separate doc-stat
+    aggregation job.
+
+    ``segments_df``: an already-resolved frame over the store's whole
+    segment tree — reused for the doc-stat and block reads (no re-listing
+    or schema-inference jobs). ``assume_unique``: the caller guarantees no
+    new doc ids entered since the last audit (post-compaction: docs were
+    only REMOVED), so the collision countDistincts are skipped."""
     import pandas as pd
 
-    doc_stats = store_io.read_doc_stats(spark, store_path)
+    seg_df = segments_df
+    if seg_df is None:
+        seg_df = (precomputed_audit or {}).pop("segments_df", None)
+    if seg_df is not None:
+        # fresh single-batch build: the whole segment tree IS the batch the
+        # caller just read back — reuse that resolved frame (no re-listing,
+        # no schema-inference job) for the doc-stat and block reads below
+        doc_stats = seg_df.filter(F.col("part") == "doc")
+    else:
+        doc_stats = store_io.read_doc_stats(spark, store_path)
     tomb_path = os.path.join(store_path, "tombstones")
     if fields is None and store_io.read_meta(store_path).get("fields"):
         # a finalize without the flag (CDC apply / compact) must still
@@ -762,13 +905,44 @@ def _finalize_store(
 
     # ONE aggregation fuses the collision audit (distinct doc_int == rows),
     # duplicate-doc detection (distinct doc_id == rows), and the live stats.
-    audit = doc_stats.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("doc_int").alias("n_ids"),
-        F.countDistinct("doc_id").alias("n_doc_ids"),
-        F.avg("dl").alias("avgdl"),
-        *field_avgs,
-    ).first()
+    # A fresh single-batch build hands the same numbers in from its
+    # read-back aggregation (precomputed_audit) and skips this job.
+    if precomputed_audit is not None:
+        pa_fields = precomputed_audit.get("avgdl_fields", {})
+        audit = {
+            "n": precomputed_audit["n"],
+            "n_ids": precomputed_audit["n_ids"],
+            "n_doc_ids": precomputed_audit["n_doc_ids"],
+            "avgdl": precomputed_audit["avgdl"],
+            **{
+                f"_af{i}": pa_fields.get(f_, 0.0)
+                for i, f_ in enumerate(fields or ())
+            },
+        }
+    elif assume_unique:
+        # post-compaction: no new doc ids since the pre-compaction audit
+        # (docs only removed) — skip the countDistinct expansion
+        plain = doc_stats.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *field_avgs,
+        ).first()
+        audit = {
+            "n": plain["n"], "n_ids": plain["n"], "n_doc_ids": plain["n"],
+            "avgdl": plain["avgdl"],
+            **{
+                f"_af{i}": plain[f"_af{i}"]
+                for i in range(len(fields or ()))
+            },
+        }
+    else:
+        audit = doc_stats.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_int").alias("n_ids"),
+            F.countDistinct("doc_id").alias("n_doc_ids"),
+            F.avg("dl").alias("avgdl"),
+            *field_avgs,
+        ).first()
     if audit["n"] != audit["n_ids"]:
         if audit["n"] != audit["n_doc_ids"]:
             # the far more likely cause: the same doc_id indexed twice in
@@ -810,7 +984,10 @@ def _finalize_store(
             F.lit(False).alias("is_tomb"),
         )
         if os.path.isdir(tomb_path):
-            tombs = spark.read.parquet(tomb_path).select(
+            # fixed writer schema (plans/cdc deletes select) — skip inference
+            tombs = spark.read.schema(
+                "doc_id string, version double"
+            ).parquet(tomb_path).select(
                 "doc_id", "version",
                 F.lit(None).cast("long").alias("doc_int"),
                 F.lit(None).cast("long").alias("dl"),
@@ -837,14 +1014,24 @@ def _finalize_store(
         live = winners.filter(~F.col("is_tomb")).select(
             "doc_int", "dl", *([c for c in ("field_dls",) if fd_col])
         )
+        # the live subtree executes INSIDE the dead-list write job (it is
+        # the anti-join's build side) — observe() collects the live stats
+        # from that same execution instead of re-running the whole LWW
+        # window as a second aggregation job
+        from pyspark.sql import Observation
+
+        obs = Observation("live_stats")
+        live = live.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *(field_avgs if fd_col else []),
+        )
         dead = doc_stats.select("doc_int").join(
             live.select("doc_int"), "doc_int", "left_anti"
         )
         store_io.write_parquet(dead, os.path.join(store_path, "dead"))
-        live_agg = live.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
-            *(field_avgs if fd_col else []),
-        ).first()
+        live_agg = obs.get
         n_live, avgdl = int(live_agg["n"]), float(live_agg["avgdl"] or 0.0)
         avgdl_fields = (
             {
@@ -854,7 +1041,25 @@ def _finalize_store(
             if fd_col
             else {}
         )
-    blocks = store_io.read_blocks(spark, store_path)
+    if not derived_stats:
+        # caller immediately compacts (plans/cdc.apply_changes with
+        # compact=True): only the liveness resolution above is needed —
+        # term_stats / lm_stats / meta.json would be rebuilt from scratch
+        # by the post-compaction finalize, so writing them here is a full
+        # block-metadata scan + shuffle + write thrown away moments later
+        return
+    if seg_df is not None:
+        block_cols = [
+            "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
+            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+            "pos_bytes", "term_bucket", "batch",
+        ]
+        blocks = seg_df.filter(F.col("part") == "block")
+        blocks = blocks.select(
+            *[c for c in block_cols if c in blocks.columns]
+        )
+    else:
+        blocks = store_io.read_blocks(spark, store_path)
     # sortWithinPartitions("term"): no extra exchange (sorts the agg's own
     # output partitions), but each output file becomes term-ordered, so its
     # parquet row-group min/max stats are tight — the query side's
@@ -867,17 +1072,35 @@ def _finalize_store(
     if lm_stats is None:
         lm_stats = os.path.isdir(lm_root)
     if lm_stats and os.path.isdir(lm_root):
-        # merge per-batch gram counts into ONE range-sorted lm_stats table:
-        # row-group min/max on the sorted gram column make the suggester's
-        # candidate lookups point reads, not scans
-        grams = (
-            spark.read.parquet(lm_root)
-            .groupBy("gram")
-            .agg(F.sum("cf").alias("cf"))
-            .repartitionByRange(F.col("gram"))
-            .sortWithinPartitions("gram")
-        )
-        store_io.write_parquet(grams, os.path.join(store_path, "lm_stats"))
+        batch_dirs = [
+            d for d in os.listdir(lm_root) if d.startswith("batch=")
+        ]
+        lm_out = os.path.join(store_path, "lm_stats")
+        if len(batch_dirs) == 1:
+            # single-batch store: the batch's gram table IS the merged
+            # table (each batch is already aggregated per gram and written
+            # gram-sorted within its files) — a driver-side file copy
+            # replaces the merge job + range-exchange + rewrite
+            import shutil
+
+            src = os.path.join(lm_root, batch_dirs[0])
+            shutil.rmtree(lm_out, ignore_errors=True)
+            os.makedirs(lm_out, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet"):
+                    shutil.copy2(os.path.join(src, fn),
+                                 os.path.join(lm_out, fn))
+        else:
+            # merge per-batch gram counts into ONE sorted lm_stats table:
+            # row-group min/max on the per-file-sorted gram column make the
+            # suggester's candidate lookups point reads, not scans
+            grams = (
+                spark.read.parquet(lm_root)
+                .groupBy("gram")
+                .agg(F.sum("cf").alias("cf"))
+                .sortWithinPartitions("gram")
+            )
+            store_io.write_parquet(grams, lm_out)
     prev_meta = store_io.read_meta(store_path)
     if segment_docs == 0:
         segment_docs = prev_meta.get("segment_docs", 0)

@@ -107,8 +107,21 @@ def apply_changes(
     _cached = []
     try:
         # reference validates the event shape before touching any record
-        # (lib/handler.js:36); errorHook still catches the ValidationError
-        validate_events(events)
+        # (lib/handler.js:36); errorHook still catches the ValidationError.
+        # The column-presence half stays a schema check; the per-record
+        # null checks FUSE with the error-channel count into one
+        # aggregation over the cached routed batch (the event columns ride
+        # through field mapping + dispatch untouched) — ValidationError is
+        # still raised before any write or hook runs, so the contract
+        # ordering is preserved while two whole control jobs disappear.
+        errs = []
+        cols = set(events.columns)
+        if "event_name" not in cols:
+            errs.append('"event_name" is required')
+        if "keys" not in cols:
+            errs.append('"keys" is required')
+        if errs:
+            raise ValidationError(errs)
         mapped = fieldmap.apply_field_mapping(
             events, cfg, content_col=content_col
         )
@@ -121,11 +134,31 @@ def apply_changes(
         routed = actions.dispatch(mapped).persist()
         _cached.append(routed)
 
+        probe = routed.agg(
+            F.sum(F.col("event_name").isNull().cast("long")).alias(
+                "no_name"
+            ),
+            F.sum(F.col("keys").isNull().cast("long")).alias("no_keys"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("n_bad"),
+            F.min("error").alias("sample_err"),
+        ).first()
+        if probe["no_name"]:
+            errs.append(
+                '"event_name" is required '
+                f'({probe["no_name"]} record(s) missing it)'
+            )
+        if probe["no_keys"]:
+            errs.append(
+                f'"keys" is required ({probe["no_keys"]} record(s) missing it)'
+            )
+        if errs:
+            raise ValidationError(errs)
+
         bad = routed.filter(F.col("error").isNotNull())
         good = routed.filter(F.col("error").isNull())
         quarantined = 0
         if cfg.record_error_hook is not None:
-            quarantined = bad.count()
+            quarantined = int(probe["n_bad"] or 0)
             if quarantined:
                 store_io.write_parquet(
                     bad.drop("keys", "new_image", "old_image"),
@@ -133,10 +166,8 @@ def apply_changes(
                     mode="append",
                 )
                 cfg.record_error_hook(bad)
-        else:
-            first = bad.select("error").first()
-            if first is not None:
-                raise EngineError(first["error"])
+        elif int(probe["n_bad"] or 0):
+            raise EngineError(probe["sample_err"])
 
         good = actions.last_writer_wins(good).persist()
         _cached.append(good)
@@ -238,6 +269,11 @@ def apply_changes(
                 )
             n_up, _ = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
+                # n_index is exact here: post-LWW action count, or the
+                # post-hook corpus count when a transform hook ran — either
+                # way the segment-sizing count job inside the batch build
+                # is redundant
+                n_docs_hint=n_index,
                 content_col=content_col,
                 segment_docs=segment_docs or postings.DEFAULT_SEGMENT_DOCS,
                 num_buckets=num_buckets,
@@ -274,13 +310,27 @@ def apply_changes(
                 {"docs": 0, "blocks": 0, "deletes": n_del, "cdc_only": True},
             )
 
+        # compact=True refinalizes from scratch right after — the first
+        # finalize then only needs the liveness resolution (the ``dead``
+        # list compaction consumes), not the term_stats/lm/meta rebuild.
+        # ONE resolved segment-tree frame serves both the finalize and the
+        # compaction read (each spark.read re-listing is its own job).
+        seg_all = store_io.read_store(
+            spark, store_io.segments_path(store_path)
+        )
         build._finalize_store(
-            spark, store_path, segment_docs or 0, num_buckets
+            spark, store_path, segment_docs or 0, num_buckets,
+            derived_stats=compact is not True,
+            segments_df=seg_all,
         )
         if compact == "auto":
-            maybe_compact(spark, store_path, num_buckets=num_buckets)
+            maybe_compact(
+                spark, store_path, num_buckets=num_buckets, segs_df=seg_all
+            )
         elif compact:
-            compact_store(spark, store_path, num_buckets=num_buckets)
+            compact_store(
+                spark, store_path, num_buckets=num_buckets, segs_df=seg_all
+            )
         result = {
             "upserts": n_up,
             "deletes": n_del,
@@ -314,6 +364,7 @@ def maybe_compact(
     max_batches: int = 8,
     max_dead_frac: float = 0.2,
     num_buckets: int | None = None,
+    segs_df: DataFrame | None = None,
 ) -> bool:
     """ES/Lucene merge-policy analog: compact the store when EITHER
     trigger fires — the segment tree has accumulated ≥ ``max_batches``
@@ -335,7 +386,8 @@ def maybe_compact(
     dead_frac = n_dead / n_docs if n_docs else 0.0
     if n_batches < max_batches and dead_frac <= max_dead_frac:
         return False
-    compact_store(spark, store_path, num_buckets=num_buckets)
+    compact_store(spark, store_path, num_buckets=num_buckets,
+                  segs_df=segs_df)
     log_event(
         LOG, "cdc.auto_compact", store=store_path,
         batches=n_batches, dead_frac=round(dead_frac, 4),
@@ -344,7 +396,10 @@ def maybe_compact(
 
 
 def compact_store(
-    spark: SparkSession, store_path: str, num_buckets: int | None = None
+    spark: SparkSession,
+    store_path: str,
+    num_buckets: int | None = None,
+    segs_df: DataFrame | None = None,
 ) -> None:
     """Segment-merge analog: rewrite postings dropping dead docs, keep only
     live doc_stats rows, clear tombstones. After compaction df/N/avgdl are
@@ -363,7 +418,8 @@ def compact_store(
             )
         )
     dead_path = os.path.join(store_path, "dead")
-    dead_df = spark.read.parquet(dead_path).select("doc_int")
+    # the dead list has a fixed one-column writer schema — skip inference
+    dead_df = spark.read.schema("doc_int bigint").parquet(dead_path)
 
     seg_root = store_io.segments_path(store_path)
 
@@ -371,9 +427,31 @@ def compact_store(
         import numpy as np
         import pandas as pd
 
-        # mergeSchema: a store upgraded mid-life can mix block files with
-        # and without the pos_bytes column
-        segs = spark.read.option("mergeSchema", "true").parquet(seg_root)
+        # One plain read (single-footer schema inference; reused from the
+        # caller when provided) instead of a mergeSchema read, which
+        # footer-scans EVERY file as a distributed job. The only column
+        # that can legitimately vary across batches is pos_bytes (a store
+        # upgraded to positions mid-life; everything else is
+        # inherit-or-conflict at build time) — if the sampled footer lacks
+        # it but the store is positional, re-read with the column
+        # injected; files without it read as null by name.
+        segs = (
+            segs_df
+            if segs_df is not None
+            else store_io.read_store(spark, seg_root)
+        )
+        meta_pos = bool(
+            store_io.read_meta(store_path).get("positions", False)
+        )
+        if meta_pos and "pos_bytes" not in segs.columns:
+            from pyspark.sql import types as ST
+
+            schema = ST.StructType(
+                [f for f in segs.schema.fields
+                 if f.name not in ("part", "term_bucket", "batch")]
+                + [ST.StructField("pos_bytes", ST.BinaryType(), True)]
+            )
+            segs = spark.read.schema(schema).parquet(seg_root)
 
         block_cols = ["term", "seg", "block_id", "n_docs", "doc_first",
                       "doc_last", "max_tf", "min_dl", "doc_bytes",
@@ -383,9 +461,17 @@ def compact_store(
             block_cols.insert(-1, "pos_bytes")
 
         # (seg, doc_int) of every dead doc — from the doc-stat markers, which
-        # recorded the segment their postings landed in
+        # recorded the segment their postings landed in (doc_seg). Derived
+        # from the SAME resolved frame as the block read below — no second
+        # listing/schema job (store_io.read_doc_rows semantics inline).
+        if "doc_seg" not in segs.columns:
+            raise EngineError(
+                f"store at {store_path} predates the doc_seg marker column "
+                "— rebuild the index to enable compaction"
+            )
         dead_seg = (
-            store_io.read_doc_rows(spark, store_path, cols=("doc_int", "seg"))
+            segs.filter(F.col("part") == "doc")
+            .select("doc_int", F.col("doc_seg").alias("seg"))
             .join(dead_df, "doc_int", "left_semi")
         )
         dirty_segs = dead_seg.select("seg").distinct()
@@ -463,9 +549,10 @@ def compact_store(
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             return df.select(*[f.name for f in segs.schema.fields])
 
+        compacted = pad(live_blocks).unionByName(pad(live_docs))
         tmp = seg_root + "_compacting"
         store_io.write_parquet(
-            pad(live_blocks).unionByName(pad(live_docs)),
+            compacted,
             os.path.join(tmp, "batch=compacted"),
             partition_by=("part", "term_bucket"),
         )
@@ -475,5 +562,22 @@ def compact_store(
     tomb = os.path.join(store_path, "tombstones")
     if os.path.isdir(tomb):
         shutil.rmtree(tomb)
-    build._finalize_store(spark, store_path, 0, num_buckets)
+    if store_io.parquet_num_rows(dead_path):
+        # rewrite ran: hand finalize a frame with the known written schema
+        # (+ the batch partition column) — no re-listing/inference jobs —
+        # and let it skip the collision countDistincts (docs were only
+        # removed; the pre-compaction finalize already audited them)
+        from pyspark.sql import types as ST
+
+        post_schema = ST.StructType(
+            list(compacted.schema.fields)
+            + [ST.StructField("batch", ST.StringType(), True)]
+        )
+        new_segs = spark.read.schema(post_schema).parquet(seg_root)
+        build._finalize_store(
+            spark, store_path, 0, num_buckets,
+            segments_df=new_segs, assume_unique=True,
+        )
+    else:
+        build._finalize_store(spark, store_path, 0, num_buckets)
     log_event(LOG, "cdc.compact", store=store_path)

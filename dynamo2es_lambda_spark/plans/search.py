@@ -141,8 +141,9 @@ class IndexStore:
         """doc_ints superseded by newer versions or tombstoned
         (plans/build._finalize_store) — a DataFrame, never collected; the
         query paths anti-join or cogroup against it."""
-        return spark.read.parquet(os.path.join(self.path, "dead")).select(
-            "doc_int"
+        # fixed one-column writer schema — skip the inference job
+        return spark.read.schema("doc_int bigint").parquet(
+            os.path.join(self.path, "dead")
         )
 
 
