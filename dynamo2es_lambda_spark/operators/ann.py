@@ -38,6 +38,76 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def _norm_col(vec: str):
+    """sqrt(vec·vec) as a Column — precompute ONCE per row so a pairwise
+    cosine costs one dot product instead of three (the product of two
+    precomputed sqrt norms is bit-identical to evaluating them inline)."""
+    return F.expr(f"sqrt({COS_EXPR.format(a=vec, b=vec)})")
+
+
+def _seed_centroids(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[tuple[str, list[float]]]:
+    """The deterministic md5-ordered centroid sample as driver rows
+    (model-sized: k vectors — the same bytes the broadcast shipped)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("_h", F.md5(F.col("cid")))
+        .orderBy("_h")
+        .limit(int(k))
+        .select("cid", "cvec")
+        .collect()
+    )
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def _best_centroid_cols(
+    vec: str, cents: list[tuple[str, list[float]]]
+) -> tuple:
+    """(cluster Column, cos_r Column): max-cosine centroid assignment as ONE
+    codegen fold over literal centroids — replaces the former
+    crossJoin(k centroids) + per-vector row_number window, whose shuffle
+    carried every embedding k times just to pick an argmax.
+
+    Bit-equivalence with the old plan: per-centroid cosine is the same
+    zip_with/aggregate expression (same element order, same left-to-right
+    sum) over the same doubles, rounded with the same round(·, 6); the fold
+    scans centroids in cid-ascending order keeping strictly-greater
+    cosines, which IS the (cos_r desc, cid asc) row_number pick."""
+    import math
+
+    na = COS_EXPR.format(a=vec, b=vec)
+    cands = []
+    for cid, cvec in sorted(cents, key=lambda c: c[0]):
+        nb = 0.0
+        for x in cvec:
+            nb += x * x
+        cn = math.sqrt(nb)
+        lit_arr = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec), lit_arr,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cos_r = F.round(dot / (F.expr(f"sqrt({na})") * F.lit(cn)), 6)
+        cands.append(F.struct(cos_r.alias("c"), F.lit(cid).alias("cid")))
+    arr = F.array(*cands)
+    best = F.aggregate(
+        arr,
+        F.lit(None).cast("struct<c: double, cid: string>"),
+        lambda acc, x: F.when(
+            acc.isNull() | (x["c"] > acc["c"]), x
+        ).otherwise(acc),
+    )
+    return best["cid"], best["c"]
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -49,13 +119,23 @@ def brute_force_topk(
     → (qid, rank, vec_id, cos)."""
     q = (
         embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            _norm_col(vec_col).alias("_qn"),
+        )
     )
     t = embeddings.filter(~F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("tvec"),
+        _norm_col(vec_col).alias("_tn"),
     )
+    # each side's norm computed once per row (bit-identical to inlining):
+    # the |queries|-way cross join then pays one dot product per pair
     scored = t.join(F.broadcast(q)).withColumn(
-        "cos", F.expr(cosine_expr("qvec", "tvec"))
+        "cos",
+        F.expr(COS_EXPR.format(a="qvec", b="tvec"))
+        / (F.col("_qn") * F.col("_tn")),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -837,39 +917,28 @@ def cluster_label_stats(
     centroid (6-dp rounded, centroid-id tie-break). Emits per
     (cluster, label): member count and mean cosine (cohesion).
 
-    Plan: the k centroids broadcast (model-sized); assignment is a
-    broadcast nested-loop join with the cosine as ONE codegen aggregate
-    expression + a per-vector rank window — a single pass over the
-    embeddings, no iteration. For a refined codebook swap the seeding
-    for kmeans_centroids (same assignment plan)."""
+    Plan: the k centroids come to the driver (model-sized, the same bytes
+    a broadcast would ship) and the max-cosine assignment is ONE codegen
+    fold over the literal centroid array (_best_centroid_cols) — a single
+    map-only pass over the embeddings with NO shuffle and no window (the
+    former crossJoin + row_number plan shuffled every embedding k times).
+    For a refined codebook swap the seeding for kmeans_centroids (same
+    assignment plan)."""
     from ..errors import EngineError
 
     if k < 1:
         raise EngineError("cluster_label_stats wants k >= 1")
-    cent = F.broadcast(
-        embeddings.select(
-            F.col(id_col).cast("string").alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
-        .withColumn("_h", F.md5(F.col("cid")))
-        .orderBy("_h")
-        .limit(int(k))
-        .select("cid", "cvec")
-    )
+    cents = _seed_centroids(embeddings, k, id_col, vec_col)
     v = embeddings.select(
         F.col(id_col).cast("string").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vvec"),
         F.col(label_col).cast("string").alias("label"),
     )
-    j = v.crossJoin(cent).withColumn(
-        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
-    )
-    w = Window.partitionBy("vid").orderBy(
-        F.col("cos_r").desc(), F.col("cid").asc()
-    )
+    cluster_c, cos_c = _best_centroid_cols("vvec", cents)
     return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        v.select(
+            cluster_c.alias("cid"), "label", cos_c.alias("cos_r")
+        )
         .groupBy(F.col("cid").alias("cluster"), "label")
         .agg(
             F.count("*").alias("n"),
@@ -904,61 +973,73 @@ def semantic_dedup(
 
     Plan: centroids are the first ``k`` vectors in md5(id) order (the
     oracle-replicable content-keyed sample shared with
-    cluster_label_stats); assignment is ONE broadcast max-cosine pass.
-    The pair test self-joins WITHIN a cluster only — with k sized ~n/m
-    for target cluster size m, pair work is O(n·m), not O(n²); the
-    paper's recipe (k ≈ n/100) keeps every cluster comparison local to
-    one shuffle partition. ``max_cluster`` excludes clusters above the
-    cap from pair generation (the max_bucket discipline from the LSH
-    path: a degenerate mega-cluster signals re-clustering, not an
-    n²-blowup)."""
+    cluster_label_stats); assignment is ONE shuffle-free codegen fold over
+    the literal centroids (_best_centroid_cols — the former broadcast
+    crossJoin + window shuffled every embedding k times). The pair test
+    self-joins WITHIN a cluster only — with k sized ~n/m for target
+    cluster size m, pair work is O(n·m), not O(n²); the paper's recipe
+    (k ≈ n/100) keeps every cluster comparison local to one shuffle
+    partition. Per-pair cosine reuses each vector's precomputed norm
+    (one dot product per pair instead of three, bit-identical). When the
+    cluster count is small relative to the cores, the self-join is
+    triangle-salted: side a replicates over the partner's salt, so one
+    cluster's pair work spreads over S² tasks instead of one — pure
+    physical partitioning, pair set unchanged; S collapses to 1 once k
+    alone provides the parallelism (100 TB: k ≈ n/100 ≫ cores).
+    ``max_cluster`` excludes clusters above the cap from pair generation
+    (the max_bucket discipline from the LSH path: a degenerate
+    mega-cluster signals re-clustering, not an n²-blowup)."""
     from ..errors import EngineError
 
     if k < 1:
         raise EngineError("semantic_dedup wants k >= 1")
     if not 0.0 < tau <= 1.0:
         raise EngineError("semantic_dedup wants tau in (0, 1]")
-    cent = F.broadcast(
-        embeddings.select(
-            F.col(id_col).cast("string").alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
-        .withColumn("_h", F.md5(F.col("cid")))
-        .orderBy("_h")
-        .limit(int(k))
-        .select("cid", "cvec")
-    )
+    cents = _seed_centroids(embeddings, k, id_col, vec_col)
     v = embeddings.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vvec"),
     )
-    j = v.crossJoin(cent).withColumn(
-        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
-    )
-    w = Window.partitionBy("vid").orderBy(
-        F.col("cos_r").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vid", "vvec", F.col("cid").alias("cluster"))
+    cluster_c, _cos = _best_centroid_cols("vvec", cents)
+    assigned = v.select(
+        "vid", "vvec", cluster_c.alias("cluster"),
+        _norm_col("vvec").alias("_vn"),
     )
     if max_cluster is not None:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_cn"))
         assigned = assigned.join(sizes, "cluster").filter(
             F.col("_cn") <= int(max_cluster)
         ).drop("_cn")
+    # triangle salting: pair (x, y) carries key (cluster, s(x), s(y)) —
+    # emitted once from each side's replication, so the joined pair set is
+    # exactly the unsalted one. S ≈ sqrt(2·cores / k), clamped to [1, 8].
+    import math as _math
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, min(8, int(_math.ceil(_math.sqrt(
+        2.0 * max(par, 1) / max(int(k), 1))))))
+    salt = F.pmod(F.xxhash64("vid"), F.lit(n_salt)).cast("int")
+    all_salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salt - 1))
+    )
     a = assigned.select(
         "cluster", F.col("vid").alias("keep_id"),
-        F.col("vvec").alias("kv"),
+        F.col("vvec").alias("kv"), F.col("_vn").alias("_kn"),
+        salt.alias("_sa"), all_salts.alias("_sb"),
     )
     b = assigned.select(
-        "cluster", F.col("vid").alias("vid"), F.col("vvec").alias("dv")
+        "cluster", "vid", F.col("vvec").alias("dv"),
+        F.col("_vn").alias("_dn"),
+        all_salts.alias("_sa"), salt.alias("_sb"),
     )
+    pair_dot = F.expr(COS_EXPR.format(a="kv", b="dv"))
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_sa", "_sb"])
         .filter(F.col("keep_id") < F.col("vid"))
-        .withColumn("pcos_r", F.round(F.expr(cosine_expr("kv", "dv")), 6))
+        .withColumn(
+            "pcos_r",
+            F.round(pair_dot / (F.col("_kn") * F.col("_dn")), 6),
+        )
         .filter(F.col("pcos_r") >= float(tau))
     )
     return pairs.groupBy("vid", "cluster").agg(
@@ -993,30 +1074,16 @@ def prune_prototypes(
         raise EngineError("prune_prototypes wants k >= 1")
     if not 0.0 <= float(prune_frac) < 1.0:
         raise EngineError("prune_prototypes wants 0 <= prune_frac < 1")
-    cent = F.broadcast(
-        embeddings.select(
-            F.col(id_col).cast("string").alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
-        .withColumn("_h", F.md5(F.col("cid")))
-        .orderBy("_h")
-        .limit(int(k))
-        .select("cid", "cvec")
-    )
+    cents = _seed_centroids(embeddings, k, id_col, vec_col)
     v = embeddings.select(
         F.col(id_col).cast("string").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vvec"),
     )
-    j = v.crossJoin(cent).withColumn(
-        "cos_r", F.round(F.expr(cosine_expr("vvec", "cvec")), 6)
-    )
-    w = Window.partitionBy("vid").orderBy(
-        F.col("cos_r").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vid", "cid", "cos_r")
+    cluster_c, cos_c = _best_centroid_cols("vvec", cents)
+    # shuffle-free fold assignment (see cluster_label_stats) — the only
+    # remaining exchange is the per-cluster rank window below
+    assigned = v.select(
+        "vid", cluster_c.alias("cid"), cos_c.alias("cos_r")
     )
     wc = Window.partitionBy("cid").orderBy(
         F.col("cos_r").desc(), F.col("vid").asc()

@@ -131,6 +131,12 @@ def lsh_candidate_pairs(
             ["band", "key"],
             "left_semi",
         )
+    # materialize once: the self-join's two sides otherwise EACH re-run
+    # the whole tokenize → shingle → 8×md5 signature pipeline from the
+    # corpus (one side broadcast, one shuffled — no exchange reuse).
+    # The banded frame is k rows per doc of (id, band, key) — far below
+    # corpus payload size at any scale.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -148,7 +154,11 @@ def ngram_jaccard_pairs(
     """Exact pairwise Jaccard over distinct shingle sets.
     → (a, b, jac) for every pair sharing ≥1 shingle. Quadratic in the worst
     case — use on bounded candidate sets (LSH output or sampled subsets)."""
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    # materialize once: three consumers (sizes + both self-join sides)
+    # would otherwise each re-tokenize and re-explode the input
+    ex = _exploded_shingles(
+        df, id_col, text_col, shingle_n
+    ).localCheckpoint(eager=True)
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -553,12 +563,16 @@ def corpus_minhash_overlap(
     is the classic single-hash-per-permutation sketch:
     Ĵ = |{i : min_a(h_i) = min_b(h_i)}| / k.
 
-    Plan: ONE distinct over (side, shingle) — the only corpus-sized
-    shuffle — then the k-row signature per side is a map-side-partial
-    min aggregation over an exploded k×|types| stream (types =
-    DISTINCT shingles, vocabulary-sized, far below the corpus), and the
-    exact half is one more aggregation over the same distinct frame.
-    Nothing after the distinct touches a document row. → one row:
+    Plan: ONE corpus-sized exchange total — the exploded per-doc-distinct
+    shingle stream goes straight into a map-side-combined groupBy(sh)
+    computing each shingle's side membership; that vocabulary-sized
+    (sh, in_a, in_b) frame is locally checkpointed (it feeds BOTH the
+    exact set algebra and the sketch, and without the checkpoint each
+    consumer would re-tokenize the corpus and re-run the exchange). The
+    k-permutation sketch is then one aggregation over the k×|types|
+    exploded hash stream with conditional mins per side — no second
+    shuffle, no join of per-side min tables. Nothing after the groupBy
+    touches a document row. → one row:
     (n_a, n_b, n_inter, n_union, exact_j_r, minhash_matches, est_j_r).
     """
     if n < 1 or k < 1:
@@ -567,29 +581,29 @@ def corpus_minhash_overlap(
         side_col.cast("boolean").alias("_a"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
     )
-    sh = (
-        toked.select(
-            "_a",
-            F.explode(
-                F.expr(f"array_distinct({_shingles_of('_toks', n)})")
-            ).alias("sh"),
-        )
-        .distinct()
+    exploded = toked.select(
+        "_a",
+        F.explode(
+            F.expr(f"array_distinct({_shingles_of('_toks', n)})")
+        ).alias("sh"),
     )
-    # exact half: per-shingle side membership -> set algebra in ONE agg
-    sets = sh.groupBy("sh").agg(
+    # per-shingle side membership in ONE agg (the former separate
+    # distinct + groupBy shuffled the same bytes twice), materialized once
+    sets = exploded.groupBy("sh").agg(
         F.max(F.when(F.col("_a"), 1).otherwise(0)).alias("in_a"),
         F.max(F.when(~F.col("_a"), 1).otherwise(0)).alias("in_b"),
-    )
+    ).localCheckpoint(eager=True)
     exact = sets.agg(
         F.sum("in_a").cast("long").alias("n_a"),
         F.sum("in_b").cast("long").alias("n_b"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
         F.count("*").cast("long").alias("n_union"),
     )
-    # sketch half: k md5 permutations, elementwise min per side
-    perms = sh.select(
-        "_a",
+    # sketch half: k md5 permutations, conditional elementwise min per
+    # side folded into ONE aggregation (a side's hash set {md5(i_sh)} over
+    # its member shingles is identical to the former per-side min tables)
+    perms = sets.select(
+        "in_a", "in_b",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {k - 1}), "
@@ -597,23 +611,21 @@ def corpus_minhash_overlap(
             )
         ).alias("i", "h"),
     )
-    mins = perms.groupBy("_a", "i").agg(F.min("h").alias("mn"))
-    a = mins.filter(F.col("_a")).select("i", F.col("mn").alias("ma"))
-    b = mins.filter(~F.col("_a")).select("i", F.col("mn").alias("mb"))
+    mins = perms.groupBy("i").agg(
+        F.min(F.when(F.col("in_a") == 1, F.col("h"))).alias("ma"),
+        F.min(F.when(F.col("in_b") == 1, F.col("h"))).alias("mb"),
+    )
     # coalesce guards (ADVICE r4): when either corpus half contributes no
-    # shingles the inner join on i is empty and sum() → NULL, and an empty
-    # union makes n_inter/n_union NULL — the documented contract is one
-    # fully-numeric row, so empty cases pin to 0 matches / 0.0 Jaccard
-    sketch = (
-        a.join(b, "i")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("minhash_matches")
+    # shingles its min is NULL and the equality contributes nothing — the
+    # documented contract is one fully-numeric row, so empty cases pin to
+    # 0 matches / 0.0 Jaccard
+    sketch = mins.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("minhash_matches")
     )
     return (
         exact.crossJoin(sketch)
