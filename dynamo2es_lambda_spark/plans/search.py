@@ -1266,6 +1266,70 @@ def _collect_expansion(
     return pdf
 
 
+def _expand_startswith(
+    spark: SparkSession,
+    store: IndexStore,
+    pats: pd.DataFrame,
+    max_expansions: int | None,
+) -> pd.DataFrame:
+    """Prefix-anchored dictionary expansion, driver-side: for each
+    (qid, prefix) read the term_stats rows in the key range
+    [prefix, prefix + chr(0x7f)) via pyarrow — row-group min/max statistics
+    on the term-sorted files prune the read to the matching groups, the
+    same point-read shape as _term_stats_lookup — cap term-ascending at
+    ``max_expansions``, and return (qid, term, df[, bucket]). For the
+    analyzer's ASCII term space the range IS the startswith predicate
+    (checked again pandas-side); prefixes containing non-ASCII fall back
+    to the JVM dictionary-scan join, as does any arrow-side surprise.
+    Replaces one whole Spark job (broadcast join + window + collect) per
+    expansion family call."""
+    path = os.path.join(store.path, "term_stats")
+    uniq = sorted(set(pats["prefix"]))
+    try:
+        if any((not p) or any(ord(c) >= 0x7F for c in p) for p in uniq):
+            raise ValueError("non-ASCII prefix")
+        import pyarrow.dataset as pads
+
+        files = []
+        for root, _dirs, fns in os.walk(path):
+            files.extend(
+                os.path.join(root, f) for f in fns if f.endswith(".parquet")
+            )
+        dset = pads.dataset(sorted(files), format="parquet")
+        cols = [c for c in ("term", "df", "term_bucket")
+                if c in dset.schema.names]
+        by_prefix: dict[str, pd.DataFrame] = {}
+        for p in uniq:
+            tbl = dset.to_table(
+                columns=cols,
+                filter=(pads.field("term") >= p)
+                & (pads.field("term") < p + "\x7f"),
+            ).to_pandas()
+            tbl = tbl[tbl["term"].str.startswith(p)].sort_values(
+                "term", kind="mergesort", ignore_index=True
+            )
+            if max_expansions is not None:
+                tbl = tbl.head(int(max_expansions))
+            by_prefix[p] = tbl
+        outs = []
+        for qid, p in zip(pats["qid"], pats["prefix"]):
+            t = by_prefix[p].copy()
+            t.insert(0, "qid", int(qid))
+            outs.append(t)
+        out = pd.concat(outs, ignore_index=True)
+        if "term_bucket" in out.columns:
+            out = out.rename(columns={"term_bucket": "bucket"})
+        return out
+    except Exception:  # noqa: BLE001 — JVM dictionary-scan fallback
+        hit = store.term_stats(spark).join(
+            F.broadcast(spark.createDataFrame(pats[["qid", "prefix"]])),
+            F.col("term").startswith(F.col("prefix")),
+        )
+        return _collect_expansion(
+            hit, "prefix", [F.col("term").asc()], max_expansions
+        )
+
+
 def search_prefix(
     spark: SparkSession,
     store: IndexStore,
@@ -1296,13 +1360,7 @@ def search_prefix(
     pats = pfx[["qid", "prefix"]].drop_duplicates()
     if pats.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    pdf = spark.createDataFrame(pats)
-    hit = store.term_stats(spark).join(
-        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
-    )
-    qt = _collect_expansion(
-        hit, "prefix", [F.col("term").asc()], max_expansions
-    )
+    qt = _expand_startswith(spark, store, pats, max_expansions)
     return _score_expansion(spark, store, qt, k, avgdl=avgdl)
 
 
@@ -1338,13 +1396,7 @@ def search_match_bool_prefix(
     if not last_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     pats = pd.DataFrame(last_rows, columns=["qid", "prefix"]).drop_duplicates()
-    hit = store.term_stats(spark).join(
-        F.broadcast(spark.createDataFrame(pats)),
-        F.col("term").startswith(F.col("prefix")),
-    )
-    exp = _collect_expansion(
-        hit, "prefix", [F.col("term").asc()], max_expansions
-    )
+    exp = _expand_startswith(spark, store, pats, max_expansions)
     exp = exp.drop_duplicates(subset=["qid", "term"])
     qt_parts = []
     if fixed_rows:
@@ -1454,12 +1506,8 @@ def search_as_you_type(
         pats = pd.DataFrame(
             long_last, columns=["qid", "prefix"]
         ).drop_duplicates()
-        hit = store.term_stats(spark).join(
-            F.broadcast(spark.createDataFrame(pats)),
-            F.col("term").startswith(F.col("prefix")),
-        )
-        exp = _collect_expansion(
-            hit, "prefix", [F.col("term").asc()], max_expansions
+        exp = _expand_startswith(
+            spark, store, pats, max_expansions
         ).drop_duplicates(subset=["qid", "term"])
         if not exp.empty:
             exp = exp.copy()
@@ -7580,13 +7628,7 @@ def search_phrase_prefix(
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     pats = pd.DataFrame(pfx_rows, columns=["qid", "prefix"]).drop_duplicates()
-    pdf = spark.createDataFrame(pats)
-    hit = store.term_stats(spark).join(
-        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
-    )
-    exp = _collect_expansion(
-        hit, "prefix", [F.col("term").asc()], max_expansions
-    )
+    exp = _expand_startswith(spark, store, pats, max_expansions)
     exp_by_qid = (
         exp.groupby("qid")["term"].apply(lambda s: sorted(set(s))).to_dict()
         if not exp.empty
@@ -9336,14 +9378,10 @@ def search_span_multi(
             )
         pats.append((int(qid), fp + pfx))
         parts[int(qid)] = (toks, stars[0])
-    pdf = spark.createDataFrame(
-        pd.DataFrame(pats, columns=["qid", "prefix"]).drop_duplicates()
-    )
-    hit = store.term_stats(spark).join(
-        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
-    )
-    exp = _collect_expansion(
-        hit, "prefix", [F.col("term").asc()], max_expansions
+    exp = _expand_startswith(
+        spark, store,
+        pd.DataFrame(pats, columns=["qid", "prefix"]).drop_duplicates(),
+        max_expansions,
     )
     if exp.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -9638,12 +9676,8 @@ def suggest_completions_ctx(
         int(q): str(c) for q, c in zip(pr["qid"], pr["context"])
     }
     pr["prefix"] = fp + pr["prefix"]
-    pdf = spark.createDataFrame(pr[["qid", "prefix"]])
-    hit = store.term_stats(spark).join(
-        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
-    )
-    exp = _collect_expansion(
-        hit, "prefix", [F.col("term").asc()], max_expansions
+    exp = _expand_startswith(
+        spark, store, pr[["qid", "prefix"]], max_expansions
     )
     if exp.empty:
         return spark.createDataFrame(
