@@ -113,7 +113,14 @@ def dsir_weights(
     """Per-raw-doc DSIR log importance weight → (doc_id, logw)."""
     if n_buckets < 2:
         raise EngineError("dsir needs n_buckets >= 2")
-    raw_counts = _bucket_counts(raw, id_col, text_col, n_buckets)
+    # materialize once: the raw bucket counts feed BOTH the q-model
+    # aggregation and the scoring join — without this the whole
+    # tokenize → md5 → per-doc count pipeline runs twice over the raw
+    # corpus. The frame is ≤ n_buckets rows per doc (far below token
+    # volume at any scale).
+    raw_counts = _bucket_counts(
+        raw, id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)
     tgt_counts = _bucket_counts(target, id_col, text_col, n_buckets)
     p = _bucket_logprobs(tgt_counts, n_buckets, "logp")
     q = _bucket_logprobs(raw_counts, n_buckets, "logq")

@@ -319,6 +319,142 @@ def tokenize_count_rows(
     return with_id.mapInPandas(run, schema=out_schema)
 
 
+def tokenize_terms_rows(
+    with_id: DataFrame,
+    content_col: str = "content",
+    positions: bool = False,
+    fields: tuple[str, ...] | None = None,
+    edge_ngrams: tuple[int, ...] | None = None,
+    prefix_max: int = 10,
+) -> DataFrame:
+    """TERM rows only — (doc_int, term, tf, dl[, pos_bytes]) — from a frame
+    carrying ``doc_int``. The narrow half of the split build pass: the old
+    fused pass interleaved one doc-marker row per document and therefore
+    shipped every marker metadata column as a NULL on all ~60× more
+    numerous term rows, through Arrow, the (term_bucket, seg) exchange and
+    its sort (UnsafeRow spends fixed width per field even when null —
+    measured ~25% of the whole segment write at sf0.1). Markers are now a
+    separate JVM-only projection (:func:`marker_rows`); this pass receives
+    and emits only what the posting encoder needs."""
+    from ..functions.analysis import (
+        sayt_prefix_tokens,
+        sayt_shingle_tokens,
+        term_freqs_from_tokens,
+        term_freqs_positions_from_tokens,
+        tokenize_series,
+    )
+
+    fld_cols: dict[str, str] = {}
+    if fields:
+        # nested dotted paths → internally-named flat columns for the
+        # Arrow hop (see tokenize_count_rows for why name-based pruning
+        # forbids literal dotted column names)
+        for i, fld in enumerate(fields):
+            if edge_ngrams and i > 0:
+                continue  # synthetic subfield: derived, not a column
+            if "." in fld:
+                safe = f"_fld_{i}"
+                while safe in with_id.columns:
+                    safe += "_"
+                with_id = with_id.withColumn(safe, F.col(fld))
+                fld_cols[fld] = safe
+            else:
+                fld_cols[fld] = fld
+        src_cols = ["doc_int", *sorted(set(fld_cols.values()))]
+    else:
+        src_cols = ["doc_int", content_col]
+    pos_part = ", pos_bytes binary" if positions else ""
+    out_schema = f"doc_int long, term string, tf long, dl long{pos_part}"
+    kernel = (
+        term_freqs_positions_from_tokens
+        if positions
+        else term_freqs_from_tokens
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_int = pdf["doc_int"].to_numpy(dtype=np.int64)
+            if fields:
+                frames = []
+                root_toks = None
+                for fld in fields:
+                    if edge_ngrams and root_toks is not None:
+                        if fld.endswith("._index_prefix"):
+                            toks, dl_f = sayt_prefix_tokens(
+                                root_toks, prefix_max
+                            )
+                        else:
+                            g = int(fld.rsplit("._", 1)[1][:-4])
+                            toks, dl_f = sayt_shingle_tokens(root_toks, g)
+                    else:
+                        toks = tokenize_series(pdf[fld_cols[fld]].fillna(""))
+                        dl_f = toks.map(len).to_numpy(dtype=np.int64)
+                        if edge_ngrams:
+                            root_toks = toks
+                    tr = kernel(doc_int, toks, np.asarray(dl_f, np.int64))
+                    if len(tr):
+                        tr = tr.copy()
+                        tr["term"] = fld + ":" + tr["term"]
+                    frames.append(tr)
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                toks = tokenize_series(pdf[content_col])
+                dl = toks.map(len).to_numpy(dtype=np.int64)
+                yield kernel(doc_int, toks, dl)
+
+    return with_id.select(*src_cols).mapInPandas(run, schema=out_schema)
+
+
+def marker_dl_cols(
+    content_col: str,
+    fields: tuple[str, ...] | None,
+    edge_ngrams: tuple[int, ...] | None,
+    prefix_max: int = 10,
+):
+    """(dl Column, field_dls Column | None) for the JVM-side doc markers —
+    token counts via the pinned analyzer's Spark-SQL form (equivalent to
+    the pandas tokenizer by construction; cross-checked in tests)."""
+    from ..functions.analysis import spark_tokens_expr
+
+    def _n(col: str):
+        # coalesce: the pandas tokenizer fillna("")s — null text is dl 0,
+        # never size(NULL)
+        inner = spark_tokens_expr("coalesce(" + col + ", '')")
+        return F.expr(f"size({inner})").cast("long")
+
+    if not fields:
+        return _n(content_col), None
+    if edge_ngrams:
+        root = _n(content_col)
+        toks = F.expr(spark_tokens_expr("coalesce(" + content_col + ", '')"))
+        parts = [root]
+        for fld in fields[1:]:
+            if fld.endswith("._index_prefix"):
+                parts.append(
+                    F.aggregate(
+                        toks,
+                        F.lit(0).cast("long"),
+                        lambda acc, t: acc
+                        + F.least(
+                            F.length(t).cast("long"),
+                            F.lit(int(prefix_max)).cast("long"),
+                        ),
+                    )
+                )
+            else:
+                g = int(fld.rsplit("._", 1)[1][:-4])
+                parts.append(F.greatest(root - F.lit(g - 1), F.lit(0)))
+        fd = F.array(*parts)
+    else:
+        fd = F.array(*[_n(f_) for f_ in fields])
+    dl = F.aggregate(
+        fd, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return dl, fd
+
+
 DENSE_BATCH_SHIFT = 44  # dense ids: (batch_idx << 44) | rank — disjoint
                         # per-batch ranges, up to ~5*10^5 batches of 2^44 docs
 DENSE_ID_BUCKETS = 65536  # fixed logical bucket count for dense-id order —

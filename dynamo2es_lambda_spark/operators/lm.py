@@ -101,7 +101,11 @@ def bigram_perplexity(
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
-    v = uni.count()  # vocabulary size (distinct unigrams) — one scalar
+    # vocabulary size rides the plan as a broadcast 1-row frame instead of
+    # a separate eager count() action (same double arithmetic either way)
+    vsz = F.broadcast(
+        uni.agg(F.count("*").cast("double").alias("_v"))
+    )
     bi = (
         base.select(F.explode("_bigrams").alias("b"))
         .groupBy("b")
@@ -114,11 +118,12 @@ def bigram_perplexity(
     scored = (
         doc_bi.join(bi, "b")
         .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(vsz)
         .withColumn(
             "_nll",
             -F.log2(
                 (F.col("c12") + F.lit(k))
-                / (F.col("c1") + F.lit(k) * F.lit(float(v)))
+                / (F.col("c1") + F.lit(k) * F.col("_v"))
             ),
         )
     )
@@ -171,7 +176,7 @@ def bigram_perplexity_from_stats(
     bi = stats.filter(F.col("gram").contains(" ")).select(
         F.col("gram").alias("b"), F.col("cf").alias("c12")
     )
-    v = uni.count()
+    vsz = F.broadcast(uni.agg(F.count("*").cast("double").alias("_v")))
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
@@ -183,11 +188,12 @@ def bigram_perplexity_from_stats(
     scored = (
         doc_bi.join(bi, "b")
         .join(uni, "w1")
+        .crossJoin(vsz)
         .withColumn(
             "_nll",
             -F.log2(
                 (F.col("c12") + F.lit(k))
-                / (F.col("c1") + F.lit(k) * F.lit(float(v)))
+                / (F.col("c1") + F.lit(k) * F.col("_v"))
             ),
         )
     )
@@ -247,10 +253,12 @@ def trigram_perplexity(
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
-    tv = uni.agg(
-        F.count("*").alias("v"), F.sum("c1").alias("t")
-    ).first()
-    v, t = float(tv["v"]), float(tv["t"])
+    tv = F.broadcast(
+        uni.agg(
+            F.count("*").cast("double").alias("_v"),
+            F.sum("c1").cast("double").alias("_t"),
+        )
+    )
     bi = (
         base.select(F.explode("_bigrams").alias("b"))
         .groupBy("b")
@@ -282,12 +290,15 @@ def trigram_perplexity(
                  .withColumnRenamed("c1", "c2"), "w2")
         .join(uni.withColumnRenamed("w", "w3")
                  .withColumnRenamed("c1", "c3"), "w3")
+        .crossJoin(tv)
         .withColumn(
             "_p",
-            F.lit(l1) * (F.col("c3") + k) / F.lit(t + k * v)
-            + F.lit(l2) * (F.col("c23") + k) / (F.col("c2") + F.lit(k * v))
+            F.lit(l1) * (F.col("c3") + k)
+            / (F.col("_t") + F.lit(k) * F.col("_v"))
+            + F.lit(l2) * (F.col("c23") + k)
+            / (F.col("c2") + F.lit(k) * F.col("_v"))
             + F.lit(l3) * (F.col("c123") + k)
-              / (F.col("c12") + F.lit(k * v)),
+            / (F.col("c12") + F.lit(k) * F.col("_v")),
         )
         .withColumn("_nll", -F.log2("_p"))
     )

@@ -255,6 +255,104 @@ def build_segments(
 
 
 
+def encode_term_blocks(
+    rows: DataFrame,
+    num_buckets: int = 64,
+    seg_shift: int = 52,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Narrow successor of :func:`build_segments`'s block half: TERM rows
+    only — (doc_int, term, tf, dl[, pos_bytes]) from
+    ids.tokenize_terms_rows — through the ONE (term_bucket, seg)-keyed
+    exchange and the per-(term, seg) delta+varbyte block encode. Doc-stat
+    markers no longer ride this exchange (they are a JVM-only projection
+    written separately, plans/build._build_batch_once), so the shuffle
+    and its sort move exactly the posting payload — no per-term-row null
+    metadata width. → BLOCKS_SCHEMA + term_bucket."""
+    spark = rows.sparkSession
+    n_shuffle = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    tok = rows.withColumn(
+        "seg", F.shiftright(F.col("doc_int"), seg_shift)
+    ).withColumn(
+        "term_bucket",
+        F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets)),
+    )
+    parted = tok.repartition(
+        n_shuffle, "term_bucket", "seg"
+    ).sortWithinPartitions("term", "seg", "doc_int")
+    out_schema = f"{BLOCKS_SCHEMA}, term_bucket long"
+
+    def encode_stream(batches):
+        import numpy as np
+
+        carry: pd.DataFrame | None = None
+        blocks: list[dict] = []
+
+        def flush_group(g: pd.DataFrame) -> None:
+            pos = (
+                g["pos_bytes"].to_numpy(dtype=object)
+                if "pos_bytes" in g.columns
+                else None
+            )
+            bl = codec.encode_blocks(
+                g["doc_int"].to_numpy(dtype=np.int64),
+                g["tf"].to_numpy(dtype=np.int64),
+                g["dl"].to_numpy(dtype=np.int64),
+                pos_payloads=pos,
+            )
+            term = g["term"].iat[0]
+            seg = int(g["seg"].iat[0])
+            bucket = int(g["term_bucket"].iat[0])
+            for b in bl:
+                b["term"] = term
+                b["seg"] = seg
+                b["term_bucket"] = bucket
+                blocks.append(b)
+
+        def emit() -> pd.DataFrame | None:
+            if not blocks:
+                return None
+            bdf = pd.DataFrame(
+                blocks, columns=[*_BLOCK_COLS, "term_bucket"]
+            )
+            blocks.clear()
+            if "pos_bytes" not in bdf.columns or bdf["pos_bytes"].isna().all():
+                bdf["pos_bytes"] = None
+            return bdf
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            change = (
+                pdf["term"].ne(pdf["term"].shift())
+                | pdf["seg"].ne(pdf["seg"].shift())
+            ).to_numpy()
+            change[0] = True
+            import numpy as np
+
+            last_start = np.nonzero(change)[0][-1]
+            head = pdf.iloc[:last_start]
+            carry = pdf.iloc[last_start:].copy()
+            if len(head):
+                for _, g in head.groupby(["term", "seg"], sort=False):
+                    flush_group(g)
+            out = emit()
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            flush_group(carry)
+        out = emit()
+        if out is not None:
+            yield out
+
+    return parted.mapInPandas(encode_stream, schema=out_schema)
+
+
 def term_stats(blocks: DataFrame) -> DataFrame:
     """Per-term document frequency from block metadata (cheap). Carries the
     term's storage bucket so query planning never re-hashes terms JVM-side —

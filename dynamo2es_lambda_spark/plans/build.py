@@ -640,14 +640,22 @@ def _build_batch_once(
 
     import math
 
+    spark = docs.sparkSession
     if id_mode == "dense":
         # dense ids: the offsets pass is a column-pruned count aggregation
-        # (cheap); the ONE full-width shuffle is the bucket repartition
-        rows, n_est = ids.assign_dense_tokenize_count(
-            docs, content_col=content_col, batch_idx=batch_idx,
-            positions=positions, num_partitions=dense_partitions,
-            fields=fields, edge_ngrams=edge_ngrams,
+        # (cheap); the ONE full-width shuffle is the rank repartition.
+        # Materialized once — both the term pass and the marker projection
+        # consume the ranked frame.
+        with_id, n_est = ids.assign_dense_ids(
+            docs, order_col="doc_id", num_partitions=dense_partitions
         )
+        if batch_idx:
+            with_id = with_id.withColumn(
+                "doc_int",
+                F.col("doc_int")
+                + F.lit(batch_idx << ids.DENSE_BATCH_SHIFT),
+            )
+        with_id = with_id.localCheckpoint(eager=True)
         # dense ids are contiguous → segments are exact 2^shift-doc slices
         seg_shift = max(1, min(63, round(math.log2(max(segment_docs, 2)))))
     else:
@@ -655,9 +663,8 @@ def _build_batch_once(
         # already knows this batch's row count (n_docs_hint) — a separate
         # count job only runs when a hook made the count unknowable
         n_est = n_docs_hint if n_docs_hint is not None else docs.count()
-        rows = ids.assign_tokenize_count(
-            docs, content_col=content_col, batch_name=batch_name,
-            positions=positions, fields=fields, edge_ngrams=edge_ngrams,
+        with_id = docs.withColumn(
+            "doc_int", F.xxhash64(F.col("doc_id"), F.lit(batch_name))
         )
         seg_shift = postings.seg_shift_for(n_est, segment_docs)
     mark("count_docs")
@@ -669,22 +676,65 @@ def _build_batch_once(
             {"docs": 0, "blocks": 0, "took_sec": 0.0, "phases": phases},
         )
         return 0, 0
-    meta_cols = [
+    meta_src = [
         c
         for c in ("doc_id", "index_name", "doc_type", "parent",
-                  "version", "content_sha256", "lang", "ts", "field_dls",
+                  "version", "content_sha256", "lang", "ts",
                   *doc_meta_cols)
-        if c in rows.columns
+        if c in with_id.columns
     ]
-    # ONE job per batch: python fused pass → (term_bucket, seg) exchange →
-    # encode/passthrough → single partitioned write. Posting blocks land
-    # under part=block/term_bucket=<h>, doc-stat rows under part=doc.
-    segments = postings.build_segments(
-        rows,
-        meta_cols=meta_cols,
-        num_buckets=num_buckets,
-        seg_shift=seg_shift,
+    # SPLIT build pass (one Python crossing + one JVM projection): term
+    # rows — the ~dl-per-doc-times bigger half — go through the
+    # (term_bucket, seg) exchange carrying ONLY what the encoder needs;
+    # doc-stat markers are a shuffle-free JVM projection (dl/field_dls via
+    # the pinned analyzer's SQL form) written straight into part=doc. The
+    # former fused pass shipped every marker metadata column as a NULL on
+    # every term row through Arrow, the exchange and its sort (UnsafeRow
+    # pays fixed width per field even for nulls) — measured ~25% of the
+    # whole segment write at sf0.1. Both writes pad to one shared file
+    # schema, so the on-disk layout (and every reader) is unchanged.
+    term_rows = ids.tokenize_terms_rows(
+        with_id, content_col=content_col, positions=positions,
+        fields=fields, edge_ngrams=edge_ngrams,
     )
+    blocks = postings.encode_term_blocks(
+        term_rows, num_buckets=num_buckets, seg_shift=seg_shift,
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dl_col, fd_col = ids.marker_dl_cols(content_col, fields, edge_ngrams)
+    markers = (
+        with_id.select(
+            *meta_src,
+            "doc_int",
+            dl_col.alias("dl"),
+            *([fd_col.alias("field_dls")] if fields else []),
+        )
+        .withColumn("doc_seg", F.shiftright(F.col("doc_int"), seg_shift))
+        .withColumn(
+            "seg", F.pmod(F.col("doc_int"), F.lit(n_shuffle)).cast("long")
+        )
+    )
+    file_cols: list[tuple[str, str]] = [
+        ("term", "string"), ("seg", "bigint"), ("block_id", "int"),
+        ("n_docs", "int"), ("doc_first", "bigint"), ("doc_last", "bigint"),
+        ("max_tf", "int"), ("min_dl", "int"), ("doc_bytes", "binary"),
+        ("tf_bytes", "binary"), ("dl_bytes", "binary"),
+        ("pos_bytes", "binary"),
+    ]
+    file_cols += [
+        (c, with_id.schema[c].dataType.simpleString()) for c in meta_src
+    ]
+    if fields:
+        file_cols.append(("field_dls", "array<bigint>"))
+    file_cols += [("doc_int", "bigint"), ("dl", "bigint"),
+                  ("doc_seg", "bigint")]
+
+    def _pad(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+        for name, typ in file_cols:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+        return df.select(*[n for n, _ in file_cols], *extra)
+
     seg_batch_path = os.path.join(
         store_io.segments_path(store_path), f"batch={batch_name}"
     )
@@ -693,7 +743,14 @@ def _build_batch_once(
     # handler-tests.js:1749-1788); the engine's sink is the store write, so
     # the dict lands on the DataFrameWriter (e.g. compression codec)
     store_io.write_parquet(
-        segments, seg_batch_path, partition_by=("part", "term_bucket"),
+        _pad(markers),
+        os.path.join(seg_batch_path, "part=doc", "term_bucket=-1"),
+        options=sink_options,
+    )
+    store_io.write_parquet(
+        _pad(blocks, extra=("term_bucket",)),
+        os.path.join(seg_batch_path, "part=block"),
+        partition_by=("term_bucket",),
         options=sink_options,
     )
     mark("segments_write")
@@ -720,12 +777,16 @@ def _build_batch_once(
     # query will see). ONE aggregation job covers doc count, block count, and
     # per-segment metrics; the lineage table itself is metadata-sized, so it
     # is written driver-side (pyarrow) instead of spending a Spark job.
-    spark = docs.sparkSession
     import pandas as pd
 
-    # explicit schema (the frame we just wrote): skips the footer-sampling
+    # explicit schema (the shared padded file schema we just wrote, plus
+    # the directory partition columns): skips the footer-sampling
     # schema-inference job a bare spark.read.parquet spends per read
-    batch_df = spark.read.schema(segments.schema).parquet(seg_batch_path)
+    read_ddl = (
+        ", ".join(f"`{n}` {t}" for n, t in file_cols)
+        + ", part string, term_bucket bigint"
+    )
+    batch_df = spark.read.schema(read_ddl).parquet(seg_batch_path)
     # Audit fusion (fresh single-batch builds): the finalize audit —
     # distinct doc_int / doc_id, avg dl, per-field length sums — rides the
     # SAME read-back aggregation. Summing per-(part, seg) countDistinct is

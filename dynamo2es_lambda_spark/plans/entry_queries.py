@@ -9262,14 +9262,18 @@ RANK_EVAL_K, RANK_EVAL_TH = 10, 2
 
 
 def _query_vecs_pdf(spark, sf_dir):
-    ev = (
-        _tbl(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 2)
-        .collect()
-    )
+    # two query vectors — a driver-side pyarrow point read (row-group
+    # pruned on vec_id), not a Spark job per hybrid query
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < 2
+    ).to_pandas().sort_values("vec_id")
     return pd.DataFrame(
-        {"qid": [r["vec_id"] for r in ev],
-         "vec": [list(r["embedding"]) for r in ev]}
+        {"qid": tbl["vec_id"].tolist(),
+         "vec": [list(map(float, v)) for v in tbl["embedding"]]}
     )
 
 

@@ -8197,17 +8197,28 @@ def _ranked_knn(
     ``window``.  Query vectors broadcast; the cosine is ONE codegen
     aggregate expression over the doc-marker vector column (no Python),
     ranked over the rounded value with doc_id tie-break."""
-    from ..operators.ann import cosine_expr
+    from ..operators.ann import COS_EXPR, _norm_col
+
+    # each doc's norm computed ONCE before the |queries|-way cross join
+    # (bit-identical to inlining — see operators/ann._norm_col); the query
+    # norm is a literal per broadcast row
+    import math
 
     stats = store.doc_stats(spark).select(
         "doc_id", F.col(vec_col).cast("array<double>").alias("_dvec")
-    ).filter(F.col("_dvec").isNotNull())
+    ).filter(F.col("_dvec").isNotNull()).withColumn(
+        "_dn", _norm_col("_dvec")
+    )
+    qrows = []
+    for qid, v in zip(query_vecs["qid"], query_vecs["vec"]):
+        vec = [float(x) for x in v]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        qrows.append((int(qid), vec, math.sqrt(acc)))
     qv = F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame(
-                {"qid": query_vecs["qid"],
-                 "_qvec": [list(map(float, v)) for v in query_vecs["vec"]]}
-            )
+            pd.DataFrame(qrows, columns=["qid", "_qvec", "_qn"])
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -8215,7 +8226,14 @@ def _ranked_knn(
     )
     return (
         stats.join(qv)
-        .withColumn("_cos", F.round(F.expr(cosine_expr("_qvec", "_dvec")), 6))
+        .withColumn(
+            "_cos",
+            F.round(
+                F.expr(COS_EXPR.format(a="_qvec", b="_dvec"))
+                / (F.col("_qn") * F.col("_dn")),
+                6,
+            ),
+        )
         .withColumn("krank", F.row_number().over(w))
         .filter(F.col("krank") <= int(window))
         .select("qid", "doc_id", "krank")
