@@ -115,10 +115,13 @@ def quality_percentile_filter(
 
     if not 0.0 <= pct <= 1.0:
         raise EngineError("pct must be in [0, 1]")
+    # materialize once: the threshold aggregation and the kept-count pass
+    # both consume the scored frame — without this the regex-heavy quality
+    # score runs twice over the corpus. Two narrow columns per doc.
     scored = docs.select(
         F.col(lang_col).alias("lang"),
         F.round(T.quality_score(text_col), 6).alias("q_r"),
-    )
+    ).localCheckpoint(eager=True)
     thr = scored.agg(F.expr(f"percentile(q_r, {pct})").alias("_t"))
     return (
         scored.crossJoin(F.broadcast(thr))

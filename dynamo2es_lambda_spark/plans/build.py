@@ -841,6 +841,14 @@ def _build_batch_once(
                     )
                     for i, f_ in enumerate(fields or ())
                 },
+                # exact integer token totals: the phrase suggester's LM
+                # constants — recorded in meta so query time never runs a
+                # doc-stat aggregation job for them
+                "dl_sum": int(dp["_a_dl"].sum()),
+                "field_dl_sums": [
+                    int(dp[f"_a_f{i}"].sum())
+                    for i in range(len(fields or ()))
+                ],
             }
         )
     bp = stats[stats["part"] == "block"]
@@ -975,6 +983,8 @@ def _finalize_store(
             "n_ids": precomputed_audit["n_ids"],
             "n_doc_ids": precomputed_audit["n_doc_ids"],
             "avgdl": precomputed_audit["avgdl"],
+            "dl_sum": precomputed_audit.get("dl_sum"),
+            "field_dl_sums": precomputed_audit.get("field_dl_sums"),
             **{
                 f"_af{i}": pa_fields.get(f_, 0.0)
                 for i, f_ in enumerate(fields or ())
@@ -986,11 +996,21 @@ def _finalize_store(
         plain = doc_stats.agg(
             F.count("*").alias("n"),
             F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("_dlsum"),
             *field_avgs,
+            *[
+                F.sum(F.col("field_dls")[i]).alias(f"_fs{i}")
+                for i in range(len(fields or ()))
+            ],
         ).first()
         audit = {
             "n": plain["n"], "n_ids": plain["n"], "n_doc_ids": plain["n"],
             "avgdl": plain["avgdl"],
+            "dl_sum": int(plain["_dlsum"] or 0),
+            "field_dl_sums": [
+                int(plain[f"_fs{i}"] or 0)
+                for i in range(len(fields or ()))
+            ],
             **{
                 f"_af{i}": plain[f"_af{i}"]
                 for i in range(len(fields or ()))
@@ -1002,7 +1022,12 @@ def _finalize_store(
             F.countDistinct("doc_int").alias("n_ids"),
             F.countDistinct("doc_id").alias("n_doc_ids"),
             F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("_dlsum"),
             *field_avgs,
+            *[
+                F.sum(F.col("field_dls")[i]).alias(f"_fs{i}")
+                for i in range(len(fields or ()))
+            ],
         ).first()
     if audit["n"] != audit["n_ids"]:
         if audit["n"] != audit["n_doc_ids"]:
@@ -1034,6 +1059,17 @@ def _finalize_store(
             f_: float(audit[f"_af{i}"] or 0.0)
             for i, f_ in enumerate(fields or ())
         }
+        # live == all markers here, so the exact token totals are valid
+        # index-statistics for the suggester's LM constants
+        if isinstance(audit, dict):
+            dl_sum_meta = audit.get("dl_sum")
+            field_dl_sums_meta = audit.get("field_dl_sums")
+        else:
+            dl_sum_meta = int(audit["_dlsum"] or 0)
+            field_dl_sums_meta = [
+                int(audit[f"_fs{i}"] or 0)
+                for i in range(len(fields or ()))
+            ]
     else:
         fd_col = (
             [F.col("field_dls")]
@@ -1102,6 +1138,11 @@ def _finalize_store(
             if fd_col
             else {}
         )
+        # stores with dead markers: the suggester's LM totals span ALL
+        # markers (like lm_stats, they keep deleted docs until a rebuild)
+        # — live-only sums would not match, so no dl_sum keys here
+        dl_sum_meta = None
+        field_dl_sums_meta = None
     if not derived_stats:
         # caller immediately compacts (plans/cdc.apply_changes with
         # compact=True): only the liveness resolution above is needed —
@@ -1178,9 +1219,13 @@ def _finalize_store(
         "id_mode": id_mode,
         "lm_stats": bool(lm_stats),
     }
+    if dl_sum_meta is not None:
+        meta["dl_sum"] = int(dl_sum_meta)
     if fields:
         meta["fields"] = list(fields)
         meta["avgdl_fields"] = avgdl_fields
+        if field_dl_sums_meta is not None:
+            meta["field_dl_sums"] = [int(x) for x in field_dl_sums_meta]
     if doc_meta_cols:
         meta["doc_meta_cols"] = list(doc_meta_cols)
     if edge_ngrams:

@@ -1100,20 +1100,16 @@ def search_more_like_this(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
-def _term_stats_lookup(
-    spark: SparkSession, store: IndexStore, terms: list[str]
-) -> pd.DataFrame:
-    """Point lookup of ≤|query terms| rows from the term_stats table.
-
-    Driver-side pyarrow read (no Spark job): term_stats is written sorted
-    by term within its files (plans/build._finalize_store), so parquet
-    row-group min/max statistics prune the read down to the row groups
-    that can contain the probed terms — the same point-read shape at any
-    store size. Every query path used to spend one whole Spark job here
-    (scan + filter + toPandas ≈ a scheduling floor per query); the arrow
-    read is single-digit milliseconds. Falls back to the Spark read for
-    non-parquet stores (Iceberg) or any arrow-side surprise."""
-    path = os.path.join(store.path, "term_stats")
+def _arrow_isin_read(
+    path: str, key_col: str, keys: list, cols: tuple[str, ...] | None = None
+) -> pd.DataFrame | None:
+    """Driver-side pyarrow point read of ``keys`` from a parquet directory
+    whose files are sorted by ``key_col`` (row-group min/max statistics
+    prune the scan to the groups that can contain the probed keys — the
+    same point-read shape at any table size). Returns None on any
+    surprise (non-parquet layout, missing dir) so callers fall back to
+    the Spark read. Replaces one whole Spark job (scan + filter +
+    toPandas ≈ a scheduling floor) per lookup."""
     try:
         import pyarrow.dataset as pads
 
@@ -1122,18 +1118,66 @@ def _term_stats_lookup(
             files.extend(
                 os.path.join(root, f) for f in fns if f.endswith(".parquet")
             )
+        if not files:
+            return None
         dset = pads.dataset(sorted(files), format="parquet")
-        cols = [c for c in ("term", "df", "term_bucket")
-                if c in dset.schema.names]
+        use = [
+            c for c in (cols or dset.schema.names)
+            if c in dset.schema.names
+        ]
         return dset.to_table(
-            columns=cols, filter=pads.field("term").isin(terms)
+            columns=use, filter=pads.field(key_col).isin(keys)
         ).to_pandas()
-    except Exception:  # noqa: BLE001 — fall back to the Spark read
-        return (
-            store.term_stats(spark)
-            .filter(F.col("term").isin(terms))
-            .toPandas()
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _prefix_range_count(store: IndexStore, fp: str) -> float | None:
+    """Driver-side count of a field's qualified terms: the dictionary is
+    ASCII and term-sorted, so the count is a row-group-pruned pyarrow
+    count over the key range [fp, fp + 0x7f). None → Spark fallback."""
+    try:
+        if not fp or any(ord(c) >= 0x7F for c in fp):
+            return None
+        import pyarrow.dataset as pads
+
+        path = os.path.join(store.path, "term_stats")
+        files = []
+        for root, _dirs, fns in os.walk(path):
+            files.extend(
+                os.path.join(root, f) for f in fns if f.endswith(".parquet")
+            )
+        if not files:
+            return None
+        dset = pads.dataset(sorted(files), format="parquet")
+        return float(
+            dset.count_rows(
+                filter=(pads.field("term") >= fp)
+                & (pads.field("term") < fp + "\x7f")
+            )
         )
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _term_stats_lookup(
+    spark: SparkSession, store: IndexStore, terms: list[str]
+) -> pd.DataFrame:
+    """Point lookup of ≤|query terms| rows from the term_stats table —
+    driver-side via :func:`_arrow_isin_read` (term_stats files are
+    term-sorted, plans/build._finalize_store), Spark fallback for
+    non-parquet stores."""
+    got = _arrow_isin_read(
+        os.path.join(store.path, "term_stats"), "term", terms,
+        cols=("term", "df", "term_bucket"),
+    )
+    if got is not None:
+        return got
+    return (
+        store.term_stats(spark)
+        .filter(F.col("term").isin(terms))
+        .toPandas()
+    )
 
 
 def _join_term_stats(
@@ -3789,22 +3833,33 @@ def suggest_phrase(
     from ..sources import store_io
 
     if fp:
-        V = float(ts.count())
         flds = store.meta.get("fields") or []
         fidx = flds.index(fp[:-1])
-        T = float(
-            store.doc_stats(spark)
-            .agg(F.sum(F.col("field_dls")[fidx]))
-            .first()[0]
-            or 0.0
-        )
+        V = _prefix_range_count(store, fp)
+        if V is None:
+            V = float(ts.count())
+        fsums = store.meta.get("field_dl_sums")
+        if fsums is not None:
+            T = float(fsums[fidx])
+        else:
+            T = float(
+                store.doc_stats(spark)
+                .agg(F.sum(F.col("field_dls")[fidx]))
+                .first()[0]
+                or 0.0
+            )
     else:
         V = float(
             store_io.parquet_num_rows(os.path.join(store.path, "term_stats"))
         )
-        T = float(
-            store.doc_stats(spark).agg(F.sum("dl")).first()[0] or 0.0
-        )
+        # exact token total recorded by finalize (integer sum) — the
+        # doc-stat aggregation job only runs for stores predating the key
+        if store.meta.get("dl_sum") is not None:
+            T = float(store.meta["dl_sum"])
+        else:
+            T = float(
+                store.doc_stats(spark).agg(F.sum("dl")).first()[0] or 0.0
+            )
 
     # enumerate combinations per qid (driver, query-sized)
     import itertools
@@ -3829,11 +3884,16 @@ def suggest_phrase(
         # the range-sorted gram column prunes row groups, so the read is
         # candidate-sized regardless of corpus size
         need = [fp + t for t in need_terms] + [fp + b for b in need_bigrams]
-        got = (
-            spark.read.parquet(os.path.join(store.path, "lm_stats"))
-            .filter(F.col("gram").isin(need))
-            .toPandas()
+        got = _arrow_isin_read(
+            os.path.join(store.path, "lm_stats"), "gram", need,
+            cols=("gram", "cf"),
         )
+        if got is None:
+            got = (
+                spark.read.parquet(os.path.join(store.path, "lm_stats"))
+                .filter(F.col("gram").isin(need))
+                .toPandas()
+            )
         bare_grams = (
             got["gram"].str[len(fp):] if fp else got["gram"]
         )
