@@ -1010,37 +1010,82 @@ def semantic_dedup(
         assigned = assigned.join(sizes, "cluster").filter(
             F.col("_cn") <= int(max_cluster)
         ).drop("_cn")
-    # triangle salting: pair (x, y) carries key (cluster, s(x), s(y)) —
-    # emitted once from each side's replication, so the joined pair set is
-    # exactly the unsalted one. S ≈ sqrt(2·cores / k), clamped to [1, 8].
-    import math as _math
+    # Within-cluster pair test: ONE numpy pass per cluster group. The
+    # former self-join materialized every pair row carrying BOTH full
+    # embedding arrays (~1 KB/pair) just to evaluate one cosine; here a
+    # cluster's members arrive once (applyInPandas) and all pairwise dot
+    # products accumulate as d vectorized outer-product passes — the
+    # EXACT left-to-right per-pair fold of the old zip_with/aggregate
+    # expression (acc + x_j·y_j from 0.0, multiplication commutative),
+    # so values are bit-identical. Only narrow candidate rows (ids +
+    # unrounded ratio, pre-filtered with a safe tau band) return through
+    # Arrow; the 6-dp HALF_UP rounding and the tau cut stay JVM-side so
+    # rounding semantics are unchanged. Memory per task is chunked to
+    # ~chunk×|cluster| doubles; ``max_cluster`` remains the guard against
+    # degenerate mega-clusters (and k ≈ n/100 keeps groups small at
+    # scale).
+    tau_f = float(tau)
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    n_salt = max(1, min(8, int(_math.ceil(_math.sqrt(
-        2.0 * max(par, 1) / max(int(k), 1))))))
-    salt = F.pmod(F.xxhash64("vid"), F.lit(n_salt)).cast("int")
-    all_salts = F.explode(
-        F.sequence(F.lit(0), F.lit(n_salt - 1))
-    )
-    a = assigned.select(
-        "cluster", F.col("vid").alias("keep_id"),
-        F.col("vvec").alias("kv"), F.col("_vn").alias("_kn"),
-        salt.alias("_sa"), all_salts.alias("_sb"),
-    )
-    b = assigned.select(
-        "cluster", "vid", F.col("vvec").alias("dv"),
-        F.col("_vn").alias("_dn"),
-        all_salts.alias("_sa"), salt.alias("_sb"),
-    )
-    pair_dot = F.expr(COS_EXPR.format(a="kv", b="dv"))
-    pairs = (
-        a.join(b, ["cluster", "_sa", "_sb"])
-        .filter(F.col("keep_id") < F.col("vid"))
-        .withColumn(
-            "pcos_r",
-            F.round(pair_dot / (F.col("_kn") * F.col("_dn")), 6),
+    def pair_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="object"),
+                "vid": pd.Series([], dtype="int64"),
+                "keep_id": pd.Series([], dtype="int64"),
+                "ratio": pd.Series([], dtype="float64"),
+            }
         )
-        .filter(F.col("pcos_r") >= float(tau))
+        if m < 2:
+            return empty
+        vids = pdf["vid"].to_numpy(np.int64)
+        X = np.vstack(pdf["vvec"].to_numpy())
+        vn = pdf["_vn"].to_numpy(np.float64)
+        d = X.shape[1]
+        outs = []
+        chunk = max(1, min(m, 2_000_000 // max(m, 1)))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(d):
+                c = X[:, j]
+                acc += c[lo:hi, None] * c[None, :]
+            ratio = acc / (vn[lo:hi, None] * vn[None, :])
+            # upper triangle in ROW-POSITION space avoids double-emitting
+            # a pair; id-order is fixed up below
+            rows, cols = np.nonzero(
+                (np.arange(m)[None, :] > np.arange(lo, hi)[:, None])
+                # safe band: rounding to 6 dp moves a value by < 1e-6,
+                # so nothing below tau - 1e-6 can pass the JVM cut
+                & (ratio >= tau_f - 1e-6)
+            )
+            if rows.size:
+                va = vids[rows + lo]
+                vb = vids[cols]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": key[0],
+                            "vid": np.maximum(va, vb),
+                            "keep_id": np.minimum(va, vb),
+                            "ratio": ratio[rows, cols],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (
+        assigned.select("cluster", "vid", "vvec", "_vn")
+        .groupBy("cluster")
+        .applyInPandas(
+            pair_fn,
+            schema="cluster string, vid long, keep_id long, ratio double",
+        )
+    )
+    pairs = cand.withColumn("pcos_r", F.round("ratio", 6)).filter(
+        F.col("pcos_r") >= tau_f
     )
     return pairs.groupBy("vid", "cluster").agg(
         F.min("keep_id").alias("dup_of"),
