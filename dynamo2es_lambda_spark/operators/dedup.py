@@ -601,8 +601,13 @@ def corpus_minhash_overlap(
     )
     # sketch half: k md5 permutations, conditional elementwise min per
     # side folded into ONE aggregation (a side's hash set {md5(i_sh)} over
-    # its member shingles is identical to the former per-side min tables)
-    perms = sets.select(
+    # its member shingles is identical to the former per-side min tables).
+    # Repartition first: AQE coalesces the small membership frame to ~one
+    # partition, which would serialize the k×|types| md5 work onto one
+    # core — spread it across the cluster before the heavy map (the
+    # repartition moves only the vocabulary-sized frame).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    perms = sets.repartition(par).select(
         "in_a", "in_b",
         F.posexplode(
             F.expr(

@@ -10546,7 +10546,14 @@ def search_frequent_item_sets(
             F.expr(f"substring(term, {len(prefix) + 1})").alias("term"),
             "doc_int",
         )
-    qdocs = hits.join(items, "doc_int").select("qid", "doc_int", "term")
+    # materialize once: both self-join sides otherwise re-run the whole
+    # posting-block decode + hits join (no exchange reuse across the
+    # differently-keyed sides). Narrow (qid, doc_int, term) rows.
+    qdocs = (
+        hits.join(items, "doc_int")
+        .select("qid", "doc_int", "term")
+        .localCheckpoint(eager=True)
+    )
     a = qdocs.alias("a")
     b = qdocs.alias("b")
     pairs = (
