@@ -95,18 +95,22 @@ def main() -> None:
         corpus, cfg, key_cols=("docid",), content_col="content"
     ).filter(F.col("error").isNull())
     mapped = fieldmap.pick_document_fields(mapped, cfg)
-    rows = ids.assign_tokenize_count(mapped, content_col="content")
-    meta_cols = [c for c in ("doc_id", "index_name", "content_sha256", "lang")
-                 if c in rows.columns]
-    segments = postings.build_segments(rows, meta_cols=meta_cols,
-                                       num_buckets=32, seg_shift=55)
+    with_id = mapped.withColumn(
+        "doc_int", F.xxhash64(F.col("doc_id"), F.lit("b0"))
+    )
+    term_rows = ids.tokenize_terms_rows(with_id, content_col="content")
+    segments = postings.encode_term_blocks(
+        term_rows, num_buckets=32, seg_shift=55
+    )
     sections.append((
-        "Index build (scan → fused tokenize/count → segment encode)",
-        "The entire build is ONE job with ONE hash exchange, keyed "
-        "(term_bucket, seg): the only shuffle volume is the postings "
-        "themselves. The tokenizer is a single ArrowEvalPython/MapInPandas "
-        "crossing; everything before it is a columnar parquet scan with "
-        "column pruning (ReadSchema carries only doc_id/lang/text).",
+        "Index build, posting half (scan → term-only tokenize → encode)",
+        "The posting half of the split build (round 6): ONE hash "
+        "exchange, keyed (term_bucket, seg), carrying ONLY "
+        "(doc_int, term, tf, dl) — no null marker metadata width. The "
+        "tokenizer is a single MapInPandas crossing; everything before "
+        "it is a columnar parquet scan with column pruning (ReadSchema "
+        "carries only doc_id/text). Doc-stat markers are a separate "
+        "shuffle-free JVM projection (plans/build._build_batch_once).",
         plan_of(segments),
     ))
 
