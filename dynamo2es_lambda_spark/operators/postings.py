@@ -1,20 +1,22 @@
-"""Inverted-index construction: tokenize → segment-salted posting blocks.
+"""Inverted-index construction: tokenized term rows → segment-salted
+posting blocks.
 
-Design (SURVEY.md §2.2, §4.2):
+Design (SURVEY.md §2.2, §4.2; split build pass since round 6):
 
-- ``tokenize``: one mapInPandas pass over (doc_int, content) → rows
-  (doc_int, term, tf, dl). Vectorized pandas (functions/analysis.py); the
-  Arrow hop is the only JVM↔Python crossing on the build path.
+- term rows come from ONE mapInPandas pass (operators/ids.
+  tokenize_terms_rows) over (doc_int, content): (doc_int, term, tf, dl
+  [, pos_bytes]) — the only JVM↔Python crossing on the build path, and
+  the only payload the exchange below ever carries (doc-stat markers are
+  a separate shuffle-free JVM projection, plans/build._build_batch_once).
 
-- ``build_segments``: ONE shuffle, keyed by (term_bucket, seg) where
-  ``seg = doc_int // segment_docs`` — segments are disjoint, ordered doc-ID
+- ``encode_term_blocks``: ONE shuffle, keyed by (term_bucket, seg) where
+  ``seg = doc_int >> seg_shift`` — segments are disjoint, ordered doc-ID
   ranges. This is the salted repartition-by-term of the north rule: a hot
   term ("def", "the") spreads over all segments, so no single task owns a
   hot term's full posting list. Because segments partition the doc-ID space
   in order, a term's global posting list is just its segment lists
   concatenated in seg order — the salt is removed by ordering, not by a
-  second merge shuffle. Doc-stat marker rows ride the same exchange, so one
-  job writes the whole segment batch.
+  second merge shuffle.
 
 - Each (term, seg) group is delta+varbyte block-encoded (functions/codec.py)
   with block-max metadata; output rows are per-block → parquet min/max
@@ -47,25 +49,6 @@ BLOCKS_SCHEMA = (
 )
 
 
-def tokenize(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_int, content) → (doc_int, term, tf, dl)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield analysis.term_freqs_frame(pdf["doc_int"], pdf[content_col])
-
-    return docs.select("doc_int", content_col).mapInPandas(
-        run, schema=TOKENS_SCHEMA
-    )
-
-
-
-def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """Adds ``dl`` (token count) via a scalar pandas UDF — no shuffle."""
-    count_udf = F.pandas_udf(analysis.token_count_series, "long")
-    return docs.withColumn("dl", count_udf(F.col(content_col)))
-
-
 _BLOCK_COLS = [
     "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
     "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
@@ -85,174 +68,6 @@ def seg_shift_for(n_docs: int, segment_docs: int = DEFAULT_SEGMENT_DOCS) -> int:
     # clamp to [1, 63]: the JVM shifts modulo 64, so shift=64 would be a
     # no-op and give one segment per document
     return min(max(64 - bits, 1), 63)
-
-
-def build_segments(
-    rows: DataFrame,
-    meta_cols: list[str],
-    num_buckets: int = 64,
-    seg_shift: int = 52,
-    shuffle_partitions: int | None = None,
-) -> DataFrame:
-    """Fused segment builder: term rows + doc-marker rows (term IS NULL,
-    from ids.assign_tokenize_count) → ONE DataFrame of typed rows
-    (``part`` = 'block' posting blocks | 'doc' doc-stat rows) ready for a
-    single partitioned write. One shuffle total, keyed (term_bucket, seg):
-    co-locates every (term, seg) group AND aligns tasks with the output
-    directory partitioning (few files per task); markers ride the same
-    exchange (bucket −1, spread by pmod(doc_int)) and pass through.
-
-    ``seg = doc_int >> seg_shift``: disjoint, ordered slices of the 64-bit
-    hash space (doc ids are uniform hashes, so slices hold ~equal doc
-    counts; compute the shift with :func:`seg_shift_for`). Arithmetic shift
-    is order-preserving over signed ids. Skew: a hot term's postings split
-    across all segs; the hottest single (term, seg) group is bounded by the
-    segment's doc count.
-    """
-    spark = rows.sparkSession
-    n_shuffle = shuffle_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    # ``seg`` on MARKER rows is a shuffle-spreading key (pmod), not the
-    # posting segment; ``doc_seg`` records the doc's TRUE posting segment so
-    # downstream consumers (plans/search._segment_constraints cogroup,
-    # plans/cdc.compact_store) can route per-doc constraints to exactly the
-    # (term, seg) groups that hold the doc's postings.
-    tok = rows.withColumn(
-        "doc_seg", F.shiftright(F.col("doc_int"), seg_shift)
-    ).withColumn(
-        "seg",
-        F.when(
-            F.col("term").isNotNull(),
-            F.shiftright(F.col("doc_int"), seg_shift),
-        ).otherwise(F.pmod(F.col("doc_int"), F.lit(n_shuffle)).cast("long")),
-    ).withColumn(
-        "term_bucket",
-        F.when(
-            F.col("term").isNotNull(),
-            F.pmod(F.abs(F.xxhash64("term")), F.lit(num_buckets)),
-        ).otherwise(F.lit(-1)),
-    )
-    parted = tok.repartition(
-        n_shuffle, "term_bucket", "seg"
-    ).sortWithinPartitions("term", "seg", "doc_int")
-
-    out_cols = ["part", *_BLOCK_COLS, "term_bucket", *meta_cols,
-                "doc_int", "dl", "doc_seg"]
-    types = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
-    meta_schema = ", ".join(f"{c} {types[c]}" for c in meta_cols)
-    out_schema = (
-        f"part string, {BLOCKS_SCHEMA}, term_bucket long, {meta_schema}, "
-        "doc_int long, dl long, doc_seg long"
-    )
-
-    def encode_stream(batches):
-        import numpy as np
-
-        carry: pd.DataFrame | None = None
-        blocks: list[dict] = []
-
-        def flush_group(g: pd.DataFrame) -> None:
-            pos = (
-                g["pos_bytes"].to_numpy(dtype=object)
-                if "pos_bytes" in g.columns
-                else None
-            )
-            bl = codec.encode_blocks(
-                g["doc_int"].to_numpy(),
-                g["tf"].to_numpy(),
-                g["dl"].to_numpy(),
-                pos_payloads=pos,
-            )
-            term = g["term"].iat[0]
-            seg = int(g["seg"].iat[0])
-            bucket = int(g["term_bucket"].iat[0])
-            for b in bl:
-                b["term"] = term
-                b["seg"] = seg
-                b["term_bucket"] = bucket
-                blocks.append(b)
-
-        # integer columns that are absent on one of the two row types MUST
-        # stay nullable-Int64 through the concat: a NaN-bearing int column
-        # silently upcasts to float64, which cannot represent 64-bit ids
-        # (rounding step is 1024 near 2^63) — this corrupted doc ids once.
-        int_cols = ["seg", "block_id", "n_docs", "doc_first", "doc_last",
-                    "max_tf", "min_dl", "term_bucket", "doc_int", "dl",
-                    "doc_seg"]
-
-        def _nullable_ints(frame: pd.DataFrame) -> pd.DataFrame:
-            for c in int_cols:
-                if c in frame.columns:
-                    frame[c] = frame[c].astype("Int64")
-                else:
-                    frame[c] = pd.array([pd.NA] * len(frame), dtype="Int64")
-            return frame
-
-        def emit(markers: pd.DataFrame | None) -> pd.DataFrame:
-            frames = []
-            if blocks:
-                bdf = pd.DataFrame(blocks, columns=[*_BLOCK_COLS, "term_bucket"])
-                bdf.insert(0, "part", "block")
-                frames.append(_nullable_ints(bdf))
-                blocks.clear()
-            if markers is not None and len(markers):
-                mdf = markers[["seg", "term_bucket", "doc_seg",
-                               *meta_cols]].copy()
-                mdf.insert(0, "part", "doc")
-                mdf["doc_int"] = markers["doc_int"].to_numpy()
-                mdf["dl"] = markers["dl"].to_numpy()
-                frames.append(_nullable_ints(mdf))
-            if not frames:
-                return None
-            out = pd.concat(frames, ignore_index=True)
-            for c in out_cols:
-                if c not in out.columns:
-                    out[c] = None
-            # concat pads the block rows' absent array columns with float
-            # NaN, which Arrow rejects for array<*> — null them. Applies
-            # to field_dls AND any array-typed doc_meta_cols (embeddings,
-            # tag lists, ...).
-            for c in out.columns:
-                if c in types and types[c].startswith("array"):
-                    out[c] = [
-                        v if isinstance(v, (list, np.ndarray)) else None
-                        for v in out[c]
-                    ]
-            return out[out_cols]
-
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                continue
-            is_marker = pdf["term"].isna()
-            markers = pdf[is_marker]
-            pdf = pdf[~is_marker].reset_index(drop=True)
-            if len(pdf):
-                change = (
-                    pdf["term"].ne(pdf["term"].shift())
-                    | pdf["seg"].ne(pdf["seg"].shift())
-                ).to_numpy()
-                change[0] = True
-                last_start = np.nonzero(change)[0][-1]
-                head = pdf.iloc[:last_start]
-                carry = pdf.iloc[last_start:].copy()
-                if len(head):
-                    for _, g in head.groupby(["term", "seg"], sort=False):
-                        flush_group(g)
-            out = emit(markers)
-            if out is not None:
-                yield out
-        if carry is not None and len(carry):
-            flush_group(carry)
-        out = emit(None)
-        if out is not None:
-            yield out
-
-    return parted.mapInPandas(encode_stream, schema=out_schema)
-
 
 
 def encode_term_blocks(

@@ -769,7 +769,7 @@ def _segment_constraints(
     kind='dead' rows are superseded/tombstoned docs.
 
     Each doc-stat marker row carries the segment its postings landed in
-    (operators/postings.build_segments rides them on the same exchange), so
+    (plans/build._build_batch_once writes it on every marker), so
     the constraint rows reach exactly the scorer group that will decode the
     doc. Volume = |constrained docs| × |queries|: queries are few in batch
     analytics and the crossJoin broadcasts the tiny qid side."""
@@ -1476,7 +1476,7 @@ def search_match_bool_prefix(
     return _present(spark, store, _cut_topk(agg, k), k)
 
 
-SAYT_PREFIX_MAX = 10  # pinned with operators/ids.tokenize_count_rows
+SAYT_PREFIX_MAX = 10  # pinned with operators/ids.tokenize_terms_rows
 
 
 def search_as_you_type(

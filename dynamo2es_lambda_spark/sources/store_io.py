@@ -148,7 +148,7 @@ def read_doc_stats(spark, store_path: str):
 def read_doc_rows(spark, store_path: str, cols: tuple[str, ...] = ("doc_int", "seg")):
     """Doc-stat marker rows WITH their posting-segment assignment: the
     marker's ``doc_seg`` column records ``doc_int >> seg_shift`` of the
-    batch that indexed the doc (operators/postings.build_segments) — i.e.
+    batch that indexed the doc (plans/build._build_batch_once) — i.e.
     exactly the ``seg`` of every posting block holding the doc. Returned
     aliased as ``seg``: what plans/search._segment_constraints and
     plans/cdc.compact_store key their cogroups on. (The marker's raw
