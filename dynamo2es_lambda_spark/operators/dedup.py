@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..errors import EngineError
 from ..functions.analysis import spark_tokens_expr
+from ..functions.layout import spread_if_narrow
 from ..functions.text import fingerprint_md5
 
 MINHASH_SEEDS = 8
@@ -49,7 +50,11 @@ def _shingles_of(tok_col: str, n: int = 3) -> str:
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, sh) rows of distinct shingles per doc; tokens computed once."""
+    """(id, sh) rows of distinct shingles per doc; tokens computed once.
+    The input spreads first when its file layout under-parallelizes the
+    cluster (functions/layout) — the shingle explosion and the md5 hash
+    family downstream are the expensive maps pipelined onto this scan."""
+    df = spread_if_narrow(df, id_col)
     toked = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
@@ -62,7 +67,10 @@ def _exploded_shingles(
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of content-identical docs (normalized token stream).
-    → (fp, n_docs, canonical) with canonical = min id (string order)."""
+    → (fp, n_docs, canonical) with canonical = min id (string order).
+    No narrow-scan spread here: one md5 over the concatenated token
+    stream is cheaper than the exchange it would take (measured
+    0.42 s → 0.52 s with a spread at sf0.1)."""
     return (
         df.select(
             F.col(id_col).cast("string").alias("id"),
@@ -183,6 +191,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     Token hash = first 8 hex chars of md5 (32 bits), reproducible in SQL
     everywhere (Spark conv(); DuckDB '0x'-cast).
     """
+    df = spread_if_narrow(df, id_col)
     toks = spark_tokens_expr(text_col)
     tf = (
         df.select(
@@ -243,6 +252,7 @@ def chunk_dup_stats(
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
+    df = spread_if_narrow(df, id_col)
     d = int(chunk_tokens)
     toks = spark_tokens_expr(text_col)
     chunks_expr = (
@@ -382,6 +392,7 @@ def duplicate_spans(
     (running-max island detection), shuffled once by doc."""
     if window < 1:
         raise ValueError("window must be >= 1")
+    df = spread_if_narrow(df, id_col)
     w = int(window)
     toks = spark_tokens_expr(text_col)
     grams_expr = (
@@ -577,6 +588,7 @@ def corpus_minhash_overlap(
     """
     if n < 1 or k < 1:
         raise EngineError("corpus_minhash_overlap needs n >= 1 and k >= 1")
+    docs = spread_if_narrow(docs, id_col)
     toked = docs.select(
         side_col.cast("boolean").alias("_a"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),

@@ -43,7 +43,12 @@ N_BUCKETS = 64
 def _bucket_counts(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    """→ (doc_id, bucket, c): hashed unigram+bigram counts per doc."""
+    """→ (doc_id, bucket, c): hashed unigram+bigram counts per doc.
+    Spreads a narrow scan first: the md5-per-gram feature hash is the
+    expensive map pipelined onto it (functions/layout)."""
+    from ..functions.layout import spread_if_narrow
+
+    df = spread_if_narrow(df, id_col)
     toks = spark_tokens_expr(text_col)
     bigrams = (
         "CASE WHEN size(_toks) >= 2 THEN "
