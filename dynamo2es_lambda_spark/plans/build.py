@@ -742,19 +742,29 @@ def _build_batch_once(
     # into the ES bulk sink call (lib/handler.js:151-153, test
     # handler-tests.js:1749-1788); the engine's sink is the store write, so
     # the dict lands on the DataFrameWriter (e.g. compression codec)
-    store_io.write_parquet(
-        _pad(markers),
-        os.path.join(seg_batch_path, "part=doc", "term_bucket=-1"),
-        options=sink_options,
-    )
-    store_io.write_parquet(
-        _pad(blocks, extra=("term_bucket",)),
-        os.path.join(seg_batch_path, "part=block"),
-        partition_by=("term_bucket",),
-        options=sink_options,
-    )
-    mark("segments_write")
+    #
+    # The marker write, the block write, and the LM gram pass are mutually
+    # independent (same source frame, disjoint output directories), so they
+    # run as CONCURRENT Spark jobs (guide §2.6): the shuffle-free marker
+    # projection and the JVM-only gram aggregation back-fill executors
+    # while the block job's exchange + encode tail drains, instead of each
+    # paying its own full job latency after the previous one finishes.
+    # Overwrite-mode writes keep the whole-batch retry idempotent.
+    from ..functions.concurrency import run_concurrent
 
+    write_thunks = [
+        lambda: store_io.write_parquet(
+            _pad(blocks, extra=("term_bucket",)),
+            os.path.join(seg_batch_path, "part=block"),
+            partition_by=("term_bucket",),
+            options=sink_options,
+        ),
+        lambda: store_io.write_parquet(
+            _pad(markers),
+            os.path.join(seg_batch_path, "part=doc", "term_bucket=-1"),
+            options=sink_options,
+        ),
+    ]
     if lm_stats:
         # index-time LM statistics: unigram + bigram collection frequencies
         # from one JVM-only pass over this batch's docs (operators/lm.py).
@@ -766,12 +776,15 @@ def _build_batch_once(
             (content_col,) if edge_ngrams else (fields or (content_col,)),
             qualify=bool(fields),
         )
-        store_io.write_parquet(
-            grams.sortWithinPartitions("gram"),
-            os.path.join(store_path, "lm", f"batch={batch_name}"),
-            options=sink_options,
+        write_thunks.append(
+            lambda: store_io.write_parquet(
+                grams.sortWithinPartitions("gram"),
+                os.path.join(store_path, "lm", f"batch={batch_name}"),
+                options=sink_options,
+            )
         )
-        mark("lm_grams")
+    run_concurrent(*write_thunks)
+    mark("segments_write")  # wall time of the overlapped writes
 
     # lineage + metrics from the committed blocks (read-back = what a future
     # query will see). ONE aggregation job covers doc count, block count, and
@@ -972,6 +985,68 @@ def _finalize_store(
         for i in range(len(fields or ()))
     ]
 
+    def _derived_stats_job():
+        # term_stats rebuild + lm_stats merge — block-metadata work only,
+        # independent of the doc-stat audit/liveness jobs
+        if seg_df is not None:
+            block_cols = [
+                "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
+                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+                "pos_bytes", "term_bucket", "batch",
+            ]
+            blocks = seg_df.filter(F.col("part") == "block")
+            blocks = blocks.select(
+                *[c for c in block_cols if c in blocks.columns]
+            )
+        else:
+            blocks = store_io.read_blocks(spark, store_path)
+        # sortWithinPartitions("term"): no extra exchange (sorts the agg's
+        # own output partitions), but each output file becomes term-ordered,
+        # so its parquet row-group min/max stats are tight — the query
+        # side's driver-side term lookup (plans/search._term_stats_lookup)
+        # then prunes to the row groups containing the probed terms instead
+        # of scanning the vocabulary (guide §6).
+        ts = postings.term_stats(blocks).sortWithinPartitions("term")
+        store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+        lm_root = os.path.join(store_path, "lm")
+        has_lm = (
+            os.path.isdir(lm_root) if lm_stats is None else bool(lm_stats)
+        )
+        if has_lm and os.path.isdir(lm_root):
+            batch_dirs = [
+                d for d in os.listdir(lm_root) if d.startswith("batch=")
+            ]
+            lm_out = os.path.join(store_path, "lm_stats")
+            if len(batch_dirs) == 1:
+                # single-batch store: the batch's gram table IS the merged
+                # table (each batch is already aggregated per gram and
+                # written gram-sorted within its files) — a driver-side
+                # file copy replaces the merge job + range-exchange +
+                # rewrite
+                import shutil
+
+                src = os.path.join(lm_root, batch_dirs[0])
+                shutil.rmtree(lm_out, ignore_errors=True)
+                os.makedirs(lm_out, exist_ok=True)
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet"):
+                        shutil.copy2(os.path.join(src, fn),
+                                     os.path.join(lm_out, fn))
+            else:
+                # merge per-batch gram counts into ONE sorted lm_stats
+                # table: row-group min/max on the per-file-sorted gram
+                # column make the suggester's candidate lookups point
+                # reads, not scans
+                grams = (
+                    spark.read.parquet(lm_root)
+                    .groupBy("gram")
+                    .agg(F.sum("cf").alias("cf"))
+                    .sortWithinPartitions("gram")
+                )
+                store_io.write_parquet(grams, lm_out)
+
+    derived_written = False
+
     # ONE aggregation fuses the collision audit (distinct doc_int == rows),
     # duplicate-doc detection (distinct doc_id == rows), and the live stats.
     # A fresh single-batch build hands the same numbers in from its
@@ -992,17 +1067,33 @@ def _finalize_store(
         }
     elif assume_unique:
         # post-compaction: no new doc ids since the pre-compaction audit
-        # (docs only removed) — skip the countDistinct expansion
-        plain = doc_stats.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("_dlsum"),
-            *field_avgs,
-            *[
-                F.sum(F.col("field_dls")[i]).alias(f"_fs{i}")
-                for i in range(len(fields or ()))
-            ],
-        ).first()
+        # (docs only removed) — skip the countDistinct expansion. The
+        # uniqueness checks below are trivially satisfied here, so the
+        # term_stats rebuild (block metadata, disjoint from the doc-stat
+        # audit) runs CONCURRENTLY with this aggregation (guide §2.6)
+        # instead of waiting its own full job latency behind it.
+        from ..functions.concurrency import run_concurrent
+
+        _plain_holder: dict = {}
+
+        def _audit_job():
+            _plain_holder["r"] = doc_stats.agg(
+                F.count("*").alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("_dlsum"),
+                *field_avgs,
+                *[
+                    F.sum(F.col("field_dls")[i]).alias(f"_fs{i}")
+                    for i in range(len(fields or ()))
+                ],
+            ).first()
+
+        if derived_stats:
+            run_concurrent(_audit_job, _derived_stats_job)
+            derived_written = True
+        else:
+            _audit_job()
+        plain = _plain_holder["r"]
         audit = {
             "n": plain["n"], "n_ids": plain["n"], "n_doc_ids": plain["n"],
             "avgdl": plain["avgdl"],
@@ -1150,59 +1241,11 @@ def _finalize_store(
         # by the post-compaction finalize, so writing them here is a full
         # block-metadata scan + shuffle + write thrown away moments later
         return
-    if seg_df is not None:
-        block_cols = [
-            "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
-            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
-            "pos_bytes", "term_bucket", "batch",
-        ]
-        blocks = seg_df.filter(F.col("part") == "block")
-        blocks = blocks.select(
-            *[c for c in block_cols if c in blocks.columns]
-        )
-    else:
-        blocks = store_io.read_blocks(spark, store_path)
-    # sortWithinPartitions("term"): no extra exchange (sorts the agg's own
-    # output partitions), but each output file becomes term-ordered, so its
-    # parquet row-group min/max stats are tight — the query side's
-    # driver-side term lookup (plans/search._term_stats_lookup) then prunes
-    # to the row groups containing the probed terms instead of scanning
-    # the vocabulary (guide §6: make min/max statistics effective).
-    ts = postings.term_stats(blocks).sortWithinPartitions("term")
-    store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+    if not derived_written:
+        _derived_stats_job()
     lm_root = os.path.join(store_path, "lm")
     if lm_stats is None:
         lm_stats = os.path.isdir(lm_root)
-    if lm_stats and os.path.isdir(lm_root):
-        batch_dirs = [
-            d for d in os.listdir(lm_root) if d.startswith("batch=")
-        ]
-        lm_out = os.path.join(store_path, "lm_stats")
-        if len(batch_dirs) == 1:
-            # single-batch store: the batch's gram table IS the merged
-            # table (each batch is already aggregated per gram and written
-            # gram-sorted within its files) — a driver-side file copy
-            # replaces the merge job + range-exchange + rewrite
-            import shutil
-
-            src = os.path.join(lm_root, batch_dirs[0])
-            shutil.rmtree(lm_out, ignore_errors=True)
-            os.makedirs(lm_out, exist_ok=True)
-            for fn in os.listdir(src):
-                if fn.endswith(".parquet"):
-                    shutil.copy2(os.path.join(src, fn),
-                                 os.path.join(lm_out, fn))
-        else:
-            # merge per-batch gram counts into ONE sorted lm_stats table:
-            # row-group min/max on the per-file-sorted gram column make the
-            # suggester's candidate lookups point reads, not scans
-            grams = (
-                spark.read.parquet(lm_root)
-                .groupBy("gram")
-                .agg(F.sum("cf").alias("cf"))
-                .sortWithinPartitions("gram")
-            )
-            store_io.write_parquet(grams, lm_out)
     prev_meta = store_io.read_meta(store_path)
     if segment_docs == 0:
         segment_docs = prev_meta.get("segment_docs", 0)

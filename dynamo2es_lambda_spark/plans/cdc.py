@@ -267,7 +267,24 @@ def apply_changes(
                     f"{missing_dmc} — ship them on new_image or the "
                     "batch's markers would read back null meta"
                 )
-            n_up, _ = build._build_batch(
+
+        # ---- deletes: tombstones (version already bumped by dispatch)
+        deletes = good.filter(F.col("action") == actions.ACTION_DELETE).select(
+            "doc_id", "version"
+        )
+        n_del = action_counts.get(actions.ACTION_DELETE, 0)
+
+        # the upsert batch build and the tombstone write are independent
+        # (both read the cached LWW frame, disjoint output directories) —
+        # run them as concurrent Spark jobs (guide §2.6) so the small
+        # tombstone job back-fills executors during the batch build's tail
+        # instead of paying its own full job latency afterwards
+        from ..functions.concurrency import run_concurrent
+
+        _built: list = [0, 0]
+
+        def _run_build():
+            _built[0], _built[1] = build._build_batch(
                 corpus, store_path, batch_idx, batch_name,
                 # n_index is exact here: post-LWW action count, or the
                 # post-hook corpus count when a transform hook ran — either
@@ -289,16 +306,20 @@ def apply_changes(
                 doc_meta_cols=dmc,
             )
 
-        # ---- deletes: tombstones (version already bumped by dispatch)
-        deletes = good.filter(F.col("action") == actions.ACTION_DELETE).select(
-            "doc_id", "version"
-        )
-        n_del = action_counts.get(actions.ACTION_DELETE, 0)
-        if n_del:
+        def _write_tombs():
             store_io.write_parquet(
                 deletes,
                 os.path.join(store_path, "tombstones", f"batch={batch_name}"),
             )
+
+        thunks = []
+        if n_index:
+            thunks.append(_run_build)
+        if n_del:
+            thunks.append(_write_tombs)
+        if thunks:
+            run_concurrent(*thunks)
+        n_up = _built[0]
 
         # the checkpoint is what advances _next_batch_idx: a delete-only
         # batch (no upserts → _build_batch skipped) must still claim its
