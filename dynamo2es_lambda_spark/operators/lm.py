@@ -102,37 +102,57 @@ def bigram_perplexity(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
     ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS)).persist()
-    uni = (
-        base.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
+    # ONE corpus pass counts unigrams AND bigrams together (the same fused
+    # shape gram_counts uses for the lm_stats table — the keyspace cannot
+    # collide: a gram containing a space is a bigram), localCheckpointed at
+    # vocabulary size so the model-side joins below never re-scan the
+    # corpus. Replaces two separate corpus-wide explode+groupBy passes.
+    allg = (
+        base.select(
+            F.explode(
+                F.concat(F.col("_toks"), F.col("_bigrams"))
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("_cf"))
+        .localCheckpoint(eager=False)
+    )
+    is_bi = F.col("gram").contains(" ")
+    uni = allg.filter(~is_bi).select(
+        F.col("gram").alias("w"), F.col("_cf").alias("c1")
+    )
+    bi = allg.filter(is_bi).select(
+        F.col("gram").alias("b"), F.col("_cf").alias("c12")
     )
     # vocabulary size rides the plan as a broadcast 1-row frame instead of
     # a separate eager count() action (same double arithmetic either way)
     vsz = F.broadcast(
         uni.agg(F.count("*").cast("double").alias("_v"))
     )
-    bi = (
-        base.select(F.explode("_bigrams").alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("c12"))
-    )
-    doc_bi = base.select(
-        "doc_id", F.explode("_bigrams").alias("b")
-    ).withColumn("w1", F.split(F.col("b"), " ")[0])
     k = float(k_smooth)
-    scored = (
-        doc_bi.join(bi, "b")
+    # score the MODEL, not the stream (guide §2.3 "shuffle fewer bytes"):
+    # p(w2|w1) depends only on the gram, so the smoothing joins run over
+    # the vocabulary-sized bigram table (w1 derived model-side — same
+    # split expression, same inner-join composition) and the corpus-sized
+    # doc-bigram stream pays ONE narrow (doc_id, b) join instead of
+    # carrying w1 through two sequential joins. Per-gram _nll is the same
+    # IEEE expression on the same inputs — values are unchanged.
+    model = (
+        bi.withColumn("w1", F.split(F.col("b"), " ")[0])
         .join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(vsz)
-        .withColumn(
-            "_nll",
-            -F.log2(
-                (F.col("c12") + F.lit(k))
-                / (F.col("c1") + F.lit(k) * F.col("_v"))
-            ),
+        .select(
+            "b",
+            (
+                -F.log2(
+                    (F.col("c12") + F.lit(k))
+                    / (F.col("c1") + F.lit(k) * F.col("_v"))
+                )
+            ).alias("_nll"),
         )
     )
+    doc_bi = base.select("doc_id", F.explode("_bigrams").alias("b"))
+    scored = doc_bi.join(model, "b")
     out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("nll_r"),
@@ -187,22 +207,26 @@ def bigram_perplexity_from_stats(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("_toks"),
     ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS))
-    doc_bi = base.select(
-        "doc_id", F.explode("_bigrams").alias("b")
-    ).withColumn("w1", F.split(F.col("b"), " ")[0])
     k = float(k_smooth)
-    scored = (
-        doc_bi.join(bi, "b")
+    # model-side smoothing joins (same shape as bigram_perplexity): the
+    # stats tables are vocabulary-sized, so p resolves there and the doc
+    # stream pays one narrow join
+    model = (
+        bi.withColumn("w1", F.split(F.col("b"), " ")[0])
         .join(uni, "w1")
         .crossJoin(vsz)
-        .withColumn(
-            "_nll",
-            -F.log2(
-                (F.col("c12") + F.lit(k))
-                / (F.col("c1") + F.lit(k) * F.col("_v"))
-            ),
+        .select(
+            "b",
+            (
+                -F.log2(
+                    (F.col("c12") + F.lit(k))
+                    / (F.col("c1") + F.lit(k) * F.col("_v"))
+                )
+            ).alias("_nll"),
         )
     )
+    doc_bi = base.select("doc_id", F.explode("_bigrams").alias("b"))
+    scored = doc_bi.join(model, "b")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("nll_r"),
@@ -254,10 +278,32 @@ def trigram_perplexity(
     ).withColumn("_bigrams", F.expr(_BIGRAMS_FROM_TOKS)).withColumn(
         "_trigrams", F.expr(_TRIGRAMS_FROM_TOKS)
     ).persist()
-    uni = (
-        base.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
+    # ONE corpus pass counts unigrams, bigrams AND trigrams together
+    # (space count disambiguates the orders — the tokenizer never emits a
+    # space inside a token), localCheckpointed at vocabulary size so the
+    # four model-side joins below never re-scan the corpus. Replaces
+    # three separate corpus-wide explode+groupBy passes.
+    allg = (
+        base.select(
+            F.explode(
+                F.concat(
+                    F.col("_toks"), F.col("_bigrams"), F.col("_trigrams")
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("_cf"))
+        .localCheckpoint(eager=False)
+    )
+    n_words = F.size(F.split(F.col("gram"), " ", -1))
+    uni = allg.filter(n_words == 1).select(
+        F.col("gram").alias("w"), F.col("_cf").alias("c1")
+    )
+    bi = allg.filter(n_words == 2).select(
+        F.col("gram").alias("b"), F.col("_cf").alias("cb")
+    )
+    tri = allg.filter(n_words == 3).select(
+        F.col("gram").alias("g"), F.col("_cf").alias("c123")
     )
     tv = F.broadcast(
         uni.agg(
@@ -265,29 +311,24 @@ def trigram_perplexity(
             F.sum("c1").cast("double").alias("_t"),
         )
     )
-    bi = (
-        base.select(F.explode("_bigrams").alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("cb"))
-    )
-    tri = (
-        base.select(F.explode("_trigrams").alias("g"))
-        .groupBy("g")
-        .agg(F.count("*").alias("c123"))
-    )
     k = float(k_smooth)
     parts = F.split(F.col("g"), " ")
-    doc_tri = base.select(
-        "doc_id", F.explode("_trigrams").alias("g")
-    ).select(
-        "doc_id", "g",
-        F.concat_ws(" ", parts[0], parts[1]).alias("b12"),
-        F.concat_ws(" ", parts[1], parts[2]).alias("b23"),
-        parts[1].alias("w2"),
-        parts[2].alias("w3"),
-    )
-    scored = (
-        doc_tri.join(tri, "g")
+    # score the MODEL, not the stream (guide §2.3): the interpolated p
+    # depends only on the trigram, so all four count joins run over the
+    # vocabulary-sized distinct-trigram table (b12/b23/w2/w3 derived
+    # model-side — same split expressions, same inner-join composition)
+    # and the corpus-sized doc-trigram stream pays ONE narrow (doc_id, g)
+    # join instead of carrying four derived key columns through five
+    # sequential joins. Per-gram _p/_nll is the same IEEE expression on
+    # the same inputs — values are unchanged.
+    model = (
+        tri.select(
+            "g", "c123",
+            F.concat_ws(" ", parts[0], parts[1]).alias("b12"),
+            F.concat_ws(" ", parts[1], parts[2]).alias("b23"),
+            parts[1].alias("w2"),
+            parts[2].alias("w3"),
+        )
         .join(bi.withColumnRenamed("b", "b12")
                 .withColumnRenamed("cb", "c12"), "b12")
         .join(bi.withColumnRenamed("b", "b23")
@@ -306,8 +347,10 @@ def trigram_perplexity(
             + F.lit(l3) * (F.col("c123") + k)
             / (F.col("c12") + F.lit(k) * F.col("_v")),
         )
-        .withColumn("_nll", -F.log2("_p"))
+        .select("g", (-F.log2("_p")).alias("_nll"))
     )
+    doc_tri = base.select("doc_id", F.explode("_trigrams").alias("g"))
+    scored = doc_tri.join(model, "g")
     out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_trigrams"),
         F.round(F.avg("_nll"), 6).alias("nll_r"),
