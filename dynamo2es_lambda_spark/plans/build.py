@@ -818,19 +818,38 @@ def _build_batch_once(
                 for i in range(n_fields)
             ],
         ]
-    stats = (
-        batch_df.groupBy("part", "seg")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum("n_docs").alias("postings"),
-            F.sum(
-                F.length("doc_bytes") + F.length("tf_bytes")
-                + F.length("dl_bytes")
-            ).alias("compressed_bytes"),
-            *audit_aggs,
+    def _readback_agg():
+        return (
+            batch_df.groupBy("part", "seg")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("n_docs").alias("postings"),
+                F.sum(
+                    F.length("doc_bytes") + F.length("tf_bytes")
+                    + F.length("dl_bytes")
+                ).alias("compressed_bytes"),
+                *audit_aggs,
+            )
+            .toPandas()
         )
-        .toPandas()
-    )
+
+    if audit_sink is not None:
+        # fresh single-batch build: the finalize's term_stats rebuild
+        # depends only on the written blocks (this same read-back frame),
+        # never on the audit numbers — run it CONCURRENTLY with the
+        # read-back aggregation (guide §2.6) and tell the finalize it is
+        # already on disk
+        def _ts_job():
+            blocks_rb = batch_df.filter(F.col("part") == "block")
+            ts = postings.term_stats(blocks_rb).sortWithinPartitions("term")
+            store_io.write_parquet(
+                ts, os.path.join(store_path, "term_stats")
+            )
+
+        stats = run_concurrent(_readback_agg, _ts_job)[0]
+        audit_sink["term_stats_written"] = True
+    else:
+        stats = _readback_agg()
     n_docs = int(stats.loc[stats["part"] == "doc", "rows"].sum())
     if audit_sink is not None:
         dp = stats[stats["part"] == "doc"]
@@ -985,9 +1004,18 @@ def _finalize_store(
         for i in range(len(fields or ()))
     ]
 
-    def _derived_stats_job():
+    # the batch read-back may have already written term_stats concurrently
+    # with its audit aggregation (fresh single-batch fast path)
+    ts_written = bool(
+        (precomputed_audit or {}).pop("term_stats_written", False)
+    )
+
+    def _derived_stats_job(skip_ts: bool = False):
         # term_stats rebuild + lm_stats merge — block-metadata work only,
         # independent of the doc-stat audit/liveness jobs
+        if skip_ts:
+            _lm_merge_job()
+            return
         if seg_df is not None:
             block_cols = [
                 "term", "seg", "block_id", "n_docs", "doc_first", "doc_last",
@@ -1008,6 +1036,9 @@ def _finalize_store(
         # of scanning the vocabulary (guide §6).
         ts = postings.term_stats(blocks).sortWithinPartitions("term")
         store_io.write_parquet(ts, os.path.join(store_path, "term_stats"))
+        _lm_merge_job()
+
+    def _lm_merge_job():
         lm_root = os.path.join(store_path, "lm")
         has_lm = (
             os.path.isdir(lm_root) if lm_stats is None else bool(lm_stats)
@@ -1242,7 +1273,7 @@ def _finalize_store(
         # block-metadata scan + shuffle + write thrown away moments later
         return
     if not derived_written:
-        _derived_stats_job()
+        _derived_stats_job(skip_ts=ts_written)
     lm_root = os.path.join(store_path, "lm")
     if lm_stats is None:
         lm_stats = os.path.isdir(lm_root)
