@@ -3426,24 +3426,37 @@ def significant_text(
     w = Window.partitionBy("qid").orderBy(
         F.round("score", 6).desc(), F.col("doc_id").asc()
     )
-    pdf = (
+    # the (doc_int, seg) resolution rides the SAME job as the sample cut —
+    # the termvectors core then skips its own marker-scan job. The dead
+    # filter stays (a superseded version shares the doc_id with its live
+    # marker — without it the join would duplicate sample rows and skew
+    # n_fg); it is an anti-join inside this job, not an extra action.
+    resolved = _drop_dead(
+        spark, store,
         res.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(sample_k))
         .select("qid", "doc_id")
-        .toPandas()  # query-sized: <= sample_k rows per query
+        .join(
+            store.doc_rows(spark, cols=("doc_id", "doc_int", "seg")),
+            "doc_id",
+        ),
     )
+    pdf = resolved.toPandas()  # query-sized: <= sample_k rows per query
     if pdf.empty:
         return spark.createDataFrame(
             [],
             "qid long, rank int, term string, fg long, bg long, "
             "score_r double",
         )
-    tv = termvectors(spark, store, sorted(set(pdf["doc_id"])))
+    tv = _termvectors_resolved(
+        spark, store,
+        pdf[["doc_id", "doc_int", "seg"]].drop_duplicates("doc_id"),
+    )
     if prefix:
         tv = tv.filter(F.col("term").startswith(prefix)).withColumn(
             "term", F.expr(f"substring(term, {len(prefix) + 1})")
         )
-    sample = F.broadcast(spark.createDataFrame(pdf))
+    sample = F.broadcast(spark.createDataFrame(pdf[["qid", "doc_id"]]))
     n_fg = F.broadcast(
         spark.createDataFrame(
             pdf.groupby("qid").size().rename("_n_fg").reset_index()
@@ -5272,8 +5285,6 @@ def termvectors(
     independent of corpus size. Blocks decode Arrow-batched and keep only
     the requested doc_ints; df joins in from term_stats. Dead docs
     (superseded/tombstoned) report nothing, like ES after delete."""
-    from ..sources import store_io
-
     if not doc_ids:
         raise EngineError("termvectors needs at least one doc id")
     ids = [str(d) for d in doc_ids]
@@ -5282,29 +5293,54 @@ def termvectors(
         .filter(F.col("doc_id").isin(ids))
     )
     tgt = _drop_dead(spark, store, tgt)
-    rows = tgt.collect()  # query-sized: one row per requested id
-    if not rows:
+    rows = tgt.toPandas()  # query-sized: one row per requested id
+    return _termvectors_resolved(spark, store, rows)
+
+
+def _termvectors_resolved(
+    spark: SparkSession,
+    store: IndexStore,
+    rows: pd.DataFrame,
+) -> DataFrame:
+    """:func:`termvectors` core over already-resolved LIVE marker rows
+    (doc_id, doc_int, seg) — callers that hold the resolution from an
+    earlier job (significant_text's sample cut) skip the marker scan."""
+    if rows.empty:
         return spark.createDataFrame(
             [], "doc_id string, term string, tf long, df long"
         )
+    import numpy as _np
+
     tpdf = pd.DataFrame(
-        {"doc_int": [r["doc_int"] for r in rows],
-         "t_seg": [r["seg"] for r in rows]}
+        {"doc_int": rows["doc_int"].astype("int64"),
+         "t_seg": rows["seg"].astype("int64")}
     )
     segs = sorted(tpdf["t_seg"].unique().tolist())
-    cand = F.broadcast(spark.createDataFrame(tpdf))
+    # The wanted ids are QUERY-sized (an explicit id list — the ES
+    # _termvectors contract), so they travel in the task closure as one
+    # sorted array per segment instead of a broadcast range join: hash
+    # doc_ints spread over the whole int64 space, so a block's
+    # [doc_first, doc_last] range covers almost every wanted id in its
+    # segment and the old join emitted one row — and one FULL block
+    # decode — per (block, wanted id) pair. Now each block is decoded
+    # ONCE and all wanted ids resolve with one vectorized searchsorted
+    # (guide §4.2); the range check happens against the want array
+    # before any decode, so blocks with no wanted doc skip the codec
+    # entirely. Output rows are identical: within a (term, seg) the
+    # blocks partition the sorted doc space, so each wanted id matches
+    # at most one block per term.
+    wants_by_seg = {
+        int(s): _np.sort(
+            tpdf.loc[tpdf["t_seg"] == s, "doc_int"].to_numpy(_np.int64)
+        )
+        for s in segs
+    }
     blocks = (
         store.postings(spark)
         .filter(F.col("seg").isin(segs))
-        .join(
-            cand,
-            (F.col("seg") == F.col("t_seg"))
-            & (F.col("doc_first") <= F.col("doc_int"))
-            & (F.col("doc_int") <= F.col("doc_last")),
-        )
         .select(
-            "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes",
-            F.col("doc_int").alias("want_int"),
+            "term", "seg", "doc_first", "doc_last",
+            "doc_bytes", "tf_bytes", "dl_bytes",
         )
     )
 
@@ -5314,16 +5350,26 @@ def termvectors(
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
+                wants = wants_by_seg.get(int(row.seg))
+                if wants is None:
+                    continue
+                lo = np.searchsorted(wants, row.doc_first, side="left")
+                hi = np.searchsorted(wants, row.doc_last, side="right")
+                if lo >= hi:
+                    continue  # no wanted doc in this block's range
+                cand_ints = wants[lo:hi]
                 d_ids, tfs, _dls = codec.decode_block(
                     row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
                 )
-                hit = np.searchsorted(d_ids, row.want_int)
-                if hit < len(d_ids) and d_ids[hit] == row.want_int:
+                pos = np.searchsorted(d_ids, cand_ints)
+                pos_c = np.minimum(pos, len(d_ids) - 1)
+                ok = d_ids[pos_c] == cand_ints
+                if ok.any():
                     outs.append(
                         pd.DataFrame(
-                            {"doc_int": [int(row.want_int)],
-                             "term": [row.term],
-                             "tf": [int(tfs[hit])]}
+                            {"doc_int": cand_ints[ok].astype("int64"),
+                             "term": row.term,
+                             "tf": tfs[pos_c[ok]].astype("int64")}
                         )
                     )
             if outs:
@@ -5335,8 +5381,8 @@ def termvectors(
     names = F.broadcast(
         spark.createDataFrame(
             pd.DataFrame(
-                {"doc_int": [r["doc_int"] for r in rows],
-                 "doc_id": [r["doc_id"] for r in rows]}
+                {"doc_int": rows["doc_int"].astype("int64"),
+                 "doc_id": rows["doc_id"].astype(str)}
             )
         )
     )
