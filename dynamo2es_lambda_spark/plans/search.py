@@ -7929,25 +7929,47 @@ def _score_exhaustive(joined: DataFrame, avgdl: float) -> DataFrame:
     per_term_avgdl = "avgdl" in joined.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-level decode (guide §4.2): one varbyte decode per payload
+        # column over the whole Arrow batch + one segmented cumsum,
+        # instead of three numpy decodes per block row. Per-posting
+        # arithmetic is the identical elementwise expression (tf_norm's
+        # own formula — scalar vs per-element avgdl of the same value is
+        # the same IEEE division), in the identical row order.
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs, dls = codec.decode_block(
-                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
+            if not len(pdf):
+                continue
+            counts = pdf["n_docs"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            gaps = codec.varbyte_decode(
+                b"".join(pdf["doc_bytes"])
+            ).astype(np.int64)
+            gaps[starts] += pdf["doc_first"].to_numpy(np.int64)
+            ids = codec.segmented_positions(gaps, counts)
+            tfs = codec.varbyte_decode(
+                b"".join(pdf["tf_bytes"])
+            ).astype(np.int64) + 1
+            dls = codec.varbyte_decode(
+                b"".join(pdf["dl_bytes"])
+            ).astype(np.int64) + 1
+            w = np.repeat(pdf["w"].to_numpy(np.float64), counts)
+            if per_term_avgdl:
+                ad = np.repeat(pdf["avgdl"].to_numpy(np.float64), counts)
+                tf64 = tfs.astype(np.float64)
+                norm = tf64 / (
+                    tf64
+                    + bm25.K1
+                    * (1.0 - bm25.B + bm25.B * dls.astype(np.float64) / ad)
                 )
-                ad = float(row.avgdl) if per_term_avgdl else avgdl
-                score = row.w * bm25.tf_norm(tfs, dls, ad)
-                outs.append(
-                    pd.DataFrame(
-                        {"qid": row.qid, "doc_int": ids, "score": score}
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            else:
+                norm = bm25.tf_norm(tfs, dls, avgdl)
+            yield pd.DataFrame(
+                {"qid": np.repeat(pdf["qid"].to_numpy(np.int64), counts),
+                 "doc_int": ids,
+                 "score": w * norm}
+            )
 
-    cols = ["qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"] + (
-        ["avgdl"] if per_term_avgdl else []
-    )
+    cols = ["qid", "w", "n_docs", "doc_first", "doc_bytes", "tf_bytes",
+            "dl_bytes"] + (["avgdl"] if per_term_avgdl else [])
     return joined.select(*cols).mapInPandas(
         run, schema="qid long, doc_int long, score double"
     )
@@ -10282,26 +10304,30 @@ def search_sparse_vector(
     joined = _matched_blocks(spark, store, qt[["qid", "term", "w"]])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-level decode (guide §4.2) — same shape as
+        # _score_exhaustive; dl payloads never cross the boundary (the
+        # sparse dot product has no length norm)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs, _dls = codec.decode_block(
-                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": row.qid,
-                            "doc_int": ids,
-                            "score": row.w * np.log1p(tfs),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            counts = pdf["n_docs"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            gaps = codec.varbyte_decode(
+                b"".join(pdf["doc_bytes"])
+            ).astype(np.int64)
+            gaps[starts] += pdf["doc_first"].to_numpy(np.int64)
+            tfs = codec.varbyte_decode(
+                b"".join(pdf["tf_bytes"])
+            ).astype(np.int64) + 1
+            yield pd.DataFrame(
+                {"qid": np.repeat(pdf["qid"].to_numpy(np.int64), counts),
+                 "doc_int": codec.segmented_positions(gaps, counts),
+                 "score": np.repeat(pdf["w"].to_numpy(np.float64), counts)
+                 * np.log1p(tfs)}
+            )
 
     cand = joined.select(
-        "qid", "w", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+        "qid", "w", "n_docs", "doc_first", "doc_bytes", "tf_bytes"
     ).mapInPandas(run, schema="qid long, doc_int long, score double")
     agg = cand.groupBy("qid", "doc_int").agg(
         F.sum("score").alias("score"), F.count("*").alias("nt")
@@ -10572,20 +10598,31 @@ def search_frequent_item_sets(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-level decode (guide §4.2): ONE varbyte decode over the
+        # whole Arrow batch's concatenated doc_bytes + one segmented
+        # cumsum, instead of three numpy decodes per block row (tf/dl
+        # payloads were decoded and thrown away; they no longer even
+        # cross the Python boundary). Identical ids per block.
+        import numpy as np
+
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, _tfs, _dls = codec.decode_block(
-                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
-                )
-                outs.append(
-                    pd.DataFrame({"term": row.term, "doc_int": ids})
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            counts = pdf["n_docs"].to_numpy(np.int64)
+            gaps = codec.varbyte_decode(
+                b"".join(pdf["doc_bytes"])
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            # each block's first gap is stored as 0 (first doc rides
+            # doc_first absolutely) — make it absolute per block
+            gaps[starts] += pdf["doc_first"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {"term": np.repeat(pdf["term"].to_numpy(object), counts),
+                 "doc_int": codec.segmented_positions(gaps, counts)}
+            )
 
     items = blocks.select(
-        "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+        "term", "n_docs", "doc_first", "doc_bytes"
     ).mapInPandas(run, schema="term string, doc_int long")
     if prefix:
         items = items.select(
