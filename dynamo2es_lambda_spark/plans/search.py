@@ -516,23 +516,29 @@ def _decode_tfs(joined: DataFrame) -> DataFrame:
     norm (the norm applies to the cross-field combined tf)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-level decode (guide §4.2) — same shape as
+        # _score_exhaustive; dl payloads never cross the boundary (the
+        # cross-field combined tf norm applies later)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs, _dls = codec.decode_block(
-                    row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {"qid": row.qid, "term": row.term,
-                         "doc_int": ids, "tf": tfs}
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            counts = pdf["n_docs"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            gaps = codec.varbyte_decode(
+                b"".join(pdf["doc_bytes"])
+            ).astype(np.int64)
+            gaps[starts] += pdf["doc_first"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {"qid": np.repeat(pdf["qid"].to_numpy(np.int64), counts),
+                 "term": np.repeat(pdf["term"].to_numpy(object), counts),
+                 "doc_int": codec.segmented_positions(gaps, counts),
+                 "tf": codec.varbyte_decode(
+                     b"".join(pdf["tf_bytes"])
+                 ).astype(np.int64) + 1}
+            )
 
     return joined.select(
-        "qid", "term", "doc_first", "doc_bytes", "tf_bytes", "dl_bytes"
+        "qid", "term", "n_docs", "doc_first", "doc_bytes", "tf_bytes"
     ).mapInPandas(run, schema="qid long, term string, doc_int long, tf long")
 
 
