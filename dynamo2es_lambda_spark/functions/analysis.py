@@ -152,6 +152,75 @@ def term_freqs_positions_from_tokens(
     )
 
 
+def term_rows_arrow_fast(
+    doc_ids: np.ndarray, texts: pd.Series
+) -> pd.DataFrame | None:
+    """ASCII-only Arrow/RE2 fast path of the build's counting pipeline:
+    the exact row multiset of ``term_freqs_from_tokens(doc_ids,
+    tokenize_series(texts), dls)`` — same values, same dtypes — computed
+    without per-element Python regex. Returns None when the batch holds
+    any non-ASCII text (the caller falls back to the pandas path): for
+    pure-ASCII input RE2's ``\\1 \\2`` rewrites, ``ascii_lower`` and the
+    regex split are byte-equivalent to the pinned Python-re pipeline,
+    which is fuzz-asserted in tests.
+
+    Row ORDER may differ from the pandas kernel (dictionary slots vs
+    factorize codes assign in the same first-occurrence order, but the
+    contract here is only the multiset): every consumer canonicalizes by
+    sorting on (term, seg, doc_int) before encoding, so stores come out
+    identical either way (guide §4.2 — hand whole batches to native
+    code)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.fillna(""), type=pa.string())
+    if len(arr) == 0:
+        return _EMPTY_TF.copy()
+    if not pc.all(pc.string_is_ascii(arr)).as_py():
+        return None
+    a = pc.replace_substring_regex(
+        arr, pattern=ACRONYM_BOUNDARY, replacement=r"\1 \2"
+    )
+    a = pc.replace_substring_regex(
+        a, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
+    )
+    a = pc.ascii_lower(a)
+    lists = pc.split_pattern_regex(a, pattern=TOKEN_SPLIT)
+    flat = lists.values
+    lens_raw = np.diff(np.asarray(lists.offsets)).astype(np.int64)
+    # split() emits "" at a leading/trailing separator — findall() never
+    # does; drop them and count the per-doc survivors (the true dl)
+    ne_mask = pc.not_equal(flat, "")
+    ne_np = ne_mask.to_numpy(zero_copy_only=False)
+    doc_of_raw = np.repeat(
+        np.arange(len(lens_raw), dtype=np.int64), lens_raw
+    )
+    lens = np.bincount(
+        doc_of_raw[ne_np], minlength=len(lens_raw)
+    ).astype(np.int64)
+    if int(lens.sum()) == 0:
+        return _EMPTY_TF.copy()
+    enc = pc.filter(flat, ne_mask).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary
+    n_uniq = len(uniq)
+    doc_ord = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+    key = doc_ord * np.int64(n_uniq) + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    d = (uk // n_uniq).astype(np.int64)
+    c = (uk % n_uniq).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_int": np.asarray(doc_ids, dtype=np.int64)[d],
+            "term": uniq.take(
+                pa.array(c, type=pa.int64())
+            ).to_pandas().to_numpy(dtype=object),
+            "tf": cnt.astype(np.int64),
+            "dl": lens[d],
+        }
+    )
+
+
 def term_freqs_frame(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     """Vectorized (doc, term, tf, dl) from parallel id/text series.
     Returns columns: doc_int (int64), term (str), tf (int64), dl (int64)."""

@@ -137,6 +137,7 @@ def tokenize_terms_rows(
         sayt_shingle_tokens,
         term_freqs_from_tokens,
         term_freqs_positions_from_tokens,
+        term_rows_arrow_fast,
         tokenize_series,
     )
 
@@ -185,6 +186,19 @@ def tokenize_terms_rows(
                             g = int(fld.rsplit("._", 1)[1][:-4])
                             toks, dl_f = sayt_shingle_tokens(root_toks, g)
                     else:
+                        tr = None
+                        if not positions and not edge_ngrams:
+                            # ASCII Arrow/RE2 fast path (guide §4.2);
+                            # None → pandas fallback below
+                            tr = term_rows_arrow_fast(
+                                doc_int, pdf[fld_cols[fld]]
+                            )
+                        if tr is not None:
+                            if len(tr):
+                                tr = tr.copy()
+                                tr["term"] = fld + ":" + tr["term"]
+                            frames.append(tr)
+                            continue
                         toks = tokenize_series(pdf[fld_cols[fld]].fillna(""))
                         dl_f = toks.map(len).to_numpy(dtype=np.int64)
                         if edge_ngrams:
@@ -196,6 +210,11 @@ def tokenize_terms_rows(
                     frames.append(tr)
                 yield pd.concat(frames, ignore_index=True)
             else:
+                if not positions:
+                    fast = term_rows_arrow_fast(doc_int, pdf[content_col])
+                    if fast is not None:
+                        yield fast
+                        continue
                 toks = tokenize_series(pdf[content_col])
                 dl = toks.map(len).to_numpy(dtype=np.int64)
                 yield kernel(doc_int, toks, dl)
