@@ -1909,25 +1909,54 @@ def search_match_fuzzy(
 
 def _decode_positional_terms(pdf: pd.DataFrame) -> dict[str, tuple]:
     """Decode every (term, seg) posting-block group of ``pdf`` into sorted
-    numpy arrays: term -> (ids, tfs, dls, flat_positions, starts)."""
+    numpy arrays: term -> (ids, tfs, dls, flat_positions, starts).
+
+    Batch-level decode (guide §4.2): ONE varbyte pass per payload column
+    over the whole group frame — a block's pos_bytes is exactly the
+    concatenation of its docs' delta payloads, so one segmented cumsum
+    with per-doc tf counts reproduces decode_block_positions for every
+    block at once — then per-term slices from the block boundaries. The
+    per-term values are identical to the former per-block decode loop."""
     by_term: dict[str, tuple] = {}
-    for term, tdf in pdf.groupby("term", sort=True):
-        tdf = tdf.sort_values("doc_first")
-        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for row in tdf.itertuples(index=False):
-            ids, tfs, dls = codec.decode_block(
-                row.doc_first, row.doc_bytes, row.tf_bytes, row.dl_bytes
-            )
-            flat, _ = codec.decode_block_positions(row.pos_bytes, tfs)
-            ids_l.append(ids)
-            tfs_l.append(tfs)
-            dls_l.append(dls)
-            pos_l.append(flat)
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        flat = np.concatenate(pos_l)
-        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    if not len(pdf):
+        return by_term
+    pdf = pdf.sort_values(
+        ["term", "doc_first"], kind="stable", ignore_index=True
+    )
+    counts = pdf["n_docs"].to_numpy(np.int64)
+    b_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gaps = codec.varbyte_decode(
+        b"".join(pdf["doc_bytes"])
+    ).astype(np.int64)
+    gaps[b_starts] += pdf["doc_first"].to_numpy(np.int64)
+    ids_all = codec.segmented_positions(gaps, counts)
+    tfs_all = codec.varbyte_decode(
+        b"".join(pdf["tf_bytes"])
+    ).astype(np.int64) + 1
+    dls_all = codec.varbyte_decode(
+        b"".join(pdf["dl_bytes"])
+    ).astype(np.int64) + 1
+    flat_all = codec.segmented_positions(
+        codec.varbyte_decode(b"".join(pdf["pos_bytes"])).astype(np.int64),
+        tfs_all,
+    )
+    doc_pos_starts = np.concatenate(([0], np.cumsum(tfs_all)[:-1]))
+    terms = pdf["term"].to_numpy(object)
+    t_change = np.ones(len(pdf), dtype=bool)
+    t_change[1:] = terms[1:] != terms[:-1]
+    t_firsts = np.nonzero(t_change)[0]
+    t_ends = np.append(t_firsts[1:], len(pdf))
+    n_rows = ids_all.size
+    for bi, bj in zip(t_firsts, t_ends):
+        lo = b_starts[bi]
+        hi = b_starts[bj] if bj < len(counts) else n_rows
+        ids = ids_all[lo:hi]
+        tfs = tfs_all[lo:hi]
+        dls = dls_all[lo:hi]
+        p_lo = doc_pos_starts[lo]
+        p_hi = doc_pos_starts[hi] if hi < n_rows else flat_all.size
+        flat = flat_all[p_lo:p_hi]
+        starts = doc_pos_starts[lo:hi] - p_lo
         # blocks of one (term, seg) can come from several index BATCHES
         # (CDC appends immutable segments): the concatenation is a merge
         # of sorted runs, not globally sorted — searchsorted below needs
@@ -1943,7 +1972,7 @@ def _decode_positional_terms(pdf: pd.DataFrame) -> dict[str, tuple]:
             )
             ids, tfs, dls = ids[order], tfs[order], dls[order]
             starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-        by_term[term] = (ids, tfs, dls, flat, starts)
+        by_term[terms[bi]] = (ids, tfs, dls, flat, starts)
     return by_term
 
 
@@ -2272,8 +2301,8 @@ def search_span_field_masking(
              "score": pd.Series(scores, dtype="float64")}
         )
 
-    cols = ["qid", "seg", "term", "w", "avgdl", "doc_first", "doc_bytes",
-            "tf_bytes", "dl_bytes", "pos_bytes"]
+    cols = ["qid", "seg", "term", "w", "avgdl", "n_docs", "doc_first",
+            "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols)
         .groupBy("qid", "seg")
@@ -2468,7 +2497,7 @@ def search_span_not(
              "score": pd.Series(scores, dtype="float64")}
         )
 
-    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+    cols = ["qid", "seg", "term", "w", "n_docs", "doc_first", "doc_bytes",
             "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols)
@@ -2655,7 +2684,7 @@ def search_span_containing(
              "score": pd.Series(scores, dtype="float64")}
         )
 
-    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+    cols = ["qid", "seg", "term", "w", "n_docs", "doc_first", "doc_bytes",
             "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols)
@@ -2831,7 +2860,7 @@ def _phrase_scores(
              "score": pd.Series(scores, dtype="float64")}
         )
 
-    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+    cols = ["qid", "seg", "term", "w", "n_docs", "doc_first", "doc_bytes",
             "tf_bytes", "dl_bytes", "pos_bytes"]
     return (
         joined.select(*cols)
@@ -7106,7 +7135,7 @@ def search_span_first(
             )
         return pd.concat(outs, ignore_index=True)
 
-    cols = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+    cols = ["qid", "seg", "term", "w", "n_docs", "doc_first", "doc_bytes",
             "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols)
@@ -7895,7 +7924,7 @@ def search_phrase_prefix(
              "score": pd.Series(np.concatenate(score_l), dtype="float64")}
         )
 
-    cols2 = ["qid", "seg", "term", "w", "doc_first", "doc_bytes",
+    cols2 = ["qid", "seg", "term", "w", "n_docs", "doc_first", "doc_bytes",
              "tf_bytes", "dl_bytes", "pos_bytes"]
     scored = (
         joined.select(*cols2)
